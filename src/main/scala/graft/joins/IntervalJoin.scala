@@ -1,0 +1,183 @@
+package graft.joins
+
+import graft.core.{IntervalSpec, Intervals}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap join — Spark-native reimplementation of the reference's
+  * `merge_intervals` (`/root/reference/catabra_pandas/merging.py:13-508`).
+  *
+  * Semantics preserved:
+  *   - match iff the two intervals intersect on a continuum, with
+  *     per-endpoint open/closed flags (truth table `merging.py:437-455`);
+  *   - missing endpoint columns ⇒ ±∞; NaN/null endpoints ⇒ empty interval;
+  *     empty intervals never match but still appear as unmatched rows under
+  *     `how = left/right/outer` (`merging.py:230-288`, `751-787`);
+  *   - `keep` ∈ all/first/last/both: per primary-side row, keep all / the
+  *     first / the last / both matching rows of the other side **by that
+  *     side's original row order** (`merging.py:92-98`); primary side is
+  *     `right` when `how = "right"`;
+  *   - overlapping output columns are disambiguated with `suffixes`
+  *     (`merging.py:87-91`).
+  *
+  * Architecture: one Catalyst join (equality keys + range conjuncts), then a
+  * window `row_number` pass for `keep`. With equality keys Catalyst plans a
+  * shuffled hash / sort-merge join with the range conjuncts as post-filter;
+  * small sides should be broadcast by AQE. Keyless joins fall back to BNLJ —
+  * see [[BinnedIntervalJoin]] for the scale path.
+  *
+  * Row order: Spark DataFrames are unordered; when `keepOrder = true` the
+  * result is sorted by (primary row id, secondary row id), reproducing the
+  * reference's ordering contract (`merging.py:141-148`) at the cost of a
+  * global sort. Pass `keepOrder = false` at scale.
+  */
+object IntervalJoin {
+
+  val LeftId  = "__graft_lid"
+  val RightId = "__graft_rid"
+
+  /** @param left       left table
+    * @param right      right table
+    * @param leftSpec   interval columns + closedness of `left`
+    * @param rightSpec  interval columns + closedness of `right`
+    * @param on         equality-key columns present in both sides
+    * @param leftOn     equality-key columns of `left` (with `rightOn`)
+    * @param rightOn    equality-key columns of `right`
+    * @param how        inner | left | right | outer
+    * @param keep       all | first | last | both
+    * @param keepOrder  sort result by original row order (global sort!)
+    * @param suffixes   suffixes for overlapping column names (left, right)
+    * @param leftIdCol  existing column defining `left`'s original row order;
+    *                   generated (partition-major) when None
+    * @param rightIdCol same for `right`
+    * @param returnIndexers return just the (left id, right id) pairs with
+    *                   −1 for missing, like `merging.py:106-115`
+    */
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      leftSpec: IntervalSpec,
+      rightSpec: IntervalSpec,
+      on: Seq[String] = Nil,
+      leftOn: Seq[String] = Nil,
+      rightOn: Seq[String] = Nil,
+      how: String = "inner",
+      keep: String = "all",
+      keepOrder: Boolean = true,
+      suffixes: (Option[String], Option[String]) = (Some("_x"), Some("_y")),
+      leftIdCol: Option[String] = None,
+      rightIdCol: Option[String] = None,
+      returnIndexers: Boolean = false): DataFrame = {
+
+    require(Seq("inner", "left", "right", "outer").contains(how), s"how=$how")
+    require(Seq("all", "first", "last", "both").contains(keep), s"keep=$keep")
+    require(on.isEmpty || (leftOn.isEmpty && rightOn.isEmpty),
+      "`on` is mutually exclusive with `leftOn`/`rightOn`")
+    val (lKeys, rKeys) = if (on.nonEmpty) (on, on) else (leftOn, rightOn)
+    require(lKeys.length == rKeys.length, "key lists must have equal length")
+
+    // ── row ids (original order) ────────────────────────────────────────
+    val lid = col(LeftId)
+    val rid = col(RightId)
+    val l0 = leftIdCol match {
+      case Some(c) => left.withColumn(LeftId, col(c).cast("long"))
+      case None    => left.withColumn(LeftId, monotonically_increasing_id())
+    }
+    val r0 = rightIdCol match {
+      case Some(c) => right.withColumn(RightId, col(c).cast("long"))
+      case None    => right.withColumn(RightId, monotonically_increasing_id())
+    }
+
+    // ── drop empty intervals (matched side only; unmatched rows are
+    //    reintroduced by the outer join type) ──────────────────────────
+    val lValid = l0.filter(Intervals.nonEmpty(left, leftSpec))
+    val rValid = r0.filter(Intervals.nonEmpty(right, rightSpec))
+
+    // Disambiguate: rename every right column.
+    val rPrefix  = "__graft_r_"
+    val rRenamed = rValid.columns.foldLeft(rValid) { (df, c) =>
+      if (c == RightId) df else df.withColumnRenamed(c, rPrefix + c)
+    }
+    def rCol(c: String): Column = col(rPrefix + c)
+
+    // ── join condition ──────────────────────────────────────────────────
+    val keyCond: Seq[Column] =
+      lKeys.zip(rKeys).map { case (lk, rk) => col(lk) <=> rCol(rk) }
+
+    val rangeCond: Column =
+      if (leftSpec.isPoint && rightSpec.isPoint)
+        // both degenerate ⇒ plain equality (lets Catalyst pick a hash join
+        // instead of seeing `p <= q && q <= p`), cf. merging.py:341-355
+        col(leftSpec.start.get) === rCol(rightSpec.start.get)
+      else
+        Intervals.overlap(
+          leftSpec.start.map(col), leftSpec.stop.map(col),
+          leftSpec.includeStart, leftSpec.includeStop,
+          rightSpec.start.map(rCol), rightSpec.stop.map(rCol),
+          rightSpec.includeStart, rightSpec.includeStop)
+
+    val hasRange =
+      (leftSpec.start.isDefined && rightSpec.stop.isDefined) ||
+      (rightSpec.start.isDefined && leftSpec.stop.isDefined)
+    require(lKeys.nonEmpty || hasRange, "No columns to perform merge on.")
+
+    val cond = (keyCond :+ rangeCond).reduce(_ && _)
+
+    val joinType = how match {
+      case "inner" => "inner"
+      case "left"  => "left_outer"
+      case "right" => "right_outer"
+      case "outer" => "full_outer"
+    }
+
+    val joined = lValid.join(rRenamed, cond, joinType)
+
+    // ── keep = first/last/both: dedup by the secondary side's row order ─
+    val (primaryId, secondaryId) =
+      if (how == "right") (rid, lid) else (lid, rid)
+
+    val kept = keep match {
+      case "all" => joined
+      case _ =>
+        val base  = Window.partitionBy(primaryId)
+        val asc   = row_number().over(base.orderBy(secondaryId.asc))
+        val desc  = row_number().over(base.orderBy(secondaryId.desc))
+        // unmatched rows (either id null) always pass
+        val guard = primaryId.isNull || secondaryId.isNull
+        val pred = keep match {
+          case "first" => asc === 1
+          case "last"  => desc === 1
+          case "both"  => asc === 1 || desc === 1
+        }
+        joined.withColumn("__graft_keep", guard || pred)
+          .filter(col("__graft_keep")).drop("__graft_keep")
+    }
+
+    // ── reassemble output schema with suffixes ──────────────────────────
+    val overlapNames =
+      left.columns.toSet intersect right.columns.toSet
+    def outName(c: String, suffix: Option[String], overlap: Boolean): String =
+      if (overlap) suffix.map(c + _).getOrElse(c) else c
+
+    val ordered =
+      if (keepOrder)
+        kept.orderBy(primaryId.asc_nulls_last, secondaryId.asc_nulls_last)
+      else kept
+
+    if (returnIndexers) {
+      ordered.select(
+        coalesce(lid, lit(-1L)).as("left_idx"),
+        coalesce(rid, lit(-1L)).as("right_idx"))
+    } else {
+      val outCols =
+        left.columns.toSeq.map { c =>
+          col(c).as(outName(c, suffixes._1, overlapNames(c)))
+        } ++
+        right.columns.toSeq.map { c =>
+          rCol(c).as(outName(c, suffixes._2, overlapNames(c)))
+        }
+      ordered.select(outCols: _*)
+    }
+  }
+}
