@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.agg.{Factorize, GroupedMode}
 import graft.core.{IntervalSpec, Tables}
-import graft.joins.IntervalJoin
+import graft.intervals.{CombineIntervals, GroupIntervals}
+import graft.joins.{FindContainingInterval, IntervalJoin}
+import graft.windows.{PrevNextSpec, PrevNextValues}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -75,6 +78,70 @@ object SparkEntry {
           col("o_orderkey_y").as("rkey"))
     }
 
+  private val q_containing: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val intervals = orderWindows(s, dir, 15)
+      val points = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      FindContainingInterval(
+        intervals, points, Seq("o_orderdate"),
+        on = Seq("o_custkey"),
+        startCol = Some("win_start"), stopCol = Some("win_stop"),
+        intervalIdCol = Some("o_orderkey"))
+        .select(
+          col("o_orderkey").as("okey"),
+          col("o_orderdate_first").as("first_id"),
+          col("o_orderdate_last").as("last_id"))
+    }
+
+  private val q_prev_next: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      PrevNextValues(
+        t(s, dir, "orders"),
+        sortBy = Seq("o_orderdate", "o_orderkey"),
+        groupBy = Seq("o_custkey"),
+        columns = Map("o_totalprice" -> PrevNextSpec(
+          prevName = Some("prev_price"), nextName = Some("next_price"))),
+        firstIndicatorName = Some("is_first"),
+        lastIndicatorName = Some("is_last"))
+        .select(
+          col("o_orderkey").as("okey"),
+          col("prev_price"), col("next_price"),
+          col("is_first"), col("is_last"))
+
+  private val q_group_intervals: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      GroupIntervals(
+        orderWindows(s, dir, 30),
+        "win_start", Some("win_stop"),
+        groupBy = Seq("o_custkey"),
+        distance = expr("INTERVAL 5 DAYS"),
+        tieBreakCols = Seq("o_orderkey"))
+        .select(col("o_orderkey").as("okey"), col("interval_group").as("grp"))
+
+  private def combineQuery(nMin: Int, nMax: Option[Int]):
+      (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      CombineIntervals(
+        orderWindows(s, dir, 30),
+        "win_start", Some("win_stop"),
+        groupBy = Seq("o_custkey"), nMin = nMin, nMax = nMax)
+        .select(
+          col("o_custkey").as("ckey"),
+          col("win_start").as("start"), col("win_stop").as("stop"))
+
+  private val q_grouped_mode: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      GroupedMode(t(s, dir, "lineitem"), Seq("l_orderkey"), "l_returnflag")
+        .select(col("l_orderkey").as("okey"), col("mode"), col("count"))
+
+  private val q_factorize: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      Factorize(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"))
+        .select(
+          col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+          col("code"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q_interval_contain(spark, "/root/testdata/sf0.001")
@@ -84,12 +151,80 @@ object SparkEntry {
     "q_interval_contain"    -> q_interval_contain,
     "q_interval_overlap"    -> q_interval_overlap,
     "q_interval_keep_first" -> q_interval_keep_first,
+    "q_containing"          -> q_containing,
+    "q_prev_next"           -> q_prev_next,
+    "q_group_intervals"     -> q_group_intervals,
+    "q_combine_union"       -> combineQuery(1, None),
+    "q_combine_gaps"        -> combineQuery(0, Some(0)),
+    "q_grouped_mode"        -> q_grouped_mode,
+    "q_factorize"           -> q_factorize,
   )
+
+  /** DuckDB sweep-line SQL shared by the combine_intervals oracles. */
+  private def combineOracle(flagCond: String): String =
+    s"""WITH ev AS (
+       |  SELECT o_custkey AS g, o_orderdate AS t, 1 AS d FROM orders
+       |  UNION ALL
+       |  SELECT o_custkey, o_orderdate + INTERVAL 30 DAY, -1 FROM orders),
+       |c AS (SELECT g, t, SUM(d) AS d FROM ev GROUP BY g, t),
+       |w AS (SELECT g, t,
+       |        SUM(d) OVER (PARTITION BY g ORDER BY t ROWS UNBOUNDED PRECEDING) AS depth,
+       |        LEAD(t) OVER (PARTITION BY g ORDER BY t) AS nt
+       |      FROM c),
+       |f AS (SELECT g, t, nt, ($flagCond AND nt IS NOT NULL) AS flag FROM w),
+       |f2 AS (SELECT *, COALESCE(LAG(flag) OVER (PARTITION BY g ORDER BY t), FALSE) AS pflag FROM f),
+       |sg AS (SELECT *, SUM(CASE WHEN flag AND NOT pflag THEN 1 ELSE 0 END)
+       |         OVER (PARTITION BY g ORDER BY t ROWS UNBOUNDED PRECEDING) AS seg FROM f2)
+       |SELECT g AS ckey, MIN(t) AS start, MAX(nt) AS stop
+       |FROM sg WHERE flag GROUP BY g, seg HAVING MIN(t) < MAX(nt)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "q_containing" ->
+      """SELECT p.o_orderkey AS okey,
+        |       COALESCE(MIN(i.o_orderkey), -1) AS first_id,
+        |       COALESCE(MAX(i.o_orderkey), -1) AS last_id
+        |FROM orders p LEFT JOIN orders i
+        |  ON p.o_custkey = i.o_custkey
+        | AND p.o_orderdate >= i.o_orderdate
+        | AND p.o_orderdate <= i.o_orderdate + INTERVAL 15 DAY
+        |GROUP BY p.o_orderkey""".stripMargin,
+    "q_prev_next" ->
+      """SELECT o_orderkey AS okey,
+        |       LAG(o_totalprice) OVER w AS prev_price,
+        |       LEAD(o_totalprice) OVER w AS next_price,
+        |       ROW_NUMBER() OVER w = 1 AS is_first,
+        |       ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate DESC, o_orderkey DESC) = 1 AS is_last
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_group_intervals" ->
+      """WITH s AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate AS st,
+        |         o_orderdate + INTERVAL 30 DAY AS sp FROM orders),
+        |m AS (
+        |  SELECT *, MAX(sp) OVER (PARTITION BY o_custkey ORDER BY st, o_orderkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm FROM s),
+        |n AS (
+        |  SELECT *, CASE WHEN cm IS NULL OR st > cm + INTERVAL 5 DAY THEN 1 ELSE 0 END AS newc FROM m)
+        |SELECT o_orderkey AS okey,
+        |       SUM(newc) OVER (ORDER BY o_custkey, st, o_orderkey
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS grp
+        |FROM n""".stripMargin,
+    "q_combine_union" -> combineOracle("depth >= 1"),
+    "q_combine_gaps"  -> combineOracle("depth = 0"),
+    "q_grouped_mode" ->
+      """WITH c AS (SELECT l_orderkey, l_returnflag AS v, COUNT(*) AS n
+        |           FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |        ORDER BY n DESC, v ASC) AS rn FROM c)
+        |SELECT l_orderkey AS okey, v AS mode, n AS count FROM r WHERE rn = 1""".stripMargin,
+    "q_factorize" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS lnum,
+        |       DENSE_RANK() OVER (ORDER BY l_returnflag, l_linestatus) - 1 AS code
+        |FROM lineitem""".stripMargin,
     "q_interval_contain" ->
       """SELECT o.o_orderkey AS okey, l.l_linenumber AS lnum, l.l_shipdate AS ship
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey

@@ -1,0 +1,57 @@
+package graft.agg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Grouped mode + multiplicity — reimplementation of the reference's
+  * `grouped_mode` (`/root/reference/catabra_pandas/misc.py:848-936`).
+  *
+  * One row per group with columns `mode` and `count`:
+  *   - `dropna = true`: nulls ignored; a group whose values are all null
+  *     still appears, with null mode and count 0 (`misc.py:869-872`);
+  *   - `dropna = false`: null counts as a regular value (`misc.py:909-917`);
+  *   - rows with null group keys are always ignored;
+  *   - ties: the reference breaks them by its stable sort, which lands on
+  *     the smallest value (groups are pre-sorted by value before the
+  *     stable count sort, `misc.py:930-933`) — we order by
+  *     `(count desc, value asc nulls last)` for the same result,
+  *     deterministically.
+  *
+  * Plan: `groupBy(keys, value).count()` (map-side partial agg) then a
+  * window top-1 per key — two shuffles on the same keys; Catalyst reuses
+  * the partitioning for the window when the shuffle keys align.
+  */
+object GroupedMode {
+
+  def apply(
+      df: DataFrame,
+      groupBy: Seq[String],
+      valueCol: String,
+      dropna: Boolean = true,
+      modeCol: String = "mode",
+      countCol: String = "count"): DataFrame = {
+
+    require(groupBy.nonEmpty, "groupBy must be non-empty")
+
+    val keysNotNull = groupBy.map(col(_).isNotNull).reduce(_ && _)
+    val base = df.filter(keysNotNull)
+
+    val counted = (if (dropna) base.filter(col(valueCol).isNotNull) else base)
+      .groupBy((groupBy :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as(countCol))
+
+    val w = Window.partitionBy(groupBy.map(col): _*)
+      .orderBy(col(countCol).desc, col(valueCol).asc_nulls_last)
+    val best = counted
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+      .withColumnRenamed(valueCol, modeCol)
+
+    // groups whose values were entirely dropped must still appear
+    val allGroups = base.select(groupBy.map(col): _*).distinct()
+    allGroups.join(best, groupBy, "left")
+      .withColumn(countCol, coalesce(col(countCol), lit(0L)))
+  }
+}

@@ -1,0 +1,210 @@
+package graft
+
+import graft.agg.{Factorize, GroupedMode}
+import graft.intervals.{CombineIntervals, GroupIntervals}
+import graft.joins.FindContainingInterval
+import graft.windows.{PrevNextSpec, PrevNextValues}
+import org.apache.spark.sql.functions._
+
+/** Specs for the M3 operator batch: find_containing_interval,
+  * prev_next_values, group_intervals, combine_intervals, grouped_mode,
+  * factorize — golden fixtures from the reference's tests plus hand-computed
+  * cases.
+  */
+class OperatorSpecs extends SparkSuite {
+  import spark.implicits._
+
+  // ── find_containing_interval ──────────────────────────────────────────
+
+  test("find_containing_interval ±inf golden (test_find_containing_interval.py:61-80)") {
+    val inf = Double.PositiveInfinity
+    val intervals = Seq(
+      (0L, 5.7, 6.3), (1L, 1.9, 1.8), (1L, -inf, 0.5), (0L, 478.0, inf),
+      (0L, -inf, -87.2), (1L, 3.3, 4.0), (0L, -66.1, -56.7),
+      (0L, 143.5, 143.6), (1L, 132.4, 157.7))
+      .zipWithIndex
+      .map { case ((g, a, b), i) => (g, a, b, i.toLong) }
+      .toDF("group", "start", "stop", "i")
+    val points = Seq(
+      (0L, -58746.0), (0L, -0.1), (0L, 6.0), (0L, 143.5), (0L, 143.6),
+      (0L, 209.9), (0L, 492064.523), (1L, 0.0), (1L, 0.5), (1L, 1.85),
+      (1L, 144.4), (1L, 3079.51))
+      .zipWithIndex
+      .map { case ((g, p), i) => (g, p, i.toLong) }
+      .toDF("group", "point", "pidx")
+
+    val got = FindContainingInterval(
+      intervals, points, Seq("point"),
+      on = Seq("group"),
+      startCol = Some("start"), stopCol = Some("stop"),
+      which = "both",
+      intervalIdCol = Some("i"))
+      .orderBy("pidx")
+      .select("point_first", "point_last")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+    val want = Seq(4L, -1L, 0L, 7L, 7L, -1L, 3L, 2L, 2L, -1L, 8L, -1L)
+    assert(got.map(_._1).toSeq == want)
+    assert(got.map(_._2).toSeq == want) // intervals are disjoint per group
+  }
+
+  // ── prev_next_values ──────────────────────────────────────────────────
+
+  test("prev_next_values: grouped lag/lead with fills and indicators") {
+    val df = Seq(
+      (1L, 1.0, 10.0), (1L, 2.0, 20.0), (1L, 3.0, 30.0),
+      (2L, 1.0, 40.0), (2L, 2.0, 50.0))
+      .toDF("g", "t", "v")
+    val out = PrevNextValues(
+      df, sortBy = Seq("t"), groupBy = Seq("g"),
+      columns = Map("v" -> PrevNextSpec(
+        prevName = Some("v_prev"), nextName = Some("v_next"),
+        prevFill = Some(lit(-1.0)), nextFill = Some(lit(-2.0)))),
+      firstIndicatorName = Some("is_first"),
+      lastIndicatorName = Some("is_last"))
+      .orderBy("g", "t")
+      .select("g", "t", "v_prev", "v_next", "is_first", "is_last")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4), r.getBoolean(5)))
+
+    assert(out.toSeq == Seq(
+      (1L, 1.0, -1.0, 20.0, true, false),
+      (1L, 2.0, 10.0, 30.0, false, false),
+      (1L, 3.0, 20.0, -2.0, false, true),
+      (2L, 1.0, -1.0, 50.0, true, false),
+      (2L, 2.0, 40.0, -2.0, false, true)))
+  }
+
+  // ── group_intervals ───────────────────────────────────────────────────
+
+  test("group_intervals: single-linkage clustering with distance") {
+    val df = Seq(
+      ("a", 0.0, 1.0), ("a", 1.5, 2.0), ("a", 5.0, 6.0), ("b", 0.0, 1.0))
+      .toDF("g", "start", "stop")
+    val out = GroupIntervals(
+      df, "start", Some("stop"), groupBy = Seq("g"),
+      distance = lit(1.0), inclusive = true)
+      .orderBy("g", "start")
+      .select("g", "start", "interval_group")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+
+    // gap [1,1.5] = 0.5 <= 1 connects; [2,5] = 3 > 1 splits; ids global
+    assert(out.toSeq == Seq(
+      ("a", 0.0, 0L), ("a", 1.5, 0L), ("a", 5.0, 1L), ("b", 0.0, 2L)))
+  }
+
+  test("group_intervals: inclusive vs exclusive distance boundary") {
+    val df = Seq(("a", 0.0, 1.0), ("a", 2.0, 3.0)).toDF("g", "start", "stop")
+    def ids(inclusive: Boolean): Seq[Long] =
+      GroupIntervals(df, "start", Some("stop"), Seq("g"), lit(1.0), inclusive)
+        .orderBy("start").select("interval_group").collect().map(_.getLong(0)).toSeq
+    assert(ids(inclusive = true) == Seq(0L, 0L))  // 2 <= 1+1
+    assert(ids(inclusive = false) == Seq(0L, 1L)) // 2 < 2 fails
+  }
+
+  test("group_intervals: overlapping intervals pulled in by cummax") {
+    // [0,10] spans past [2,3]: [10.5,12] connects via cummax(10)+1, even
+    // though its gap to the *preceding* interval [2,3] is 7.5
+    val df = Seq(("a", 0.0, 10.0), ("a", 2.0, 3.0), ("a", 10.5, 12.0),
+      ("a", 14.0, 15.0)).toDF("g", "start", "stop")
+    val out = GroupIntervals(df, "start", Some("stop"), Seq("g"), lit(1.0))
+      .orderBy("start").select("interval_group").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(0L, 0L, 0L, 1L)) // 14 > cummax(12)+1
+  }
+
+  // ── combine_intervals ─────────────────────────────────────────────────
+
+  private val ci = Seq(
+    ("a", 0.0, 2.0), ("a", 1.0, 3.0), ("a", 5.0, 6.0))
+    .toDF("g", "start", "stop")
+
+  private def ciRows(nMin: Int, nMax: Option[Int]) =
+    CombineIntervals(ci, "start", Some("stop"),
+      groupBy = Seq("g"), nMin = nMin, nMax = nMax)
+      .orderBy("start")
+      .select("g", "start", "stop")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+
+  test("combine_intervals: union / intersection / gaps / span") {
+    assert(ciRows(1, None) == Seq(("a", 0.0, 3.0), ("a", 5.0, 6.0)))
+    assert(ciRows(2, None) == Seq(("a", 1.0, 2.0)))
+    assert(ciRows(0, Some(0)) == Seq(("a", 3.0, 5.0)))
+    assert(ciRows(0, None) == Seq(("a", 0.0, 6.0)))
+  }
+
+  test("combine_intervals: attr_cols count equal attributes once") {
+    val df = Seq(
+      ("a", "p", 0.0, 4.0), ("a", "p", 1.0, 2.0), ("a", "q", 5.0, 6.0))
+      .toDF("g", "attr", "start", "stop")
+    // without attrs: [1,2] has depth 2
+    val without = CombineIntervals(df, "start", Some("stop"),
+      groupBy = Seq("g"), nMin = 2)
+      .select("start", "stop").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(without.toSeq == Seq((1.0, 2.0)))
+    // with attrs: the two p-intervals count once -> no depth-2 region
+    val withAttrs = CombineIntervals(df, "start", Some("stop"),
+      attrCols = Seq("attr"), groupBy = Seq("g"), nMin = 2)
+    assert(withAttrs.count() == 0)
+  }
+
+  test("combine_intervals: length_col variant") {
+    val df = Seq(("a", 0.0, 2.0), ("a", 1.0, 2.0)).toDF("g", "start", "len")
+    val out = CombineIntervals(df, "start", stopCol = None,
+      lengthCol = Some("len"), groupBy = Seq("g"), nMin = 1)
+      .select("start", "len").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((0.0, 3.0))) // [0,2] ∪ [1,3] = [0,3], length 3
+  }
+
+  // ── grouped_mode ──────────────────────────────────────────────────────
+
+  test("grouped_mode: counts, ties to smallest value, all-null groups") {
+    val df = Seq[(Long, Option[String])](
+      (1L, Some("x")), (1L, Some("x")), (1L, Some("y")),
+      (2L, Some("b")), (2L, Some("a")),          // tie -> smallest value
+      (3L, None), (3L, None))                    // all-null group
+      .toDF("g", "v")
+    val out = GroupedMode(df, Seq("g"), "v")
+      .orderBy("g").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, Some("x"), 2L), (2L, Some("a"), 1L), (3L, None, 0L)))
+  }
+
+  test("grouped_mode: dropna=false counts nulls as values") {
+    val df = Seq[(Long, Option[String])](
+      (1L, None), (1L, None), (1L, Some("x")))
+      .toDF("g", "v")
+    val out = GroupedMode(df, Seq("g"), "v", dropna = false)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, None, 2L)))
+  }
+
+  // ── factorize ─────────────────────────────────────────────────────────
+
+  test("factorize: sorted dense codes, nulls last, joint two-frame") {
+    val df = Seq[(Option[String], Long)](
+      (Some("b"), 0L), (Some("a"), 1L), (Some("b"), 2L), (None, 3L))
+      .toDF("k", "i")
+    val out = Factorize(df, Seq("k"))
+      .orderBy("i").select("code").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, 0L, 1L, 2L)) // a=0, b=1, null=2 (last)
+
+    val df2 = Seq[(Option[String], Long)]((Some("c"), 0L), (Some("a"), 1L))
+      .toDF("k2", "j")
+    val (f1, f2) = Factorize.joint(df, Seq("k"), df2, Seq("k2"))
+    val c1 = f1.orderBy("i").select("code").collect().map(_.getLong(0)).toSeq
+    val c2 = f2.orderBy("j").select("code").collect().map(_.getLong(0)).toSeq
+    assert(c1 == Seq(1L, 0L, 1L, 3L)) // a=0, b=1, c=2, null=3
+    assert(c2 == Seq(2L, 0L))
+  }
+
+  test("factorize: first-appearance order when sort=false") {
+    val df = Seq(("b", 0L), ("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "i")
+    val out = Factorize(df, Seq("k"), sort = false)
+      .orderBy("i").select("code").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(0L, 1L, 0L, 2L)) // b first, then a, then c
+  }
+}
