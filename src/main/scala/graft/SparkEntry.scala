@@ -7,7 +7,8 @@ import graft.agg.{Factorize, GroupedMode}
 import graft.core.{IntervalSpec, Tables}
 import graft.intervals.{CombineIntervals, GroupIntervals}
 import graft.joins.{FindContainingInterval, IntervalJoin}
-import graft.windows.{PrevNextSpec, PrevNextValues}
+import graft.resample.{MakeWindows, ResampleEav, ResampleInterval}
+import graft.windows.{Impute, PrevNextSpec, PrevNextValues}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -142,6 +143,110 @@ object SparkEntry {
           col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
           col("code"))
 
+  /** 4 weekly windows per user over Jan 2024, built with [[MakeWindows]]
+    * (start + duration form) from the distinct-user frame.
+    */
+  private def userWeeks(s: SparkSession, dir: String): DataFrame = {
+    val anchors = t(s, dir, "events").select(col("user_id")).distinct()
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(3))).as("i"))
+      .select(col("user_id"),
+        (lit("2024-01-01").cast("timestamp") +
+          make_dt_interval(col("i") * 7)).as("anchor"))
+    MakeWindows(
+      entity = Some(col("user_id")),
+      start = Some(col("anchor")),
+      duration = Some(expr("INTERVAL 7 DAYS")))(anchors)
+      .withColumnRenamed("entity", "user_id")
+  }
+
+  private val q_resample_eav_std: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      ResampleEav(
+        t(s, dir, "events"), userWeeks(s, dir),
+        agg = Map(
+          "click"    -> Seq("mean", "sum", "count", "min", "max", "p50"),
+          "purchase" -> Seq("sum", "size", "nunique", "std"),
+          "error"    -> Seq("count", "mad", "sem")),
+        timeCol = "ts", valueCol = "value",
+        entityCol = Some("user_id"), attrCol = Some("event_type"),
+        wStartCol = Some("win_start"), wStopCol = Some("win_stop"))
+        .select(col("user_id").as("uid"), col("win_start").as("ws"),
+          col("click_mean"), col("click_sum"), col("click_count"),
+          col("click_min"), col("click_max"), col("click_p50"),
+          col("purchase_sum"), col("purchase_size"), col("purchase_nunique"),
+          col("purchase_std"),
+          col("error_count"), col("error_mad"), col("error_sem"))
+
+  private val q_resample_eav_rank: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      ResampleEav(
+        t(s, dir, "events"), userWeeks(s, dir),
+        agg = Map("view" -> Seq("r0", "t0", "r-1", "t-1")),
+        timeCol = "ts", valueCol = "value",
+        entityCol = Some("user_id"), attrCol = Some("event_type"),
+        wStartCol = Some("win_start"), wStopCol = Some("win_stop"))
+        .select(col("user_id").as("uid"), col("win_start").as("ws"),
+          col("view_r0").as("r0"), col("view_t0").as("t0"),
+          col("view_r-1").as("rlast"), col("view_t-1").as("tlast"))
+
+  private val q_resample_eav_mode: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      ResampleEav(
+        t(s, dir, "events"), userWeeks(s, dir),
+        agg = Map("signup" -> Seq("mode", "mode_count")),
+        timeCol = "ts", valueCol = "value",
+        entityCol = Some("user_id"), attrCol = Some("event_type"),
+        wStartCol = Some("win_start"), wStopCol = Some("win_stop"))
+        .select(col("user_id").as("uid"), col("win_start").as("ws"),
+          col("signup_mode").as("mode"), col("signup_mode_count").as("mc"))
+
+  private val q_resample_interval: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val intervals = t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderdate").as("i_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("i_stop"),
+        col("o_totalprice").as("v"))
+      val windows = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("win_start"))
+        .withColumn("win_stop", col("win_start") + expr("INTERVAL 60 DAYS"))
+      ResampleInterval(
+        intervals, windows,
+        valueCol = "v", entityCol = Some("o_custkey"),
+        startCol = Some("i_start"), stopCol = Some("i_stop"),
+        attributes = Some(Seq("vsum")),
+        wStartCol = Some("win_start"), wStopCol = Some("win_stop"))
+        .select(col("o_custkey").as("ckey"), col("win_start").as("ws"),
+          col("vsum"))
+    }
+
+  /** events.value with deterministic synthesized nulls (event_id % 5 = 0). */
+  private def eventsWithNulls(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("ts"),
+      when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")).as("v"))
+
+  private val q_impute_ffill: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      Impute(eventsWithNulls(s, dir), Seq("v"), "ffill",
+        groupBy = Seq("user_id"),
+        orderBy = Seq(col("ts"), col("event_id")), limit = Some(2))
+        .select(col("event_id").as("eid"), col("v").as("v_imp"))
+
+  private val q_impute_linear: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      Impute(eventsWithNulls(s, dir), Seq("v"), "linear",
+        groupBy = Seq("user_id"),
+        orderBy = Seq(col("ts"), col("event_id")))
+        .select(col("event_id").as("eid"), col("v").as("v_imp"))
+
+  private val q_impute_afill: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      Impute(eventsWithNulls(s, dir), Seq("v"), "afill",
+        groupBy = Seq("user_id"),
+        orderBy = Seq(col("ts"), col("event_id")))
+        .select(col("event_id").as("eid"), col("v").as("v_imp"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q_interval_contain(spark, "/root/testdata/sf0.001")
@@ -158,7 +263,42 @@ object SparkEntry {
     "q_combine_gaps"        -> combineQuery(0, Some(0)),
     "q_grouped_mode"        -> q_grouped_mode,
     "q_factorize"           -> q_factorize,
+    "q_resample_eav_std"    -> q_resample_eav_std,
+    "q_resample_eav_rank"   -> q_resample_eav_rank,
+    "q_resample_eav_mode"   -> q_resample_eav_mode,
+    "q_resample_interval"   -> q_resample_interval,
+    "q_impute_ffill"        -> q_impute_ffill,
+    "q_impute_linear"       -> q_impute_linear,
+    "q_impute_afill"        -> q_impute_afill,
   )
+
+  /** Shared DuckDB CTE: the 4 weekly windows per user (= [[userWeeks]]). */
+  private val WeeksCte =
+    """w AS (
+      |  SELECT u.user_id, TIMESTAMP '2024-01-01' + i * 7 * INTERVAL 1 DAY AS ws,
+      |         TIMESTAMP '2024-01-01' + (i * 7 + 7) * INTERVAL 1 DAY AS wt
+      |  FROM (SELECT DISTINCT user_id FROM events) u
+      |  CROSS JOIN generate_series(0, 3) AS t(i))""".stripMargin
+
+  /** Shared DuckDB CTE: events.value with synthesized nulls + per-user
+    * row numbers and fill helpers (= [[eventsWithNulls]] + Impute windows).
+    */
+  private val ImputeCte =
+    """e AS (
+      |  SELECT event_id, user_id, ts,
+      |         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      |  FROM events),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM e),
+      |f AS (SELECT *,
+      |        LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn
+      |          ROWS UNBOUNDED PRECEDING) AS pv,
+      |        MAX(CASE WHEN v IS NOT NULL THEN rn END) OVER (PARTITION BY user_id ORDER BY rn
+      |          ROWS UNBOUNDED PRECEDING) AS prn,
+      |        FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |        MIN(CASE WHEN v IS NOT NULL THEN rn END) OVER (PARTITION BY user_id ORDER BY rn
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nrn
+      |      FROM r)""".stripMargin
 
   /** DuckDB sweep-line SQL shared by the combine_intervals oracles. */
   private def combineOracle(flagCond: String): String =
@@ -243,5 +383,84 @@ object SparkEntry {
         |    AND a.o_orderdate <= b.o_orderdate + INTERVAL 15 DAY
         |    AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY)
         |SELECT lkey, rkey FROM j WHERE rn = 1""".stripMargin,
+    "q_resample_eav_std" ->
+      s"""WITH $WeeksCte,
+        |j AS (SELECT w.user_id AS uid, w.ws, e.event_type AS et, e.value AS val
+        |      FROM w LEFT JOIN events e ON e.user_id = w.user_id
+        |        AND e.ts >= w.ws AND e.ts < w.wt),
+        |m AS (SELECT uid, ws, AVG(CASE WHEN et = 'error' THEN val END) AS errm
+        |      FROM j GROUP BY 1, 2)
+        |SELECT j.uid, j.ws,
+        |  AVG(CASE WHEN et = 'click' THEN val END) AS click_mean,
+        |  SUM(CASE WHEN et = 'click' THEN val END) AS click_sum,
+        |  COUNT(CASE WHEN et = 'click' THEN val END) AS click_count,
+        |  MIN(CASE WHEN et = 'click' THEN val END) AS click_min,
+        |  MAX(CASE WHEN et = 'click' THEN val END) AS click_max,
+        |  QUANTILE_CONT(CASE WHEN et = 'click' THEN val END, 0.5) AS click_p50,
+        |  SUM(CASE WHEN et = 'purchase' THEN val END) AS purchase_sum,
+        |  COUNT(CASE WHEN et = 'purchase' THEN 1 END) AS purchase_size,
+        |  COUNT(DISTINCT CASE WHEN et = 'purchase' THEN val END) AS purchase_nunique,
+        |  STDDEV_SAMP(CASE WHEN et = 'purchase' THEN val END) AS purchase_std,
+        |  COUNT(CASE WHEN et = 'error' THEN val END) AS error_count,
+        |  AVG(CASE WHEN et = 'error' THEN ABS(val - m.errm) END) AS error_mad,
+        |  STDDEV_SAMP(CASE WHEN et = 'error' THEN val END)
+        |    / SQRT(COUNT(CASE WHEN et = 'error' THEN val END)) AS error_sem
+        |FROM j JOIN m USING (uid, ws) GROUP BY 1, 2""".stripMargin,
+    "q_resample_eav_rank" ->
+      s"""WITH $WeeksCte,
+        |j AS (SELECT w.user_id AS uid, w.ws, e.ts, e.value,
+        |        ROW_NUMBER() OVER (PARTITION BY w.user_id, w.ws ORDER BY e.ts) AS ra,
+        |        ROW_NUMBER() OVER (PARTITION BY w.user_id, w.ws ORDER BY e.ts DESC) AS rd
+        |      FROM w JOIN events e ON e.user_id = w.user_id
+        |        AND e.ts >= w.ws AND e.ts < w.wt AND e.event_type = 'view')
+        |SELECT w.user_id AS uid, w.ws,
+        |  MAX(CASE WHEN j.ra = 1 THEN j.value END) AS r0,
+        |  MAX(CASE WHEN j.ra = 1 THEN j.ts END) AS t0,
+        |  MAX(CASE WHEN j.rd = 1 THEN j.value END) AS rlast,
+        |  MAX(CASE WHEN j.rd = 1 THEN j.ts END) AS tlast
+        |FROM w LEFT JOIN j ON j.uid = w.user_id AND j.ws = w.ws
+        |GROUP BY 1, 2""".stripMargin,
+    "q_resample_eav_mode" ->
+      s"""WITH $WeeksCte,
+        |c AS (SELECT w.user_id AS uid, w.ws, e.value AS val, COUNT(*) AS n
+        |      FROM w JOIN events e ON e.user_id = w.user_id
+        |        AND e.ts >= w.ws AND e.ts < w.wt
+        |        AND e.event_type = 'signup' AND e.value IS NOT NULL
+        |      GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY uid, ws
+        |         ORDER BY n DESC, val ASC) AS rn FROM c)
+        |SELECT w.user_id AS uid, w.ws, rk.val AS mode, COALESCE(rk.n, 0) AS mc
+        |FROM w LEFT JOIN rk ON rk.uid = w.user_id AND rk.ws = w.ws AND rk.rn = 1""".stripMargin,
+    "q_resample_interval" ->
+      """WITH w AS (SELECT o_custkey AS ck, MIN(o_orderdate) AS ws,
+        |             MIN(o_orderdate) + INTERVAL 60 DAY AS wt
+        |           FROM orders GROUP BY 1),
+        |i AS (SELECT o_custkey AS ck, o_orderdate AS a,
+        |        o_orderdate + INTERVAL 30 DAY AS b, o_totalprice AS v FROM orders)
+        |SELECT w.ck AS ckey, w.ws,
+        |  COALESCE(SUM(i.v * (EPOCH(LEAST(i.b, w.wt)) - EPOCH(GREATEST(i.a, w.ws)))
+        |    / (EPOCH(i.b) - EPOCH(i.a))), 0.0) AS vsum
+        |FROM w LEFT JOIN i ON i.ck = w.ck AND i.a <= w.wt AND w.ws <= i.b
+        |GROUP BY 1, 2""".stripMargin,
+    "q_impute_ffill" ->
+      s"""WITH $ImputeCte
+        |SELECT event_id AS eid,
+        |  CASE WHEN v IS NOT NULL THEN v WHEN rn - prn <= 2 THEN pv END AS v_imp
+        |FROM f""".stripMargin,
+    "q_impute_linear" ->
+      s"""WITH $ImputeCte
+        |SELECT event_id AS eid,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |       ELSE pv + (nv - pv) * (rn - prn) / CAST(nrn - prn AS DOUBLE)
+        |  END AS v_imp
+        |FROM f""".stripMargin,
+    "q_impute_afill" ->
+      s"""WITH $ImputeCte
+        |SELECT event_id AS eid,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv - pv) / 2
+        |       ELSE COALESCE(pv, nv) END AS v_imp
+        |FROM f""".stripMargin,
   )
 }

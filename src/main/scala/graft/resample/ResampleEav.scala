@@ -1,0 +1,268 @@
+package graft.resample
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
+
+/** EAV window resampling — Spark-native reimplementation of the reference's
+  * `resample_eav` (`/root/reference/catabra_pandas/resampling.py:25-450`).
+  *
+  * Input is a long entity–attribute–value table of timestamped observations
+  * and a table of per-entity `[start, stop)` windows (closedness
+  * configurable; either endpoint may be globally absent = ±∞, or NA = the
+  * window is invalid and contains nothing). For every window and every
+  * requested `(attribute, aggregation)` pair one output column
+  * `{attribute}_{agg}` is appended to the windows frame.
+  *
+  * Aggregations (`resampling.py:69-96`): mean, min, max, median, std, var,
+  * sum, prod, skew, mad, sem, size, count, nunique, mode, mode_count,
+  * `pXX` (percentile, XX ∈ [0,100]), `rXX` / `tXX` (value / time of the
+  * XX-th observation by time, 0-based, negative = from the end,
+  * out-of-range ⇒ NA).
+  *
+  * Deviations from the reference, documented per SURVEY.md §1.2/§7.4:
+  *   - count-like aggs (`size`/`count`/`nunique`/`mode_count`) are
+  *     `LongType` (reference: float64), 0 for empty windows (same);
+  *   - mode ties break deterministically by value ascending (reference:
+  *     "randomly but reproducibly", `misc.py:930-933`);
+  *   - rank-agg time ties break by a stable observation row id
+  *     (`method="first"`, `resampling.py:2025`);
+  *   - `std`/`var`/`sem` need ≥2 and `skew` ≥3 observations, else null
+  *     (pandas: NaN — null is the Spark-native spelling);
+  *   - `skew` is pandas' adjusted Fisher–Pearson `G1`, obtained from
+  *     Spark's population `skewness` via `sqrt(n(n-1))/(n-2)`.
+  *
+  * Architecture (replaces the reference's join-vs-group strategy machinery,
+  * `resampling.py:1272-1400`, which is an execution-memory workaround Spark
+  * does not need — AQE and spillable hash aggregation take its place):
+  * one equi-join on entity with the time-containment range conjunct as
+  * post-filter, then up to three aggregation family plans over the joined
+  * long frame — standard (single hash agg, with an analytic-window mean
+  * pre-pass only when `mad` is requested), mode (count + window top-1), and
+  * rank (two `row_number` window passes sharing one shuffle) — merged on
+  * `(window, attribute)` and pivoted to wide columns by conditional
+  * aggregation. Every shuffle is keyed by the window id, so partial
+  * aggregation happens map-side and skew is handled by AQE.
+  */
+object ResampleEav {
+
+  private val Wid   = "__graft_wid"
+  private val Attr  = "__graft_attr"
+  private val Oid   = "__graft_oid"
+  private val VCol  = "__graft_v"
+  private val TCol  = "__graft_t"
+
+  private val PercentRe = """p(\d+(?:\.\d+)?)""".r
+  private val RankRe    = """([rt])(-?\d+)""".r
+
+  private sealed trait AggKind
+  private case class Std(name: String)            extends AggKind
+  private case class Pct(q: Double)               extends AggKind
+  private case class Rank(k: Int, time: Boolean)  extends AggKind
+  private case object Mode                        extends AggKind
+  private case object ModeCount                   extends AggKind
+
+  private def parse(agg: String): AggKind = agg match {
+    case "mode"       => Mode
+    case "mode_count" => ModeCount
+    case "median"     => Pct(0.5)
+    case PercentRe(x) => Pct(x.toDouble / 100.0)
+    case RankRe(rt, k) => Rank(k.toInt, rt == "t")
+    case s if StdNames(s) => Std(s)
+    case other => throw new IllegalArgumentException(s"unknown agg '$other'")
+  }
+
+  private val StdNames = Set("mean", "min", "max", "std", "var", "sum",
+    "prod", "skew", "mad", "sem", "size", "count", "nunique")
+
+  private val CountLike = Set("size", "count", "nunique", "mode_count")
+
+  /** @param obs        observations: `timeCol`, `valueCol`, `entityCol?`,
+    *                   `attrCol?`
+    * @param windows    windows: `entityCol?`, `wStartCol?`, `wStopCol?` plus
+    *                   arbitrary carried columns
+    * @param agg        attribute → list of aggregation names (see above);
+    *                   when `attrCol` is None, must have exactly one key
+    * @param includeStart window start times belong to the window
+    * @param includeStop  window stop times belong to the window
+    * @return `windows` + one `{attr}_{agg}` column per requested pair
+    */
+  def apply(
+      obs: DataFrame,
+      windows: DataFrame,
+      agg: Map[String, Seq[String]],
+      timeCol: String,
+      valueCol: String,
+      entityCol: Option[String] = None,
+      attrCol: Option[String] = None,
+      wStartCol: Option[String] = None,
+      wStopCol: Option[String] = None,
+      includeStart: Boolean = true,
+      includeStop: Boolean = false): DataFrame = {
+
+    require(agg.nonEmpty, "empty agg spec")
+    require(attrCol.isDefined || agg.size == 1,
+      "attrCol=None requires a single-attribute agg spec")
+    require(wStartCol.isDefined || wStopCol.isDefined,
+      "at least one window endpoint column required")
+    val spec: Seq[(String, Seq[(String, AggKind)])] =
+      agg.toSeq.sortBy(_._1).map { case (a, gs) =>
+        a -> gs.map(g => g -> parse(g))
+      }
+    val kinds: Seq[AggKind] = spec.flatMap(_._2.map(_._2)).distinct
+
+    // ── normalize observations ──────────────────────────────────────────
+    // NaN values are NA in pandas but ordinary (maximal) values to Spark
+    // aggregates — normalize NaN→null at ingress (SURVEY.md §7.4).
+    val vIsFloat = obs.schema(valueCol).dataType match {
+      case DoubleType | FloatType => true
+      case _                      => false
+    }
+    val vNorm =
+      if (vIsFloat) when(isnan(col(valueCol)), lit(null)).otherwise(col(valueCol))
+      else col(valueCol)
+
+    val attrExpr = attrCol.map(col).getOrElse(lit(spec.head._1))
+    val obsKeep = Seq(
+      Some(col(timeCol).isNotNull),
+      attrCol.map(a => col(a).isin(spec.map(_._1): _*))
+    ).flatten.reduce(_ && _)
+
+    val obsN = obs
+      .filter(obsKeep)
+      .withColumn(Oid, monotonically_increasing_id())
+      .select(
+        (entityCol.map(col).toSeq :+
+          attrExpr.as(Attr) :+ col(timeCol).as(TCol) :+
+          vNorm.as(VCol) :+ col(Oid)): _*)
+
+    val w0 = windows.withColumn(Wid, monotonically_increasing_id())
+
+    // ── join: entity equality + time ∈ window ───────────────────────────
+    val ePrefix = "__graft_e_"
+    val obsR = entityCol.fold(obsN)(e => obsN.withColumnRenamed(e, ePrefix + e))
+    val keyCond = entityCol.map(e => col(e) === col(ePrefix + e))
+    val lo = wStartCol.map(c =>
+      if (includeStart) col(c) <= col(TCol) else col(c) < col(TCol))
+    val hi = wStopCol.map(c =>
+      if (includeStop) col(TCol) <= col(c) else col(TCol) < col(c))
+    val cond = (keyCond.toSeq ++ lo ++ hi).reduce(_ && _)
+
+    val joined = w0
+      .select((col(Wid) +: (entityCol.map(col).toSeq ++ wStartCol.map(col) ++ wStopCol.map(col))): _*)
+      .join(obsR, cond, "inner")
+      .select(col(Wid), col(Attr), col(TCol), col(VCol), col(Oid))
+
+    val v = col(VCol)
+
+    // ── family A: standard aggs (one hash agg; mad needs a mean pre-pass)
+    val stdKeys: Seq[String] = kinds.collect { case Std(n) => n }
+    val pcts: Seq[Double]    = kinds.collect { case Pct(q) => q }
+    val needMad = stdKeys.contains("mad")
+
+    val famStd: Option[DataFrame] =
+      if (stdKeys.isEmpty && pcts.isEmpty) None
+      else {
+        val base =
+          if (needMad)
+            joined.withColumn("__graft_vmean",
+              avg(v).over(Window.partitionBy(Wid, Attr)))
+          else joined
+        val n  = count(v)
+        val exprs: Seq[Column] = stdKeys.map {
+          case "mean" => avg(v).as("mean")
+          case "min"  => min(v).as("min")
+          case "max"  => max(v).as("max")
+          case "sum"  => sum(v).as("sum")
+          case "prod" => product(v).as("prod")
+          case "std"  => when(n >= 2, stddev_samp(v)).as("std")
+          case "var"  => when(n >= 2, var_samp(v)).as("var")
+          case "sem"  => when(n >= 2, stddev_samp(v) / sqrt(n)).as("sem")
+          case "skew" =>
+            when(n >= 3,
+              skewness(v) * sqrt(n.cast(DoubleType) * (n - 1)) / (n - 2))
+              .as("skew")
+          case "mad"  => avg(abs(v - col("__graft_vmean"))).as("mad")
+          case "size" => count(lit(1)).as("size")
+          case "count"   => n.as("count")
+          case "nunique" => count_distinct(v).as("nunique")
+        } ++ pcts.map(q => percentile(v, lit(q)).as(pctName(q)))
+        Some(base.groupBy(col(Wid), col(Attr)).agg(exprs.head, exprs.tail: _*))
+      }
+
+    // ── family B: mode (deterministic ties: count desc, value asc) ──────
+    val famMode: Option[DataFrame] =
+      if (!kinds.exists(k => k == Mode || k == ModeCount)) None
+      else {
+        val counts = joined.filter(v.isNotNull)
+          .groupBy(col(Wid), col(Attr), v).agg(count(lit(1)).as("__graft_n"))
+        val rankW = Window.partitionBy(Wid, Attr)
+          .orderBy(col("__graft_n").desc, v.asc)
+        Some(counts
+          .withColumn("__graft_rn", row_number().over(rankW))
+          .filter(col("__graft_rn") === 1)
+          .select(col(Wid), col(Attr),
+            v.as("mode"), col("__graft_n").as("mode_count")))
+      }
+
+    // ── family C: rank aggs (rXX/tXX; ties by (time, oid)) ──────────────
+    val ranks: Seq[Int] = kinds.collect { case Rank(k, _) => k }.distinct
+    val famRank: Option[DataFrame] =
+      if (ranks.isEmpty) None
+      else {
+        val asc  = Window.partitionBy(Wid, Attr).orderBy(col(TCol).asc, col(Oid).asc)
+        val desc = Window.partitionBy(Wid, Attr).orderBy(col(TCol).desc, col(Oid).desc)
+        val withRn = joined
+          .withColumn("__graft_ra", row_number().over(asc))
+          .withColumn("__graft_rd", row_number().over(desc))
+        val exprs: Seq[Column] = ranks.flatMap { k =>
+          val hit =
+            if (k >= 0) col("__graft_ra") === (k + 1)
+            else col("__graft_rd") === -k
+          Seq(
+            max(when(hit, v)).as(rankName(k, time = false)),
+            max(when(hit, col(TCol))).as(rankName(k, time = true)))
+        }
+        Some(withRn.groupBy(col(Wid), col(Attr)).agg(exprs.head, exprs.tail: _*))
+      }
+
+    // ── merge families on (wid, attr); all are small (≤ windows×attrs) ──
+    val fams = Seq(famStd, famMode, famRank).flatten
+    val merged = fams.reduce((a, b) => a.join(b, Seq(Wid, Attr), "full_outer"))
+
+    // ── pivot to wide by conditional aggregation ────────────────────────
+    def famCol(kind: AggKind): String = kind match {
+      case Std(nm)     => nm
+      case Pct(q)      => pctName(q)
+      case Rank(k, t)  => rankName(k, t)
+      case Mode        => "mode"
+      case ModeCount   => "mode_count"
+    }
+    val pivotExprs: Seq[Column] = for {
+      (a, gs)    <- spec
+      (gName, k) <- gs
+    } yield max(when(col(Attr) === a, col(famCol(k)))).as(s"${a}_$gName")
+
+    val wide = merged.groupBy(col(Wid))
+      .agg(pivotExprs.head, pivotExprs.tail: _*)
+
+    val out = w0.join(wide, Seq(Wid), "left")
+    val filled = spec.foldLeft(out) { case (d, (a, gs)) =>
+      gs.foldLeft(d) { case (d2, (gName, _)) =>
+        if (CountLike(gName))
+          d2.withColumn(s"${a}_$gName",
+            coalesce(col(s"${a}_$gName").cast(LongType), lit(0L)))
+        else d2
+      }
+    }
+    filled.drop(Wid)
+  }
+
+  private def pctName(q: Double): String = {
+    val x = q * 100
+    if (x == x.floor) s"p${x.toInt}" else s"p$x"
+  }
+  private def rankName(k: Int, time: Boolean): String =
+    (if (time) "t" else "r") + k.toString
+}
