@@ -5,9 +5,13 @@ import org.apache.spark.sql.functions._
 
 import graft.agg.{Factorize, GroupedMode}
 import graft.core.{IntervalSpec, Tables}
+import graft.dedup.{ExactDedup, MinHashDedup, NgramJaccardDedup, SimHashDedup}
 import graft.intervals.{CombineIntervals, GroupIntervals}
 import graft.joins.{FindContainingInterval, IntervalJoin}
+import graft.multimodal.Media
 import graft.resample.{MakeWindows, ResampleEav, ResampleInterval}
+import graft.similarity.{CosineTopK, EmbeddingDedup, LshAnn}
+import graft.text.{Fingerprint, LangId, TextStats}
 import graft.windows.{Impute, PrevNextSpec, PrevNextValues}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -247,6 +251,79 @@ object SparkEntry {
         orderBy = Seq(col("ts"), col("event_id")))
         .select(col("event_id").as("eid"), col("v").as("v_imp"))
 
+  // ───────────── training-data pipeline ops (dedup / ANN / text) ────────
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("embedding"))
+
+  private val q_dedup_exact: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      ExactDedup(docs(s, dir), Seq("text"), "doc_id")
+        .select(col("canonical_id").as("cid"), col("dup_count").as("n"))
+
+  private val q_dedup_ngram: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      NgramJaccardDedup(docs(s, dir), "text", "doc_id",
+        n = 1, threshold = 0.9, blockBy = Seq("lang"))
+
+  private val q_dedup_minhash: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      MinHashDedup(docs(s, dir), "text", "doc_id",
+        numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.8)
+
+  private val q_dedup_simhash: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      SimHashDedup(docs(s, dir), "text", "doc_id", maxHamming = 3)
+
+  private val q_dedup_embcos: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      EmbeddingDedup(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.3, blockBy = Seq("label"))
+
+  private val q_ann_topk: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = emb(s, dir)
+      CosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    }
+
+  private val q_ann_lsh: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      LshAnn.nearDupPairs(emb(s, dir), "vec_id", "embedding",
+        numBits = 6, numTables = 8, threshold = 0.3)
+
+  private val q_text_stats: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      TextStats(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+          col("stopword_ratio"), col("mean_token_len"))
+
+  private val q_langid: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      docs(s, dir).select(col("doc_id"), LangId(col("text")).as("lang_guess"))
+
+  private val q_text_fingerprint: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(Fingerprint.winnow(col("text"))).as("n_fp"),
+        Fingerprint.digest(col("text")).as("digest"))
+
+  private val q_media_frames: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      Media.sampleFrames(Media.fromDocuments(s, docs(s, dir)).toDF(), stride = 4)
+        .groupBy(col("media_id"), col("kind"))
+        .agg(count(lit(1)).as("n_sampled"))
+
+  private val q_media_features: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      Media.extractFeatures(Media.fromDocuments(s, docs(s, dir)), dim = 16)
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          element_at(col("features"), 1).as("f0"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q_interval_contain(spark, "/root/testdata/sf0.001")
@@ -270,7 +347,23 @@ object SparkEntry {
     "q_impute_ffill"        -> q_impute_ffill,
     "q_impute_linear"       -> q_impute_linear,
     "q_impute_afill"        -> q_impute_afill,
+    "q_dedup_exact"         -> q_dedup_exact,
+    "q_dedup_ngram"         -> q_dedup_ngram,
+    "q_dedup_minhash"       -> q_dedup_minhash,
+    "q_dedup_simhash"       -> q_dedup_simhash,
+    "q_dedup_embcos"        -> q_dedup_embcos,
+    "q_ann_topk"            -> q_ann_topk,
+    "q_ann_lsh"             -> q_ann_lsh,
+    "q_text_stats"          -> q_text_stats,
+    "q_langid"              -> q_langid,
+    "q_text_fingerprint"    -> q_text_fingerprint,
+    "q_media_frames"        -> q_media_frames,
+    "q_media_features"      -> q_media_features,
   )
+
+  /** DuckDB tokenization matching [[graft.text.Shingles.tokens]]. */
+  private val ToksExpr =
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
 
   /** Shared DuckDB CTE: the 4 weekly windows per user (= [[userWeeks]]). */
   private val WeeksCte =
@@ -462,5 +555,81 @@ object SparkEntry {
         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv - pv) / 2
         |       ELSE COALESCE(pv, nv) END AS v_imp
         |FROM f""".stripMargin,
+    "q_dedup_exact" ->
+      "SELECT MIN(doc_id) AS cid, COUNT(*) AS n FROM documents GROUP BY text",
+    "q_dedup_ngram" ->
+      s"""WITH d AS (SELECT doc_id, lang, list_distinct($ToksExpr) AS tk FROM documents)
+        |SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+        |  len(list_intersect(a.tk, b.tk))::DOUBLE
+        |    / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS jaccard
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
+        |    / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.9""".stripMargin,
+    // exact 3-gram-Jaccard oracle: at J >= 0.8 the 16x2 LSH bands miss a
+    // true pair with probability (1-0.64)^16 < 1e-7, so LSH == exact here
+    "q_dedup_minhash" ->
+      s"""WITH dd AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
+        |g AS (SELECT doc_id, list_distinct(
+        |        [list_aggregate(tk[i:i+2], 'string_agg', ' ')
+        |         FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS sh FROM dd)
+        |SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""".stripMargin,
+    "q_dedup_embcos" ->
+      """SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+        |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3""".stripMargin,
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.qid, c.vec_id AS nid,
+        |        list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+        |      FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.qid),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
+        |SELECT qid AS query_id, nid AS neighbor_id, cos AS cosine, rn AS rank
+        |FROM r WHERE rn <= 5""".stripMargin,
+    "q_text_stats" ->
+      s"""WITH d AS (SELECT doc_id, text, $ToksExpr AS tk FROM documents)
+        |SELECT doc_id, len(tk) AS n_tokens,
+        |  CASE WHEN len(text) = 0 THEN 0.0
+        |       ELSE len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE / len(text)
+        |  END AS punct_ratio,
+        |  CASE WHEN len(tk) = 0 THEN 0.0
+        |       ELSE len(list_filter(tk, x -> list_contains(
+        |         ['the','a','an','and','or','of','to','in','is','are','was',
+        |          'for','on','with','as','by','at','it','that','this'], x)))::DOUBLE / len(tk)
+        |  END AS stopword_ratio,
+        |  CASE WHEN len(tk) = 0 THEN 0.0
+        |       ELSE list_aggregate(list_transform(tk, x -> len(x)), 'sum')::DOUBLE / len(tk)
+        |  END AS mean_token_len
+        |FROM d""".stripMargin,
+    "q_langid" ->
+      s"""WITH d AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','ich'], x))) AS de,
+        |  len(list_filter(tk, x -> list_contains(['the','and','of','to','is','in','that','it','with','for'], x))) AS en,
+        |  len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','es','por','con'], x))) AS es,
+        |  len(list_filter(tk, x -> list_contains(['le','la','de','et','est','un','une','que','pour','dans'], x))) AS fr,
+        |  len(list_filter(tk, x -> list_contains(['的','是','不','我','了','在','人','有','他','这'], x))) AS zh
+        |FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN GREATEST(de, en, es, fr, zh) = 0 THEN 'und'
+        |       WHEN de = GREATEST(de, en, es, fr, zh) THEN 'de'
+        |       WHEN en = GREATEST(de, en, es, fr, zh) THEN 'en'
+        |       WHEN es = GREATEST(de, en, es, fr, zh) THEN 'es'
+        |       WHEN fr = GREATEST(de, en, es, fr, zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_guess
+        |FROM s""".stripMargin,
+    "q_media_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CASE WHEN doc_id % 3 = 2 THEN CAST(CEIL((n_chars % 30 + 1) / 4.0) AS BIGINT)
+        |       ELSE 1 END AS n_sampled
+        |FROM documents""".stripMargin,
   )
 }

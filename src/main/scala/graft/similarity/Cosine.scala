@@ -1,0 +1,152 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector expressions over `array<float|double>` embedding columns — all
+  * built-in higher-order functions (codegen'd), no UDFs.
+  */
+object VectorOps {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0, lit(0.0)).otherwise(d / n)
+  }
+}
+
+/** Brute-force cosine top-k similarity search: every query vector against
+  * every corpus vector. Exact — the correctness baseline; O(|Q|·|C|·d).
+  *
+  * Scale path: the corpus side streams (one pass per partition), the
+  * query side should be small and is broadcast, so there is NO shuffle of
+  * the corpus — only the final per-query top-k (a tiny window over
+  * |Q|·|C| scored rows reduced map-side by the broadcast join + filter).
+  * For corpus×corpus all-pairs use [[LshAnn]] instead.
+  */
+object CosineTopK {
+
+  /** @param corpus  (idCol, vecCol)
+    * @param queries (idCol, vecCol) — small; broadcast
+    * @param k       neighbors per query
+    * @param excludeSelf drop corpus row with the same id as the query
+    * @return (query_id, neighbor_id, cosine, rank) — rank 1..k by
+    *         descending cosine, ties by neighbor id ascending
+    */
+  def apply(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(q,
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
+
+/** Random-hyperplane LSH approximate nearest-neighbor search — the scale
+  * path for corpus×corpus or large-query workloads.
+  *
+  * Each vector gets a `numBits`-bit signature: bit i = sign(v · h_i) where
+  * h_i is a pseudo-random hyperplane derived deterministically from
+  * (i, dimension index) via a hash → uniform in [−1, 1). Vectors are
+  * bucketed by signature (optionally in multiple independent tables);
+  * candidates share a bucket in ≥ 1 table, then exact cosine re-ranks.
+  *
+  * Sizing: E[candidates/bucket] = N / 2^numBits per table; cost scales as
+  * numTables · Σ bucket². Collision probability for angle θ:
+  * (1 − θ/π)^numBits per table.
+  */
+object LshAnn {
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * table t, bit i, dimension d.
+    */
+  private def hcomp(t: Int, i: Column, d: Column): Column =
+    (pmod(xxhash64(lit(t), i, d), lit(1000000)).cast("double") / 500000.0) - 1.0
+
+  /** Signature of vector column `v` for table `t`. */
+  def signature(v: Column, numBits: Int, t: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(numBits - 1)),
+      lit(0L),
+      (acc, i) => {
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, d) => x * hcomp(t, i, d)),
+          lit(0.0), (a, x) => a + x)
+        acc + when(proj > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)
+      })
+
+  /** All-pairs near-neighbor candidates with exact cosine above
+    * `threshold`, via `numTables` independent signature tables.
+    * @return (id_l, id_r, cosine), id_l < id_r
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numBits: Int = 12,
+      numTables: Int = 4,
+      threshold: Double = 0.9): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sigs = (0 until numTables).map { t =>
+      base.select(lit(t).as("tbl"), signature(col("v"), numBits, t).as("sig"), col("id"))
+    }.reduce(_ unionByName _)
+    val l = sigs.select(col("tbl"), col("sig"), col("id").as("id_l"))
+    val r = sigs.select(col("tbl"), col("sig"), col("id").as("id_r"))
+    val pairs = l.join(r, Seq("tbl", "sig"))
+      .filter(col("id_l") < col("id_r"))
+      .select("id_l", "id_r").distinct()
+    pairs
+      .join(base.select(col("id").as("id_l"), col("v").as("v_l")), Seq("id_l"))
+      .join(base.select(col("id").as("id_r"), col("v").as("v_r")), Seq("id_r"))
+      .withColumn("cosine", VectorOps.cosine(col("v_l"), col("v_r")))
+      .filter(col("cosine") >= threshold)
+      .select("id_l", "id_r", "cosine")
+  }
+}
+
+/** Embedding-cosine near-duplicate detection: exact within-block all-pairs
+  * (use a selective block, e.g. a cluster label or LSH signature) — the
+  * brute-force complement to [[LshAnn.nearDupPairs]].
+  */
+object EmbeddingDedup {
+
+  def apply(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      blockBy: Seq[String] = Nil): DataFrame = {
+    val base = df.select(
+      (col(idCol).as("id") +: col(vecCol).as("v") +: blockBy.map(col)): _*)
+    val l = base.select(
+      (col("id").as("id_l") +: col("v").as("v_l") +: blockBy.map(col)): _*)
+    val r = base.select(
+      (col("id").as("id_r") +: col("v").as("v_r") +: blockBy.map(col)): _*)
+    val joined = if (blockBy.nonEmpty) l.join(r, blockBy) else l.crossJoin(r)
+    joined
+      .filter(col("id_l") < col("id_r"))
+      .withColumn("cosine", VectorOps.cosine(col("v_l"), col("v_r")))
+      .filter(col("cosine") >= threshold)
+      .select("id_l", "id_r", "cosine")
+  }
+}

@@ -1,0 +1,35 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text tokenization / shingling expressions for the dedup and
+  * text-analysis operators. All pure built-in (codegen'd) expressions —
+  * no UDFs — so they stay inside whole-stage codegen and push down into
+  * the scan projection.
+  */
+object Shingles {
+
+  /** Lower-cased whitespace tokens of a text column. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Distinct word `n`-grams (space-joined) of a text column; the shingle
+    * set for MinHash / Jaccard. Documents shorter than `n` tokens yield
+    * their full token sequence as a single shingle.
+    */
+  def wordNGrams(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    val grams = transform(
+      sequence(lit(0), greatest(size(ts) - n, lit(0))),
+      i => concat_ws(" ", slice(ts, i + 1, lit(n))))
+    array_distinct(grams)
+  }
+
+  /** Jaccard similarity of two shingle-set columns (arrays). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(a) + size(b) - size(array_intersect(a, b))
+    when(union === 0, lit(1.0)).otherwise(inter / union)
+  }
+}

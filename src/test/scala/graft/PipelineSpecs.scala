@@ -1,0 +1,159 @@
+package graft
+
+import graft.dedup.{ExactDedup, MinHashDedup, NgramJaccardDedup, SimHashDedup}
+import graft.multimodal.{Media, MediaRow}
+import graft.similarity.{CosineTopK, EmbeddingDedup, VectorOps}
+import graft.text.{Fingerprint, LangId, Shingles, TextStats}
+import org.apache.spark.sql.functions._
+
+/** Specs for the training-data pipeline ops: dedup family, similarity
+  * search, text analysis, multimodal plumbing.
+  */
+class PipelineSpecs extends SparkSuite {
+  import spark.implicits._
+
+  private def docsDf = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "completely different content about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (4L, "")                                               // empty
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: canonical = min id, dup_count") {
+    val out = ExactDedup(docsDf, Seq("text"), "doc_id")
+      .orderBy("canonical_id").collect()
+    assert(out.length == 4)
+    val m = out.map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("dup_count")).toMap
+    assert(m(0L) == 2L) // docs 0 and 3
+    assert(m(1L) == 1L)
+    val surv = ExactDedup.survivors(docsDf, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(surv.toSeq == Seq(0L, 1L, 2L, 4L))
+  }
+
+  test("ngram jaccard dedup: token-set jaccard above threshold") {
+    val out = NgramJaccardDedup(docsDf, "text", "doc_id", n = 1, threshold = 0.7)
+      .orderBy("id_l", "id_r").collect()
+    // 0-1 share 8 of 9 distinct tokens (8/10 union=0.8); 0-3 identical (1.0)
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    assert(pairs.find(p => p._1 == 0 && p._2 == 3).get._3 == 1.0)
+  }
+
+  test("minhash LSH dedup finds the planted near-dups, exact jaccard verified") {
+    val out = MinHashDedup(docsDf, "text", "doc_id",
+      numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.5)
+      .orderBy("id_l", "id_r").collect()
+    val ids = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((0L, 3L))) // identical docs always collide
+    assert(!ids.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated doc absent
+    // jaccard of the exact pair is 1.0
+    assert(out.find(r => r.getLong(0) == 0 && r.getLong(1) == 3)
+      .get.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, dissimilar far") {
+    val out = SimHashDedup(docsDf, "text", "doc_id", maxHamming = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue).toMap
+    assert(out((0L, 3L)) == 0L)
+    assert(out.get((0L, 1L)).exists(_ <= 16L))
+    assert(!out.contains((0L, 2L)))
+  }
+
+  test("vector ops + brute-force cosine top-k") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
+      (2L, Array(1.0, 1.0)), (3L, Array(-1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = CosineTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 1L, 3L))
+    assert(math.abs(out(0).getAs[Double]("cosine") - math.sqrt(0.5)) < 1e-12)
+    assert(out(1).getAs[Double]("cosine") == 0.0)
+    assert(out(2).getAs[Double]("cosine") == -1.0)
+  }
+
+  test("embedding dedup: within-block pairs above threshold") {
+    val vecs = Seq(
+      (0L, "a", Array(1.0, 0.0)), (1L, "a", Array(0.9, 0.1)),
+      (2L, "b", Array(1.0, 0.0)), (3L, "a", Array(-1.0, 0.0)))
+      .toDF("vec_id", "label", "embedding")
+    val out = EmbeddingDedup(vecs, "vec_id", "embedding",
+      threshold = 0.9, blockBy = Seq("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((0L, 1L))) // 0-2 blocked apart; 0-3 opposite
+  }
+
+  test("text stats: counts and ratios") {
+    val out = TextStats(Seq((0L, "The cat, and a dog!")).toDF("id", "text"), "text")
+      .collect()(0)
+    assert(out.getAs[Int]("n_tokens") == 5)
+    // non-alnum non-space: ',' and '!' of 19 chars
+    assert(math.abs(out.getAs[Double]("punct_ratio") - 2.0 / 19) < 1e-12)
+    // tokens: the | cat, | and | a | dog! → stopwords the, and, a = 3/5
+    assert(out.getAs[Double]("stopword_ratio") == 0.6)
+    assert(out.getAs[Double]("mean_token_len") == 15.0 / 5)
+  }
+
+  test("langid: picks profile with most hits, und for no hits") {
+    val df = Seq(
+      (0L, "the cat is of the dog and it"),
+      (1L, "el perro es un gato que con"),
+      (2L, "xyzzy plugh qwerty")).toDF("id", "text")
+    val out = df.select(col("id"), LangId(col("text")).as("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "en")
+    assert(out(1L) == "es")
+    assert(out(2L) == "und")
+  }
+
+  test("fingerprint: identical docs same winnowed set, shift-robust") {
+    val df = Seq(
+      (0L, "a b c d e f g h i j k l"),
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "z z a b c d e f g h i j k l")) // shifted by a prefix
+      .toDF("id", "text")
+    val fp = df.select(col("id"), Fingerprint.winnow(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fp(0L) == fp(1L))
+    // shift robustness: shares most fingerprints with the shifted copy
+    assert(fp(0L).toSet.intersect(fp(2L).toSet).nonEmpty)
+  }
+
+  test("shingles: word n-grams and jaccard") {
+    val df = Seq((0L, "a b c d")).toDF("id", "text")
+    val sh = df.select(Shingles.wordNGrams(col("text"), 3).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(sh.toSet == Set("a b c", "b c d"))
+  }
+
+  test("media: batched feature extraction is deterministic, resize, frames") {
+    val media = Seq(
+      MediaRow(0L, "image", "hello".getBytes, 32, 32, 0, 0),
+      MediaRow(1L, "video", "world!".getBytes, 32, 32, 0, 9),
+      MediaRow(2L, "audio", Array[Byte](), 0, 0, 16000, 0))
+      .toDS()
+    val feats = Media.extractFeatures(media, dim = 8).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(0L).features.length == 8)
+    assert(feats(0L).n_bytes == 5)
+    assert(feats.values.forall(_.features.forall(v => v >= 0f && v < 1f)))
+    // determinism across repartitionings
+    val feats2 = Media.extractFeatures(media.repartition(3), dim = 8)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(feats.map { case (k, v) => k -> v.features.toSeq } == feats2)
+
+    val resized = Media.resize(
+      Media.extractFeatures(media, dim = 8).toDF(), "features", 4)
+      .select(size(col("features"))).collect()
+    assert(resized.forall(_.getInt(0) == 4))
+
+    val frames = Media.sampleFrames(media.toDF(), stride = 4)
+      .groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frames == Map(0L -> 1L, 1L -> 3L, 2L -> 1L)) // video: frames 0,4,8
+  }
+}
