@@ -205,6 +205,21 @@ object SparkEntry {
         .select(col("user_id").as("uid"), col("win_start").as("ws"),
           col("signup_mode").as("mode"), col("signup_mode_count").as("mc"))
 
+  private val q_resample_eav_custom: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      ResampleEav(
+        t(s, dir, "events"), userWeeks(s, dir),
+        agg = Map("purchase" -> Seq("count")),
+        timeCol = "ts", valueCol = "value",
+        entityCol = Some("user_id"), attrCol = Some("event_type"),
+        wStartCol = Some("win_start"), wStopCol = Some("win_stop"),
+        customAgg = Map("purchase" -> Seq(
+          "tmax" -> graft.resample.CustomAgg.timeOfMax,
+          "ssq"  -> ((v, _) => sum(v * v)))))
+        .select(col("user_id").as("uid"), col("win_start").as("ws"),
+          col("purchase_count").as("cnt"),
+          col("purchase_tmax").as("tmax"), col("purchase_ssq").as("ssq"))
+
   private val q_resample_interval: (SparkSession, String) => DataFrame =
     (s, dir) => {
       val intervals = t(s, dir, "orders").select(
@@ -343,6 +358,7 @@ object SparkEntry {
     "q_resample_eav_std"    -> q_resample_eav_std,
     "q_resample_eav_rank"   -> q_resample_eav_rank,
     "q_resample_eav_mode"   -> q_resample_eav_mode,
+    "q_resample_eav_custom" -> q_resample_eav_custom,
     "q_resample_interval"   -> q_resample_interval,
     "q_impute_ffill"        -> q_impute_ffill,
     "q_impute_linear"       -> q_impute_linear,
@@ -524,6 +540,17 @@ object SparkEntry {
         |         ORDER BY n DESC, val ASC) AS rn FROM c)
         |SELECT w.user_id AS uid, w.ws, rk.val AS mode, COALESCE(rk.n, 0) AS mc
         |FROM w LEFT JOIN rk ON rk.uid = w.user_id AND rk.ws = w.ws AND rk.rn = 1""".stripMargin,
+    "q_resample_eav_custom" ->
+      s"""WITH $WeeksCte,
+        |j AS (SELECT w.user_id AS uid, w.ws, e.ts, e.value
+        |      FROM w JOIN events e ON e.user_id = w.user_id
+        |        AND e.ts >= w.ws AND e.ts < w.wt AND e.event_type = 'purchase')
+        |SELECT w.user_id AS uid, w.ws,
+        |  COUNT(j.value) AS cnt,
+        |  ARG_MAX(j.ts, j.value) AS tmax,
+        |  SUM(j.value * j.value) AS ssq
+        |FROM w LEFT JOIN j ON j.uid = w.user_id AND j.ws = w.ws
+        |GROUP BY 1, 2""".stripMargin,
     "q_resample_interval" ->
       """WITH w AS (SELECT o_custkey AS ck, MIN(o_orderdate) AS ws,
         |             MIN(o_orderdate) + INTERVAL 60 DAY AS wt

@@ -86,6 +86,8 @@ object ResampleEav {
     *                   when `attrCol` is None, must have exactly one key
     * @param includeStart window start times belong to the window
     * @param includeStop  window stop times belong to the window
+    * @param customAgg  attribute → custom aggregations (name, builder over
+    *                   the (value, time) columns) — see [[CustomAgg]]
     * @return `windows` + one `{attr}_{agg}` column per requested pair
     */
   def apply(
@@ -99,10 +101,11 @@ object ResampleEav {
       wStartCol: Option[String] = None,
       wStopCol: Option[String] = None,
       includeStart: Boolean = true,
-      includeStop: Boolean = false): DataFrame = {
+      includeStop: Boolean = false,
+      customAgg: Map[String, Seq[CustomAgg.Spec]] = Map.empty): DataFrame = {
 
-    require(agg.nonEmpty, "empty agg spec")
-    require(attrCol.isDefined || agg.size == 1,
+    require(agg.nonEmpty || customAgg.nonEmpty, "empty agg spec")
+    require(attrCol.isDefined || (agg.keySet ++ customAgg.keySet).size == 1,
       "attrCol=None requires a single-attribute agg spec")
     require(wStartCol.isDefined || wStopCol.isDefined,
       "at least one window endpoint column required")
@@ -111,6 +114,8 @@ object ResampleEav {
         a -> gs.map(g => g -> parse(g))
       }
     val kinds: Seq[AggKind] = spec.flatMap(_._2.map(_._2)).distinct
+    val allAttrs: Seq[String] =
+      (agg.keySet ++ customAgg.keySet).toSeq.sorted
 
     // ── normalize observations ──────────────────────────────────────────
     // NaN values are NA in pandas but ordinary (maximal) values to Spark
@@ -123,10 +128,10 @@ object ResampleEav {
       if (vIsFloat) when(isnan(col(valueCol)), lit(null)).otherwise(col(valueCol))
       else col(valueCol)
 
-    val attrExpr = attrCol.map(col).getOrElse(lit(spec.head._1))
+    val attrExpr = attrCol.map(col).getOrElse(lit(allAttrs.head))
     val obsKeep = Seq(
       Some(col(timeCol).isNotNull),
-      attrCol.map(a => col(a).isin(spec.map(_._1): _*))
+      attrCol.map(a => col(a).isin(allAttrs: _*))
     ).flatten.reduce(_ && _)
 
     val obsN = obs
@@ -227,8 +232,19 @@ object ResampleEav {
         Some(withRn.groupBy(col(Wid), col(Attr)).agg(exprs.head, exprs.tail: _*))
       }
 
+    // ── family D: custom aggregations (CustomAgg.Spec hooks) ────────────
+    val famCustom: Option[DataFrame] =
+      if (customAgg.isEmpty) None
+      else {
+        val exprs: Seq[Column] = for {
+          (a, specs) <- customAgg.toSeq.sortBy(_._1)
+          (nm, f)    <- specs
+        } yield f(v, col(TCol)).as(s"cust__${a}__$nm")
+        Some(joined.groupBy(col(Wid), col(Attr)).agg(exprs.head, exprs.tail: _*))
+      }
+
     // ── merge families on (wid, attr); all are small (≤ windows×attrs) ──
-    val fams = Seq(famStd, famMode, famRank).flatten
+    val fams = Seq(famStd, famMode, famRank, famCustom).flatten
     val merged = fams.reduce((a, b) => a.join(b, Seq(Wid, Attr), "full_outer"))
 
     // ── pivot to wide by conditional aggregation ────────────────────────
@@ -239,10 +255,14 @@ object ResampleEav {
       case Mode        => "mode"
       case ModeCount   => "mode_count"
     }
-    val pivotExprs: Seq[Column] = for {
+    val pivotExprs: Seq[Column] = (for {
       (a, gs)    <- spec
       (gName, k) <- gs
-    } yield max(when(col(Attr) === a, col(famCol(k)))).as(s"${a}_$gName")
+    } yield max(when(col(Attr) === a, col(famCol(k)))).as(s"${a}_$gName")) ++
+      (for {
+        (a, specs) <- customAgg.toSeq.sortBy(_._1)
+        (nm, _)    <- specs
+      } yield max(when(col(Attr) === a, col(s"cust__${a}__$nm"))).as(s"${a}_$nm"))
 
     val wide = merged.groupBy(col(Wid))
       .agg(pivotExprs.head, pivotExprs.tail: _*)

@@ -135,6 +135,24 @@ class ResampleSpecs extends SparkSuite {
     assert(out(1).getAs[Long]("a_count") == 0L)  // entity 2 has nothing < 0.5
   }
 
+  test("resample_eav: custom agg hook (expression + typed Aggregator udaf)") {
+    import graft.resample.CustomAgg
+    val ssq = udaf(CustomAgg.SumOfSquares)
+    val out = ResampleEav(
+      obs, wins,
+      agg = Map("a" -> Seq("count")),
+      timeCol = "t", valueCol = "v", entityCol = Some("e"),
+      attrCol = Some("attr"), wStartCol = Some("ws"), wStopCol = Some("wt"),
+      customAgg = Map("a" -> Seq(
+        "tmax" -> CustomAgg.timeOfMax,
+        "ssq"  -> ((v, _) => ssq(v)))))
+      .orderBy("e", "ws").collect()
+    // window 0: values 10,20,60 at t=1,2,3 → argmax t=3, Σv²=4600
+    assert(out(0).getAs[Double]("a_tmax") == 3.0)
+    assert(out(0).getAs[Double]("a_ssq") == 100.0 + 400.0 + 3600.0)
+    assert(out(0).getAs[Long]("a_count") == 3L)
+  }
+
   test("resample_interval: fraction conventions (resampling.py:541-568)") {
     val inf = Double.PositiveInfinity
     val df = Seq(
