@@ -268,11 +268,17 @@ object SparkEntry {
 
   // ───────────── training-data pipeline ops (dedup / ANN / text) ────────
 
+  /** documents/embeddings parquet is a single small file → one input
+    * partition; the per-row-heavy dedup/text ops need the cores, so
+    * spread rows first (at real scale the scan is already partitioned
+    * and this repartition is unnecessary).
+    */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
   private def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("embedding"))
+      .repartition(s.sparkContext.defaultParallelism)
 
   private val q_dedup_exact: (SparkSession, String) => DataFrame =
     (s, dir) =>
@@ -318,13 +324,14 @@ object SparkEntry {
 
   private val q_langid: (SparkSession, String) => DataFrame =
     (s, dir) =>
-      docs(s, dir).select(col("doc_id"), LangId(col("text")).as("lang_guess"))
+      LangId.assign(docs(s, dir), "text")
+        .select(col("doc_id"), col("lang_guess"))
 
   private val q_text_fingerprint: (SparkSession, String) => DataFrame =
     (s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        size(Fingerprint.winnow(col("text"))).as("n_fp"),
-        Fingerprint.digest(col("text")).as("digest"))
+      Fingerprint(docs(s, dir), "text")
+        .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
+          col("digest"))
 
   private val q_media_frames: (SparkSession, String) => DataFrame =
     (s, dir) =>

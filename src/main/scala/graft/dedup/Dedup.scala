@@ -86,18 +86,18 @@ object MinHashDedup {
       .filter(size(col("sh")) > 0)
       .cache() // reused by banding and by pair verification
 
-    // k minhashes: seeded by concatenating the hash index (xxhash64 has no
-    // seed parameter; prefixing is the standard workaround)
-    val sig = transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(col("sh"), s => xxhash64(i, s))))
-    val withSig = shingled.withColumn("sig", sig)
-
-    // bands: (band index, hash of the signature slice)
+    // k minhashes grouped straight into bands — no intermediate signature
+    // column (a multiply-referenced alias would be re-evaluated per band
+    // under interpreted HOF eval); each minhash `min(xxhash64(i, s))` is
+    // computed exactly once, reading the cached shingle column. xxhash64
+    // is seeded by prefixing the hash index (it has no seed parameter).
     val bands = transform(
       sequence(lit(0), lit(numBands - 1)),
-      b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bucket")))
-    val exploded = withSig
+      b => struct(b.as("band"),
+        xxhash64(transform(
+          sequence(b * r, b * r + (r - 1)),
+          i => array_min(transform(col("sh"), s => xxhash64(i, s))))).as("bucket")))
+    val exploded = shingled
       .select(col("id"), explode(bands).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
@@ -115,10 +115,10 @@ object MinHashDedup {
       .select(col("id_l"), col("id_r"))
       .distinct()
 
-    pairs
+    val verified = pairs
       .join(shingled.select(col("id").as("id_l"), col("sh").as("sh_l")), Seq("id_l"))
       .join(shingled.select(col("id").as("id_r"), col("sh").as("sh_r")), Seq("id_r"))
-      .withColumn("jaccard", Shingles.jaccard(col("sh_l"), col("sh_r")))
+    Shingles.stageJaccard(verified, "sh_l", "sh_r", "jaccard")
       .filter(col("jaccard") >= threshold)
       .select(col("id_l"), col("id_r"), col("jaccard"))
   }
@@ -138,20 +138,39 @@ object SimHashDedup {
   private def shru(c: Column, n: Column): Column = call_function("shiftrightunsigned", c, n)
   private def shl(c: Column, n: Column): Column = call_function("shiftleft", c, n)
 
-  /** 64-bit simhash of a token-array column: bit j of the result is 1 iff
-    * Σ_tokens sign(bit j of xxhash64(token)) > 0.
+  /** Per-bit vote counts from a token-HASH array column: one pass over the
+    * hashes, accumulating a 64-int vote vector (bit j set in a hash ⇒ +1,
+    * else −1). Higher-order functions are interpreted (not codegen'd) and
+    * interpreted eval has no common-subexpression elimination, so this is
+    * deliberately a SINGLE aggregate over a pre-materialized hash column —
+    * never re-derive the hashes or votes inside another lambda.
     */
-  def simhash(tokens: Column): Column = {
-    val votes = transform(
-      sequence(lit(0), lit(63)),
-      j => aggregate(tokens, lit(0),
-        (acc, t) => acc + when(shr(xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1)))
+  private[dedup] def bitVotes(tokenHashes: Column): Column =
     aggregate(
-      sequence(lit(0), lit(63)),
+      tokenHashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, j) => a + when(shr(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)))
+
+  /** Fold a 64-int vote vector into the 64-bit simhash. References the
+    * `votes` expression exactly ONCE (a multiply-referenced subexpression
+    * is re-evaluated per reference under interpreted HOF eval — a 64×
+    * blowup when `votes` is itself an aggregate).
+    */
+  private[dedup] def votesToBits(votes: Column): Column =
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, j) => when(v > 0, shl(lit(1L), j)).otherwise(lit(0L))),
       lit(0L),
-      (acc, j) => acc +
-        when(element_at(votes, j + 1) > 0, shl(lit(1L), j)).otherwise(0L))
-  }
+      (acc, x) => acc + x)
+
+  /** 64-bit simhash of a token-array column: bit j of the result is 1 iff
+    * Σ_tokens sign(bit j of xxhash64(token)) > 0. Prefer the staged
+    * [[apply]] pipeline at scale — this single-expression form re-derives
+    * the token hashes inside the vote pass.
+    */
+  def simhash(tokens: Column): Column =
+    votesToBits(bitVotes(transform(tokens, t => xxhash64(t))))
 
   private def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -166,9 +185,16 @@ object SimHashDedup {
     val blocks = maxHamming + 1
     val bits = 64 / blocks
 
-    val hashed = df.select(
-      col(idCol).as("id"),
-      simhash(Shingles.tokens(col(textCol))).as("sh64"))
+    // staged: tokens → hashes → votes → fingerprint, each as a named
+    // column in its own Project — expensive arrays are materialized once
+    // per row instead of being re-derived inside downstream lambdas
+    // (interpreted HOF eval has no CSE; CollapseProject keeps multiply-
+    // referenced non-cheap aliases in separate stages)
+    val hashed = df
+      .select(col(idCol).as("id"),
+        transform(Shingles.tokens(col(textCol)), t => xxhash64(t)).as("th"))
+      .withColumn("votes", bitVotes(col("th")))
+      .select(col("id"), votesToBits(col("votes")).as("sh64"))
 
     // pigeonhole: explode each fingerprint into its blocks
     val blockCol = explode(
@@ -217,9 +243,8 @@ object NgramJaccardDedup {
     val joined =
       if (blockBy.nonEmpty) l.join(r, blockBy)
       else l.crossJoin(r)
-    joined
-      .filter(col("id_l") < col("id_r"))
-      .withColumn("jaccard", Shingles.jaccard(col("sh_l"), col("sh_r")))
+    Shingles.stageJaccard(
+        joined.filter(col("id_l") < col("id_r")), "sh_l", "sh_r", "jaccard")
       .filter(col("jaccard") >= threshold)
       .select(col("id_l"), col("id_r"), col("jaccard"))
   }

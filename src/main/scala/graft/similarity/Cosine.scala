@@ -47,13 +47,18 @@ object CosineTopK {
       vecCol: String,
       k: Int,
       excludeSelf: Boolean = true): DataFrame = {
+    // norms are per-vector, not per-pair — precompute before the join
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorOps.norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      VectorOps.norm(col(vecCol)).as("cn"))
+    val denom = col("qn") * col("cn")
     val scored = c.join(q,
         if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
-        VectorOps.cosine(col("qv"), col("cv")).as("cosine"))
+        when(denom === 0, lit(0.0))
+          .otherwise(VectorOps.dot(col("qv"), col("cv")) / denom).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -76,24 +81,29 @@ object CosineTopK {
   */
 object LshAnn {
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1):
-    * table t, bit i, dimension d.
+  /** Deterministic pseudo-random hyperplane component in [-1, 1) for
+    * (table, bit, dimension) — computed DRIVER-side (splitmix64-style
+    * mix) and shipped as literal arrays, so executors do plain
+    * multiply-adds instead of re-hashing per row.
     */
-  private def hcomp(t: Int, i: Column, d: Column): Column =
-    (pmod(xxhash64(lit(t), i, d), lit(1000000)).cast("double") / 500000.0) - 1.0
+  private def hcomp(t: Int, i: Int, d: Int): Double = {
+    var x = 0x9E3779B97F4A7C15L * (t + 1) + 0xBF58476D1CE4E5B9L * (i + 1) +
+      0x94D049BB133111EBL * (d + 1)
+    x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+    x ^= x >>> 27; x *= 0x94D049BB133111EBL
+    x ^= x >>> 31
+    (java.lang.Math.floorMod(x, 1000000L).toDouble / 500000.0) - 1.0
+  }
 
-  /** Signature of vector column `v` for table `t`. */
-  def signature(v: Column, numBits: Int, t: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(numBits - 1)),
-      lit(0L),
-      (acc, i) => {
-        val proj = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1),
-            (x, d) => x * hcomp(t, i, d)),
-          lit(0.0), (a, x) => a + x)
-        acc + when(proj > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)
-      })
+  /** Signature of vector column `v` (dimension `dim`) for table `t`: bit i
+    * = sign(v · h_(t,i)), hyperplanes as literals.
+    */
+  def signature(v: Column, numBits: Int, t: Int, dim: Int): Column =
+    (0 until numBits).map { i =>
+      val h = typedLit((0 until dim).map(d => hcomp(t, i, d)))
+      val proj = aggregate(zip_with(v, h, (x, y) => x * y), lit(0.0), (a, x) => a + x)
+      when(proj > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
 
   /** All-pairs near-neighbor candidates with exact cosine above
     * `threshold`, via `numTables` independent signature tables.
@@ -107,18 +117,26 @@ object LshAnn {
       numTables: Int = 4,
       threshold: Double = 0.9): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // one tiny job to learn the dimension (constant per dataset)
+    val dim = base.select(size(col("v"))).first().getInt(0)
     val sigs = (0 until numTables).map { t =>
-      base.select(lit(t).as("tbl"), signature(col("v"), numBits, t).as("sig"), col("id"))
+      base.select(lit(t).as("tbl"),
+        signature(col("v"), numBits, t, dim).as("sig"), col("id"))
     }.reduce(_ unionByName _)
     val l = sigs.select(col("tbl"), col("sig"), col("id").as("id_l"))
     val r = sigs.select(col("tbl"), col("sig"), col("id").as("id_r"))
     val pairs = l.join(r, Seq("tbl", "sig"))
       .filter(col("id_l") < col("id_r"))
       .select("id_l", "id_r").distinct()
+    val normed = base.withColumn("nrm", VectorOps.norm(col("v")))
+    val denom = col("n_l") * col("n_r")
     pairs
-      .join(base.select(col("id").as("id_l"), col("v").as("v_l")), Seq("id_l"))
-      .join(base.select(col("id").as("id_r"), col("v").as("v_r")), Seq("id_r"))
-      .withColumn("cosine", VectorOps.cosine(col("v_l"), col("v_r")))
+      .join(normed.select(col("id").as("id_l"), col("v").as("v_l"),
+        col("nrm").as("n_l")), Seq("id_l"))
+      .join(normed.select(col("id").as("id_r"), col("v").as("v_r"),
+        col("nrm").as("n_r")), Seq("id_r"))
+      .withColumn("cosine", when(denom === 0, lit(0.0))
+        .otherwise(VectorOps.dot(col("v_l"), col("v_r")) / denom))
       .filter(col("cosine") >= threshold)
       .select("id_l", "id_r", "cosine")
   }
@@ -137,15 +155,20 @@ object EmbeddingDedup {
       threshold: Double,
       blockBy: Seq[String] = Nil): DataFrame = {
     val base = df.select(
-      (col(idCol).as("id") +: col(vecCol).as("v") +: blockBy.map(col)): _*)
+      (col(idCol).as("id") +: col(vecCol).as("v") +:
+        VectorOps.norm(col(vecCol)).as("nrm") +: blockBy.map(col)): _*)
     val l = base.select(
-      (col("id").as("id_l") +: col("v").as("v_l") +: blockBy.map(col)): _*)
+      (col("id").as("id_l") +: col("v").as("v_l") +:
+        col("nrm").as("n_l") +: blockBy.map(col)): _*)
     val r = base.select(
-      (col("id").as("id_r") +: col("v").as("v_r") +: blockBy.map(col)): _*)
+      (col("id").as("id_r") +: col("v").as("v_r") +:
+        col("nrm").as("n_r") +: blockBy.map(col)): _*)
     val joined = if (blockBy.nonEmpty) l.join(r, blockBy) else l.crossJoin(r)
+    val denom = col("n_l") * col("n_r")
     joined
       .filter(col("id_l") < col("id_r"))
-      .withColumn("cosine", VectorOps.cosine(col("v_l"), col("v_r")))
+      .withColumn("cosine", when(denom === 0, lit(0.0))
+        .otherwise(VectorOps.dot(col("v_l"), col("v_r")) / denom))
       .filter(col("cosine") >= threshold)
       .select("id_l", "id_r", "cosine")
   }

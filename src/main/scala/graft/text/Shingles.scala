@@ -26,10 +26,26 @@ object Shingles {
     array_distinct(grams)
   }
 
-  /** Jaccard similarity of two shingle-set columns (arrays). */
+  /** Jaccard similarity of two shingle-set columns (arrays). Evaluates the
+    * intersection twice in one expression — fine in tests; hot paths use
+    * [[stageJaccard]] so the intersection is materialized once.
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(a) + size(b) - size(array_intersect(a, b))
     when(union === 0, lit(1.0)).otherwise(inter / union)
+  }
+
+  /** Append `outCol` = Jaccard of two array columns, computing the (heavy)
+    * intersection exactly once via a staged intermediate column.
+    */
+  def stageJaccard(df: org.apache.spark.sql.DataFrame,
+      aCol: String, bCol: String, outCol: String): org.apache.spark.sql.DataFrame = {
+    val inter = col("__graft_inter")
+    val union = size(col(aCol)) + size(col(bCol)) - inter
+    df.withColumn("__graft_inter", size(array_intersect(col(aCol), col(bCol))))
+      .withColumn(outCol,
+        when(union === 0, lit(1.0)).otherwise(inter.cast("double") / union))
+      .drop("__graft_inter")
   }
 }

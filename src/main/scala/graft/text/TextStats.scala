@@ -60,15 +60,29 @@ object TextStats {
     (lenScore + punctOk + stopOk) / 3.0
   }
 
-  /** Append the standard stat columns to `df`. */
+  /** Append the standard stat columns to `df`. Staged: the token array is
+    * materialized once per row and every ratio reads it as a column
+    * (interpreted HOFs have no CSE — never re-split per component), and
+    * `quality` is re-expressed over the already-computed stat columns.
+    */
   def apply(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
-    df.withColumn("n_tokens", tokenCount(t))
+    val t  = col(textCol)
+    val tk = col("__graft_tk")
+    val hits = size(filter(tk, x => x.isin(EnglishStopwords.map(lit): _*)))
+    df.withColumn("__graft_tk", Shingles.tokens(t))
+      .withColumn("n_tokens", size(tk))
       .withColumn("n_subwords", subwordCount(t))
       .withColumn("punct_ratio", punctRatio(t))
-      .withColumn("stopword_ratio", stopwordRatio(t))
-      .withColumn("mean_token_len", meanTokenLen(t))
-      .withColumn("quality", qualityScore(t))
+      .withColumn("stopword_ratio",
+        when(size(tk) === 0, lit(0.0)).otherwise(hits.cast("double") / size(tk)))
+      .withColumn("mean_token_len",
+        when(size(tk) === 0, lit(0.0)).otherwise(
+          aggregate(tk, lit(0), (acc, x) => acc + length(x)).cast("double") / size(tk)))
+      .withColumn("quality",
+        (least(col("n_tokens").cast("double") / 20.0, lit(1.0)) +
+          (lit(1.0) - least(col("punct_ratio") * 4.0, lit(1.0))) +
+          least(col("stopword_ratio") * 5.0, lit(1.0))) / 3.0)
+      .drop("__graft_tk")
   }
 }
 
@@ -102,30 +116,76 @@ object LangId {
     val best = array_min(array(scored: _*))
     when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
   }
+
+  /** Staged DataFrame form: materializes the token array once per row
+    * before the per-language scoring reads it (scale path).
+    */
+  def assign(
+      df: DataFrame,
+      textCol: String,
+      outCol: String = "lang_guess",
+      profiles: Map[String, Seq[String]] = DefaultProfiles): DataFrame = {
+    val tk = col("__graft_tk")
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        (-size(filter(tk, t => t.isin(words.map(lit): _*)))).as("neg"),
+        lit(lang).as("lang"))
+    }
+    val best = array_min(array(scored: _*))
+    df.withColumn("__graft_tk", Shingles.tokens(col(textCol)))
+      .withColumn(outCol,
+        when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang")))
+      .drop("__graft_tk")
+  }
 }
 
 /** Rolling-hash document fingerprinting (winnowing-style): polynomial
   * rolling hash over the token stream, keep the minimum hash in each
   * window of `w` consecutive k-gram hashes — a compact, shift-robust
   * document signature for near-dup candidate generation.
+  *
+  * Prefer the staged [[Fingerprint.apply]] transformer at scale: the
+  * single-expression [[winnow]] re-derives the token and gram arrays
+  * inside each sliding-window lambda (higher-order functions are
+  * interpreted, with no common-subexpression elimination), which turns
+  * O(grams) into O(grams²).
   */
 object Fingerprint {
 
-  /** Set of winnowed fingerprint hashes of a text column: k-gram token
-    * hashes (via `xxhash64`), min-sampled over sliding windows of `w`.
-    */
-  def winnow(text: Column, k: Int = 4, w: Int = 5): Column = {
-    val ts = Shingles.tokens(text)
-    val grams = transform(
-      sequence(lit(0), greatest(size(ts) - k, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(ts, i + 1, lit(k)))))
-    val wins = transform(
+  private def gramHashes(tk: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(tk) - k, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(tk, i + 1, lit(k)))))
+
+  private def winnowFromGrams(grams: Column, w: Int): Column =
+    array_sort(array_distinct(transform(
       sequence(lit(0), greatest(size(grams) - w, lit(0))),
-      i => array_min(slice(grams, i + 1, lit(w))))
-    array_sort(array_distinct(wins))
-  }
+      i => array_min(slice(grams, i + 1, lit(w))))))
+
+  /** Set of winnowed fingerprint hashes of a text column (single
+    * expression; fine for small inputs and tests).
+    */
+  def winnow(text: Column, k: Int = 4, w: Int = 5): Column =
+    winnowFromGrams(gramHashes(Shingles.tokens(text), k), w)
 
   /** Single 64-bit fingerprint: xxhash of the winnowed set. */
   def digest(text: Column, k: Int = 4, w: Int = 5): Column =
     xxhash64(to_json(struct(winnow(text, k, w))))
+
+  /** Staged pipeline: tokens → gram hashes → winnowed set → digest, each
+    * materialized once per row as a named column (the scale path).
+    * Appends `fpCol` (array of fingerprint hashes) and `digestCol`.
+    */
+  def apply(
+      df: DataFrame,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 5,
+      fpCol: String = "fingerprints",
+      digestCol: String = "digest"): DataFrame =
+    df.withColumn("__graft_tk", Shingles.tokens(col(textCol)))
+      .withColumn("__graft_gr", gramHashes(col("__graft_tk"), k))
+      .withColumn(fpCol, winnowFromGrams(col("__graft_gr"), w))
+      .withColumn(digestCol, xxhash64(to_json(struct(col(fpCol)))))
+      .drop("__graft_tk", "__graft_gr")
 }
