@@ -80,47 +80,92 @@ object MinHashDedup {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val r = numHashes / numBands
 
-    val shingled = df.select(
-      col(idCol).as("id"),
-      Shingles.wordNGrams(col(textCol), shingleN).as("sh"))
+    // Shingle strings are hashed ONCE (`h0`); the k minhash permutations
+    // re-hash those fixed-width longs (`xxhash64(i, h)`, 16 bytes) instead
+    // of re-hashing variable-length strings k times — ~2× cheaper, and no
+    // ANSI overflow concerns (multiplicative universal hashing would
+    // overflow-error under Spark 4's default ANSI mode). The cache is the
+    // barrier that keeps `sh`/`h0` materialized (HOF lambdas are
+    // interpreted, with no CSE).
+    val shingled = df
+      .select(col(idCol).as("id"), Shingles.tokens(col(textCol)).as("tk"))
+      .withColumn("sh", Shingles.wordNGramsFromTokens(col("tk"), shingleN))
       .filter(size(col("sh")) > 0)
+      .withColumn("h0", transform(col("sh"), s => xxhash64(s)))
+      .select(col("id"), col("sh"), col("h0"))
       .cache() // reused by banding and by pair verification
 
-    // k minhashes grouped straight into bands — no intermediate signature
-    // column (a multiply-referenced alias would be re-evaluated per band
-    // under interpreted HOF eval); each minhash `min(xxhash64(i, s))` is
-    // computed exactly once, reading the cached shingle column. xxhash64
-    // is seeded by prefixing the hash index (it has no seed parameter).
-    val bands = transform(
-      sequence(lit(0), lit(numBands - 1)),
-      b => struct(b.as("band"),
-        xxhash64(transform(
-          sequence(b * r, b * r + (r - 1)),
-          i => array_min(transform(col("sh"), s => xxhash64(i, s))))).as("bucket")))
+    // all k minhashes + band bucketing in ONE native codegen'd loop
+    // (see org.apache.spark.sql.graft.MinHashBands)
     val exploded = shingled
-      .select(col("id"), explode(bands).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("id"),
+        posexplode(org.apache.spark.sql.graft.VecFunctions
+          .minhash_bands(col("h0"), numBands, r)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
 
-    // skew guard: drop degenerate buckets
-    val bucketed = exploded.withColumn("bsz",
-      count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsz") <= maxBucket)
+    // Candidate pairs by grouping each bucket (one aggregation — no
+    // self-join, so the banding pipeline is evaluated once, and the
+    // size filter doubles as the skew guard: a bucket of m rows emits
+    // m(m-1)/2 pairs, so degenerate buckets are dropped outright and
+    // should be handled by ExactDedup first).
+    val pairs = Buckets.pairsFromGroups(
+      exploded.groupBy(col("band"), col("bucket"))
+        .agg(collect_list(col("id")).as("ids")),
+      "ids", maxBucket)
 
-    // candidate pairs carry only ids through the join + distinct; the
-    // (large) shingle arrays are re-attached afterwards for verification
-    val l = bucketed.select(col("band"), col("bucket"), col("id").as("id_l"))
-    val rt = bucketed.select(col("band"), col("bucket"), col("id").as("id_r"))
-    val pairs = l.join(rt, Seq("band", "bucket"))
-      .filter(col("id_l") < col("id_r"))
-      .select(col("id_l"), col("id_r"))
-      .distinct()
-
+    // verification re-attaches the (cached) hashed shingles; Jaccard via
+    // the codegen'd sorted-merge intersection
+    val hs = shingled.select(col("id"), sort_array(col("h0")).as("hs"))
     val verified = pairs
-      .join(shingled.select(col("id").as("id_l"), col("sh").as("sh_l")), Seq("id_l"))
-      .join(shingled.select(col("id").as("id_r"), col("sh").as("sh_r")), Seq("id_r"))
-    Shingles.stageJaccard(verified, "sh_l", "sh_r", "jaccard")
+      .join(hs.select(col("id").as("id_l"), col("hs").as("hs_l")), Seq("id_l"))
+      .join(hs.select(col("id").as("id_r"), col("hs").as("hs_r")), Seq("id_r"))
+    Buckets.hashedJaccard(verified, "hs_l", "hs_r", "jaccard")
       .filter(col("jaccard") >= threshold)
       .select(col("id_l"), col("id_r"), col("jaccard"))
+  }
+}
+
+/** Shared bucket-based candidate-pair generation for the LSH dedup
+  * operators: group by bucket key, emit all in-bucket pairs by a nested
+  * transform over the collected id list. One aggregation instead of an
+  * exploded self-join — halves the signature computation and drops the
+  * separate skew-guard window.
+  */
+object Buckets {
+
+  /** `grouped` must have an array column `idsCol`; emits distinct
+    * `(id_l, id_r)` pairs (`id_l < id_r`) from every group of size in
+    * `[2, maxBucket]`.
+    */
+  def pairsFromGroups(grouped: DataFrame, idsCol: String, maxBucket: Int): DataFrame = {
+    val ids = col("__graft_ids")
+    grouped
+      .withColumn("__graft_ids", array_sort(col(idsCol)))
+      .filter(size(ids) >= 2 && size(ids) <= maxBucket)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(ids) - 2),
+        i => transform(
+          sequence(i + 1, size(ids) - 1),
+          j => struct(element_at(ids, i + 1).as("id_l"),
+            element_at(ids, j + 1).as("id_r")))))).as("p"))
+      .select(col("p.id_l").as("id_l"), col("p.id_r").as("id_r"))
+      .distinct()
+  }
+
+  /** Jaccard from two sorted hashed-shingle arrays via the codegen'd
+    * merge-scan intersection (collision probability at 64 bits is
+    * negligible).
+    */
+  def hashedJaccard(df: DataFrame, aCol: String, bCol: String, outCol: String): DataFrame = {
+    val inter = col("__graft_inter")
+    val union = size(col(aCol)) + size(col(bCol)) - inter
+    df.withColumn("__graft_inter",
+        org.apache.spark.sql.graft.VecFunctions
+          .sorted_long_intersect_count(col(aCol), col(bCol)))
+      .withColumn(outCol,
+        when(union === 0, lit(1.0)).otherwise(inter.cast("double") / union))
+      .drop("__graft_inter")
   }
 }
 
@@ -185,16 +230,13 @@ object SimHashDedup {
     val blocks = maxHamming + 1
     val bits = 64 / blocks
 
-    // staged: tokens → hashes → votes → fingerprint, each as a named
-    // column in its own Project — expensive arrays are materialized once
-    // per row instead of being re-derived inside downstream lambdas
-    // (interpreted HOF eval has no CSE; CollapseProject keeps multiply-
-    // referenced non-cheap aliases in separate stages)
+    // tokens → hashes → one native codegen'd 64×n vote/fold loop
+    // (org.apache.spark.sql.graft.SimHash64)
     val hashed = df
       .select(col(idCol).as("id"),
         transform(Shingles.tokens(col(textCol)), t => xxhash64(t)).as("th"))
-      .withColumn("votes", bitVotes(col("th")))
-      .select(col("id"), votesToBits(col("votes")).as("sh64"))
+      .select(col("id"),
+        org.apache.spark.sql.graft.VecFunctions.simhash64(col("th")).as("sh64"))
 
     // pigeonhole: explode each fingerprint into its blocks
     val blockCol = explode(
@@ -204,16 +246,20 @@ object SimHashDedup {
           when(b === blocks - 1, shru(col("sh64"), b * bits))
             .otherwise(shru(col("sh64"), b * bits)
               .bitwiseAND((1L << bits) - 1)).as("key"))))
-    val exploded = hashed.select(col("id"), col("sh64"), blockCol.as("bb"))
-      .select(col("id"), col("sh64"), col("bb.blk").as("blk"), col("bb.key").as("key"))
+    val cached = hashed.cache() // fingerprints reused by blocking + verify
+    val exploded = cached.select(col("id"), blockCol.as("bb"))
+      .select(col("id"), col("bb.blk").as("blk"), col("bb.key").as("key"))
 
-    val l = exploded.select(col("blk"), col("key"), col("id").as("id_l"), col("sh64").as("h_l"))
-    val r = exploded.select(col("blk"), col("key"), col("id").as("id_r"), col("sh64").as("h_r"))
-    l.join(r, Seq("blk", "key"))
-      .filter(col("id_l") < col("id_r"))
+    val pairs = Buckets.pairsFromGroups(
+      exploded.groupBy(col("blk"), col("key"))
+        .agg(collect_list(col("id")).as("ids")),
+      "ids", maxBucket = Int.MaxValue)
+
+    pairs
+      .join(cached.select(col("id").as("id_l"), col("sh64").as("h_l")), Seq("id_l"))
+      .join(cached.select(col("id").as("id_r"), col("sh64").as("h_r")), Seq("id_r"))
       .select(col("id_l"), col("id_r"), hamming(col("h_l"), col("h_r")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_l", "id_r")
   }
 }
 
@@ -234,17 +280,32 @@ object NgramJaccardDedup {
     val grams =
       if (n == 1) array_distinct(Shingles.tokens(col(textCol)))
       else Shingles.wordNGrams(col(textCol), n)
+    // shingles → sorted 64-bit hashes: the pairwise Jaccard runs on the
+    // codegen'd sorted-merge intersection instead of interpreted
+    // array_intersect over strings
     val base = df.select(
       (col(idCol).as("id") +: grams.as("sh") +: blockBy.map(col)): _*)
+      .withColumn("hs", sort_array(transform(col("sh"), s => xxhash64(s))))
+      .withColumn("sz", size(col("hs")))
+      .drop("sh")
     val l = base.select(
-      (col("id").as("id_l") +: col("sh").as("sh_l") +: blockBy.map(col)): _*)
+      (col("id").as("id_l") +: col("hs").as("sh_l") +:
+        col("sz").as("sz_l") +: blockBy.map(col)): _*)
     val r = base.select(
-      (col("id").as("id_r") +: col("sh").as("sh_r") +: blockBy.map(col)): _*)
-    val joined =
-      if (blockBy.nonEmpty) l.join(r, blockBy)
-      else l.crossJoin(r)
-    Shingles.stageJaccard(
-        joined.filter(col("id_l") < col("id_r")), "sh_l", "sh_r", "jaccard")
+      (col("id").as("id_r") +: col("hs").as("sh_r") +:
+        col("sz").as("sz_r") +: blockBy.map(col)): _*)
+    // size prefilter (necessary condition, evaluated before the heavy
+    // set intersection): J(a,b) <= min/max of the set sizes
+    val sizeOk =
+      least(col("sz_l"), col("sz_r")).cast("double") >=
+        greatest(col("sz_l"), col("sz_r")) * threshold
+    val pairCond = blockBy.map(c => l(c) === r(c))
+      .foldLeft(col("id_l") < col("id_r") && sizeOk)(_ && _)
+    val joined0 =
+      if (blockBy.nonEmpty) l.join(r, pairCond)
+      else l.crossJoin(r).filter(col("id_l") < col("id_r") && sizeOk)
+    val joined = blockBy.foldLeft(joined0)((d, c) => d.drop(r(c)))
+    Buckets.hashedJaccard(joined, "sh_l", "sh_r", "jaccard")
       .filter(col("jaccard") >= threshold)
       .select(col("id_l"), col("id_r"), col("jaccard"))
   }

@@ -4,16 +4,19 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Vector expressions over `array<float|double>` embedding columns — all
-  * built-in higher-order functions (codegen'd), no UDFs.
+/** Vector expressions over `array<double>` embedding columns, backed by
+  * the native codegen'd Catalyst expressions in
+  * [[graft.functions.VecDot]] / [[graft.functions.VecNorm]] (the built-in
+  * `aggregate(zip_with(...))` route is interpreted per element and breaks
+  * whole-stage codegen — 5-10× slower in the brute-force scoring loops).
   */
 object VectorOps {
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.VecFunctions.vec_dot(a, b)
 
   def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    org.apache.spark.sql.graft.VecFunctions.vec_norm(a)
 
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
@@ -96,13 +99,13 @@ object LshAnn {
   }
 
   /** Signature of vector column `v` (dimension `dim`) for table `t`: bit i
-    * = sign(v · h_(t,i)), hyperplanes as literals.
+    * = sign(v · h_(t,i)), hyperplanes as literals, dot via the codegen'd
+    * [[graft.functions.VecDot]].
     */
   def signature(v: Column, numBits: Int, t: Int, dim: Int): Column =
     (0 until numBits).map { i =>
       val h = typedLit((0 until dim).map(d => hcomp(t, i, d)))
-      val proj = aggregate(zip_with(v, h, (x, y) => x * y), lit(0.0), (a, x) => a + x)
-      when(proj > 0, lit(1L << i)).otherwise(0L)
+      when(VectorOps.dot(v, h) > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
   /** All-pairs near-neighbor candidates with exact cosine above
@@ -163,10 +166,15 @@ object EmbeddingDedup {
     val r = base.select(
       (col("id").as("id_r") +: col("v").as("v_r") +:
         col("nrm").as("n_r") +: blockBy.map(col)): _*)
-    val joined = if (blockBy.nonEmpty) l.join(r, blockBy) else l.crossJoin(r)
+    // id_l < id_r inside the join condition: evaluated at probe time,
+    // before the (wide, vector-carrying) output row is materialized
+    val pairCond = blockBy.map(c => l(c) === r(c))
+      .foldLeft(col("id_l") < col("id_r"))(_ && _)
+    val joined0 = if (blockBy.nonEmpty) l.join(r, pairCond)
+      else l.crossJoin(r).filter(col("id_l") < col("id_r"))
+    val joined = blockBy.foldLeft(joined0)((d, c) => d.drop(r(c)))
     val denom = col("n_l") * col("n_r")
     joined
-      .filter(col("id_l") < col("id_r"))
       .withColumn("cosine", when(denom === 0, lit(0.0))
         .otherwise(VectorOps.dot(col("v_l"), col("v_r")) / denom))
       .filter(col("cosine") >= threshold)

@@ -18,13 +18,19 @@ object Shingles {
     * set for MinHash / Jaccard. Documents shorter than `n` tokens yield
     * their full token sequence as a single shingle.
     */
-  def wordNGrams(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    val grams = transform(
+  def wordNGrams(text: Column, n: Int): Column =
+    wordNGramsFromTokens(tokens(text), n)
+
+  /** N-grams from an ALREADY-MATERIALIZED token-array column. Hot paths
+    * must stage the tokens first: the sliding-window lambda references its
+    * input per gram, and interpreted HOF eval re-evaluates a non-column
+    * input expression per reference — an O(tokens²) regex-split blowup
+    * when handed `tokens(text)` directly.
+    */
+  def wordNGramsFromTokens(ts: Column, n: Int): Column =
+    array_distinct(transform(
       sequence(lit(0), greatest(size(ts) - n, lit(0))),
-      i => concat_ws(" ", slice(ts, i + 1, lit(n))))
-    array_distinct(grams)
-  }
+      i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
 
   /** Jaccard similarity of two shingle-set columns (arrays). Evaluates the
     * intersection twice in one expression — fine in tests; hot paths use

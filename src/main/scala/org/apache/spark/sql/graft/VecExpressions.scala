@@ -1,0 +1,316 @@
+// Hosted under org.apache.spark.sql so the expressions can implement the
+// private[sql] ExpectsInputTypes/AbstractDataType contract and wrap into
+// Columns via the classic ExpressionUtils — the standard packaging for
+// third-party native Catalyst expressions.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for dense-vector math over
+  * `array<double>` columns.
+  *
+  * The built-in route (`aggregate(zip_with(...))`) runs on the
+  * interpreted higher-order-function path — per-element lambda dispatch
+  * and boxing, and it breaks whole-stage codegen around it. These
+  * expressions generate a tight primitive loop instead (SURVEY.md §4's
+  * "custom `Expression` only if benchmarks demand" — brute-force cosine
+  * scoring is exactly that case: the dot product is the innermost loop of
+  * an O(|Q|·|C|·d) operator).
+  *
+  * Null elements inside vectors are treated as 0; a null vector yields
+  * null (standard null-safe semantics).
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of an `array<double>` column — same codegen rationale as
+  * [[VecDot]].
+  */
+case class VecNorm(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $a.getDouble($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm =
+    copy(child = newChild)
+}
+
+/** Intersection size of two SORTED `array<bigint>` columns via a codegen'd
+  * merge scan — the hot inner loop of set-similarity verification
+  * (n-gram Jaccard over hashed shingles). The interpreted built-in
+  * `array_intersect` hashes per element per pair (~20× slower here).
+  * Inputs MUST be sorted ascending and duplicate-free (as produced by
+  * `sort_array(transform(shingles, xxhash64))` over distinct shingles).
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType),
+      ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_long_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash of an `array<bigint>` token-hash column: bit j of the
+  * result is set iff Σ_hashes sign(bit j) > 0. One tight 64×n loop per row
+  * (the HOF formulation costs ~n×64 interpreted lambda dispatches).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val votes = new Array[Int](64)
+    var k = 0
+    while (k < n) {
+      val h = x.getLong(k)
+      var j = 0
+      while (j < 64) {
+        votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1); j += 1
+      }
+      k += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val votes = ctx.freshName("votes")
+      val k = ctx.freshName("k"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $votes = new int[64];
+         |for (int $k = 0; $k < $n; $k++) {
+         |  long $h = $a.getLong($k);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    $votes[$j] += ((($h >>> $j) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($votes[$j] > 0) $out |= (1L << $j);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** MinHash LSH band buckets from an `array<bigint>` shingle-hash column:
+  * `numBands` buckets, each combining `r` minhashes
+  * `min_h mix(h, i)` (splitmix-style mix; plain wrapping long arithmetic —
+  * generated Java, so no ANSI overflow checks). One k×n loop per row
+  * replacing k interpreted `array_min(transform(...))` passes.
+  */
+case class MinHashBands(child: Expression, numBands: Int, r: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  @inline private def mix(h: Long, i: Int): Long = {
+    var v = h ^ (0x9E3779B97F4A7C15L * (i + 1))
+    v *= 0xBF58476D1CE4E5B9L
+    v ^= v >>> 29
+    v *= 0x94D049BB133111EBL
+    v ^ (v >>> 32)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var acc = 1125899906842597L
+      var i = b * r
+      while (i < (b + 1) * r) {
+        var m = Long.MaxValue
+        var k = 0
+        while (k < n) {
+          val v = mix(x.getLong(k), i)
+          if (v < m) m = v
+          k += 1
+        }
+        acc = acc * 31 + m
+        i += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val b = ctx.freshName("b"); val i = ctx.freshName("i")
+      val k = ctx.freshName("k"); val m = ctx.freshName("m")
+      val v = ctx.freshName("v"); val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$numBands];
+         |for (int $b = 0; $b < $numBands; $b++) {
+         |  long $acc = 1125899906842597L;
+         |  for (int $i = $b * $r; $i < ($b + 1) * $r; $i++) {
+         |    long $m = Long.MAX_VALUE;
+         |    for (int $k = 0; $k < $n; $k++) {
+         |      long $v = $a.getLong($k) ^ (0x9E3779B97F4A7C15L * ($i + 1));
+         |      $v *= 0xBF58476D1CE4E5B9L;
+         |      $v ^= $v >>> 29;
+         |      $v *= 0x94D049BB133111EBL;
+         |      $v ^= $v >>> 32;
+         |      if ($v < $m) $m = $v;
+         |    }
+         |    $acc = $acc * 31L + $m;
+         |  }
+         |  $out[$b] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+/** Column-API entry points for the native vector expressions. */
+object VecFunctions {
+
+  private def expr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def vec_dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecDot(expr(a), expr(b)))
+
+  def vec_norm(a: Column): Column =
+    ExpressionUtils.column(VecNorm(expr(a)))
+
+  def sorted_long_intersect_count(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedLongIntersectCount(expr(a), expr(b)))
+
+  def simhash64(a: Column): Column =
+    ExpressionUtils.column(SimHash64(expr(a)))
+
+  def minhash_bands(a: Column, numBands: Int, r: Int): Column =
+    ExpressionUtils.column(MinHashBands(expr(a), numBands, r))
+}
