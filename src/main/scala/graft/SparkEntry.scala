@@ -280,6 +280,12 @@ object SparkEntry {
       col("embedding").cast("array<double>").as("embedding"))
       .repartition(s.sparkContext.defaultParallelism)
 
+  private val q_partition_series: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.core.PartitionSeries(
+        t(s, dir, "lineitem"), Seq("l_orderkey"), budget = 1000L)
+        .select(col("l_orderkey").as("g"), col("partition_id").as("pid"))
+
   private val q_dedup_exact: (SparkSession, String) => DataFrame =
     (s, dir) =>
       ExactDedup(docs(s, dir), Seq("text"), "doc_id")
@@ -370,6 +376,7 @@ object SparkEntry {
     "q_impute_ffill"        -> q_impute_ffill,
     "q_impute_linear"       -> q_impute_linear,
     "q_impute_afill"        -> q_impute_afill,
+    "q_partition_series"    -> q_partition_series,
     "q_dedup_exact"         -> q_dedup_exact,
     "q_dedup_ngram"         -> q_dedup_ngram,
     "q_dedup_minhash"       -> q_dedup_minhash,
@@ -589,6 +596,11 @@ object SparkEntry {
         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv - pv) / 2
         |       ELSE COALESCE(pv, nv) END AS v_imp
         |FROM f""".stripMargin,
+    "q_partition_series" ->
+      """WITH s AS (SELECT l_orderkey AS g, COUNT(*) AS n FROM lineitem GROUP BY 1),
+        |c AS (SELECT g, SUM(LEAST(n, 1000)) OVER (ORDER BY g
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+        |SELECT g, CAST(FLOOR((cum - 1) / 1000.0) AS BIGINT) AS pid FROM c""".stripMargin,
     "q_dedup_exact" ->
       "SELECT MIN(doc_id) AS cid, COUNT(*) AS n FROM documents GROUP BY text",
     "q_dedup_ngram" ->

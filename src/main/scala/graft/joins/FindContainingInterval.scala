@@ -30,25 +30,41 @@ object FindContainingInterval {
       includeStart: Boolean = true,
       includeStop: Boolean = true,
       which: String = "both",          // first | last | both
-      intervalIdCol: Option[String] = None): DataFrame = {
+      intervalIdCol: Option[String] = None,
+      lengthCol: Option[String] = None): DataFrame = {
 
     require(Seq("first", "last", "both").contains(which), s"which=$which")
     require(startCol.isDefined || stopCol.isDefined,
       "at least one of startCol/stopCol is required")
+    require(lengthCol.isEmpty || (startCol.isDefined ^ stopCol.isDefined),
+      "lengthCol requires exactly one of startCol/stopCol (merging.py:545-547)")
 
     val iid = "__graft_iid"
     val pid = "__graft_pid"
 
+    // length_col alternative: derive the missing endpoint (merging.py:582-594)
+    val (intervals0, startCol0, stopCol0) = lengthCol match {
+      case Some(lc) if startCol.isDefined =>
+        val sc = "__graft_stop"
+        (intervals.withColumn(sc, col(startCol.get) + col(lc)),
+          startCol, Some(sc))
+      case Some(lc) =>
+        val sc = "__graft_start"
+        (intervals.withColumn(sc, col(stopCol.get) - col(lc)),
+          Some(sc), stopCol)
+      case None => (intervals, startCol, stopCol)
+    }
+
     val ivBase = intervalIdCol match {
-      case Some(c) => intervals.withColumn(iid, col(c).cast("long"))
-      case None    => intervals.withColumn(iid, monotonically_increasing_id())
+      case Some(c) => intervals0.withColumn(iid, col(c).cast("long"))
+      case None    => intervals0.withColumn(iid, monotonically_increasing_id())
     }
     // drop empty intervals (NaN/null endpoints match nothing anyway, but
     // pruning them shrinks the join's build side)
-    val spec = graft.core.IntervalSpec(startCol, stopCol, includeStart, includeStop)
+    val spec = graft.core.IntervalSpec(startCol0, stopCol0, includeStart, includeStop)
     val iv = ivBase
-      .filter(Intervals.nonEmpty(intervals, spec))
-      .select((on.map(col) ++ startCol.map(col) ++ stopCol.map(col) :+ col(iid)): _*)
+      .filter(Intervals.nonEmpty(ivBase, spec))
+      .select((on.map(col) ++ startCol0.map(col) ++ stopCol0.map(col) :+ col(iid)): _*)
 
     val pts = points.withColumn(pid, monotonically_increasing_id())
 
@@ -59,7 +75,7 @@ object FindContainingInterval {
     pointCols.foldLeft(pts) { (acc, pc) =>
       val keyCond = on.map(k => col(k) <=> iCol(k))
       val containCond = Intervals.contains(
-        startCol.map(iCol), stopCol.map(iCol), includeStart, includeStop, col(pc))
+        startCol0.map(iCol), stopCol0.map(iCol), includeStart, includeStop, col(pc))
       val cond = (keyCond :+ containCond).reduce(_ && _)
 
       val aggs = Seq(

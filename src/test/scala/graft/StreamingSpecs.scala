@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.core.PartitionSeries
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Specs for the Structured Streaming variants and partition_series. */
+class StreamingSpecs extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming resample_eav over regular tumbling windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val stream = input.toDF().toDF("ts", "entity", "attr", "v")
+
+    val out = StreamingOps.resampleEavRegular(
+      stream, "ts", "entity", "attr", "v",
+      watermark = "10 minutes", windowDur = "1 hour")
+
+    val q = out.writeStream.format("memory").queryName("eav_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:10:00"), 1L, "hr", 60.0),
+        (ts("2024-01-01 00:40:00"), 1L, "hr", 70.0),
+        (ts("2024-01-01 01:10:00"), 1L, "hr", 80.0),
+        (ts("2024-01-01 00:20:00"), 2L, "hr", 55.0))
+      q.processAllAvailable()
+      val rows = spark.table("eav_stream")
+        .orderBy("entity", "win_start").collect()
+      val r0 = rows.find(r => r.getLong(0) == 1L &&
+        r.getAs[Timestamp]("win_start") == ts("2024-01-01 00:00:00")).get
+      assert(r0.getAs[Long]("n") == 2L)
+      assert(r0.getAs[Double]("v_avg") == 65.0)
+      val r1 = rows.find(r => r.getLong(0) == 1L &&
+        r.getAs[Timestamp]("win_start") == ts("2024-01-01 01:00:00")).get
+      assert(r1.getAs[Double]("v_sum") == 80.0)
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val stream = input.toDF().toDF("ts", "key")
+
+    val out = StreamingOps.streamingExactDedup(
+      stream, Seq("key"), "ts", watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), "a"),
+        (ts("2024-01-01 00:05:00"), "a"),   // dup within watermark
+        (ts("2024-01-01 00:10:00"), "b"))
+      q.processAllAvailable()
+      val keys = spark.table("dedup_stream").select("key")
+        .as[String].collect().sorted
+      assert(keys.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+
+  test("streaming points-in-static-intervals join") {
+    implicit val sqlCtx = spark.sqlContext
+    val intervals = Seq((1L, 0.0, 10.0, "w1"), (1L, 20.0, 30.0, "w2"))
+      .toDF("user", "lo", "hi", "name")
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val stream = input.toDF().toDF("ts", "user", "p")
+
+    val out = StreamingOps.pointsInStaticIntervals(
+      stream, intervals, "p", Seq("user"), "lo", "hi")
+    val q = out.writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L, 5.0),
+        (ts("2024-01-01 00:00:01"), 1L, 15.0),
+        (ts("2024-01-01 00:00:02"), 1L, 25.0))
+      q.processAllAvailable()
+      val got = spark.table("pii_stream")
+        .select(col("p"), col("__graft_i_name")).collect()
+        .map(r => r.getDouble(0) -> Option(r.getString(1))).toMap
+      assert(got(5.0).contains("w1"))
+      assert(got(15.0).isEmpty)
+      assert(got(25.0).contains("w2"))
+    } finally q.stop()
+  }
+
+  test("partition_series: greedy packing under budget, oversized groups isolated") {
+    val df = (Seq.fill(5)(1) ++ Seq.fill(3)(2) ++ Seq.fill(12)(3) ++ Seq.fill(4)(4))
+      .map(g => (g, 0)).toDF("g", "x")
+    val out = PartitionSeries(df, Seq("g"), budget = 8)
+      .orderBy("g").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // cum capped: 5, 8, 16, 20 → pids 0, 0, 1, 2
+    assert(out == Map(1 -> 0L, 2 -> 0L, 3 -> 1L, 4 -> 2L))
+  }
+}
