@@ -7,7 +7,7 @@ import graft.agg.{Factorize, GroupedMode}
 import graft.core.{IntervalSpec, Tables}
 import graft.dedup.{ExactDedup, MinHashDedup, NgramJaccardDedup, SimHashDedup}
 import graft.intervals.{CombineIntervals, GroupIntervals}
-import graft.joins.{FindContainingInterval, IntervalJoin}
+import graft.joins.{AsOfJoin, BinnedIntervalJoin, FindContainingInterval, IntervalJoin}
 import graft.multimodal.Media
 import graft.resample.{MakeWindows, ResampleEav, ResampleInterval}
 import graft.similarity.{CosineTopK, EmbeddingDedup, LshAnn}
@@ -81,6 +81,40 @@ object SparkEntry {
         .select(
           col("o_orderkey_x").as("lkey"),
           col("o_orderkey_y").as("rkey"))
+    }
+
+  /** Keyless interval-overlap join on order-date windows via bin
+    * bucketing (plain Spark would pick a broadcast nested loop here).
+    */
+  private val q_interval_binned: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val a = t(s, dir, "orders").filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("lkey"),
+          col("o_orderdate").as("ls"),
+          (col("o_orderdate") + expr("INTERVAL 2 DAYS")).as("le"))
+      val b = t(s, dir, "orders").filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey").as("rkey"),
+          col("o_orderdate").as("rs"),
+          (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("re"))
+      BinnedIntervalJoin(a, b, "ls", "le", "rs", "re",
+        binWidth = 2 * 86400.0)
+        .select(col("lkey"), col("rkey"))
+    }
+
+  /** As-of join: for each purchase, the user's latest click at-or-before
+    * it within 1 day (pandas merge_asof semantics).
+    */
+  private val q_asof: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("eid"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_v"))
+      AsOfJoin(purchases, clicks, "p_ts", "c_ts",
+        on = Seq("user_id"), direction = "backward",
+        tolerance = Some(expr("INTERVAL 1 DAY")))
+        .select(col("eid"), col("c_ts").as("click_ts"), col("c_v").as("click_v"))
     }
 
   private val q_containing: (SparkSession, String) => DataFrame =
@@ -361,6 +395,8 @@ object SparkEntry {
     "q_interval_contain"    -> q_interval_contain,
     "q_interval_overlap"    -> q_interval_overlap,
     "q_interval_keep_first" -> q_interval_keep_first,
+    "q_interval_binned"     -> q_interval_binned,
+    "q_asof"                -> q_asof,
     "q_containing"          -> q_containing,
     "q_prev_next"           -> q_prev_next,
     "q_group_intervals"     -> q_group_intervals,
@@ -596,6 +632,21 @@ object SparkEntry {
         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv - pv) / 2
         |       ELSE COALESCE(pv, nv) END AS v_imp
         |FROM f""".stripMargin,
+    "q_interval_binned" ->
+      """SELECT a.o_orderkey AS lkey, b.o_orderkey AS rkey
+        |FROM orders a JOIN orders b
+        |  ON a.o_orderdate <= b.o_orderdate + INTERVAL 3 DAY
+        | AND b.o_orderdate <= a.o_orderdate + INTERVAL 2 DAY
+        |WHERE a.o_orderkey % 97 = 0 AND b.o_orderkey % 13 = 0""".stripMargin,
+    "q_asof" ->
+      """WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.event_id, c.ts AS cts, c.value AS cv,
+        |        ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC) AS rn
+        |      FROM p JOIN c ON c.user_id = p.user_id
+        |        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 DAY)
+        |SELECT p.event_id AS eid, j.cts AS click_ts, j.cv AS click_v
+        |FROM p LEFT JOIN j ON j.event_id = p.event_id AND j.rn = 1""".stripMargin,
     "q_partition_series" ->
       """WITH s AS (SELECT l_orderkey AS g, COUNT(*) AS n FROM lineitem GROUP BY 1),
         |c AS (SELECT g, SUM(LEAST(n, 1000)) OVER (ORDER BY g

@@ -1,0 +1,84 @@
+package graft.joins
+
+import graft.SparkSuite
+import graft.core.IntervalSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the binned keyless interval join and the as-of join. */
+class BinnedAsOfSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("binned interval join ≡ keyless IntervalJoin on random intervals") {
+    val rnd = new scala.util.Random(7)
+    val mk = (n: Int, maxLen: Double) => (0 until n).map { i =>
+      val s = rnd.nextDouble() * 100
+      (i.toLong, s, s + rnd.nextDouble() * maxLen)
+    }
+    val l = mk(80, 5.0).toDF("lid", "ls", "le")
+    val r = mk(60, 9.0).toDF("rid", "rs", "re")
+
+    val got = BinnedIntervalJoin(l, r, "ls", "le", "rs", "re", binWidth = 4.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val want = IntervalJoin(
+      l, r,
+      leftSpec = IntervalSpec.closed("ls", "le"),
+      rightSpec = IntervalSpec.closed("rs", "re"),
+      keepOrder = false)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("binned join emits each overlapping pair exactly once") {
+    // long intervals spanning many bins must not duplicate matches
+    val l = Seq((1L, 0.0, 100.0)).toDF("lid", "ls", "le")
+    val r = Seq((2L, 50.0, 60.0), (3L, -5.0, 0.0), (4L, 100.0, 110.0),
+      (5L, 200.0, 201.0)).toDF("rid", "rs", "re")
+    val got = BinnedIntervalJoin(l, r, "ls", "le", "rs", "re", binWidth = 3.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+  }
+
+  test("as-of join backward/forward with and without tolerance") {
+    val left = Seq((1L, "a", 10.0), (2L, "a", 4.9), (3L, "b", 7.0), (4L, "a", 0.5))
+      .toDF("lid", "k", "t")
+    val right = Seq(("a", 1.0, 100.0), ("a", 5.0, 200.0), ("a", 9.0, 300.0),
+      ("b", 8.0, 400.0)).toDF("k", "rt", "v")
+
+    def run(dir: String, tol: Option[Double]) =
+      AsOfJoin(left, right, "t", "rt", on = Seq("k"), direction = dir,
+        tolerance = tol.map(lit))
+        .select(col("lid"), col("v"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+    val back = run("backward", None)
+    assert(back(1L).contains(300.0)) // latest rt <= 10
+    assert(back(2L).contains(100.0)) // rt=1 (5.0 > 4.9)
+    assert(back(3L).isEmpty)         // b has only rt=8 > 7
+    assert(back(4L).isEmpty)         // nothing <= 0.5
+
+    val backTol = run("backward", Some(2.0))
+    assert(backTol(1L).contains(300.0)) // 9 within [8,10]
+    assert(backTol(2L).isEmpty)         // 1 not within [2.9,4.9]
+
+    val fwd = run("forward", None)
+    assert(fwd(1L).isEmpty)          // nothing >= 10 for a
+    assert(fwd(2L).contains(200.0))  // earliest rt >= 4.9
+    assert(fwd(3L).contains(400.0))
+    assert(fwd(4L).contains(100.0))
+
+    val fwdTol = run("forward", Some(1.0))
+    assert(fwdTol(2L).contains(200.0)) // 5.0 within [4.9, 5.9]
+    assert(fwdTol(4L).contains(100.0)) // 1.0 within [0.5, 1.5]
+    assert(fwdTol(1L).isEmpty)         // nothing in [10, 11]
+  }
+
+  test("as-of join: exact time match included, ties take last occurrence") {
+    val left = Seq((1L, 5.0)).toDF("lid", "t")
+    val right = Seq((10L, 5.0, 1.0), (11L, 5.0, 2.0)).toDF("rid", "rt", "v")
+    val got = AsOfJoin(left, right, "t", "rt")
+      .select("lid", "v").collect()
+    assert(got.length == 1)
+    assert(got(0).getDouble(1) == 2.0) // later original occurrence wins
+  }
+}
