@@ -87,12 +87,16 @@ object MinHashDedup {
     // overflow-error under Spark 4's default ANSI mode). The cache is the
     // barrier that keeps `sh`/`h0` materialized (HOF lambdas are
     // interpreted, with no CSE).
+    // tokens → token hashes → native rolling n-gram hashes (no string
+    // gram construction at all; concat_ws was the dominant interpreted
+    // cost of shingling)
     val shingled = df
       .select(col(idCol).as("id"), Shingles.tokens(col(textCol)).as("tk"))
-      .withColumn("sh", Shingles.wordNGramsFromTokens(col("tk"), shingleN))
-      .filter(size(col("sh")) > 0)
-      .withColumn("h0", transform(col("sh"), s => xxhash64(s)))
-      .select(col("id"), col("sh"), col("h0"))
+      .withColumn("th", transform(col("tk"), t => xxhash64(t)))
+      .select(col("id"), array_distinct(
+        org.apache.spark.sql.graft.VecFunctions.gram_hash(col("th"), shingleN))
+        .as("h0"))
+      .filter(size(col("h0")) > 0)
       .cache() // reused by banding and by pair verification
 
     // all k minhashes + band bucketing in ONE native codegen'd loop
@@ -277,17 +281,20 @@ object NgramJaccardDedup {
       n: Int = 1,
       threshold: Double = 0.5,
       blockBy: Seq[String] = Nil): DataFrame = {
-    val grams =
-      if (n == 1) array_distinct(Shingles.tokens(col(textCol)))
-      else Shingles.wordNGrams(col(textCol), n)
-    // shingles → sorted 64-bit hashes: the pairwise Jaccard runs on the
-    // codegen'd sorted-merge intersection instead of interpreted
-    // array_intersect over strings
-    val base = df.select(
-      (col(idCol).as("id") +: grams.as("sh") +: blockBy.map(col)): _*)
-      .withColumn("hs", sort_array(transform(col("sh"), s => xxhash64(s))))
+    // tokens → token hashes → native rolling n-gram hashes → sorted
+    // distinct hash sets: the pairwise Jaccard runs on the codegen'd
+    // sorted-merge intersection; no string gram construction
+    val base0 = df.select(
+      (col(idCol).as("id") +:
+        Shingles.tokens(col(textCol)).as("tk") +: blockBy.map(col)): _*)
+      .withColumn("th", transform(col("tk"), t => xxhash64(t)))
+    val hsExpr =
+      if (n == 1) col("th")
+      else org.apache.spark.sql.graft.VecFunctions.gram_hash(col("th"), n)
+    val base = base0
+      .withColumn("hs", sort_array(array_distinct(hsExpr)))
       .withColumn("sz", size(col("hs")))
-      .drop("sh")
+      .drop("tk", "th")
     val l = base.select(
       (col("id").as("id_l") +: col("hs").as("sh_l") +:
         col("sz").as("sz_l") +: blockBy.map(col)): _*)

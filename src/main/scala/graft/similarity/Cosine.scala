@@ -122,10 +122,12 @@ object LshAnn {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // one tiny job to learn the dimension (constant per dataset)
     val dim = base.select(size(col("v"))).first().getInt(0)
-    val sigs = (0 until numTables).map { t =>
-      base.select(lit(t).as("tbl"),
-        signature(col("v"), numBits, t, dim).as("sig"), col("id"))
-    }.reduce(_ unionByName _)
+    // all tables' signatures in ONE scan (posexplode), not per-table unions
+    val sigs = base
+      .select(col("id"), posexplode(array(
+        (0 until numTables).map(t => signature(col("v"), numBits, t, dim)): _*)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "sig")
     val l = sigs.select(col("tbl"), col("sig"), col("id").as("id_l"))
     val r = sigs.select(col("tbl"), col("sig"), col("id").as("id_r"))
     val pairs = l.join(r, Seq("tbl", "sig"))

@@ -294,6 +294,70 @@ case class MinHashBands(child: Expression, numBands: Int, r: Int)
     copy(child = newChild)
 }
 
+/** N-gram hashes from an `array<bigint>` token-hash column: out[i] is a
+  * mix of hashes i..i+n-1; inputs shorter than `n` yield one gram over
+  * all tokens. Replaces `concat_ws` string-gram construction + string
+  * re-hashing — the dominant interpreted cost of shingling (64-bit
+  * combine collisions are negligible for dedup purposes).
+  */
+case class GramHash(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "n must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "gram_hash"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val len = x.numElements()
+    val m = math.max(len - n, 0)
+    val out = new Array[Long](if (len == 0) 0 else m + 1)
+    var i = 0
+    while (i <= m && len > 0) {
+      var acc = -7046029254386353131L
+      var j = i
+      val end = math.min(i + n, len)
+      while (j < end) {
+        acc = (acc ^ x.getLong(j)) * -5840758589994634535L
+        acc ^= (acc >>> 32)
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val len = ctx.freshName("len"); val m = ctx.freshName("m")
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val acc = ctx.freshName("acc")
+      val end = ctx.freshName("end")
+      s"""
+         |int $len = $a.numElements();
+         |int $m = java.lang.Math.max($len - $n, 0);
+         |long[] $out = new long[$len == 0 ? 0 : $m + 1];
+         |for (int $i = 0; $i <= $m && $len > 0; $i++) {
+         |  long $acc = -7046029254386353131L;
+         |  int $end = java.lang.Math.min($i + $n, $len);
+         |  for (int $j = $i; $j < $end; $j++) {
+         |    $acc = ($acc ^ $a.getLong($j)) * -5840758589994634535L;
+         |    $acc ^= ($acc >>> 32);
+         |  }
+         |  $out[$i] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GramHash =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VecFunctions {
 
@@ -313,4 +377,7 @@ object VecFunctions {
 
   def minhash_bands(a: Column, numBands: Int, r: Int): Column =
     ExpressionUtils.column(MinHashBands(expr(a), numBands, r))
+
+  def gram_hash(a: Column, n: Int): Column =
+    ExpressionUtils.column(GramHash(expr(a), n))
 }
