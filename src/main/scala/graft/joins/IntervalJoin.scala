@@ -89,17 +89,30 @@ object IntervalJoin {
       case None    => right.withColumn(RightId, monotonically_increasing_id())
     }
 
-    // ── drop empty intervals (matched side only; unmatched rows are
-    //    reintroduced by the outer join type) ──────────────────────────
-    val lValid = l0.filter(Intervals.nonEmpty(left, leftSpec))
-    val rValid = r0.filter(Intervals.nonEmpty(right, rightSpec))
-
     // Disambiguate: rename every right column.
     val rPrefix  = "__graft_r_"
-    val rRenamed = rValid.columns.foldLeft(rValid) { (df, c) =>
+    val rRenamed = r0.columns.foldLeft(r0) { (df, c) =>
       if (c == RightId) df else df.withColumnRenamed(c, rPrefix + c)
     }
     def rCol(c: String): Column = col(rPrefix + c)
+
+    // ── empty-interval handling (merging.py:230-288, 751-787): empty/NaN
+    //    intervals never MATCH, but rows of the join-preserved side must
+    //    still appear as unmatched under how = left/right/outer. So
+    //    validity is part of the JOIN CONDITION (blocks matches without
+    //    dropping preserved rows), and each side is additionally
+    //    pre-filtered only when the join type discards its unmatched rows
+    //    anyway (lets Catalyst prune before the shuffle). ───────────────
+    val lValidExpr = Intervals.nonEmpty(left, leftSpec)
+    val rSpecRenamed = IntervalSpec(
+      rightSpec.start.map(rPrefix + _), rightSpec.stop.map(rPrefix + _),
+      rightSpec.includeStart, rightSpec.includeStop)
+    val rValidExpr = Intervals.nonEmpty(rRenamed, rSpecRenamed)
+    val lValid =
+      if (how == "inner" || how == "right") l0.filter(lValidExpr) else l0
+    val rJoinSide =
+      if (how == "inner" || how == "left") rRenamed.filter(rValidExpr)
+      else rRenamed
 
     // ── join condition ──────────────────────────────────────────────────
     val keyCond: Seq[Column] =
@@ -122,7 +135,7 @@ object IntervalJoin {
       (rightSpec.start.isDefined && leftSpec.stop.isDefined)
     require(lKeys.nonEmpty || hasRange, "No columns to perform merge on.")
 
-    val cond = (keyCond :+ rangeCond).reduce(_ && _)
+    val cond = (keyCond ++ Seq(rangeCond, lValidExpr, rValidExpr)).reduce(_ && _)
 
     val joinType = how match {
       case "inner" => "inner"
@@ -131,7 +144,7 @@ object IntervalJoin {
       case "outer" => "full_outer"
     }
 
-    val joined = lValid.join(rRenamed, cond, joinType)
+    val joined = lValid.join(rJoinSide, cond, joinType)
 
     // ── keep = first/last/both: dedup by the secondary side's row order ─
     val (primaryId, secondaryId) =
