@@ -128,9 +128,18 @@ object ResampleEav {
       if (vIsFloat) when(isnan(col(valueCol)), lit(null)).otherwise(col(valueCol))
       else col(valueCol)
 
+    // NaN sorts ABOVE +Inf in Spark, so a NaN time/endpoint would pass
+    // `<`/`<=` guards that nulls fail — treat NaN as NA explicitly
+    // (pandas isna covers NaN; SURVEY.md §7.4)
+    def notNaN(df0: DataFrame, c: String): Column =
+      df0.schema(c).dataType match {
+        case DoubleType | FloatType => !isnan(col(c))
+        case _                      => lit(true)
+      }
+
     val attrExpr = attrCol.map(col).getOrElse(lit(allAttrs.head))
     val obsKeep = Seq(
-      Some(col(timeCol).isNotNull),
+      Some(col(timeCol).isNotNull && notNaN(obs, timeCol)),
       attrCol.map(a => col(a).isin(allAttrs: _*))
     ).flatten.reduce(_ && _)
 
@@ -149,9 +158,11 @@ object ResampleEav {
     val obsR = entityCol.fold(obsN)(e => obsN.withColumnRenamed(e, ePrefix + e))
     val keyCond = entityCol.map(e => col(e) === col(ePrefix + e))
     val lo = wStartCol.map(c =>
-      if (includeStart) col(c) <= col(TCol) else col(c) < col(TCol))
+      (if (includeStart) col(c) <= col(TCol) else col(c) < col(TCol)) &&
+        notNaN(windows, c))
     val hi = wStopCol.map(c =>
-      if (includeStop) col(TCol) <= col(c) else col(TCol) < col(c))
+      (if (includeStop) col(TCol) <= col(c) else col(TCol) < col(c)) &&
+        notNaN(windows, c))
     val cond = (keyCond.toSeq ++ lo ++ hi).reduce(_ && _)
 
     val joined = w0

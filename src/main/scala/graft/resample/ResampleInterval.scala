@@ -89,11 +89,19 @@ object ResampleInterval {
       }
     }
 
+    // NaN sorts above +Inf in Spark, so NaN endpoints would pass the
+    // range conjuncts null fails — treat NaN as NA (pandas isna)
+    def notNaN(df0: DataFrame, c: String): Column =
+      df0.schema(c).dataType match {
+        case DoubleType | FloatType => !isnan(col(c))
+        case _                      => lit(true)
+      }
+
     // ── filter observations (resampling.py:603-616) ─────────────────────
     val obsValid0 = Seq(
       Some(col(valueCol).isNotNull && !isnan(col(valueCol).cast(DoubleType))),
-      startCol.map(c => col(c).isNotNull),
-      stopCol.map(c => col(c).isNotNull),
+      startCol.map(c => col(c).isNotNull && notNaN(df, c)),
+      stopCol.map(c => col(c).isNotNull && notNaN(df, c)),
       for (a <- startCol; b <- stopCol) yield col(a) <= col(b),
       attrCol.map(a => col(a).isin(attrs: _*))
     ).flatten.reduce(_ && _)
@@ -111,7 +119,12 @@ object ResampleInterval {
     val keyCond = entityCol.map(e => col(e) === o(e))
     val conj1 = for (a <- startCol; t <- wStopCol) yield o(a) <= col(t)
     val conj2 = for (s <- wStartCol; b <- stopCol) yield col(s) <= o(b)
-    val cond = (keyCond.toSeq ++ conj1 ++ conj2)
+    // a window with a null/NaN endpoint is invalid and overlaps nothing
+    // (resampling.py:489-492) — guard each endpoint independently, since
+    // its comparison conjunct may be absent (half-unbounded interval side)
+    val wGuards = (wStartCol.toSeq ++ wStopCol).map(c =>
+      col(c).isNotNull && notNaN(windows, c))
+    val cond = (keyCond.toSeq ++ conj1 ++ conj2 ++ wGuards)
       .reduceOption(_ && _).getOrElse(lit(true))
     val joined = w0.join(obsR, cond, "inner")
 
