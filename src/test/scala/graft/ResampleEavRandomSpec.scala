@@ -19,7 +19,11 @@ class ResampleEavRandomSpec extends SparkSuite {
     (0 until n).map { _ =>
       RandObs(
         rnd.nextInt(4),
-        if (rnd.nextInt(12) == 0) null else rnd.nextInt(20).toDouble,
+        rnd.nextInt(12) match {
+          case 0 => null
+          case 1 => Double.NaN // NA time: ignored entirely
+          case _ => rnd.nextInt(20).toDouble
+        },
         if (rnd.nextBoolean()) "a" else "b",
         rnd.nextInt(10) match {
           case 0 => null
@@ -34,12 +38,16 @@ class ResampleEavRandomSpec extends SparkSuite {
     (0 until n).map { _ =>
       val s = rnd.nextInt(20).toDouble
       val len = rnd.nextInt(12) - 2 // may be inverted
-      RandWin(
-        rnd.nextInt(5),
-        if (rnd.nextInt(10) == 0) null else s,
-        if (rnd.nextInt(10) == 0) null else s + len)
+      def na(v: Double): java.lang.Double = rnd.nextInt(10) match {
+        case 0 => null
+        case 1 => Double.NaN // NaN endpoint: window invalid
+        case _ => v
+      }
+      RandWin(rnd.nextInt(5), na(s), na(s + len))
     }
   }
+
+  private def isNa(x: java.lang.Double): Boolean = x == null || x.isNaN
 
   test("randomized: count/sum/min/max/size/r0 vs brute-force oracle") {
     for (seed <- Seq(11, 12, 13)) {
@@ -53,16 +61,19 @@ class ResampleEavRandomSpec extends SparkSuite {
         .orderBy(col("ws").asc_nulls_last, col("wt").asc_nulls_last, col("e"))
         .collect()
 
-      val sortedWins = wins.sortBy(w =>
-        (Option(w.ws).map(_.doubleValue).getOrElse(Double.MaxValue),
-          Option(w.wt).map(_.doubleValue).getOrElse(Double.MaxValue), w.e))
+      // match Spark's asc_nulls_last with NaN sorting above +Inf
+      def sortKey(x: java.lang.Double): (Int, Double) =
+        if (x == null) (2, 0.0)
+        else if (x.isNaN) (1, 0.0)
+        else (0, x.doubleValue)
+      val sortedWins = wins.sortBy(w => (sortKey(w.ws), sortKey(w.wt), w.e))
       assert(out.length == wins.length)
 
       sortedWins.zip(out).foreach { case (w, row) =>
         // oracle: [ws, wt) containment, invalid window ⇒ nothing
         val inWin: Seq[RandObs] =
-          if (w.ws == null || w.wt == null) Seq.empty
-          else obs.filter(o => o.e == w.e && o.attr == "a" && o.t != null &&
+          if (isNa(w.ws) || isNa(w.wt)) Seq.empty
+          else obs.filter(o => o.e == w.e && o.attr == "a" && !isNa(o.t) &&
             o.t >= w.ws && o.t < w.wt)
         val vals = inWin.map(_.v)
           .filter(x => x != null && !x.isNaN).map(_.doubleValue)
