@@ -2,7 +2,6 @@ package graft.joins
 
 import graft.core.{IntervalSpec, Intervals}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Interval-overlap join — Spark-native reimplementation of the reference's
@@ -150,21 +149,38 @@ object IntervalJoin {
     val (primaryId, secondaryId) =
       if (how == "right") (rid, lid) else (lid, rid)
 
+    // keep = first/last/both as a min_by/max_by HASH aggregation over the
+    // whole row struct — partial aggregation map-side, no sort (a
+    // row_number window here costs a full shuffle+sort of the join
+    // output). Per primary row the group is either ≥1 matched rows
+    // (secondary id non-null) or exactly one unmatched row (null), so
+    // coalescing the order key to ±MaxValue picks the unmatched row only
+    // when nothing matched. Null-primary rows (missing-side rows of outer
+    // joins) pass through ungrouped.
     val kept = keep match {
       case "all" => joined
       case _ =>
-        val base  = Window.partitionBy(primaryId)
-        val asc   = row_number().over(base.orderBy(secondaryId.asc))
-        val desc  = row_number().over(base.orderBy(secondaryId.desc))
-        // unmatched rows (either id null) always pass
-        val guard = primaryId.isNull || secondaryId.isNull
-        val pred = keep match {
-          case "first" => asc === 1
-          case "last"  => desc === 1
-          case "both"  => asc === 1 || desc === 1
+        val s = struct(joined.columns.map(col): _*)
+        val ordAsc  = coalesce(secondaryId, lit(Long.MaxValue))
+        val ordDesc = coalesce(secondaryId, lit(Long.MinValue))
+        val matched = joined.filter(primaryId.isNotNull)
+        val passthrough = joined.filter(primaryId.isNull)
+        val aggd = keep match {
+          case "first" => matched.groupBy(primaryId)
+            .agg(min_by(s, ordAsc).as("__graft_s"))
+            .select(col("__graft_s.*"))
+          case "last" => matched.groupBy(primaryId)
+            .agg(max_by(s, ordDesc).as("__graft_s"))
+            .select(col("__graft_s.*"))
+          case "both" => matched.groupBy(primaryId)
+            .agg(min_by(s, ordAsc).as("__graft_f"),
+              max_by(s, ordDesc).as("__graft_l"))
+            // dedup when first == last (merging.py:736-739)
+            .select(explode(array_distinct(
+              array(col("__graft_f"), col("__graft_l")))).as("__graft_s"))
+            .select(col("__graft_s.*"))
         }
-        joined.withColumn("__graft_keep", guard || pred)
-          .filter(col("__graft_keep")).drop("__graft_keep")
+        aggd.unionByName(passthrough)
     }
 
     // ── reassemble output schema with suffixes ──────────────────────────
