@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   *     (`merging.py:87-91`).
   *
   * Architecture: one Catalyst join (equality keys + range conjuncts), then a
-  * window `row_number` pass for `keep`. With equality keys Catalyst plans a
-  * shuffled hash / sort-merge join with the range conjuncts as post-filter;
-  * small sides should be broadcast by AQE. Keyless joins fall back to BNLJ —
-  * see [[BinnedIntervalJoin]] for the scale path.
+  * `min_by`/`max_by` hash aggregation for `keep` (map-side partials, no
+  * sort). With equality keys Catalyst plans a shuffled hash / sort-merge
+  * join with the range conjuncts as post-filter; small sides should be
+  * broadcast by AQE. Keyless joins fall back to BNLJ — see
+  * [[BinnedIntervalJoin]] for the scale path.
   *
   * Row order: Spark DataFrames are unordered; when `keepOrder = true` the
   * result is sorted by (primary row id, secondary row id), reproducing the
