@@ -88,6 +88,13 @@ object ResampleEav {
     * @param includeStop  window stop times belong to the window
     * @param customAgg  attribute → custom aggregations (name, builder over
     *                   the (value, time) columns) — see [[CustomAgg]]
+    * @param approx     scale opt-in (SURVEY.md §2.4): `pXX`/`median` use
+    *                   `approx_percentile` and `nunique` uses
+    *                   `approx_count_distinct` — sketch-mergeable partial
+    *                   aggregation instead of exact per-group state (the
+    *                   exact percentile buffers every value; exact
+    *                   distinct triggers an Expand). Results are
+    *                   approximate — keep `false` when oracle-comparing
     * @return `windows` + one `{attr}_{agg}` column per requested pair
     */
   def apply(
@@ -102,7 +109,8 @@ object ResampleEav {
       wStopCol: Option[String] = None,
       includeStart: Boolean = true,
       includeStop: Boolean = false,
-      customAgg: Map[String, Seq[CustomAgg.Spec]] = Map.empty): DataFrame = {
+      customAgg: Map[String, Seq[CustomAgg.Spec]] = Map.empty,
+      approx: Boolean = false): DataFrame = {
 
     require(agg.nonEmpty || customAgg.nonEmpty, "empty agg spec")
     require(attrCol.isDefined || (agg.keySet ++ customAgg.keySet).size == 1,
@@ -202,8 +210,12 @@ object ResampleEav {
           case "mad"  => avg(abs(v - col("__graft_vmean"))).as("mad")
           case "size" => count(lit(1)).as("size")
           case "count"   => n.as("count")
-          case "nunique" => count_distinct(v).as("nunique")
-        } ++ pcts.map(q => percentile(v, lit(q)).as(pctName(q)))
+          case "nunique" =>
+            (if (approx) approx_count_distinct(v) else count_distinct(v))
+              .as("nunique")
+        } ++ pcts.map(q =>
+          (if (approx) percentile_approx(v, lit(q), lit(10000))
+           else percentile(v, lit(q))).as(pctName(q)))
         Some(base.groupBy(col(Wid), col(Attr)).agg(exprs.head, exprs.tail: _*))
       }
 
