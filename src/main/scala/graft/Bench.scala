@@ -21,22 +21,30 @@ object Bench {
         .groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    var failed = List.empty[String]
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
         // toRdd.count(): forces every output column to be computed —
         // df.count() would let Catalyst prune the projections entirely
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed ::= name
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-24s $dt%8.2f s")
-        name -> dt
+        // a crashed query must not masquerade as a fast one
+        name -> (if (ok) dt else -1.0)
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.{Factorize, GroupedMode}
@@ -198,6 +198,15 @@ object SparkEntry {
       .withColumnRenamed("entity", "user_id")
   }
 
+  /** Order-dependent float aggregates (sums/means/std/…) differ from the
+    * oracle's in the last ~2 ulps because partial-aggregation order is not
+    * the oracle's summation order; the driver hash is exact, so both sides
+    * round to 6 decimals (and `+ 0.0` collapses any −0.0). Differences are
+    * ~1e-14 abs (measured r1), so a rounding-boundary straddle is ~1e-8
+    * per value — negligible.
+    */
+  private def r6(c: Column): Column = round(c, 6) + lit(0.0)
+
   private val q_resample_eav_std: (SparkSession, String) => DataFrame =
     (s, dir) =>
       ResampleEav(
@@ -210,11 +219,16 @@ object SparkEntry {
         entityCol = Some("user_id"), attrCol = Some("event_type"),
         wStartCol = Some("win_start"), wStopCol = Some("win_stop"))
         .select(col("user_id").as("uid"), col("win_start").as("ws"),
-          col("click_mean"), col("click_sum"), col("click_count"),
-          col("click_min"), col("click_max"), col("click_p50"),
-          col("purchase_sum"), col("purchase_size"), col("purchase_nunique"),
-          col("purchase_std"),
-          col("error_count"), col("error_mad"), col("error_sem"))
+          r6(col("click_mean")).as("click_mean"),
+          r6(col("click_sum")).as("click_sum"), col("click_count"),
+          col("click_min"), col("click_max"),
+          r6(col("click_p50")).as("click_p50"),
+          r6(col("purchase_sum")).as("purchase_sum"),
+          col("purchase_size"), col("purchase_nunique"),
+          r6(col("purchase_std")).as("purchase_std"),
+          col("error_count"),
+          r6(col("error_mad")).as("error_mad"),
+          r6(col("error_sem")).as("error_sem"))
 
   private val q_resample_eav_rank: (SparkSession, String) => DataFrame =
     (s, dir) =>
@@ -252,7 +266,7 @@ object SparkEntry {
           "ssq"  -> ((v, _) => sum(v * v)))))
         .select(col("user_id").as("uid"), col("win_start").as("ws"),
           col("purchase_count").as("cnt"),
-          col("purchase_tmax").as("tmax"), col("purchase_ssq").as("ssq"))
+          col("purchase_tmax").as("tmax"), r6(col("purchase_ssq")).as("ssq"))
 
   private val q_resample_interval: (SparkSession, String) => DataFrame =
     (s, dir) => {
@@ -270,7 +284,7 @@ object SparkEntry {
         attributes = Some(Seq("vsum")),
         wStartCol = Some("win_start"), wStopCol = Some("win_stop"))
         .select(col("o_custkey").as("ckey"), col("win_start").as("ws"),
-          col("vsum"))
+          r6(col("vsum")).as("vsum"))
     }
 
   /** events.value with deterministic synthesized nulls (event_id % 5 = 0). */
@@ -499,6 +513,8 @@ object SparkEntry {
         |         ORDER BY o_orderdate DESC, o_orderkey DESC) = 1 AS is_last
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    // CAST: DuckDB's window SUM over INTEGER yields HUGEINT, which lands
+    // as float64 at the driver and hash-mismatches Spark's int64 (r1)
     "q_group_intervals" ->
       """WITH s AS (
         |  SELECT o_orderkey, o_custkey, o_orderdate AS st,
@@ -509,8 +525,8 @@ object SparkEntry {
         |n AS (
         |  SELECT *, CASE WHEN cm IS NULL OR st > cm + INTERVAL 5 DAY THEN 1 ELSE 0 END AS newc FROM m)
         |SELECT o_orderkey AS okey,
-        |       SUM(newc) OVER (ORDER BY o_custkey, st, o_orderkey
-        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS grp
+        |       CAST(SUM(newc) OVER (ORDER BY o_custkey, st, o_orderkey
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS grp
         |FROM n""".stripMargin,
     "q_combine_union" -> combineOracle("depth >= 1"),
     "q_combine_gaps"  -> combineOracle("depth = 0"),
@@ -550,20 +566,20 @@ object SparkEntry {
         |m AS (SELECT uid, ws, AVG(CASE WHEN et = 'error' THEN val END) AS errm
         |      FROM j GROUP BY 1, 2)
         |SELECT j.uid, j.ws,
-        |  AVG(CASE WHEN et = 'click' THEN val END) AS click_mean,
-        |  SUM(CASE WHEN et = 'click' THEN val END) AS click_sum,
+        |  ROUND(AVG(CASE WHEN et = 'click' THEN val END), 6) + 0.0 AS click_mean,
+        |  ROUND(SUM(CASE WHEN et = 'click' THEN val END), 6) + 0.0 AS click_sum,
         |  COUNT(CASE WHEN et = 'click' THEN val END) AS click_count,
         |  MIN(CASE WHEN et = 'click' THEN val END) AS click_min,
         |  MAX(CASE WHEN et = 'click' THEN val END) AS click_max,
-        |  QUANTILE_CONT(CASE WHEN et = 'click' THEN val END, 0.5) AS click_p50,
-        |  SUM(CASE WHEN et = 'purchase' THEN val END) AS purchase_sum,
+        |  ROUND(QUANTILE_CONT(CASE WHEN et = 'click' THEN val END, 0.5), 6) + 0.0 AS click_p50,
+        |  ROUND(SUM(CASE WHEN et = 'purchase' THEN val END), 6) + 0.0 AS purchase_sum,
         |  COUNT(CASE WHEN et = 'purchase' THEN 1 END) AS purchase_size,
         |  COUNT(DISTINCT CASE WHEN et = 'purchase' THEN val END) AS purchase_nunique,
-        |  STDDEV_SAMP(CASE WHEN et = 'purchase' THEN val END) AS purchase_std,
+        |  ROUND(STDDEV_SAMP(CASE WHEN et = 'purchase' THEN val END), 6) + 0.0 AS purchase_std,
         |  COUNT(CASE WHEN et = 'error' THEN val END) AS error_count,
-        |  AVG(CASE WHEN et = 'error' THEN ABS(val - m.errm) END) AS error_mad,
-        |  STDDEV_SAMP(CASE WHEN et = 'error' THEN val END)
-        |    / SQRT(COUNT(CASE WHEN et = 'error' THEN val END)) AS error_sem
+        |  ROUND(AVG(CASE WHEN et = 'error' THEN ABS(val - m.errm) END), 6) + 0.0 AS error_mad,
+        |  ROUND(STDDEV_SAMP(CASE WHEN et = 'error' THEN val END)
+        |    / SQRT(COUNT(CASE WHEN et = 'error' THEN val END)), 6) + 0.0 AS error_sem
         |FROM j JOIN m USING (uid, ws) GROUP BY 1, 2""".stripMargin,
     "q_resample_eav_rank" ->
       s"""WITH $WeeksCte,
@@ -598,7 +614,7 @@ object SparkEntry {
         |SELECT w.user_id AS uid, w.ws,
         |  COUNT(j.value) AS cnt,
         |  ARG_MAX(j.ts, j.value) AS tmax,
-        |  SUM(j.value * j.value) AS ssq
+        |  ROUND(SUM(j.value * j.value), 6) + 0.0 AS ssq
         |FROM w LEFT JOIN j ON j.uid = w.user_id AND j.ws = w.ws
         |GROUP BY 1, 2""".stripMargin,
     "q_resample_interval" ->
@@ -608,8 +624,8 @@ object SparkEntry {
         |i AS (SELECT o_custkey AS ck, o_orderdate AS a,
         |        o_orderdate + INTERVAL 30 DAY AS b, o_totalprice AS v FROM orders)
         |SELECT w.ck AS ckey, w.ws,
-        |  COALESCE(SUM(i.v * (EPOCH(LEAST(i.b, w.wt)) - EPOCH(GREATEST(i.a, w.ws)))
-        |    / (EPOCH(i.b) - EPOCH(i.a))), 0.0) AS vsum
+        |  ROUND(COALESCE(SUM(i.v * (EPOCH(LEAST(i.b, w.wt)) - EPOCH(GREATEST(i.a, w.ws)))
+        |    / (EPOCH(i.b) - EPOCH(i.a))), 0.0), 6) + 0.0 AS vsum
         |FROM w LEFT JOIN i ON i.ck = w.ck AND i.a <= w.wt AND w.ws <= i.b
         |GROUP BY 1, 2""".stripMargin,
     "q_impute_ffill" ->
@@ -622,7 +638,7 @@ object SparkEntry {
         |SELECT event_id AS eid,
         |  CASE WHEN v IS NOT NULL THEN v
         |       WHEN pv IS NULL OR nv IS NULL THEN NULL
-        |       ELSE pv + (nv - pv) * (rn - prn) / CAST(nrn - prn AS DOUBLE)
+        |       ELSE pv + (nv - pv) * ((rn - prn) / CAST(nrn - prn AS DOUBLE))
         |  END AS v_imp
         |FROM f""".stripMargin,
     "q_impute_afill" ->

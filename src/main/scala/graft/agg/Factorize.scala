@@ -52,12 +52,16 @@ object Factorize {
           .distinct()
           .orderBy(cols.map(c => col(c).asc_nulls_last): _*)
       } else {
-        // first appearance across the concatenation of all frames, in order
+        // first appearance across the concatenation of all frames, in
+        // order. Ordered by the PAIR (frame index, monotonic id) — packing
+        // both into one long would collide once the partition id reaches
+        // bit 40 (monotonically_increasing_id uses partitionId << 33), so
+        // a struct keeps frame-major order at any partition count
         frames.map(_.select(cols.map(col): _*))
           .zipWithIndex
           .map { case (f, i) =>
-            f.withColumn("__graft_ord", monotonically_increasing_id() +
-              lit(i.toLong << 40)) // frame-major, then partition-major
+            f.withColumn("__graft_ord",
+              struct(lit(i).as("f"), monotonically_increasing_id().as("m")))
           }
           .reduce(_ unionByName _)
           .groupBy(cols.map(col): _*)

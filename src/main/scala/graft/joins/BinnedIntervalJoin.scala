@@ -61,10 +61,22 @@ object BinnedIntervalJoin {
     val rRenamed = overlap.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_r"))
     def rName(c: String): String = if (overlap(c)) c + "_r" else c
 
-    val lValid = left.filter(col(lStart).isNotNull && col(lStop).isNotNull &&
-      col(lStart) <= col(lStop))
-    val rValid = rRenamed.filter(col(rName(rStart)).isNotNull &&
-      col(rName(rStop)).isNotNull && col(rName(rStart)) <= col(rName(rStop)))
+    // NaN endpoints: `NaN <= NaN` is true in Spark, so without an explicit
+    // guard a [NaN, NaN] interval would pass the validity filter, bin to
+    // floor(NaN) = 0 and spuriously match other NaN intervals. The
+    // reference treats any-NaN intervals as empty (merging.py:138-139) —
+    // mirror Intervals.nonEmpty's notNaNNotNull here.
+    def validIv(d: DataFrame, a: String, b: String): Column = {
+      def ok(c: String): Column = d.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          col(c).isNotNull && !isnan(col(c))
+        case _ => col(c).isNotNull
+      }
+      ok(a) && ok(b) && col(a) <= col(b)
+    }
+    val lValid = left.filter(validIv(left, lStart, lStop))
+    val rValid = rRenamed.filter(validIv(rRenamed, rName(rStart), rName(rStop)))
 
     val lBinned = lValid.withColumn("__graft_bin",
       explode(sequence(binOf(col(lStart), dt, width), binOf(col(lStop), dt, width))))

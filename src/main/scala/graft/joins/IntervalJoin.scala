@@ -187,6 +187,13 @@ object IntervalJoin {
     // ── reassemble output schema with suffixes ──────────────────────────
     val overlapNames =
       left.columns.toSet intersect right.columns.toSet
+    // the reference raises when overlapping names cannot be disambiguated
+    // (merging.py:87-91); silent duplicate output columns would otherwise
+    // make every downstream col() reference ambiguous
+    require(overlapNames.isEmpty || returnIndexers ||
+        suffixes._1.isDefined || suffixes._2.isDefined,
+      s"overlapping columns ${overlapNames.toSeq.sorted.mkString(", ")} " +
+        "require at least one non-None suffix")
     def outName(c: String, suffix: Option[String], overlap: Boolean): String =
       if (overlap) suffix.map(c + _).getOrElse(c) else c
 

@@ -188,11 +188,27 @@ object ResampleEav {
     val famStd: Option[DataFrame] =
       if (stdKeys.isEmpty && pcts.isEmpty) None
       else {
-        val base =
+        // exact pXX via a per-group sort + row_number + linear
+        // interpolation (pandas formula: lower + (upper-lower)·g). The
+        // built-in `percentile` is a TypedImperativeAggregate that buffers
+        // every value per group and falls back to sort-based aggregation
+        // beyond 128 in-memory groups — this plan stays inside
+        // whole-stage-codegen hash aggregation + a spillable Tungsten
+        // sort, which survives memory pressure at scale.
+        val needExactPct = pcts.nonEmpty && !approx
+        val base0 =
           if (needMad)
             joined.withColumn("__graft_vmean",
               avg(v).over(Window.partitionBy(Wid, Attr)))
           else joined
+        val base =
+          if (needExactPct) {
+            val byV = Window.partitionBy(Wid, Attr).orderBy(v.asc_nulls_last)
+            base0
+              .withColumn("__graft_vrn", row_number().over(byV))
+              .withColumn("__graft_vn",
+                count(v).over(Window.partitionBy(Wid, Attr)))
+          } else base0
         val n  = count(v)
         val exprs: Seq[Column] = stdKeys.map {
           case "mean" => avg(v).as("mean")
@@ -213,10 +229,34 @@ object ResampleEav {
           case "nunique" =>
             (if (approx) approx_count_distinct(v) else count_distinct(v))
               .as("nunique")
-        } ++ pcts.map(q =>
-          (if (approx) percentile_approx(v, lit(q), lit(10000))
-           else percentile(v, lit(q))).as(pctName(q)))
-        Some(base.groupBy(col(Wid), col(Attr)).agg(exprs.head, exprs.tail: _*))
+        } ++ (
+          if (approx)
+            pcts.map(q => percentile_approx(v, lit(q), lit(10000)).as(pctName(q)))
+          else
+            pcts.flatMap { q =>
+              // per-row: pos = (n-1)·q is constant within the group, so the
+              // floor/ceil rank hits are per-row predicates and the whole
+              // family reduces to conditional max()es
+              val pos = (col("__graft_vn") - 1).cast(DoubleType) * lit(q)
+              Seq(
+                max(when(col("__graft_vrn") === (floor(pos) + 1), v))
+                  .as(s"__graft_plo_${pctName(q)}"),
+                max(when(col("__graft_vrn") === (ceil(pos) + 1), v))
+                  .as(s"__graft_phi_${pctName(q)}"),
+                (max(pos) - floor(max(pos))).as(s"__graft_pg_${pctName(q)}"))
+            })
+        val aggd = base.groupBy(col(Wid), col(Attr)).agg(exprs.head, exprs.tail: _*)
+        val withPct =
+          if (approx || pcts.isEmpty) aggd
+          else pcts.foldLeft(aggd) { (d, q) =>
+            val nm = pctName(q)
+            d.withColumn(nm,
+                col(s"__graft_plo_$nm") +
+                  (col(s"__graft_phi_$nm") - col(s"__graft_plo_$nm")) *
+                  col(s"__graft_pg_$nm"))
+              .drop(s"__graft_plo_$nm", s"__graft_phi_$nm", s"__graft_pg_$nm")
+          }
+        Some(withPct)
       }
 
     // ── family B: mode (deterministic ties: count desc, value asc) ──────

@@ -5,35 +5,105 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 For each query result parquet in <verifyOutDir>, runs the matching oracle
 SQL from oracle_sql.json in DuckDB against the sf parquet tables, then
-compares: row count, column names (sorted), and values (rows sorted by all
-columns, floats rounded). This is builder-side tooling only — the shipped
-Scala library never uses python.
+compares at DRIVER strictness (learned from round 1, where a tolerant
+pandas compare passed two queries the driver hash-failed):
+  - column names (sorted) must match;
+  - row counts must match;
+  - after sorting rows by all columns, every value must be EXACTLY equal
+    (floats bit-exact — the driver hashes values, so ~1e-14 summation-
+    order noise fails; round on BOTH sides in the query when an agg is
+    order-dependent);
+  - null vs NaN are DIFFERENT values (pandas folds both to NaN, the
+    driver does not — compare via pyarrow null masks);
+  - int-vs-float dtype mismatches (e.g. DuckDB HUGEINT → float64) fail.
+This is builder-side tooling only — the shipped Scala library never uses
+python.
 """
 import json
-import math
 import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.copy()
-    df.columns = [str(c) for c in df.columns]
-    df = df[sorted(df.columns)]
-    for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = pd.to_datetime(s).astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(s):
-            df[c] = s.round(6)
-        elif pd.api.types.is_integer_dtype(s):
-            df[c] = s.astype("float64")  # int/long width differences
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
+def load_spark(res_dir: Path) -> pa.Table:
+    files = sorted(res_dir.glob("*.parquet"))
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def sort_order(df: pd.DataFrame) -> np.ndarray:
+    keys = []
+    for c in reversed(df.columns.tolist()):
+        v = df[c]
+        if pd.api.types.is_datetime64_any_dtype(v):
+            keys.append(v.values.astype("datetime64[us]").astype(np.int64))
+        elif v.dtype == object:
+            keys.append(v.fillna("").astype(str).values)
+        else:
+            keys.append(np.nan_to_num(v.values.astype(float), nan=np.inf)
+                        if v.dtype.kind == "f" else v.values)
+    return np.lexsort(keys)
+
+
+def compare(name: str, spark_t: pa.Table, duck_t: pa.Table) -> list:
+    problems = []
+    scols, dcols = sorted(spark_t.column_names), sorted(duck_t.column_names)
+    if scols != dcols:
+        return [f"SCHEMA got={scols} want={dcols}"]
+    spark_t = spark_t.select(scols)
+    duck_t = duck_t.select(scols)
+    if spark_t.num_rows != duck_t.num_rows:
+        return [f"ROWS got={spark_t.num_rows} want={duck_t.num_rows}"]
+    sdf, ddf = spark_t.to_pandas(), duck_t.to_pandas()
+    snull = {c: np.array(spark_t[c].is_null()) for c in scols}
+    dnull = {c: np.array(duck_t[c].is_null()) for c in scols}
+    so, do = sort_order(sdf), sort_order(ddf)
+    for c in scols:
+        st, dt = spark_t.schema.field(c).type, duck_t.schema.field(c).type
+        s_int = pa.types.is_integer(st)
+        d_int = pa.types.is_integer(dt)
+        if s_int != d_int:
+            problems.append(f"{c}: dtype {st} vs {dt} (int/float mismatch "
+                            "— driver hash is repr-sensitive)")
+            continue
+        sv, dv = sdf[c].values[so], ddf[c].values[do]
+        sn, dn = snull[c][so], dnull[c][do]
+        nm = int((sn != dn).sum())
+        if nm:
+            problems.append(f"{c}: {nm} null-mask diffs (null vs NaN?)")
+        both = ~sn & ~dn
+        if sdf[c].dtype.kind == "f":
+            a, b = sv[both].astype(float), dv[both].astype(float)
+            nanm = int((np.isnan(a) != np.isnan(b)).sum())
+            if nanm:
+                problems.append(f"{c}: {nanm} NaN-mask diffs")
+            num = ~np.isnan(a) & ~np.isnan(b)
+            ne = int((a[num] != b[num]).sum())
+            if ne:
+                d = np.abs(a[num] - b[num])
+                tol = "within 1e-5 rtol (driver WILL fail this)" \
+                    if np.allclose(a[num], b[num], rtol=1e-5, atol=1e-8) \
+                    else "BEYOND tolerance"
+                problems.append(f"{c}: {ne} not bit-exact, maxabs={d.max():.2e} ({tol})")
+            negz = int(np.sum((a == 0) & np.signbit(a)) + np.sum((b == 0) & np.signbit(b)))
+            if negz:
+                problems.append(f"{c}: {negz} negative zeros")
+        elif pd.api.types.is_datetime64_any_dtype(sdf[c]):
+            ne = int((sv[both].astype("datetime64[us]")
+                      != dv[both].astype("datetime64[us]")).sum())
+            if ne:
+                problems.append(f"{c}: {ne} value diffs")
+        else:
+            ne = int((sv[both] != dv[both]).sum())
+            if ne:
+                problems.append(f"{c}: {ne} value diffs")
+    return problems
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -50,24 +120,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"[FAIL] {name}: no result dir")
             failures += 1
             continue
-        got = norm(pd.read_parquet(res_dir))
-        want = norm(con.execute(oracles[name]).fetchdf())
-        status = "OK"
-        if list(got.columns) != list(want.columns):
-            status = f"SCHEMA got={list(got.columns)} want={list(want.columns)}"
-        elif len(got) != len(want):
-            status = f"ROWS got={len(got)} want={len(want)}"
-        else:
-            try:
-                pd.testing.assert_frame_equal(
-                    got, want, check_dtype=False, check_exact=False,
-                    rtol=1e-5, atol=1e-8)
-            except AssertionError as e:
-                status = "VALUES " + str(e).split("\n")[0]
-        tag = "ok  " if status == "OK" else "FAIL"
-        if status != "OK":
+        got = load_spark(res_dir)
+        want = con.execute(oracles[name]).fetch_arrow_table()
+        problems = compare(name, got, want)
+        if problems:
             failures += 1
-        print(f"[{tag}] {name}: rows={len(got)} {status if status != 'OK' else ''}")
+            print(f"[FAIL] {name}: rows={got.num_rows} " + "; ".join(problems))
+        else:
+            print(f"[ok  ] {name}: rows={got.num_rows}")
     return failures
 
 
