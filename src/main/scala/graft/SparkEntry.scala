@@ -349,9 +349,17 @@ object SparkEntry {
       MinHashDedup(docs(s, dir), "text", "doc_id",
         numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.8)
 
+  /** 60-bit token hash both Spark and DuckDB compute bit-identically:
+    * the first 15 hex digits of md5. Used by the simhash driver query so
+    * its DuckDB oracle can reproduce the fingerprints exactly.
+    */
+  private def md5Hash60(t: Column): Column =
+    conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+
   private val q_dedup_simhash: (SparkSession, String) => DataFrame =
     (s, dir) =>
-      SimHashDedup(docs(s, dir), "text", "doc_id", maxHamming = 3)
+      SimHashDedup(docs(s, dir), "text", "doc_id", maxHamming = 3,
+        tokenHash = md5Hash60)
 
   private val q_dedup_embcos: (SparkSession, String) => DataFrame =
     (s, dir) =>
@@ -383,8 +391,10 @@ object SparkEntry {
 
   private val q_text_fingerprint: (SparkSession, String) => DataFrame =
     (s, dir) =>
-      Fingerprint(docs(s, dir), "text")
-        .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
+      Fingerprint(docs(s, dir), "text",
+        hashFn = c => md5(c.cast("binary")),
+        digestFn = c => md5(concat_ws(",", c).cast("binary")))
+        .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fp"),
           col("digest"))
 
   private val q_media_frames: (SparkSession, String) => DataFrame =
@@ -744,5 +754,73 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 2 THEN CAST(CEIL((n_chars % 30 + 1) / 4.0) AS BIGINT)
         |       ELSE 1 END AS n_sampled
         |FROM documents""".stripMargin,
+    // the decode stub is md5-keyed so the oracle reproduces feature 0
+    // exactly: first 24 bits of md5(utf8(text) ++ ':0'), scaled to [0,1)
+    "q_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(strlen(text) AS INT) AS n_bytes,
+        |  CAST(CAST('0x' || substring(md5(text || ':0'), 1, 6) AS BIGINT)
+        |       / 16777216.0 AS REAL) AS f0
+        |FROM documents""".stripMargin,
+    // winnowing fingerprints over md5-hex gram hashes (k=4 token grams,
+    // window w=5, min per window, sorted distinct) — md5 makes the hash
+    // engine-portable, and string min/sort orders agree byte-wise
+    "q_text_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
+        |g AS (SELECT doc_id,
+        |        [md5(coalesce(list_aggregate(tk[i:i+3], 'string_agg', ' '), ''))
+        |         FOR i IN range(1, greatest(len(tk) - 4, 0) + 2)] AS gr
+        |      FROM d),
+        |f AS (SELECT doc_id,
+        |        list_sort(list_distinct(
+        |          [list_min(gr[i:i+4]) FOR i IN range(1, greatest(len(gr) - 5, 0) + 2)])) AS fps
+        |      FROM g)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+        |       md5(coalesce(list_aggregate(fps, 'string_agg', ','), '')) AS digest
+        |FROM f""".stripMargin,
+    // simhash over 60-bit md5-prefix token hashes; with maxHamming=3 and
+    // 4 pigeonhole blocks the blocking is EXACT (any pair within distance
+    // 3 shares >=1 untouched block), so the oracle is the full
+    // quadratic hamming join
+    "q_dedup_simhash" ->
+      s"""WITH d AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
+        |h AS (SELECT doc_id,
+        |        [CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) FOR t IN tk] AS hs
+        |      FROM d),
+        |s AS (SELECT doc_id, CAST(coalesce(list_sum(
+        |        [CASE WHEN coalesce(list_sum(
+        |                [CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]), 0) > 0
+        |              THEN 1::BIGINT << j ELSE 0 END
+        |         FOR j IN range(0, 60)]), 0) AS BIGINT) AS sim
+        |      FROM h)
+        |SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+        |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
+    // random-hyperplane LSH with integer-modular plane components (exact
+    // in every engine); candidates = pairs sharing a 6-bit signature in
+    // any of the 8 tables, kept when exact cosine >= 0.3
+    "q_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |t AS (SELECT unnest(range(0, 8)) AS tbl),
+        |sig AS (
+        |  SELECT e.vec_id, t.tbl,
+        |    CAST(coalesce(list_sum([CASE WHEN
+        |        coalesce(list_sum([e.v[d + 1] *
+        |          ((((t.tbl + 1) * 7919 + (i + 1) * 104729 + (d + 1) * 1299709)
+        |            % 1000003 % 2001) / 1000.0 - 1.0)
+        |          FOR d IN range(0, 64)]), 0.0) > 0
+        |      THEN 1::BIGINT << i ELSE 0 END FOR i IN range(0, 6)]), 0) AS BIGINT) AS sig
+        |  FROM e CROSS JOIN t),
+        |p AS (SELECT DISTINCT a.vec_id AS id_l, b.vec_id AS id_r
+        |      FROM sig a JOIN sig b
+        |        ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id)
+        |SELECT p.id_l, p.id_r,
+        |  list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) AS cosine
+        |FROM p JOIN embeddings x ON x.vec_id = p.id_l
+        |       JOIN embeddings y ON y.vec_id = p.id_r
+        |WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.3""".stripMargin,
   )
 }

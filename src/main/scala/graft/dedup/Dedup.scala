@@ -226,11 +226,18 @@ object SimHashDedup {
   /** @return pairs `(id_l, id_r, hamming)` with `id_l < id_r` and
     *         Hamming distance ≤ `maxHamming`.
     */
+  /** @param tokenHash token → 64-bit hash column; default `xxhash64`.
+    *                  Swappable so a differential oracle can use a hash
+    *                  both engines implement identically (e.g. an
+    *                  md5-prefix hash — md5 is bit-identical everywhere,
+    *                  xxhash64's seed-42 variant is Spark-specific).
+    */
   def apply(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      tokenHash: Column => Column = (t: Column) => xxhash64(t)): DataFrame = {
     val blocks = maxHamming + 1
     val bits = 64 / blocks
 
@@ -238,7 +245,7 @@ object SimHashDedup {
     // (org.apache.spark.sql.graft.SimHash64)
     val hashed = df
       .select(col(idCol).as("id"),
-        transform(Shingles.tokens(col(textCol)), t => xxhash64(t)).as("th"))
+        transform(Shingles.tokens(col(textCol)), tokenHash).as("th"))
       .select(col("id"),
         org.apache.spark.sql.graft.VecFunctions.simhash64(col("th")).as("sh64"))
 

@@ -41,20 +41,24 @@ object Media {
   val BatchSize = 64
 
   /** ── STUB ──  Deterministic fake decoder standing in for a real codec
-    * (libjpeg / PCM / ffmpeg). Maps bytes → `dim` floats in [0,1) by a
-    * seeded byte-mix so results are stable across partitionings and
-    * retries (a must for exactly-once semantics at scale). Replace the
-    * body with the real codec; every signature stays the same.
+    * (libjpeg / PCM / ffmpeg). Maps bytes → `dim` floats in [0,1) so
+    * results are stable across partitionings and retries (a must for
+    * exactly-once semantics at scale). Feature j = the first 24 bits of
+    * `md5(content ++ ":" ++ j)` scaled to [0,1) — md5 is bit-identical in
+    * every engine, so a SQL differential oracle can reproduce the values
+    * (`('0x' || substring(md5(text || ':j'), 1, 6))::BIGINT / 2^24`).
+    * Replace the body with the real codec; every signature stays the same.
     */
   private[multimodal] def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
-    var acc = 1125899906842597L // deterministic seed; NOT a real decode
-    var i = 0
-    while (i < content.length) { acc = acc * 31 + (content(i) & 0xff); i += 1 }
     var j = 0
     while (j < dim) {
-      acc = acc * 6364136223846793005L + 1442695040888963407L
-      out(j) = ((acc >>> 11).toDouble / (1L << 53).toDouble).toFloat
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(content)
+      md.update(s":$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = md.digest()
+      val v = ((h(0) & 0xffL) << 16) | ((h(1) & 0xffL) << 8) | (h(2) & 0xffL)
+      out(j) = (v.toDouble / (1 << 24).toDouble).toFloat
       j += 1
     }
     out

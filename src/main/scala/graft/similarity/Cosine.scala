@@ -85,17 +85,16 @@ object CosineTopK {
 object LshAnn {
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1) for
-    * (table, bit, dimension) — computed DRIVER-side (splitmix64-style
-    * mix) and shipped as literal arrays, so executors do plain
-    * multiply-adds instead of re-hashing per row.
+    * (table, bit, dimension) — computed DRIVER-side and shipped as
+    * literal arrays, so executors do plain multiply-adds instead of
+    * re-hashing per row. Two prime-modular mixes over small ints: every
+    * step is exact integer arithmetic + one IEEE divide/subtract, so any
+    * engine (including a SQL differential oracle) reproduces the planes
+    * bit-identically — no 64-bit wrap-around semantics to match.
     */
-  private def hcomp(t: Int, i: Int, d: Int): Double = {
-    var x = 0x9E3779B97F4A7C15L * (t + 1) + 0xBF58476D1CE4E5B9L * (i + 1) +
-      0x94D049BB133111EBL * (d + 1)
-    x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
-    x ^= x >>> 27; x *= 0x94D049BB133111EBL
-    x ^= x >>> 31
-    (java.lang.Math.floorMod(x, 1000000L).toDouble / 500000.0) - 1.0
+  private[similarity] def hcomp(t: Int, i: Int, d: Int): Double = {
+    val m = ((t + 1) * 7919 + (i + 1) * 104729 + (d + 1) * 1299709) % 1000003
+    (m % 2001) / 1000.0 - 1.0
   }
 
   /** Signature of vector column `v` (dimension `dim`) for table `t`: bit i

@@ -175,6 +175,11 @@ object Fingerprint {
   /** Staged pipeline: tokens → gram hashes → winnowed set → digest, each
     * materialized once per row as a named column (the scale path).
     * Appends `fpCol` (array of fingerprint hashes) and `digestCol`.
+    *
+    * `hashFn`/`digestFn` default to xxhash64 (fastest, codegen'd) but are
+    * swappable: any orderable hash works for winnowing (`array_min` per
+    * window), so a differential oracle can use md5-hex strings, which
+    * every engine computes identically.
     */
   def apply(
       df: DataFrame,
@@ -182,10 +187,15 @@ object Fingerprint {
       k: Int = 4,
       w: Int = 5,
       fpCol: String = "fingerprints",
-      digestCol: String = "digest"): DataFrame =
+      digestCol: String = "digest",
+      hashFn: Column => Column = xxhash64(_),
+      digestFn: Column => Column = c => xxhash64(to_json(struct(c)))): DataFrame =
     df.withColumn("__graft_tk", Shingles.tokens(col(textCol)))
-      .withColumn("__graft_gr", gramHashes(col("__graft_tk"), k))
+      .withColumn("__graft_gr",
+        transform(
+          sequence(lit(0), greatest(size(col("__graft_tk")) - k, lit(0))),
+          i => hashFn(concat_ws(" ", slice(col("__graft_tk"), i + 1, lit(k))))))
       .withColumn(fpCol, winnowFromGrams(col("__graft_gr"), w))
-      .withColumn(digestCol, xxhash64(to_json(struct(col(fpCol)))))
+      .withColumn(digestCol, digestFn(col(fpCol)))
       .drop("__graft_tk", "__graft_gr")
 }
