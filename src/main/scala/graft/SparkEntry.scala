@@ -117,6 +117,59 @@ object SparkEntry {
         .select(col("eid"), col("c_ts").as("click_ts"), col("c_v").as("click_v"))
     }
 
+  /** Full-outer interval join with the keep_order row contract: unmatched
+    * rows from BOTH sides survive with null partner keys.
+    */
+  private val q_interval_outer: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val a = orderWindows(s, dir, 30).filter(col("o_orderkey") % 3 === 0)
+      val b = orderWindows(s, dir, 15).filter(col("o_orderkey") % 3 === 1)
+      IntervalJoin(
+        a, b,
+        leftSpec  = IntervalSpec.closed("win_start", "win_stop"),
+        rightSpec = IntervalSpec.closed("win_start", "win_stop"),
+        on = Seq("o_custkey"),
+        how = "outer",
+        keepOrder = true)
+        .select(
+          col("o_orderkey_x").as("lkey"),
+          col("o_orderkey_y").as("rkey"))
+    }
+
+  /** Open-endpoint containment: points strictly inside (start, stop). */
+  private val q_interval_open: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val orders = orderWindows(s, dir, 30)
+      val points = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      IntervalJoin(
+        orders, points,
+        leftSpec  = IntervalSpec(Some("win_start"), Some("win_stop"),
+          includeStart = false, includeStop = false),
+        rightSpec = IntervalSpec.point("l_shipdate"),
+        leftOn = Seq("o_orderkey"), rightOn = Seq("l_orderkey"),
+        keepOrder = false)
+        .select(
+          col("o_orderkey").as("okey"),
+          col("l_linenumber").as("lnum"),
+          col("l_shipdate").as("ship"))
+    }
+
+  /** Forward as-of: for each purchase, the user's earliest click at-or-
+    * after it (unbounded tolerance).
+    */
+  private val q_asof_forward: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("eid"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_v"))
+      AsOfJoin(purchases, clicks, "p_ts", "c_ts",
+        on = Seq("user_id"), direction = "forward")
+        .select(col("eid"), col("c_ts").as("click_ts"), col("c_v").as("click_v"))
+    }
+
   private val q_containing: (SparkSession, String) => DataFrame =
     (s, dir) => {
       val intervals = orderWindows(s, dir, 15)
@@ -131,6 +184,28 @@ object SparkEntry {
           col("o_orderkey").as("okey"),
           col("o_orderdate_first").as("first_id"),
           col("o_orderdate_last").as("last_id"))
+    }
+
+  /** length_col variant: intervals given as (start, duration), first
+    * containing interval only.
+    */
+  private val q_containing_length: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val intervals = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").as("win_start"))
+        .withColumn("win_len", expr("INTERVAL 15 DAYS"))
+      val points = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      FindContainingInterval(
+        intervals, points, Seq("o_orderdate"),
+        on = Seq("o_custkey"),
+        startCol = Some("win_start"), lengthCol = Some("win_len"),
+        which = "first",
+        intervalIdCol = Some("o_orderkey"))
+        .select(
+          col("o_orderkey").as("okey"),
+          col("o_orderdate_first").as("first_id"))
     }
 
   private val q_prev_next: (SparkSession, String) => DataFrame =
@@ -173,6 +248,48 @@ object SparkEntry {
     (s, dir) =>
       GroupedMode(t(s, dir, "lineitem"), Seq("l_orderkey"), "l_returnflag")
         .select(col("l_orderkey").as("okey"), col("mode"), col("count"))
+
+  /** dropna=false: nulls count as a mode candidate (misc.py:909-917). */
+  private val q_grouped_mode_nulls: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      GroupedMode(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          when(col("l_linenumber") % 3 === 0, lit(null))
+            .otherwise(col("l_returnflag")).as("rf")),
+        Seq("l_orderkey"), "rf", dropna = false)
+        .select(col("l_orderkey").as("okey"), col("mode"), col("count"))
+
+  /** Two-frame joint factorization: orders.o_orderstatus and
+    * lineitem.l_linestatus share one sorted code space.
+    */
+  private val q_factorize_joint: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val (o, l) = Factorize.joint(
+        t(s, dir, "orders"), Seq("o_orderstatus"),
+        t(s, dir, "lineitem"), Seq("l_linestatus"))
+      o.select(lit("o").as("side"), col("o_orderkey").as("id"),
+          lit(0).cast("int").as("sub"), col("code"))
+        .unionByName(
+          l.select(lit("l").as("side"), col("l_orderkey").as("id"),
+            col("l_linenumber").as("sub"), col("code")))
+    }
+
+  /** attr_cols: equal-priority overlaps count once; emit windows where at
+    * least 2 DISTINCT priorities are simultaneously active per customer.
+    */
+  private val q_combine_attrs: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      CombineIntervals(
+        t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderpriority"),
+          col("o_orderdate").as("win_start"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("win_stop")),
+        "win_start", Some("win_stop"),
+        attrCols = Seq("o_orderpriority"),
+        groupBy = Seq("o_custkey"), nMin = 2, nMax = None)
+        .select(
+          col("o_custkey").as("ckey"),
+          col("win_start").as("start"), col("win_stop").as("stop"))
 
   private val q_factorize: (SparkSession, String) => DataFrame =
     (s, dir) =>
@@ -229,6 +346,71 @@ object SparkEntry {
           col("error_count"),
           r6(col("error_mad")).as("error_mad"),
           r6(col("error_sem")).as("error_sem"))
+
+  /** One 28-day window per user, built with the anchor+rel MakeWindows
+    * form: [anchor−14d, anchor+14d) around 2024-01-15.
+    */
+  private def userMonth(s: SparkSession, dir: String): DataFrame = {
+    val anchors = t(s, dir, "events").select(col("user_id")).distinct()
+      .withColumn("mid", lit("2024-01-15").cast("timestamp"))
+    MakeWindows(
+      entity = Some(col("user_id")),
+      anchor = Some(col("mid")),
+      startRel = Some(expr("INTERVAL -14 DAYS")),
+      stopRel = Some(expr("INTERVAL 14 DAYS")))(anchors)
+      .withColumnRenamed("entity", "user_id")
+  }
+
+  /** var/skew/p25 over the month window on raw values, plus `prod` on
+    * values clamped to [1, 1.01) (`1 + fmod(v,1)/100` — fmod and the
+    * scale are IEEE-exact in both engines) so the product's magnitude
+    * stays O(1) and 6-decimal rounding absorbs multiplication-order
+    * noise. The moment aggregates must use the RAW values: on the clamped
+    * near-constant column the central moments catastrophically cancel and
+    * engine-formula differences blow past any rounding.
+    */
+  private val q_resample_eav_more: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val moments = ResampleEav(
+        t(s, dir, "events"), userMonth(s, dir),
+        agg = Map("view" -> Seq("var", "skew", "p25", "count")),
+        timeCol = "ts", valueCol = "value",
+        entityCol = Some("user_id"), attrCol = Some("event_type"),
+        wStartCol = Some("win_start"), wStopCol = Some("win_stop"))
+      val prods = ResampleEav(
+        t(s, dir, "events")
+          .withColumn("value", lit(1.0) + (col("value") % 1.0) / 100.0),
+        userMonth(s, dir),
+        agg = Map("view" -> Seq("prod")),
+        timeCol = "ts", valueCol = "value",
+        entityCol = Some("user_id"), attrCol = Some("event_type"),
+        wStartCol = Some("win_start"), wStopCol = Some("win_stop"))
+      moments.join(prods.select(col("user_id"), col("view_prod")), Seq("user_id"))
+        .select(col("user_id").as("uid"),
+          r6(col("view_var")).as("vvar"),
+          r6(col("view_skew")).as("vskew"),
+          r6(col("view_prod")).as("vprod"),
+          r6(col("view_p25")).as("vp25"),
+          col("view_count").as("vcnt"))
+    }
+
+  /** Half-unbounded windows (stop only): everything before the per-user
+    * cutoff; exercises the rank-agg path with no lower bound.
+    */
+  private val q_resample_eav_unbounded: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val windows = t(s, dir, "events").select(col("user_id")).distinct()
+        .withColumn("win_stop", lit("2024-01-15").cast("timestamp"))
+      ResampleEav(
+        t(s, dir, "events"), windows,
+        agg = Map("view" -> Seq("r0", "t0", "count")),
+        timeCol = "ts", valueCol = "value",
+        entityCol = Some("user_id"), attrCol = Some("event_type"),
+        wStartCol = None, wStopCol = Some("win_stop"))
+        .select(col("user_id").as("uid"),
+          col("view_r0").as("r0"), col("view_t0").as("t0"),
+          col("view_count").as("cnt"))
+    }
 
   private val q_resample_eav_rank: (SparkSession, String) => DataFrame =
     (s, dir) =>
@@ -310,6 +492,21 @@ object SparkEntry {
   private val q_impute_afill: (SparkSession, String) => DataFrame =
     (s, dir) =>
       Impute(eventsWithNulls(s, dir), Seq("v"), "afill",
+        groupBy = Seq("user_id"),
+        orderBy = Seq(col("ts"), col("event_id")))
+        .select(col("event_id").as("eid"), col("v").as("v_imp"))
+
+  private val q_impute_bfill: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      Impute(eventsWithNulls(s, dir), Seq("v"), "bfill",
+        groupBy = Seq("user_id"),
+        orderBy = Seq(col("ts"), col("event_id")), limit = Some(2))
+        .select(col("event_id").as("eid"), col("v").as("v_imp"))
+
+  /** lfill = linear interior + ffill/bfill at the group edges. */
+  private val q_impute_lfill: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      Impute(eventsWithNulls(s, dir), Seq("v"), "lfill",
         groupBy = Seq("user_id"),
         orderBy = Seq(col("ts"), col("event_id")))
         .select(col("event_id").as("eid"), col("v").as("v_imp"))
@@ -420,22 +617,33 @@ object SparkEntry {
     "q_interval_overlap"    -> q_interval_overlap,
     "q_interval_keep_first" -> q_interval_keep_first,
     "q_interval_binned"     -> q_interval_binned,
+    "q_interval_outer"      -> q_interval_outer,
+    "q_interval_open"       -> q_interval_open,
     "q_asof"                -> q_asof,
+    "q_asof_forward"        -> q_asof_forward,
     "q_containing"          -> q_containing,
+    "q_containing_length"   -> q_containing_length,
     "q_prev_next"           -> q_prev_next,
     "q_group_intervals"     -> q_group_intervals,
     "q_combine_union"       -> combineQuery(1, None),
     "q_combine_gaps"        -> combineQuery(0, Some(0)),
+    "q_combine_attrs"       -> q_combine_attrs,
     "q_grouped_mode"        -> q_grouped_mode,
+    "q_grouped_mode_nulls"  -> q_grouped_mode_nulls,
     "q_factorize"           -> q_factorize,
+    "q_factorize_joint"     -> q_factorize_joint,
     "q_resample_eav_std"    -> q_resample_eav_std,
     "q_resample_eav_rank"   -> q_resample_eav_rank,
     "q_resample_eav_mode"   -> q_resample_eav_mode,
     "q_resample_eav_custom" -> q_resample_eav_custom,
+    "q_resample_eav_more"   -> q_resample_eav_more,
+    "q_resample_eav_unbounded" -> q_resample_eav_unbounded,
     "q_resample_interval"   -> q_resample_interval,
     "q_impute_ffill"        -> q_impute_ffill,
     "q_impute_linear"       -> q_impute_linear,
     "q_impute_afill"        -> q_impute_afill,
+    "q_impute_bfill"        -> q_impute_bfill,
+    "q_impute_lfill"        -> q_impute_lfill,
     "q_partition_series"    -> q_partition_series,
     "q_dedup_exact"         -> q_dedup_exact,
     "q_dedup_ngram"         -> q_dedup_ngram,
@@ -540,12 +748,48 @@ object SparkEntry {
         |FROM n""".stripMargin,
     "q_combine_union" -> combineOracle("depth >= 1"),
     "q_combine_gaps"  -> combineOracle("depth = 0"),
+    // attr_cols sweep: depth at each boundary = number of DISTINCT
+    // priorities with a net-positive interval count (equal-attr overlaps
+    // count once, misc.py:367-401)
+    "q_combine_attrs" ->
+      """WITH ev AS (
+        |  SELECT o_custkey AS g, o_orderpriority AS a, o_orderdate AS t, 1 AS d FROM orders
+        |  UNION ALL
+        |  SELECT o_custkey, o_orderpriority, o_orderdate + INTERVAL 30 DAY, -1 FROM orders),
+        |bnd AS (SELECT DISTINCT g, t FROM ev),
+        |dep AS (SELECT b.g, b.t, e.a, SUM(e.d) AS dp
+        |        FROM bnd b JOIN ev e ON e.g = b.g AND e.t <= b.t GROUP BY 1, 2, 3),
+        |act AS (SELECT g, t, COUNT(CASE WHEN dp > 0 THEN 1 END) AS depth FROM dep GROUP BY 1, 2),
+        |w AS (SELECT g, t, depth, LEAD(t) OVER (PARTITION BY g ORDER BY t) AS nt FROM act),
+        |f AS (SELECT g, t, nt, (depth >= 2 AND nt IS NOT NULL) AS flag FROM w),
+        |f2 AS (SELECT *, COALESCE(LAG(flag) OVER (PARTITION BY g ORDER BY t), FALSE) AS pflag FROM f),
+        |sg AS (SELECT *, SUM(CASE WHEN flag AND NOT pflag THEN 1 ELSE 0 END)
+        |         OVER (PARTITION BY g ORDER BY t ROWS UNBOUNDED PRECEDING) AS seg FROM f2)
+        |SELECT g AS ckey, MIN(t) AS start, MAX(nt) AS stop
+        |FROM sg WHERE flag GROUP BY g, seg HAVING MIN(t) < MAX(nt)""".stripMargin,
     "q_grouped_mode" ->
       """WITH c AS (SELECT l_orderkey, l_returnflag AS v, COUNT(*) AS n
         |           FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1, 2),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
         |        ORDER BY n DESC, v ASC) AS rn FROM c)
         |SELECT l_orderkey AS okey, v AS mode, n AS count FROM r WHERE rn = 1""".stripMargin,
+    "q_grouped_mode_nulls" ->
+      """WITH v AS (SELECT l_orderkey AS k,
+        |             CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE l_returnflag END AS v
+        |           FROM lineitem),
+        |c AS (SELECT k, v, COUNT(*) AS n FROM v GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+        |        ORDER BY n DESC, v ASC NULLS LAST) AS rn FROM c)
+        |SELECT k AS okey, v AS mode, n AS count FROM r WHERE rn = 1""".stripMargin,
+    "q_factorize_joint" ->
+      """WITH ks AS (SELECT DISTINCT o_orderstatus AS k FROM orders
+        |            UNION SELECT DISTINCT l_linestatus FROM lineitem),
+        |c AS (SELECT k, DENSE_RANK() OVER (ORDER BY k) - 1 AS code FROM ks)
+        |SELECT 'o' AS side, o_orderkey AS id, 0 AS sub, c.code
+        |FROM orders JOIN c ON c.k = orders.o_orderstatus
+        |UNION ALL
+        |SELECT 'l', l_orderkey, l_linenumber, c.code
+        |FROM lineitem JOIN c ON c.k = lineitem.l_linestatus""".stripMargin,
     "q_factorize" ->
       """SELECT l_orderkey AS okey, l_linenumber AS lnum,
         |       DENSE_RANK() OVER (ORDER BY l_returnflag, l_linestatus) - 1 AS code
@@ -560,6 +804,21 @@ object SparkEntry {
         |FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
         |  AND a.o_orderdate <= b.o_orderdate + INTERVAL 15 DAY
         |  AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY""".stripMargin,
+    "q_interval_outer" ->
+      """WITH a AS (SELECT o_orderkey, o_custkey, o_orderdate AS s,
+        |             o_orderdate + INTERVAL 30 DAY AS e
+        |           FROM orders WHERE o_orderkey % 3 = 0),
+        |b AS (SELECT o_orderkey, o_custkey, o_orderdate AS s,
+        |        o_orderdate + INTERVAL 15 DAY AS e
+        |      FROM orders WHERE o_orderkey % 3 = 1)
+        |SELECT a.o_orderkey AS lkey, b.o_orderkey AS rkey
+        |FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+        |  AND a.s <= b.e AND b.s <= a.e""".stripMargin,
+    "q_interval_open" ->
+      """SELECT o.o_orderkey AS okey, l.l_linenumber AS lnum, l.l_shipdate AS ship
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  AND l.l_shipdate > o.o_orderdate
+        |  AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY""".stripMargin,
     "q_interval_keep_first" ->
       """WITH j AS (
         |  SELECT a.o_orderkey AS lkey, b.o_orderkey AS rkey,
@@ -673,6 +932,60 @@ object SparkEntry {
         |        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 DAY)
         |SELECT p.event_id AS eid, j.cts AS click_ts, j.cv AS click_v
         |FROM p LEFT JOIN j ON j.event_id = p.event_id AND j.rn = 1""".stripMargin,
+    "q_asof_forward" ->
+      """WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.event_id, c.ts AS cts, c.value AS cv,
+        |        ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.ts ASC) AS rn
+        |      FROM p JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts)
+        |SELECT p.event_id AS eid, j.cts AS click_ts, j.cv AS click_v
+        |FROM p LEFT JOIN j ON j.event_id = p.event_id AND j.rn = 1""".stripMargin,
+    "q_containing_length" ->
+      """SELECT p.o_orderkey AS okey, COALESCE(MIN(i.o_orderkey), -1) AS first_id
+        |FROM orders p LEFT JOIN orders i
+        |  ON p.o_custkey = i.o_custkey
+        | AND p.o_orderdate >= i.o_orderdate
+        | AND p.o_orderdate <= i.o_orderdate + INTERVAL 15 DAY
+        |GROUP BY p.o_orderkey""".stripMargin,
+    "q_resample_eav_more" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |j AS (SELECT u.user_id AS uid, e.value AS val,
+        |        1.0 + fmod(e.value, 1.0) / 100.0 AS cval
+        |      FROM u LEFT JOIN events e ON e.user_id = u.user_id
+        |        AND e.event_type = 'view'
+        |        AND e.ts >= TIMESTAMP '2024-01-01' AND e.ts < TIMESTAMP '2024-01-29')
+        |SELECT uid,
+        |  CASE WHEN COUNT(val) >= 2 THEN ROUND(VAR_SAMP(val), 6) + 0.0 END AS vvar,
+        |  CASE WHEN COUNT(val) >= 3 THEN ROUND(skewness(val), 6) + 0.0 END AS vskew,
+        |  ROUND(product(cval), 6) + 0.0 AS vprod,
+        |  ROUND(QUANTILE_CONT(val, 0.25), 6) + 0.0 AS vp25,
+        |  COUNT(val) AS vcnt
+        |FROM j GROUP BY 1""".stripMargin,
+    "q_resample_eav_unbounded" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |j AS (SELECT u.user_id AS uid, e.ts, e.value,
+        |        ROW_NUMBER() OVER (PARTITION BY u.user_id ORDER BY e.ts) AS ra
+        |      FROM u JOIN events e ON e.user_id = u.user_id
+        |        AND e.event_type = 'view' AND e.ts < TIMESTAMP '2024-01-15')
+        |SELECT u.user_id AS uid,
+        |  MAX(CASE WHEN j.ra = 1 THEN j.value END) AS r0,
+        |  MAX(CASE WHEN j.ra = 1 THEN j.ts END) AS t0,
+        |  COUNT(j.value) AS cnt
+        |FROM u LEFT JOIN j ON j.uid = u.user_id
+        |GROUP BY 1""".stripMargin,
+    "q_impute_bfill" ->
+      s"""WITH $ImputeCte
+        |SELECT event_id AS eid,
+        |  CASE WHEN v IS NOT NULL THEN v WHEN nrn - rn <= 2 THEN nv END AS v_imp
+        |FROM f""".stripMargin,
+    "q_impute_lfill" ->
+      s"""WITH $ImputeCte
+        |SELECT event_id AS eid,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |         THEN pv + (nv - pv) * ((rn - prn) / CAST(nrn - prn AS DOUBLE))
+        |       ELSE COALESCE(pv, nv) END AS v_imp
+        |FROM f""".stripMargin,
     "q_partition_series" ->
       """WITH s AS (SELECT l_orderkey AS g, COUNT(*) AS n FROM lineitem GROUP BY 1),
         |c AS (SELECT g, SUM(LEAST(n, 1000)) OVER (ORDER BY g

@@ -83,7 +83,10 @@ object Impute {
     limit match {
       case None => filled
       case Some(k) =>
-        val donorRn = max(when(c.isNotNull, col(Rn))).over(w)
+        // the donor's row number via the SAME last(ignoreNulls) frame that
+        // picks the donor value — max(rn) would find the farthest donor
+        // under the descending (bfill) frame, not the nearest
+        val donorRn = last(when(c.isNotNull, col(Rn)), ignoreNulls = true).over(w)
         val dist    = abs(col(Rn) - donorRn)
         when(c.isNotNull, c).when(dist <= k, filled).otherwise(lit(null))
     }

@@ -237,6 +237,20 @@ class ResampleSpecs extends SparkSuite {
       Some(5.0), None, Some(4.0), Some(4.0), None))
   }
 
+  test("impute: bfill limit measures distance to the NEAREST next donor") {
+    // two donors after the gap: the limit must be judged against the
+    // nearest one (rn 3), not the farthest (regression: the donor row
+    // number was taken as max over the descending frame)
+    val df = Seq(
+      (1L, 1, None), (1L, 2, None), (1L, 3, Some(7.0)), (1L, 4, Some(8.0))
+    ).toDF("g", "t", "v")
+    val got = Impute(df, Seq("v"), "bfill", groupBy = Seq("g"),
+      orderBy = Seq(col("t")), limit = Some(2))
+      .orderBy("g", "t").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+    assert(got == Seq(Some(7.0), Some(7.0), Some(7.0), Some(8.0)))
+  }
+
   test("impute: linear interpolation interior-only, by position") {
     assert(run("linear") == Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0),
       Some(5.0), None, None, Some(4.0), None))
