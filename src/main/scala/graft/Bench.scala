@@ -12,6 +12,12 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // experiment knob: AQE re-plans (and often re-compiles) after every
+      // exchange — pure driver latency at bench scale, pure win at real
+      // scale. Default ON (the scale posture); SPARK_GRAFT_AQE=false to
+      // quantify the overhead locally.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + codegen + scan machinery class-loading costs

@@ -41,6 +41,12 @@ object BinnedIntervalJoin {
     *
     * @param left    bounded intervals `[lStart, lStop]` (closed)
     * @param right   bounded intervals `[rStart, rStop]` (closed)
+    * @param on      equality-key columns present in BOTH inputs; the join
+    *                then runs on (keys, bin) — even WITH keys this beats
+    *                the plain equi-join + range-post-filter plan whenever
+    *                keys are coarse (the post-filter degenerates to a
+    *                per-key cartesian: 10k groups × 1k×100 rows = 1e9
+    *                pair evaluations, vs ~|output| after binning)
     * @return matched pairs with all columns of both inputs (right columns
     *         suffixed `_r` when names collide)
     */
@@ -49,7 +55,8 @@ object BinnedIntervalJoin {
       right: DataFrame,
       lStart: String, lStop: String,
       rStart: String, rStop: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double,
+      on: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val dt = left.schema(lStart).dataType
     val width = dt match {
@@ -84,14 +91,16 @@ object BinnedIntervalJoin {
       explode(sequence(binOf(col(rName(rStart)), dt, width),
         binOf(col(rName(rStop)), dt, width))))
 
-    // equi-join on bin; true overlap check; count each pair exactly once —
-    // in the bin holding the overlap's start point
+    // equi-join on (keys, bin); true overlap check; count each pair
+    // exactly once — in the bin holding the overlap's start point
     val anchor = binOf(greatest(col(lStart), col(rName(rStart))), dt, width)
+    val keyConds = on.map(k => col(k) === col(rName(k)))
     lBinned.join(rBinned,
-        col("__graft_bin") === col("__graft_rbin") &&
-        col(lStart) <= col(rName(rStop)) &&
-        col(rName(rStart)) <= col(lStop) &&
-        col("__graft_bin") === anchor)
+        (keyConds :+
+          (col("__graft_bin") === col("__graft_rbin")) :+
+          (col(lStart) <= col(rName(rStop))) :+
+          (col(rName(rStart)) <= col(lStop)) :+
+          (col("__graft_bin") === anchor)).reduce(_ && _))
       .drop("__graft_bin", "__graft_rbin")
   }
 }

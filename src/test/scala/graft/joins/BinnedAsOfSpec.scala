@@ -29,6 +29,29 @@ class BinnedAsOfSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("binned interval join with equality keys ≡ keyed IntervalJoin") {
+    val rnd = new scala.util.Random(11)
+    val mk = (n: Int, maxLen: Double) => (0 until n).map { i =>
+      val s = rnd.nextDouble() * 100
+      (i.toLong, rnd.nextInt(4), s, s + rnd.nextDouble() * maxLen)
+    }
+    val l = mk(80, 5.0).toDF("lid", "g", "ls", "le")
+    val r = mk(60, 9.0).toDF("rid", "g", "rs", "re")
+
+    val got = BinnedIntervalJoin(l, r, "ls", "le", "rs", "re",
+      binWidth = 4.0, on = Seq("g"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val want = IntervalJoin(
+      l, r,
+      leftSpec = IntervalSpec.closed("ls", "le"),
+      rightSpec = IntervalSpec.closed("rs", "re"),
+      on = Seq("g"),
+      keepOrder = false)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("binned join emits each overlapping pair exactly once") {
     // long intervals spanning many bins must not duplicate matches
     val l = Seq((1L, 0.0, 100.0)).toDF("lid", "ls", "le")
