@@ -646,22 +646,26 @@ object SparkEntry {
   // the width, is the win).
   private val q_bench_contain: (SparkSession, String) => DataFrame =
     (s, dir) =>
-      BinnedIntervalJoin(
+      IntervalJoin(
         benchLeft(s, dir),
         benchRight(s, dir).select(col("grp"), col("p")),
-        "s", "e", "p", "p",
-        binWidth = 50.0, on = Seq("grp"))
-        .select(col("grp"), col("s"), col("p"))
+        leftSpec  = IntervalSpec.closed("s", "e"),
+        rightSpec = IntervalSpec.point("p"),
+        leftOn = Seq("grp"), rightOn = Seq("grp"),
+        keepOrder = false, binWidth = Some(50.0))
+        .select(col("grp_x").as("grp"), col("s"), col("p"))
 
   private val q_bench_overlap: (SparkSession, String) => DataFrame =
     (s, dir) =>
-      BinnedIntervalJoin(
+      IntervalJoin(
         benchLeft(s, dir),
         benchRight(s, dir)
           .select(col("grp"), col("p").as("rs"), (col("p") + col("len")).as("re")),
-        "s", "e", "rs", "re",
-        binWidth = 100.0, on = Seq("grp"))
-        .select(col("grp"), col("s"), col("rs"))
+        leftSpec  = IntervalSpec.closed("s", "e"),
+        rightSpec = IntervalSpec.closed("rs", "re"),
+        leftOn = Seq("grp"), rightOn = Seq("grp"),
+        keepOrder = false, binWidth = Some(100.0))
+        .select(col("grp_x").as("grp"), col("s"), col("rs"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
 object BinnedIntervalJoin {
 
   /** Bin index expression for numeric/timestamp/date endpoints. */
-  private def binOf(c: Column, dt: org.apache.spark.sql.types.DataType,
+  private[joins] def binOf(c: Column, dt: org.apache.spark.sql.types.DataType,
       width: Double): Column = {
     val m = dt match {
       case TimestampType    => unix_micros(c).cast("double")
@@ -34,6 +34,13 @@ object BinnedIntervalJoin {
       case _                => c.cast("double")
     }
     floor(m / width).cast("long")
+  }
+
+  /** `binWidth` scale factor: timestamp/date bins count in seconds. */
+  private[joins] def widthFor(dt: org.apache.spark.sql.types.DataType,
+      binWidth: Double): Double = dt match {
+    case TimestampType | TimestampNTZType | DateType => binWidth * 1e6
+    case _ => binWidth
   }
 
   /** `binWidth` in the endpoint's natural units: seconds for
@@ -59,10 +66,7 @@ object BinnedIntervalJoin {
       on: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val dt = left.schema(lStart).dataType
-    val width = dt match {
-      case TimestampType | TimestampNTZType | DateType => binWidth * 1e6
-      case _ => binWidth
-    }
+    val width = widthFor(dt, binWidth)
 
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     val rRenamed = overlap.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_r"))

@@ -53,6 +53,23 @@ object IntervalJoin {
     * @param rightIdCol same for `right`
     * @param returnIndexers return just the (left id, right id) pairs with
     *                   −1 for missing, like `merging.py:106-115`
+    * @param binWidth   opt-in binned execution (SURVEY.md §4): both sides
+    *                   are exploded to the integer bins their intervals
+    *                   touch and the join runs on (keys, bin) instead of
+    *                   keys alone. Use when the equality keys are COARSE
+    *                   (or absent): Catalyst executes equality+range as a
+    *                   hash/sort-merge join with the range as post-filter,
+    *                   which degenerates to a per-key cartesian — on the
+    *                   reference's published 10M×1M/10k-group workload
+    *                   that is ~1e9 candidate pairs (77 s at local[32])
+    *                   vs 5 s binned. Requires bounded endpoints on both
+    *                   sides; any `how`/`keep` combination is supported
+    *                   (unmatched preserved-side rows are completed by
+    *                   anti-join). Width is in the endpoint's natural
+    *                   units (seconds for timestamps); results are
+    *                   IDENTICAL at any width — it only shifts the
+    *                   explosion-vs-candidates balance, measured flat
+    *                   within ±20% across a 10× width range.
     */
   def apply(
       left: DataFrame,
@@ -68,7 +85,8 @@ object IntervalJoin {
       suffixes: (Option[String], Option[String]) = (Some("_x"), Some("_y")),
       leftIdCol: Option[String] = None,
       rightIdCol: Option[String] = None,
-      returnIndexers: Boolean = false): DataFrame = {
+      returnIndexers: Boolean = false,
+      binWidth: Option[Double] = None): DataFrame = {
 
     require(Seq("inner", "left", "right", "outer").contains(how), s"how=$how")
     require(Seq("all", "first", "last", "both").contains(keep), s"keep=$keep")
@@ -144,7 +162,50 @@ object IntervalJoin {
       case "outer" => "full_outer"
     }
 
-    val joined = lValid.join(rJoinSide, cond, joinType)
+    val joined = binWidth match {
+      case None => lValid.join(rJoinSide, cond, joinType)
+      case Some(w) =>
+        require(w > 0, "binWidth must be positive")
+        require(leftSpec.start.isDefined && leftSpec.stop.isDefined &&
+            rightSpec.start.isDefined && rightSpec.stop.isDefined,
+          "binWidth requires bounded endpoints on both sides")
+        val dt    = left.schema(leftSpec.start.get).dataType
+        val width = BinnedIntervalJoin.widthFor(dt, w)
+        def bin(c: Column) = BinnedIntervalJoin.binOf(c, dt, width)
+        val lBin = "__graft_bin"
+        val rBin = "__graft_rbin"
+        // only valid (non-empty, non-NaN) intervals are exploded — an
+        // invalid endpoint would make sequence() blow up or mis-bin
+        val lB = lValid.filter(lValidExpr).withColumn(lBin,
+          explode(sequence(bin(col(leftSpec.start.get)),
+            bin(col(leftSpec.stop.get)))))
+        val rB = rJoinSide.filter(rValidExpr).withColumn(rBin,
+          explode(sequence(bin(rCol(rightSpec.start.get)),
+            bin(rCol(rightSpec.stop.get)))))
+        // each matching pair is counted exactly once: in the bin holding
+        // the overlap's start point
+        val anchor = bin(greatest(col(leftSpec.start.get),
+          rCol(rightSpec.start.get)))
+        val matched = lB.join(rB,
+            cond && col(lBin) === col(rBin) && col(lBin) === anchor,
+            "inner")
+          .drop(lBin, rBin)
+        // complete unmatched preserved-side rows (the plain plan gets
+        // this from the outer join type itself)
+        def nullsFor(df: DataFrame): Seq[Column] =
+          df.schema.map(f => lit(null).cast(f.dataType).as(f.name))
+        val withLeft =
+          if (how == "left" || how == "outer")
+            matched.unionByName(
+              l0.join(matched.select(lid).distinct(), Seq(LeftId), "left_anti")
+                .select(l0.columns.map(col) ++ nullsFor(rJoinSide): _*))
+          else matched
+        if (how == "right" || how == "outer")
+          withLeft.unionByName(
+            rRenamed.join(matched.select(rid).distinct(), Seq(RightId), "left_anti")
+              .select(nullsFor(l0) ++ rRenamed.columns.map(col): _*))
+        else withLeft
+    }
 
     // ── keep = first/last/both: dedup by the secondary side's row order ─
     val (primaryId, secondaryId) =

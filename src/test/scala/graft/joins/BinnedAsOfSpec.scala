@@ -52,6 +52,32 @@ class BinnedAsOfSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("IntervalJoin binWidth path ≡ plain plan across how × keep") {
+    val rnd = new scala.util.Random(23)
+    val mk = (n: Int, maxLen: Double) => (0 until n).map { i =>
+      val s = rnd.nextDouble() * 50
+      (i.toLong, rnd.nextInt(3), s, s + rnd.nextDouble() * maxLen)
+    }
+    val l = mk(60, 6.0).toDF("lid", "g", "ls", "le")
+    val r = mk(45, 10.0).toDF("rid", "g", "rs", "re")
+
+    for (how <- Seq("inner", "left", "right", "outer");
+         keep <- Seq("all", "first", "last", "both")) {
+      def run(bw: Option[Double]) = IntervalJoin(
+        l, r,
+        leftSpec = IntervalSpec.closed("ls", "le"),
+        rightSpec = IntervalSpec.closed("rs", "re"),
+        on = Seq("g"), how = how, keep = keep, keepOrder = false,
+        leftIdCol = Some("lid"), rightIdCol = Some("rid"),
+        binWidth = bw)
+        .select(col("lid"), col("rid"))
+        .collect()
+        .map(row => (Option(row.get(0)), Option(row.get(1))))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(run(Some(4.0)) == run(None), s"how=$how keep=$keep")
+    }
+  }
+
   test("binned join emits each overlapping pair exactly once") {
     // long intervals spanning many bins must not duplicate matches
     val l = Seq((1L, 0.0, 100.0)).toDF("lid", "ls", "le")
