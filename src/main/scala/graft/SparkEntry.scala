@@ -469,6 +469,64 @@ object SparkEntry {
           r6(col("vsum")).as("vsum"))
     }
 
+  /** Zero-length intervals mixed in (o_orderkey even ⇒ start = stop):
+    * fraction is membership ∈ {0,1} for them (resampling.py:556-559).
+    */
+  private val q_resample_interval_zero: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val intervals = t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderdate").as("i_start"),
+        when(col("o_orderkey") % 2 === 0, col("o_orderdate"))
+          .otherwise(col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("i_stop"),
+        col("o_totalprice").as("v"))
+      val windows = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("win_start"))
+        .withColumn("win_stop", col("win_start") + expr("INTERVAL 60 DAYS"))
+      ResampleInterval(
+        intervals, windows,
+        valueCol = "v", entityCol = Some("o_custkey"),
+        startCol = Some("i_start"), stopCol = Some("i_stop"),
+        attributes = Some(Seq("vsum")),
+        wStartCol = Some("win_start"), wStopCol = Some("win_stop"))
+        .select(col("o_custkey").as("ckey"), col("win_start").as("ws"),
+          r6(col("vsum")).as("vsum"))
+    }
+
+  /** Both sides unbounded above (stopCol = None, wStopCol = None): the
+    * intersection is infinite, the fraction is 1 and every interval of
+    * the entity contributes its full value (resampling.py:563-568).
+    */
+  private val q_resample_interval_unbounded: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val intervals = t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderdate").as("i_start"),
+        col("o_totalprice").as("v"))
+      val windows = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("win_start"))
+      ResampleInterval(
+        intervals, windows,
+        valueCol = "v", entityCol = Some("o_custkey"),
+        startCol = Some("i_start"), stopCol = None,
+        attributes = Some(Seq("vsum")),
+        wStartCol = Some("win_start"), wStopCol = None)
+        .select(col("o_custkey").as("ckey"), col("win_start").as("ws"),
+          r6(col("vsum")).as("vsum"))
+    }
+
+  /** prev/next with group-edge fill values (misc.py:486-496). */
+  private val q_prev_next_fill: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      PrevNextValues(
+        t(s, dir, "orders"),
+        sortBy = Seq("o_orderdate", "o_orderkey"),
+        groupBy = Seq("o_custkey"),
+        columns = Map("o_totalprice" -> PrevNextSpec(
+          prevName = Some("prev_price"), nextName = Some("next_price"),
+          prevFill = Some(lit(-1.0)), nextFill = Some(lit(-1.0)))))
+        .select(
+          col("o_orderkey").as("okey"),
+          col("prev_price"), col("next_price"))
+
   /** events.value with deterministic synthesized nulls (event_id % 5 = 0). */
   private def eventsWithNulls(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").select(
@@ -699,6 +757,9 @@ object SparkEntry {
     "q_resample_eav_more"   -> q_resample_eav_more,
     "q_resample_eav_unbounded" -> q_resample_eav_unbounded,
     "q_resample_interval"   -> q_resample_interval,
+    "q_resample_interval_zero" -> q_resample_interval_zero,
+    "q_resample_interval_unbounded" -> q_resample_interval_unbounded,
+    "q_prev_next_fill"      -> q_prev_next_fill,
     "q_impute_ffill"        -> q_impute_ffill,
     "q_impute_linear"       -> q_impute_linear,
     "q_impute_afill"        -> q_impute_afill,
@@ -959,6 +1020,31 @@ object SparkEntry {
         |    / (EPOCH(i.b) - EPOCH(i.a))), 0.0), 6) + 0.0 AS vsum
         |FROM w LEFT JOIN i ON i.ck = w.ck AND i.a <= w.wt AND w.ws <= i.b
         |GROUP BY 1, 2""".stripMargin,
+    "q_resample_interval_zero" ->
+      """WITH w AS (SELECT o_custkey AS ck, MIN(o_orderdate) AS ws,
+        |             MIN(o_orderdate) + INTERVAL 60 DAY AS wt
+        |           FROM orders GROUP BY 1),
+        |i AS (SELECT o_custkey AS ck, o_orderdate AS a,
+        |        CASE WHEN o_orderkey % 2 = 0 THEN o_orderdate
+        |             ELSE o_orderdate + INTERVAL 30 DAY END AS b,
+        |        o_totalprice AS v FROM orders)
+        |SELECT w.ck AS ckey, w.ws,
+        |  ROUND(COALESCE(SUM(CASE WHEN i.a = i.b THEN i.v
+        |    ELSE i.v * (EPOCH(LEAST(i.b, w.wt)) - EPOCH(GREATEST(i.a, w.ws)))
+        |           / (EPOCH(i.b) - EPOCH(i.a)) END), 0.0), 6) + 0.0 AS vsum
+        |FROM w LEFT JOIN i ON i.ck = w.ck AND i.a <= w.wt AND w.ws <= i.b
+        |GROUP BY 1, 2""".stripMargin,
+    "q_resample_interval_unbounded" ->
+      """WITH w AS (SELECT o_custkey AS ck, MIN(o_orderdate) AS ws FROM orders GROUP BY 1),
+        |s AS (SELECT o_custkey AS ck, SUM(o_totalprice) AS sv FROM orders GROUP BY 1)
+        |SELECT w.ck AS ckey, w.ws, ROUND(COALESCE(s.sv, 0.0), 6) + 0.0 AS vsum
+        |FROM w LEFT JOIN s USING (ck)""".stripMargin,
+    "q_prev_next_fill" ->
+      """SELECT o_orderkey AS okey,
+        |       COALESCE(LAG(o_totalprice) OVER w, -1.0) AS prev_price,
+        |       COALESCE(LEAD(o_totalprice) OVER w, -1.0) AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q_impute_ffill" ->
       s"""WITH $ImputeCte
         |SELECT event_id AS eid,
