@@ -82,7 +82,10 @@ object Factorize {
     val cond = cols.zip(keyCodes.columns.filter(_ != "__graft_code"))
       .map { case (c, k) => col(c) <=> col("__graft_k_" + k) }
       .reduce(_ && _)
-    df.join(broadcast(prefixed), cond, "left")
+    // no explicit broadcast: the code table is key-cardinality-sized —
+    // usually tiny (AQE broadcasts it at runtime), but a forced broadcast
+    // would OOM on high-cardinality keys
+    df.join(prefixed, cond, "left")
       .drop(prefixed.columns.filter(_ != "__graft_code"): _*)
       .withColumnRenamed("__graft_code", codeCol)
   }

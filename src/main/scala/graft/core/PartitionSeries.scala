@@ -26,13 +26,13 @@ object PartitionSeries {
     val sizes = df.groupBy(groupBy.map(col): _*)
       .agg(count(lit(1)).as("__graft_n"))
     // cap each group at the budget so oversized groups consume exactly one
-    // partition (misc.py:683-688 gives them their own partition)
+    // partition (misc.py:683-688 gives them their own partition); the
+    // running sum over group order goes through the two-phase PrefixSum —
+    // a global orderBy window would single-partition the per-group frame
     val capped = least(col("__graft_n"), lit(budget))
-    val cum = sum(capped).over(
-      Window.orderBy(groupBy.map(col): _*)
-        .rowsBetween(Window.unboundedPreceding, 0))
-    sizes
-      .withColumn("partition_id", ((cum - 1L) / budget).cast("long"))
-      .drop("__graft_n")
+    PrefixSum.inclusive(sizes, groupBy.map(col), capped, "__graft_cum")
+      .withColumn("partition_id",
+        ((col("__graft_cum") - 1L) / budget).cast("long"))
+      .drop("__graft_n", "__graft_cum")
   }
 }

@@ -62,17 +62,21 @@ object GroupIntervals {
       clustered.withColumn(outCol, col("__graft_local"))
         .drop("__graft_new", "__graft_local", rid)
     } else {
-      // per-group cluster counts -> global offsets (tiny frame: one row/group)
+      // per-group cluster counts -> global offsets. One row per group, so
+      // the exclusive prefix sum runs through the scalable two-phase
+      // PrefixSum (a global orderBy window would single-partition 1e8
+      // groups), and the join back is left to Catalyst/AQE (an explicit
+      // broadcast of a per-group frame would OOM at scale)
       val counts = clustered.groupBy(gb: _*)
         .agg((max(col("__graft_local")) + 1).as("__graft_n"))
-      val offW = Window.orderBy(groupBy.map(c => col(c).asc_nulls_last): _*)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = counts.withColumn("__graft_off",
-        coalesce(sum(col("__graft_n")).over(offW), lit(0L)))
-        .drop("__graft_n")
+      val offsets = graft.core.PrefixSum.inclusive(
+          counts, groupBy.map(c => col(c).asc_nulls_last), col("__graft_n"),
+          "__graft_cum")
+        .withColumn("__graft_off", col("__graft_cum") - col("__graft_n"))
+        .drop("__graft_n", "__graft_cum")
 
       clustered
-        .join(broadcast(offsets), groupBy, "left")
+        .join(offsets, groupBy, "left")
         .withColumn(outCol, col("__graft_off") + col("__graft_local"))
         .drop("__graft_new", "__graft_local", "__graft_off", rid)
     }
