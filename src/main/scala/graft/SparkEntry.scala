@@ -208,6 +208,26 @@ object SparkEntry {
           col("o_orderdate_first").as("first_id"))
     }
 
+  /** Multiple point columns at once: one (first,last) pair per column
+    * (merging.py:533-535, 555-561).
+    */
+  private val q_containing_multi: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val intervals = orderWindows(s, dir, 15)
+      val points = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("d2"))
+      FindContainingInterval(
+        intervals, points, Seq("o_orderdate", "d2"),
+        on = Seq("o_custkey"),
+        startCol = Some("win_start"), stopCol = Some("win_stop"),
+        intervalIdCol = Some("o_orderkey"))
+        .select(
+          col("o_orderkey").as("okey"),
+          col("o_orderdate_first").as("f1"), col("o_orderdate_last").as("l1"),
+          col("d2_first").as("f2"), col("d2_last").as("l2"))
+    }
+
   private val q_prev_next: (SparkSession, String) => DataFrame =
     (s, dir) =>
       PrevNextValues(
@@ -741,6 +761,7 @@ object SparkEntry {
     "q_asof_forward"        -> q_asof_forward,
     "q_containing"          -> q_containing,
     "q_containing_length"   -> q_containing_length,
+    "q_containing_multi"    -> q_containing_multi,
     "q_prev_next"           -> q_prev_next,
     "q_group_intervals"     -> q_group_intervals,
     "q_combine_union"       -> combineQuery(1, None),
@@ -1080,6 +1101,24 @@ object SparkEntry {
         |        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 DAY)
         |SELECT p.event_id AS eid, j.cts AS click_ts, j.cv AS click_v
         |FROM p LEFT JOIN j ON j.event_id = p.event_id AND j.rn = 1""".stripMargin,
+    "q_containing_multi" ->
+      """WITH a AS (
+        |  SELECT p.o_orderkey AS okey,
+        |         COALESCE(MIN(i.o_orderkey), -1) AS f1,
+        |         COALESCE(MAX(i.o_orderkey), -1) AS l1
+        |  FROM orders p LEFT JOIN orders i ON p.o_custkey = i.o_custkey
+        |    AND p.o_orderdate >= i.o_orderdate
+        |    AND p.o_orderdate <= i.o_orderdate + INTERVAL 15 DAY
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT p.o_orderkey AS okey,
+        |         COALESCE(MIN(i.o_orderkey), -1) AS f2,
+        |         COALESCE(MAX(i.o_orderkey), -1) AS l2
+        |  FROM orders p LEFT JOIN orders i ON p.o_custkey = i.o_custkey
+        |    AND p.o_orderdate + INTERVAL 7 DAY >= i.o_orderdate
+        |    AND p.o_orderdate + INTERVAL 7 DAY <= i.o_orderdate + INTERVAL 15 DAY
+        |  GROUP BY 1)
+        |SELECT a.okey, a.f1, a.l1, b.f2, b.l2 FROM a JOIN b USING (okey)""".stripMargin,
     "q_asof_forward" ->
       """WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
         |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -78,6 +78,29 @@ class BinnedAsOfSpec extends SparkSuite {
     }
   }
 
+  test("IntervalJoin binWidth path ≡ plain plan with open endpoints") {
+    // integer-valued endpoints force frequent boundary touches, where
+    // open/closed semantics actually differ
+    val rnd = new scala.util.Random(31)
+    val mk = (n: Int) => (0 until n).map { i =>
+      val s = rnd.nextInt(20).toDouble
+      (i.toLong, s, s + rnd.nextInt(5).toDouble)
+    }
+    val l = mk(50).toDF("lid", "ls", "le")
+    val r = mk(40).toDF("rid", "rs", "re")
+    for (incS <- Seq(true, false); incE <- Seq(true, false)) {
+      def run(bw: Option[Double]) = IntervalJoin(
+        l, r,
+        leftSpec = IntervalSpec(Some("ls"), Some("le"), incS, incE),
+        rightSpec = IntervalSpec(Some("rs"), Some("re"), incE, incS),
+        keepOrder = false,
+        leftIdCol = Some("lid"), rightIdCol = Some("rid"),
+        binWidth = bw)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(run(Some(3.0)) == run(None), s"incS=$incS incE=$incE")
+    }
+  }
+
   test("binned join emits each overlapping pair exactly once") {
     // long intervals spanning many bins must not duplicate matches
     val l = Seq((1L, 0.0, 100.0)).toDF("lid", "ls", "le")
