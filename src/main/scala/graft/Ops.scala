@@ -98,6 +98,11 @@ object Ops {
       codeCol: String = "code"): DataFrame =
     Factorize(df, cols, sort, codeCol)
 
+  /** `factorize(..., return_count=True)` (misc.py:1140-1143). */
+  def factorizeWithCount(df: DataFrame, cols: Seq[String],
+      sort: Boolean = true, codeCol: String = "code"): (DataFrame, Long) =
+    Factorize.withCount(df, cols, sort, codeCol)
+
   def resampleEav(
       obs: DataFrame, windows: DataFrame, agg: Map[String, Seq[String]],
       timeCol: String, valueCol: String,

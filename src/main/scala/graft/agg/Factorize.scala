@@ -28,6 +28,19 @@ object Factorize {
       codeCol: String = "code"): DataFrame =
     attach(df, cols, codes(Seq(df), cols, sort), codeCol)
 
+  /** `return_count` form (`misc.py:1140-1143`): the coded frame plus the
+    * number of distinct keys (= the code-table size; one count job over
+    * the already-built distinct frame).
+    */
+  def withCount(
+      df: DataFrame,
+      cols: Seq[String],
+      sort: Boolean = true,
+      codeCol: String = "code"): (DataFrame, Long) = {
+    val keyCodes = codes(Seq(df), cols, sort)
+    (attach(df, cols, keyCodes, codeCol), keyCodes.count())
+  }
+
   /** Joint factorization of two frames over parallel column lists:
     * returns both frames with a shared code space.
     */

@@ -207,4 +207,11 @@ class OperatorSpecs extends SparkSuite {
       .orderBy("i").select("code").collect().map(_.getLong(0))
     assert(out.toSeq == Seq(0L, 1L, 0L, 2L)) // b first, then a, then c
   }
+
+  test("factorize: return_count form reports the distinct-key count") {
+    val df = Seq(("b", 0L), ("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "i")
+    val (coded, n) = Factorize.withCount(df, Seq("k"))
+    assert(n == 3L)
+    assert(coded.select("code").distinct().count() == 3L)
+  }
 }
