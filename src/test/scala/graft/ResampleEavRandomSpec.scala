@@ -55,7 +55,8 @@ class ResampleEavRandomSpec extends SparkSuite {
       val wins = genWins(seed + 50, 40)
       val out = ResampleEav(
         obs.toDF("e", "t", "attr", "v"), wins.toDF("e", "ws", "wt"),
-        agg = Map("a" -> Seq("count", "sum", "min", "max", "size", "r0")),
+        agg = Map("a" -> Seq("count", "sum", "min", "max", "size", "r0",
+          "p30", "median")),
         timeCol = "t", valueCol = "v", entityCol = Some("e"),
         attrCol = Some("attr"), wStartCol = Some("ws"), wStopCol = Some("wt"))
         .orderBy(col("ws").asc_nulls_last, col("wt").asc_nulls_last, col("e"))
@@ -80,12 +81,25 @@ class ResampleEavRandomSpec extends SparkSuite {
         assert(row.getAs[Long]("a_size") == inWin.size,
           s"seed=$seed w=$w size")
         assert(row.getAs[Long]("a_count") == vals.size, s"seed=$seed w=$w count")
+        // pandas linear-interpolation percentile oracle
+        def pct(q: Double): Double = {
+          val s = vals.sorted
+          val pos = (s.size - 1) * q
+          val lo = math.floor(pos).toInt
+          val hi = math.ceil(pos).toInt
+          s(lo) + (s(hi) - s(lo)) * (pos - lo)
+        }
         if (vals.nonEmpty) {
           assert(math.abs(row.getAs[Double]("a_sum") - vals.sum) < 1e-9)
           assert(row.getAs[Double]("a_min") == vals.min)
           assert(row.getAs[Double]("a_max") == vals.max)
+          assert(math.abs(row.getAs[Double]("a_p30") - pct(0.3)) < 1e-9,
+            s"seed=$seed w=$w p30")
+          assert(math.abs(row.getAs[Double]("a_median") - pct(0.5)) < 1e-9,
+            s"seed=$seed w=$w median")
         } else {
           assert(row.isNullAt(row.fieldIndex("a_sum")), s"seed=$seed w=$w sum")
+          assert(row.isNullAt(row.fieldIndex("a_p30")), s"seed=$seed w=$w p30")
         }
         // r0: value of the earliest observation (any value incl. null/NaN),
         // ties by stable input order make the value ambiguous only if the
