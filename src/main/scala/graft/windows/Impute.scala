@@ -28,6 +28,13 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, NumericType}
   * `ffill`/`bfill`/`afill` work on any data type (afill midpoints require a
   * numeric or timestamp-like type supporting `+`/`-`/`/2` — enforced by the
   * analyzer); `linear`/`lfill` require numeric columns.
+  *
+  * Scale note: with `groupBy = Nil` the fill is a single global ordered
+  * scan (`Window.partitionBy()` — one partition, inherent to the
+  * semantics: every row may depend on a donor arbitrarily far away).
+  * That is fine for a per-series frame but not for a 100 TB table —
+  * grouped imputation (per entity/series) is the scale path, which is
+  * also the only form the reference exercises.
   */
 object Impute {
 
