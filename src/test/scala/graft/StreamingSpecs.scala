@@ -99,4 +99,16 @@ class StreamingSpecs extends SparkSuite {
     // cum capped: 5, 8, 16, 20 → pids 0, 0, 1, 2
     assert(out == Map(1 -> 0L, 2 -> 0L, 3 -> 1L, 4 -> 2L))
   }
+
+  test("PrefixSum: two-phase running sum ≡ sequential scan on random keys") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 500).map(i => (rnd.nextInt(1000000), i.toLong % 7 + 1))
+      .distinctBy(_._1) // unique keys required by the contract
+    val df = rows.toDF("k", "n").repartition(13)
+    val got = graft.core.PrefixSum.inclusive(df, Seq(col("k")), col("n"), "cum")
+      .orderBy("k").collect().map(r => r.getInt(0) -> r.getLong(2))
+    val want = rows.sortBy(_._1)
+      .scanLeft((0, 0L)) { case ((_, acc), (k, n)) => (k, acc + n) }.drop(1)
+    assert(got.toSeq == want.map { case (k, c) => k -> c })
+  }
 }
