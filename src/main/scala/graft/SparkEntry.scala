@@ -117,6 +117,32 @@ object SparkEntry {
         .select(col("eid"), col("c_ts").as("click_ts"), col("c_v").as("click_v"))
     }
 
+  private def keepQuery(keepMode: String): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val a = orderWindows(s, dir, 30)
+      val b = orderWindows(s, dir, 15)
+      IntervalJoin(
+        a, b,
+        leftSpec  = IntervalSpec.closed("win_start", "win_stop"),
+        rightSpec = IntervalSpec.closed("win_start", "win_stop"),
+        on = Seq("o_custkey"),
+        keep = keepMode,
+        leftIdCol = Some("o_orderkey"), rightIdCol = Some("o_orderkey"),
+        keepOrder = false)
+        .select(
+          col("o_orderkey_x").as("lkey"),
+          col("o_orderkey_y").as("rkey"))
+    }
+
+  /** inner_or_cross_join (misc.py:939-978): no keys ⇒ cross product. */
+  private val q_cross_join: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.joins.InnerOrCrossJoin(
+        t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey")),
+        t(s, dir, "region").select(col("r_regionkey"), col("r_name")),
+        on = Nil)
+        .select(col("n_nationkey").as("nk"), col("r_regionkey").as("rk"))
+
   /** Full-outer interval join with the keep_order row contract: unmatched
     * rows from BOTH sides survive with null partner keys.
     */
@@ -757,6 +783,9 @@ object SparkEntry {
     "q_interval_binned"     -> q_interval_binned,
     "q_interval_outer"      -> q_interval_outer,
     "q_interval_open"       -> q_interval_open,
+    "q_interval_keep_last"  -> keepQuery("last"),
+    "q_interval_keep_both"  -> keepQuery("both"),
+    "q_cross_join"          -> q_cross_join,
     "q_asof"                -> q_asof,
     "q_asof_forward"        -> q_asof_forward,
     "q_containing"          -> q_containing,
@@ -1092,6 +1121,27 @@ object SparkEntry {
         |  ON a.o_orderdate <= b.o_orderdate + INTERVAL 3 DAY
         | AND b.o_orderdate <= a.o_orderdate + INTERVAL 2 DAY
         |WHERE a.o_orderkey % 97 = 0 AND b.o_orderkey % 13 = 0""".stripMargin,
+    "q_interval_keep_last" ->
+      """WITH j AS (
+        |  SELECT a.o_orderkey AS lkey, b.o_orderkey AS rkey,
+        |         ROW_NUMBER() OVER (PARTITION BY a.o_orderkey ORDER BY b.o_orderkey DESC) AS rn
+        |  FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+        |    AND a.o_orderdate <= b.o_orderdate + INTERVAL 15 DAY
+        |    AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY)
+        |SELECT lkey, rkey FROM j WHERE rn = 1""".stripMargin,
+    // keep=both: first AND last match per left row, deduped when equal
+    "q_interval_keep_both" ->
+      """WITH j AS (
+        |  SELECT a.o_orderkey AS lkey, b.o_orderkey AS rkey,
+        |         ROW_NUMBER() OVER (PARTITION BY a.o_orderkey ORDER BY b.o_orderkey) AS ra,
+        |         ROW_NUMBER() OVER (PARTITION BY a.o_orderkey ORDER BY b.o_orderkey DESC) AS rd
+        |  FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+        |    AND a.o_orderdate <= b.o_orderdate + INTERVAL 15 DAY
+        |    AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY)
+        |SELECT DISTINCT lkey, rkey FROM j WHERE ra = 1 OR rd = 1""".stripMargin,
+    "q_cross_join" ->
+      """SELECT n.n_nationkey AS nk, r.r_regionkey AS rk
+        |FROM nation n CROSS JOIN region r""".stripMargin,
     "q_asof" ->
       """WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
         |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
