@@ -1,0 +1,47 @@
+package graft
+
+/** Physical-plan audits over the driver queries at sf0.001 — regression
+  * guards for the plan properties the engine's scale story depends on
+  * (SCALING.md): column-pruned scans with pushed filters, no nested-loop
+  * joins where a keyed/binned plan is intended, and no object-hash
+  * aggregation on the resampling hot path (its sort-based fallback
+  * beyond 128 in-memory groups is a memory cliff).
+  */
+class PlanSpecs extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("interval-contain scan prunes columns and pushes filters") {
+    val p = plan("q_interval_contain")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    // the orders scan must not read columns the query never touches
+    assert(!p.contains("o_totalprice"), "unpruned orders scan")
+    assert(!p.contains("l_quantity"), "unpruned lineitem scan")
+  }
+
+  test("binned baseline joins avoid nested-loop/cartesian execution") {
+    for (q <- Seq("q_bench_contain", "q_bench_overlap")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q degenerated to cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degenerated to BNLJ")
+    }
+  }
+
+  test("resample_eav std family stays out of object-hash aggregation") {
+    // exact percentiles run via sort+row_number interpolation; the
+    // `percentile` TypedImperativeAggregate would appear here as an
+    // ObjectHashAggregate
+    val p = plan("q_resample_eav_std")
+    assert(!p.contains("ObjectHashAggregate"), "percentile fell back to object agg")
+  }
+
+  test("keyless binned join runs as an equi-join on the bin") {
+    val p = plan("q_interval_binned")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
