@@ -768,7 +768,7 @@ object SparkEntry {
         leftSpec  = IntervalSpec.closed("s", "e"),
         rightSpec = IntervalSpec.closed("rs", "re"),
         leftOn = Seq("grp"), rightOn = Seq("grp"),
-        keepOrder = false, binWidth = Some(100.0))
+        keepOrder = false, binWidth = Some(200.0))
         .select(col("grp_x").as("grp"), col("s"), col("rs"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
