@@ -15,6 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object StreamingOps {
 
+  /** Streaming analog of `group_intervals` on point events: per-entity
+    * session windows with inactivity gap `gap` — events closer than the
+    * gap coalesce into one session, exactly single-linkage clustering
+    * with `distance = gap` over degenerate (point) intervals
+    * (`misc.py:125-257`). Spark's `session_window` maintains the merge
+    * state incrementally; the watermark bounds it.
+    *
+    * @return entity, session_start, session_stop, n_events, v_sum
+    */
+  def sessionize(
+      events: DataFrame,
+      timeCol: String,
+      entityCol: String,
+      valueCol: String,
+      gap: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(col(entityCol), session_window(col(timeCol), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("v_sum"))
+      .select(col(entityCol),
+        col("w.start").as("session_start"), col("w.end").as("session_stop"),
+        col("n_events"), col("v_sum"))
+
   /** Streaming fast path of `resample_eav` for REGULAR tumbling/sliding
     * windows (the `window()` bucketing SURVEY.md §2.9 identifies): per
     * (entity, attribute, window) aggregation with a watermark for state

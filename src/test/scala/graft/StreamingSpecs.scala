@@ -43,6 +43,36 @@ class StreamingSpecs extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize: gap-based session windows per entity") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val stream = input.toDF().toDF("ts", "entity", "v")
+
+    val out = StreamingOps.sessionize(
+      stream, "ts", "entity", "v", gap = "10 minutes", watermark = "1 hour")
+    // session windows only support append mode: sessions emit once the
+    // watermark passes their end, so a late marker event flushes them
+    val q = out.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L, 1.0),
+        (ts("2024-01-01 00:05:00"), 1L, 2.0),  // merges (gap < 10m)
+        (ts("2024-01-01 00:30:00"), 1L, 4.0),  // new session
+        (ts("2024-01-01 00:00:00"), 2L, 8.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 02:00:00"), 3L, 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess_stream")
+        .orderBy("entity", "session_start").collect()
+      val s1 = rows.filter(_.getLong(0) == 1L)
+      assert(s1.length == 2)
+      assert(s1(0).getAs[Long]("n_events") == 2L)
+      assert(s1(0).getAs[Double]("v_sum") == 3.0)
+      assert(s1(1).getAs[Double]("v_sum") == 4.0)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
