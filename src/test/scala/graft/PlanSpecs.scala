@@ -44,4 +44,11 @@ class PlanSpecs extends SparkSuite {
     val p = plan("q_interval_binned")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("driver contract: every query has an oracle and every oracle a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${(o -- q).toSeq.sorted}")
+    assert(q.subsetOf(o), s"queries without oracles: ${(q -- o).toSeq.sorted}")
+  }
 }
