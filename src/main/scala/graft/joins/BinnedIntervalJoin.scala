@@ -98,7 +98,10 @@ object BinnedIntervalJoin {
     // equi-join on (keys, bin); true overlap check; count each pair
     // exactly once — in the bin holding the overlap's start point
     val anchor = binOf(greatest(col(lStart), col(rName(rStart))), dt, width)
-    val keyConds = on.map(k => col(k) === col(rName(k)))
+    // <=> (null-safe), matching keyed IntervalJoin: rows with null keys
+    // match each other there, so they must here too (the bin-explosion
+    // equi-conjuncts are never null — endpoints are validity-filtered)
+    val keyConds = on.map(k => col(k) <=> col(rName(k)))
     lBinned.join(rBinned,
         (keyConds :+
           (col("__graft_bin") === col("__graft_rbin")) :+

@@ -49,7 +49,10 @@ object IntervalJoin {
     * @param keepOrder  sort result by original row order (global sort!)
     * @param suffixes   suffixes for overlapping column names (left, right)
     * @param leftIdCol  existing column defining `left`'s original row order;
-    *                   generated (partition-major) when None
+    *                   MUST be unique per row (the binned non-inner path
+    *                   completes unmatched rows by anti-joining on it —
+    *                   duplicate ids would drop unmatched twins); generated
+    *                   (partition-major) when None
     * @param rightIdCol same for `right`
     * @param returnIndexers return just the (left id, right id) pairs with
     *                   −1 for missing, like `merging.py:106-115`
@@ -174,12 +177,25 @@ object IntervalJoin {
         def bin(c: Column) = BinnedIntervalJoin.binOf(c, dt, width)
         val lBin = "__graft_bin"
         val rBin = "__graft_rbin"
+        // The left/right completion below re-references the id-stamped
+        // frame a second time (matched subtree + anti-join). Generated ids
+        // come from monotonically_increasing_id(), a nondeterministic
+        // expression: off a non-stable scan (repartition/sample upstream)
+        // the two evaluations could assign DIFFERENT ids and silently drop
+        // or duplicate unmatched rows. Pin the frame with a lazy
+        // localCheckpoint so both subtrees read the same materialized
+        // partitions; skipped when the caller supplies a (unique) id
+        // column, which is deterministic by construction.
+        val lSrc = if ((how == "left" || how == "outer") && leftIdCol.isEmpty)
+          l0.localCheckpoint(false) else l0
+        val rSrc = if ((how == "right" || how == "outer") && rightIdCol.isEmpty)
+          rRenamed.localCheckpoint(false) else rRenamed
         // only valid (non-empty, non-NaN) intervals are exploded — an
         // invalid endpoint would make sequence() blow up or mis-bin
-        val lB = lValid.filter(lValidExpr).withColumn(lBin,
+        val lB = lSrc.filter(lValidExpr).withColumn(lBin,
           explode(sequence(bin(col(leftSpec.start.get)),
             bin(col(leftSpec.stop.get)))))
-        val rB = rJoinSide.filter(rValidExpr).withColumn(rBin,
+        val rB = rSrc.filter(rValidExpr).withColumn(rBin,
           explode(sequence(bin(rCol(rightSpec.start.get)),
             bin(rCol(rightSpec.stop.get)))))
         // each matching pair is counted exactly once: in the bin holding
@@ -197,13 +213,13 @@ object IntervalJoin {
         val withLeft =
           if (how == "left" || how == "outer")
             matched.unionByName(
-              l0.join(matched.select(lid).distinct(), Seq(LeftId), "left_anti")
-                .select(l0.columns.map(col) ++ nullsFor(rJoinSide): _*))
+              lSrc.join(matched.select(lid).distinct(), Seq(LeftId), "left_anti")
+                .select(lSrc.columns.map(col) ++ nullsFor(rSrc): _*))
           else matched
         if (how == "right" || how == "outer")
           withLeft.unionByName(
-            rRenamed.join(matched.select(rid).distinct(), Seq(RightId), "left_anti")
-              .select(nullsFor(l0) ++ rRenamed.columns.map(col): _*))
+            rSrc.join(matched.select(rid).distinct(), Seq(RightId), "left_anti")
+              .select(nullsFor(lSrc) ++ rSrc.columns.map(col): _*))
         else withLeft
     }
 

@@ -93,8 +93,12 @@ object LshAnn {
     * bit-identically — no 64-bit wrap-around semantics to match.
     */
   private[similarity] def hcomp(t: Int, i: Int, d: Int): Double = {
-    val m = ((t + 1) * 7919 + (i + 1) * 104729 + (d + 1) * 1299709) % 1000003
-    (m % 2001) / 1000.0 - 1.0
+    // mixed in Long: the Int version overflowed once (d+1)*1299709
+    // passed Int.MaxValue (dimension ≈ 1650), flipping the Java % sign
+    // and breaking the 64-bit BIGINT SQL oracle at real embedding dims
+    val m = ((t + 1).toLong * 7919L + (i + 1).toLong * 104729L +
+      (d + 1).toLong * 1299709L) % 1000003L
+    (m % 2001L) / 1000.0 - 1.0
   }
 
   /** Signature of vector column `v` (dimension `dim`) for table `t`: bit i

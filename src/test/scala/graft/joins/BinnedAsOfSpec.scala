@@ -145,6 +145,56 @@ class BinnedAsOfSpec extends SparkSuite {
     assert(fwdTol(1L).isEmpty)         // nothing in [10, 11]
   }
 
+  test("binned completion is exact with generated ids off repartitioned inputs") {
+    // ADVICE r2 regression: with leftIdCol/rightIdCol = None the non-inner
+    // completion used to re-evaluate monotonically_increasing_id() in two
+    // subtrees (matched + anti-join); off a non-stable child the ids can
+    // disagree and drop/duplicate unmatched rows. The localCheckpoint pin
+    // must keep the binned plan ≡ the plain plan.
+    val rnd = new scala.util.Random(31)
+    val mk = (n: Int, maxLen: Double) => (0 until n).map { i =>
+      val s = rnd.nextDouble() * 50
+      (i.toLong, rnd.nextInt(3), s, s + rnd.nextDouble() * maxLen)
+    }
+    val l = mk(60, 4.0).toDF("lid", "g", "ls", "le").repartition(7)
+    val r = mk(45, 8.0).toDF("rid", "g", "rs", "re").repartition(5)
+    for (how <- Seq("left", "right", "outer")) {
+      def run(bw: Option[Double]) = IntervalJoin(
+        l, r,
+        leftSpec = IntervalSpec.closed("ls", "le"),
+        rightSpec = IntervalSpec.closed("rs", "re"),
+        on = Seq("g"), how = how, keepOrder = false,
+        binWidth = bw)
+        .select(col("lid"), col("rid"))
+        .collect()
+        .map(row => (Option(row.get(0)), Option(row.get(1))))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(run(Some(4.0)) == run(None), s"how=$how")
+    }
+  }
+
+  test("binned join with null equality keys matches keyed IntervalJoin (<=>)") {
+    // ADVICE r2 regression: BinnedIntervalJoin used ===, so null keys never
+    // matched; keyed IntervalJoin joins with <=> where they match each other.
+    val l = Seq((1L, Integer.valueOf(1), 0.0, 5.0),
+      (2L, null.asInstanceOf[Integer], 0.0, 5.0))
+      .toDF("lid", "g", "ls", "le")
+    val r = Seq((10L, Integer.valueOf(1), 1.0, 2.0),
+      (11L, null.asInstanceOf[Integer], 1.0, 2.0))
+      .toDF("rid", "g", "rs", "re")
+    val got = BinnedIntervalJoin(l, r, "ls", "le", "rs", "re",
+      binWidth = 2.0, on = Seq("g"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val want = IntervalJoin(
+      l, r,
+      leftSpec = IntervalSpec.closed("ls", "le"),
+      rightSpec = IntervalSpec.closed("rs", "re"),
+      on = Seq("g"), keepOrder = false)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got == Set((1L, 10L), (2L, 11L)))
+  }
+
   test("as-of join: exact time match included, ties take last occurrence") {
     val left = Seq((1L, 5.0)).toDF("lid", "t")
     val right = Seq((10L, 5.0, 1.0), (11L, 5.0, 2.0)).toDF("rid", "rt", "v")
