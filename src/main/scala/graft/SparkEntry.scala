@@ -7,10 +7,10 @@ import graft.agg.{Factorize, GroupedMode}
 import graft.core.{IntervalSpec, Tables}
 import graft.dedup.{ExactDedup, MinHashDedup, NgramJaccardDedup, SimHashDedup}
 import graft.intervals.{CombineIntervals, GroupIntervals}
-import graft.joins.{AsOfJoin, BinnedIntervalJoin, FindContainingInterval, IntervalJoin}
+import graft.joins.{AsOfJoin, BinnedIntervalJoin, FindContainingInterval, IntervalJoin, SaltedJoin}
 import graft.multimodal.Media
 import graft.resample.{MakeWindows, ResampleEav, ResampleInterval}
-import graft.similarity.{CosineTopK, EmbeddingDedup, LshAnn}
+import graft.similarity.{CosineTopK, EmbeddingDedup, IvfAnn, LshAnn}
 import graft.text.{Fingerprint, LangId, TextStats}
 import graft.windows.{Impute, PrevNextSpec, PrevNextValues}
 
@@ -679,6 +679,27 @@ object SparkEntry {
       LshAnn.nearDupPairs(emb(s, dir), "vec_id", "embedding",
         numBits = 6, numTables = 8, threshold = 0.3)
 
+  private val q_ann_ivf: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = emb(s, dir)
+      IvfAnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    }
+
+  private val q_salted_join: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      // maximal skew: 3 l_returnflag values over the whole lineitem table —
+      // the shape where a plain shuffle join leaves 29 of 32 reducers idle
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      val flagStats = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("flag_rows"))
+      SaltedJoin(li, flagStats, on = Seq("l_returnflag"), salts = 32)
+        .select(col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+          col("l_returnflag").as("flag"), col("flag_rows"))
+    }
+
   private val q_text_stats: (SparkSession, String) => DataFrame =
     (s, dir) =>
       TextStats(docs(s, dir), "text")
@@ -823,6 +844,8 @@ object SparkEntry {
     "q_dedup_embcos"        -> q_dedup_embcos,
     "q_ann_topk"            -> q_ann_topk,
     "q_ann_lsh"             -> q_ann_lsh,
+    "q_ann_ivf"             -> q_ann_ivf,
+    "q_salted_join"         -> q_salted_join,
     "q_text_stats"          -> q_text_stats,
     "q_langid"              -> q_langid,
     "q_text_fingerprint"    -> q_text_fingerprint,
@@ -1265,6 +1288,36 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
         |SELECT qid AS query_id, nid AS neighbor_id, cos AS cosine, rn AS rank
         |FROM r WHERE rn <= 5""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH cent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+        |              FROM embeddings WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+        |               c.cell) AS rn
+        |  FROM embeddings e CROSS JOIN cent c),
+        |corp AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1),
+        |qp AS (
+        |  SELECT e.vec_id AS qid, e.embedding AS qv, c.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+        |               c.cell) AS rn
+        |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10),
+        |pr AS (SELECT qid, qv, cell FROM qp WHERE rn <= 4),
+        |s AS (SELECT pr.qid, corp.vec_id AS nid,
+        |        list_cosine_similarity(pr.qv::DOUBLE[], corp.embedding::DOUBLE[]) AS cos
+        |      FROM pr JOIN corp ON pr.cell = corp.cell AND corp.vec_id <> pr.qid),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, nid) AS rn FROM s)
+        |SELECT qid AS query_id, nid AS neighbor_id, cos AS cosine, rn AS rank
+        |FROM r WHERE rn <= 5""".stripMargin,
+    "q_salted_join" ->
+      """WITH f AS (SELECT l_returnflag, count(*) AS flag_rows
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l.l_orderkey AS okey, l.l_linenumber AS lnum,
+        |       l.l_returnflag AS flag, f.flag_rows
+        |FROM lineitem l JOIN f USING (l_returnflag)""".stripMargin,
     "q_text_stats" ->
       s"""WITH d AS (SELECT doc_id, text, $ToksExpr AS tk FROM documents)
         |SELECT doc_id, len(tk) AS n_tokens,

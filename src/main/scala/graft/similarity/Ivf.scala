@@ -1,0 +1,119 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the classic
+  * cell-probe scale path complementing [[LshAnn]] (hyperplane LSH) and
+  * [[CosineTopK]] (exact brute force).
+  *
+  * A coarse quantizer of `nlist` centroids partitions the corpus into
+  * cells ("inverted lists"): each corpus vector is assigned to its
+  * highest-cosine centroid ONCE, map-side, no shuffle. A query probes the
+  * `nprobe` nearest cells and scores only those candidates exactly —
+  * cost drops from O(|Q|·|C|) to ~O(|Q|·|C|·nprobe/nlist).
+  *
+  * Scale design (100 TB posture):
+  *   - centroids are a driver-side literal array (nlist × dim doubles —
+  *     a few MB for any sane nlist), shipped inside the codegen'd cell
+  *     expression; assignment is embarrassingly parallel;
+  *   - the corpus is NEVER shuffled: the probe side (queries × nprobe
+  *     cell ids) broadcasts, and the cell-equality join prunes
+  *     (1 − nprobe/nlist) of each corpus partition at probe time;
+  *   - for query sets too large to broadcast, repartition BOTH sides by
+  *     `cell` — that co-located layout IS the inverted-file index, and
+  *     writing the corpus bucketed by cell amortizes it across query
+  *     batches;
+  *   - `fit` here picks deterministic seed centroids (first `nlist` rows
+  *     by id — reproducible in any engine, which the differential oracle
+  *     needs). Real deployments train k-means on a sample and pass the
+  *     trained centroids to [[IvfAnn.Model]] directly; every downstream
+  *     step is identical.
+  */
+object IvfAnn {
+
+  /** Coarse quantizer: `centroids(i)` is cell `i`'s centroid. */
+  case class Model(centroids: Seq[Seq[Double]]) {
+    require(centroids.nonEmpty, "need at least one centroid")
+
+    /** Per-cell struct(cosine, -cell) — array_max/array_sort over these
+      * ranks cells by cosine descending, ties to the SMALLEST cell id.
+      */
+    private[similarity] def scored(v: Column): Column =
+      array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(VectorOps.cosine(v, typedLit(c)).as("cos"),
+          lit(-i).as("negCell"))
+      }: _*)
+
+    /** Cell id (int) of vector `v`: argmax-cosine centroid. */
+    def cell(v: Column): Column =
+      -array_max(scored(v)).getField("negCell")
+
+    /** The `nprobe` nearest cell ids of `v`, best first. */
+    def probes(v: Column, nprobe: Int): Column =
+      transform(
+        // ascending (cos, negCell) reversed = cos desc, cell asc on ties
+        slice(reverse(array_sort(scored(v))), 1, nprobe),
+        s => -s.getField("negCell"))
+  }
+
+  /** Deterministic seed quantizer: centroids = the `nlist` corpus vectors
+    * with the smallest ids. Reproducible everywhere (no RNG, no
+    * iteration order); swap in k-means-trained centroids for recall.
+    */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int): Model =
+    Model(corpus
+      .orderBy(col(idCol))
+      .limit(nlist)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq)
+
+  /** Top-k cosine neighbors per query among the probed cells.
+    *
+    * @param corpus  (idCol, vecCol)
+    * @param queries (idCol, vecCol) — small; broadcast with its probes
+    * @return (query_id, neighbor_id, cosine, rank) — rank 1..k by
+    *         descending cosine, ties by neighbor id ascending (the same
+    *         contract as [[CosineTopK]]; approximate — neighbors outside
+    *         the probed cells are missed)
+    */
+  def search(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      model: Model,
+      nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      model.cell(col(vecCol)).as("cell"))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(model.probes(col(vecCol), nprobe)).as("cell")))
+    val scored = c.join(q,
+        c("cell") === q("cell") &&
+          (if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Convenience: fit + search in one call. */
+  def apply(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame =
+    search(corpus, queries, idCol, vecCol, k,
+      fit(corpus, idCol, vecCol, nlist), nprobe, excludeSelf)
+}

@@ -2,7 +2,8 @@ package graft
 
 import graft.dedup.{ExactDedup, MinHashDedup, NgramJaccardDedup, SimHashDedup}
 import graft.multimodal.{Media, MediaRow}
-import graft.similarity.{CosineTopK, EmbeddingDedup, VectorOps}
+import graft.joins.SaltedJoin
+import graft.similarity.{CosineTopK, EmbeddingDedup, IvfAnn, VectorOps}
 import graft.text.{Fingerprint, LangId, Shingles, TextStats}
 import org.apache.spark.sql.functions._
 
@@ -74,6 +75,69 @@ class PipelineSpecs extends SparkSuite {
     assert(math.abs(out(0).getAs[Double]("cosine") - math.sqrt(0.5)) < 1e-12)
     assert(out(1).getAs[Double]("cosine") == 0.0)
     assert(out(2).getAs[Double]("cosine") == -1.0)
+  }
+
+  test("ivf ann: full probe ≡ brute force; partial probe subsets it") {
+    // random but reproducible corpus: 80 vectors in 6 dims
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 80L).map { i =>
+      (i, Array.fill(6)(rnd.nextDouble() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 5)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // nprobe = nlist probes every cell → candidates = whole corpus → the
+    // result must equal exact brute force, bit for bit
+    val full = rows(IvfAnn(vecs, queries, "vec_id", "embedding",
+      k = 4, nlist = 8, nprobe = 8))
+    val brute = rows(CosineTopK(vecs, queries, "vec_id", "embedding", k = 4))
+    assert(full == brute)
+
+    // partial probe: per query ≤ k results, all drawn from the brute-force
+    // scoring (approximate = may miss neighbors, never invents pairs)
+    val part = IvfAnn(vecs, queries, "vec_id", "embedding",
+      k = 4, nlist = 8, nprobe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(part.groupBy(_._1).values.forall(_.length <= 4))
+    assert(part.toSet.subsetOf(
+      rows(CosineTopK(vecs, queries, "vec_id", "embedding", k = 80))
+        .map(t => (t._1, t._2))))
+
+    // the model assigns every vector to exactly one deterministic cell
+    val m = IvfAnn.fit(vecs, "vec_id", "embedding", nlist = 8)
+    val cells = vecs.select(m.cell(col("embedding").cast("array<double>")))
+      .as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 8))
+  }
+
+  test("salted join ≡ plain join (inner/left, null keys, hot keys)") {
+    val rnd = new scala.util.Random(41)
+    val big = (0 until 500).map { i =>
+      // 90% of rows share key 0 — the skew shape salting exists for
+      val k: java.lang.Integer =
+        if (i % 20 == 19) null
+        else if (rnd.nextInt(10) > 0) Integer.valueOf(0)
+        else Integer.valueOf(rnd.nextInt(5))
+      (i.toLong, k, rnd.nextInt(100))
+    }.toDF("row_id", "k", "payload")
+    val small = Seq(
+      (Integer.valueOf(0), "hot"), (Integer.valueOf(1), "one"),
+      (Integer.valueOf(3), "three"), (null.asInstanceOf[Integer], "nullrow"))
+      .toDF("k", "name")
+
+    for (how <- Seq("inner", "left")) {
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("row_id", "k", "payload", "name").collect()
+          .map(r => (r.getLong(0), Option(r.get(1)), r.getInt(2),
+            Option(r.get(3)))).groupBy(identity).view.mapValues(_.length).toMap
+      val salted = canon(SaltedJoin(big, small, Seq("k"), salts = 7, how = how))
+      val plain  = canon(big.join(small, Seq("k"), how))
+      assert(salted == plain, s"how=$how")
+    }
   }
 
   test("embedding dedup: within-block pairs above threshold") {
