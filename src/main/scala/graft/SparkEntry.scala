@@ -162,6 +162,24 @@ object SparkEntry {
           col("o_orderkey_y").as("rkey"))
     }
 
+  /** `return_indexers` form (`merging.py:106-115`): just the matched
+    * (left id, right id) pairs, −1 for the missing side of outer rows.
+    */
+  private val q_interval_indexers: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val a = orderWindows(s, dir, 30).filter(col("o_orderkey") % 3 === 0)
+      val b = orderWindows(s, dir, 15).filter(col("o_orderkey") % 3 === 1)
+      IntervalJoin(
+        a, b,
+        leftSpec  = IntervalSpec.closed("win_start", "win_stop"),
+        rightSpec = IntervalSpec.closed("win_start", "win_stop"),
+        on = Seq("o_custkey"),
+        how = "outer",
+        keepOrder = false,
+        leftIdCol = Some("o_orderkey"), rightIdCol = Some("o_orderkey"),
+        returnIndexers = true)
+    }
+
   /** Open-endpoint containment: points strictly inside (start, stop). */
   private val q_interval_open: (SparkSession, String) => DataFrame =
     (s, dir) => {
@@ -803,6 +821,7 @@ object SparkEntry {
     "q_interval_keep_first" -> q_interval_keep_first,
     "q_interval_binned"     -> q_interval_binned,
     "q_interval_outer"      -> q_interval_outer,
+    "q_interval_indexers"   -> q_interval_indexers,
     "q_interval_open"       -> q_interval_open,
     "q_interval_keep_last"  -> keepQuery("last"),
     "q_interval_keep_both"  -> keepQuery("both"),
@@ -1008,6 +1027,17 @@ object SparkEntry {
         |        o_orderdate + INTERVAL 15 DAY AS e
         |      FROM orders WHERE o_orderkey % 3 = 1)
         |SELECT a.o_orderkey AS lkey, b.o_orderkey AS rkey
+        |FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+        |  AND a.s <= b.e AND b.s <= a.e""".stripMargin,
+    "q_interval_indexers" ->
+      """WITH a AS (SELECT o_orderkey, o_custkey, o_orderdate AS s,
+        |             o_orderdate + INTERVAL 30 DAY AS e
+        |           FROM orders WHERE o_orderkey % 3 = 0),
+        |b AS (SELECT o_orderkey, o_custkey, o_orderdate AS s,
+        |        o_orderdate + INTERVAL 15 DAY AS e
+        |      FROM orders WHERE o_orderkey % 3 = 1)
+        |SELECT coalesce(a.o_orderkey, -1) AS left_idx,
+        |       coalesce(b.o_orderkey, -1) AS right_idx
         |FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
         |  AND a.s <= b.e AND b.s <= a.e""".stripMargin,
     "q_interval_open" ->

@@ -45,6 +45,21 @@ class PlanSpecs extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("ivf search never shuffles the corpus and prunes the top-k window") {
+    val p = plan("q_ann_ivf")
+    // probe side broadcast; the only Exchange feeding the join is the
+    // explicit small-file repartition in emb()
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "corpus got shuffled for the join")
+    // rank <= k must push into the window sort (WindowGroupLimit)
+    assert(p.contains("WindowGroupLimit"), "top-k filter not pushed into window")
+  }
+
+  test("salted join is an equi-join (no cartesian), salt on the stream side") {
+    val p = plan("q_salted_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("driver contract: every query has an oracle and every oracle a query") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
