@@ -95,6 +95,87 @@ object StreamingOps {
     df.withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming as-of join against a STATIC right side — the incremental
+    * analog of [[graft.joins.AsOfJoin]] for slowly-changing reference
+    * data (latest price, config version, model checkpoint at event time).
+    *
+    * A stream-side "latest right row ≤ t" needs per-row aggregation in
+    * general, which streaming joins cannot express. But with a static
+    * right side the aggregation moves ENTIRELY to the static side: each
+    * right row is valid on `[rt, next_rt)` per key (backward; `(prev_rt,
+    * rt]` forward), computed once per micro-batch with a batch window
+    * function, and the as-of lookup becomes a stream-static point-in-
+    * interval join — one output row per event, no stream state beyond the
+    * join itself, append-mode friendly.
+    *
+    * Tie semantics: right rows with identical (keys, time) collapse to
+    * one row — the greatest tuple of the remaining columns (original row
+    * order is meaningless on an unordered static frame, and row-id
+    * expressions are rejected inside streaming plans; the batch operator
+    * orders ties by generated row id instead).
+    *
+    * @param direction "backward" (latest right at-or-before the event) or
+    *                  "forward" (earliest right at-or-after)
+    * @param tolerance max |event time − right time|; None = unbounded
+    * @return left stream columns + right columns (right time column kept),
+    *         unmatched events carry nulls (left join)
+    */
+  def asOfStatic(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      on: Seq[String] = Nil,
+      direction: String = "backward",
+      tolerance: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(Seq("backward", "forward").contains(direction), s"direction=$direction")
+    val iPrefix = "__graft_a_"
+    val rPre = right.columns.foldLeft(right)(
+      (d, c) => d.withColumnRenamed(c, iPrefix + c))
+    val rt = col(iPrefix + rightTime)
+    val keyCols = on.map(k => col(iPrefix + k))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy(rt)
+    // ties: one row per (keys, rt), picked by greatest remaining tuple
+    val restDesc = rPre.columns
+      .filterNot(c => (on.map(iPrefix + _) :+ (iPrefix + rightTime)).contains(c))
+      .map(col(_).desc)
+    val dedupW = org.apache.spark.sql.expressions.Window
+      .partitionBy((keyCols :+ rt): _*)
+      .orderBy((if (restDesc.isEmpty) Seq(lit(1).asc) else restDesc.toSeq): _*)
+    val bound = "__graft_a_bound"
+    val rIv = rPre
+      .withColumn("__graft_a_keep", row_number().over(dedupW) === 1)
+      .filter(col("__graft_a_keep"))
+      .withColumn(bound,
+        if (direction == "backward") lead(rt, 1).over(w)
+        else lag(rt, 1).over(w))
+      .drop("__graft_a_keep")
+    val lt = col(leftTime)
+    val validity =
+      if (direction == "backward")
+        rt <= lt && (col(bound).isNull || lt < col(bound))
+      else
+        lt <= rt && (col(bound).isNull || col(bound) < lt)
+    val tolCond = tolerance.map { t =>
+      if (direction == "backward") rt >= lt - t else rt <= lt + t
+    }.getOrElse(lit(true))
+    val keyCond = on.map(k => col(k) === col(iPrefix + k))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val joined = left.join(broadcast(rIv), keyCond && validity && tolCond, "left")
+      .drop(bound)
+      // key columns duplicate the left side's — drop; other right columns
+      // get their names back, suffixed `_r` on collision (e.g. same time
+      // column name on both sides)
+      .drop(on.map(iPrefix + _): _*)
+    rPre.columns.filterNot(c => on.contains(c.stripPrefix(iPrefix)))
+      .foldLeft(joined) { (d, c) =>
+        val base = c.stripPrefix(iPrefix)
+        d.withColumnRenamed(c,
+          if (left.columns.contains(base)) base + "_r" else base)
+      }
+  }
+
   /** Streaming interval-containment enrichment: join a stream of points
     * against a STATIC intervals table (broadcast dimension) — the
     * streaming analog of `find_containing_interval` for slowly-changing

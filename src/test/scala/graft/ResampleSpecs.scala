@@ -87,6 +87,35 @@ class ResampleSpecs extends SparkSuite {
     assert(r1.isNullAt(r1.fieldIndex("a_skew")))
   }
 
+  test("resample_eav: approx opt-in matches exact at small cardinality") {
+    // approx_percentile (GK sketch) and approx_count_distinct (HLL) are
+    // EXACT below their sketch resolution — at this size the opt-in must
+    // reproduce the exact results while keeping sketch-mergeable partials
+    val exact = ResampleEav(
+      obs, wins,
+      agg = Map("a" -> Seq("p50", "count"), "b" -> Seq("nunique")),
+      timeCol = "t", valueCol = "v", entityCol = Some("e"),
+      attrCol = Some("attr"), wStartCol = Some("ws"), wStopCol = Some("wt"))
+      .orderBy("e", "ws").collect()
+    val approx = ResampleEav(
+      obs, wins,
+      agg = Map("a" -> Seq("p50", "count"), "b" -> Seq("nunique")),
+      timeCol = "t", valueCol = "v", entityCol = Some("e"),
+      attrCol = Some("attr"), wStartCol = Some("ws"), wStopCol = Some("wt"),
+      approx = true)
+      .orderBy("e", "ws").collect()
+    assert(exact.length == approx.length)
+    for ((e, a) <- exact.zip(approx)) {
+      assert(a.getAs[Long]("a_count") == e.getAs[Long]("a_count"))
+      assert(a.getAs[Long]("b_nunique") == e.getAs[Long]("b_nunique"))
+      // GK picks an observed value within the rank tolerance; with 3
+      // points p50 is the middle observation in both modes
+      if (!e.isNullAt(e.fieldIndex("a_p50")))
+        assert(a.getAs[Double]("a_p50") == e.getAs[Double]("a_p50"))
+      else assert(a.isNullAt(a.fieldIndex("a_p50")))
+    }
+  }
+
   test("resample_eav: rank aggs rXX/tXX incl. negative and out-of-range") {
     val out = ResampleEav(
       obs, wins,

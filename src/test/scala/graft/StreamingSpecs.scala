@@ -120,6 +120,42 @@ class StreamingSpecs extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of against a static side ≡ batch AsOfJoin") {
+    implicit val sqlCtx = spark.sqlContext
+    // static reference data: per-key (time, value) ticks
+    // rt unique per key: batch as-of tie order on duplicate (k, rt) rows
+    // is itself sort-order-dependent, which a differential spec can't pin
+    val rnd = new scala.util.Random(53)
+    val rightRows = (0 until 40).map { i => (i % 4, i.toDouble, s"v$i") }
+    val right = rightRows.toDF("k", "rt", "name")
+    val leftRows = (0 until 60).map { i => (i.toLong, i % 4, rnd.nextInt(50).toDouble - 3) }
+
+    for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(5.0))) {
+      val input = MemoryStream[(Long, Int, Double)]
+      val stream = input.toDF().toDF("lid", "k", "t")
+      val out = StreamingOps.asOfStatic(
+        stream, right, "t", "rt", on = Seq("k"),
+        direction = dir, tolerance = tol.map(lit))
+      val qn = s"asof_${dir}_${tol.isDefined}"
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        input.addData(leftRows: _*)
+        q.processAllAvailable()
+        val got = spark.table(qn)
+          .select(col("lid"), col("name")).collect()
+          .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+        val want = graft.joins.AsOfJoin(
+          leftRows.toDF("lid", "k", "t"), right, "t", "rt",
+          on = Seq("k"), direction = dir, tolerance = tol.map(lit))
+          .select(col("lid"), col("name")).collect()
+          .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+        assert(got == want, s"dir=$dir tol=$tol")
+        assert(got.size == leftRows.size)
+      } finally q.stop()
+    }
+  }
+
   test("partition_series: greedy packing under budget, oversized groups isolated") {
     val df = (Seq.fill(5)(1) ++ Seq.fill(3)(2) ++ Seq.fill(12)(3) ++ Seq.fill(4)(4))
       .map(g => (g, 0)).toDF("g", "x")
