@@ -56,6 +56,15 @@ object IntervalJoin {
     * @param rightIdCol same for `right`
     * @param returnIndexers return just the (left id, right id) pairs with
     *                   −1 for missing, like `merging.py:106-115`
+    * @param nullSafeKeys join equality keys with `<=>` so null keys match
+    *                   each other (default, the engine-wide convention).
+    *                   Set false when keys are known non-null: Catalyst
+    *                   rewrites `<=>` into (coalesce(k), isnull(k)) hash
+    *                   keys, which can never line up with a bucketed /
+    *                   pre-partitioned layout on k — the planner then
+    *                   DISABLES bucket co-location and shuffles both
+    *                   sides, while plain `===` reuses the on-disk
+    *                   partitioning with no Exchange
     * @param binWidth   opt-in binned execution (SURVEY.md §4): both sides
     *                   are exploded to the integer bins their intervals
     *                   touch and the join runs on (keys, bin) instead of
@@ -89,6 +98,7 @@ object IntervalJoin {
       leftIdCol: Option[String] = None,
       rightIdCol: Option[String] = None,
       returnIndexers: Boolean = false,
+      nullSafeKeys: Boolean = true,
       binWidth: Option[Double] = None): DataFrame = {
 
     require(Seq("inner", "left", "right", "outer").contains(how), s"how=$how")
@@ -137,7 +147,9 @@ object IntervalJoin {
 
     // ── join condition ──────────────────────────────────────────────────
     val keyCond: Seq[Column] =
-      lKeys.zip(rKeys).map { case (lk, rk) => col(lk) <=> rCol(rk) }
+      lKeys.zip(rKeys).map { case (lk, rk) =>
+        if (nullSafeKeys) col(lk) <=> rCol(rk) else col(lk) === rCol(rk)
+      }
 
     val rangeCond: Column =
       if (leftSpec.isPoint && rightSpec.isPoint)

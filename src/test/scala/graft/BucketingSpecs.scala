@@ -1,0 +1,78 @@
+package graft
+
+import graft.core.IntervalSpec
+import graft.joins.IntervalJoin
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located execution — the storage-layout half of the 100 TB
+  * story (SCALING.md §Joins): when both sides of a repeated equi-key join
+  * are written bucketed (and sorted) by the key, Spark reuses the on-disk
+  * hash partitioning and the join runs with NO Exchange — the shuffle is
+  * paid once at write time and amortized over every subsequent join,
+  * which is exactly the posture for a reference table joined by every
+  * pipeline run.
+  */
+class BucketingSpecs extends SparkSuite {
+  import spark.implicits._
+
+  test("bucketed-by-key interval join plans without a shuffle") {
+    val rnd = new scala.util.Random(61)
+    val l = (0 until 400).map { i =>
+      val s = rnd.nextDouble() * 100
+      (i.toLong, rnd.nextInt(40), s, s + rnd.nextDouble() * 5)
+    }.toDF("lid", "g", "ls", "le")
+    val r = (0 until 300).map { i =>
+      val s = rnd.nextDouble() * 100
+      (i.toLong, rnd.nextInt(40), s, s + rnd.nextDouble() * 9)
+    }.toDF("rid", "g", "rs", "re")
+
+    try {
+      l.write.mode("overwrite").bucketBy(8, "g").sortBy("g")
+        .saveAsTable("bk_left")
+      r.write.mode("overwrite").bucketBy(8, "g").sortBy("g")
+        .saveAsTable("bk_right")
+      val lb = spark.table("bk_left")
+      val rb = spark.table("bk_right")
+
+      // nullSafeKeys=false: the <=> rewrite (coalesce/isnull hash keys)
+      // makes the planner disable bucket co-location entirely
+      val joined = IntervalJoin(
+        lb, rb,
+        leftSpec = IntervalSpec.closed("ls", "le"),
+        rightSpec = IntervalSpec.closed("rs", "re"),
+        on = Seq("g"), keepOrder = false, nullSafeKeys = false)
+
+      // both scans carry the bucket layout → the join needs no Exchange;
+      // disable auto-broadcast so a BHJ can't mask the co-location
+      val plan = withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        joined.queryExecution.executedPlan.toString
+      }
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+
+      // and it computes the same pairs as the unbucketed plan
+      val got = joined.select("lid", "rid").as[(Long, Long)].collect().toSet
+      val want = IntervalJoin(
+        l, r,
+        leftSpec = IntervalSpec.closed("ls", "le"),
+        rightSpec = IntervalSpec.closed("rs", "re"),
+        on = Seq("g"), keepOrder = false)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_left")
+      spark.sql("DROP TABLE IF EXISTS bk_right")
+    }
+  }
+
+  private def withConf[T](kv: (String, String))(body: => T): T = {
+    val (k, v) = kv
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try body
+    finally old match {
+      case Some(o) => spark.conf.set(k, o)
+      case None    => spark.conf.unset(k)
+    }
+  }
+}
