@@ -45,9 +45,12 @@ object Ops {
       how: String = "inner", keep: String = "all",
       keepOrder: Boolean = true,
       suffixes: (Option[String], Option[String]) = (Some("_x"), Some("_y")),
-      returnIndexers: Boolean = false): DataFrame =
+      returnIndexers: Boolean = false,
+      nullSafeKeys: Boolean = true,
+      binWidth: Option[Double] = None): DataFrame =
     IntervalJoin(left, right, leftSpec, rightSpec, on, leftOn, rightOn,
-      how, keep, keepOrder, suffixes, None, None, returnIndexers)
+      how, keep, keepOrder, suffixes, None, None, returnIndexers,
+      nullSafeKeys, binWidth)
 
   def findContainingInterval(
       intervals: DataFrame, points: DataFrame, pointCols: Seq[String],
@@ -148,4 +151,9 @@ object Ops {
       lStart: String, lStop: String, rStart: String, rStop: String,
       binWidth: Double): DataFrame =
     BinnedIntervalJoin(left, right, lStart, lStop, rStart, rStop, binWidth)
+
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, on: Seq[String],
+      salts: Int, how: String = "inner"): DataFrame =
+    graft.joins.SaltedJoin(big, small, on, salts, how)
 }

@@ -195,6 +195,28 @@ class BinnedAsOfSpec extends SparkSuite {
     assert(got == Set((1L, 10L), (2L, 11L)))
   }
 
+  test("nullSafeKeys=false ≡ default on non-null keys (how=inner/left/outer)") {
+    val rnd = new scala.util.Random(43)
+    val mk = (n: Int, maxLen: Double) => (0 until n).map { i =>
+      val s = rnd.nextDouble() * 50
+      (i.toLong, rnd.nextInt(3), s, s + rnd.nextDouble() * maxLen)
+    }
+    val l = mk(50, 5.0).toDF("lid", "g", "ls", "le")
+    val r = mk(40, 9.0).toDF("rid", "g", "rs", "re")
+    for (how <- Seq("inner", "left", "outer")) {
+      def run(nsk: Boolean) = IntervalJoin(
+        l, r,
+        leftSpec = IntervalSpec.closed("ls", "le"),
+        rightSpec = IntervalSpec.closed("rs", "re"),
+        on = Seq("g"), how = how, keepOrder = false, nullSafeKeys = nsk)
+        .select(col("lid"), col("rid"))
+        .collect()
+        .map(row => (Option(row.get(0)), Option(row.get(1))))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(run(false) == run(true), s"how=$how")
+    }
+  }
+
   test("as-of join: exact time match included, ties take last occurrence") {
     val left = Seq((1L, 5.0)).toDF("lid", "t")
     val right = Seq((10L, 5.0, 1.0), (11L, 5.0, 2.0)).toDF("rid", "rt", "v")
