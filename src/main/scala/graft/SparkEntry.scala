@@ -387,6 +387,17 @@ object SparkEntry {
     * per value — negligible.
     */
   private def r6(c: Column): Column = round(c, 6) + lit(0.0)
+  /** Midpoint-nudged rounding for aggregates whose exact values LAND ON
+    * decimal rounding midpoints (mad: deviations of 2-decimal inputs
+    * averaged over small n give 7+-decimal exact rationals ending in …5).
+    * There the engines' rounding algorithms legitimately disagree (Spark
+    * rounds the shortest decimal repr half-up; DuckDB scales the binary
+    * double), and ~1e-14 summation-order noise flips the step. Adding
+    * 1e-9 (≫ noise, ≪ the 5e-7 step) shifts the discontinuity onto
+    * values no small-denominator rational can hit, so both engines agree
+    * on every real input. Oracle SQL applies the same nudge.
+    */
+  private def r6m(c: Column): Column = round(c + lit(1e-9), 6) + lit(0.0)
 
   private val q_resample_eav_std: (SparkSession, String) => DataFrame =
     (s, dir) =>
@@ -408,7 +419,7 @@ object SparkEntry {
           col("purchase_size"), col("purchase_nunique"),
           r6(col("purchase_std")).as("purchase_std"),
           col("error_count"),
-          r6(col("error_mad")).as("error_mad"),
+          r6m(col("error_mad")).as("error_mad"),
           r6(col("error_sem")).as("error_sem"))
 
   /** One 28-day window per user, built with the anchor+rel MakeWindows
@@ -1072,7 +1083,7 @@ object SparkEntry {
         |  COUNT(DISTINCT CASE WHEN et = 'purchase' THEN val END) AS purchase_nunique,
         |  ROUND(STDDEV_SAMP(CASE WHEN et = 'purchase' THEN val END), 6) + 0.0 AS purchase_std,
         |  COUNT(CASE WHEN et = 'error' THEN val END) AS error_count,
-        |  ROUND(AVG(CASE WHEN et = 'error' THEN ABS(val - m.errm) END), 6) + 0.0 AS error_mad,
+        |  ROUND(AVG(CASE WHEN et = 'error' THEN ABS(val - m.errm) END) + 1e-9, 6) + 0.0 AS error_mad,
         |  ROUND(STDDEV_SAMP(CASE WHEN et = 'error' THEN val END)
         |    / SQRT(COUNT(CASE WHEN et = 'error' THEN val END)), 6) + 0.0 AS error_sem
         |FROM j JOIN m USING (uid, ws) GROUP BY 1, 2""".stripMargin,
