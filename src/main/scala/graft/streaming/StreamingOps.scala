@@ -95,6 +95,30 @@ object StreamingOps {
     df.withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming near-duplicate suppression by SimHash fingerprint: keep
+    * the first document whose 64-bit simhash has not been seen within the
+    * watermark horizon. The fingerprint is a stateless codegen'd
+    * expression ([[org.apache.spark.sql.graft.SimHash64]] — native
+    * expressions run unchanged inside streaming plans), so the only state
+    * is the keyed dedup store, evicted by the watermark.
+    *
+    * Exact-signature matching catches identical and near-identical
+    * documents (a d-bit flip changes the signature, so this is the
+    * streaming recall floor; the full pigeonhole pair search stays a
+    * batch operator — its self-join is not incremental).
+    */
+  def streamingSimHashDedup(
+      docs: DataFrame,
+      textCol: String,
+      timeCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("__graft_sh64",
+        graft.dedup.SimHashDedup.simhash(graft.text.Shingles.tokens(col(textCol))))
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__graft_sh64"))
+      .withColumnRenamed("__graft_sh64", "simhash")
+
   /** Streaming as-of join against a STATIC right side — the incremental
     * analog of [[graft.joins.AsOfJoin]] for slowly-changing reference
     * data (latest price, config version, model checkpoint at event time).

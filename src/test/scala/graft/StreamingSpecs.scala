@@ -120,6 +120,29 @@ class StreamingSpecs extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash dedup drops re-sent and near-identical docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val out = StreamingOps.streamingSimHashDedup(
+      stream, "text", "ts", watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sh_stream")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00"), base),
+        (2L, ts("2024-01-01 00:01:00"), base),            // exact dup
+        (3L, ts("2024-01-01 00:02:00"), "completely different content here"))
+      q.processAllAvailable()
+      val ids = spark.table("sh_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L))
+      // the codegen'd SimHash64 expression ran inside a streaming plan
+      assert(spark.table("sh_stream").columns.contains("simhash"))
+    } finally q.stop()
+  }
+
   test("streaming as-of against a static side ≡ batch AsOfJoin") {
     implicit val sqlCtx = spark.sqlContext
     // static reference data: per-key (time, value) ticks
