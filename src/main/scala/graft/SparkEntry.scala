@@ -11,7 +11,7 @@ import graft.joins.{AsOfJoin, BinnedIntervalJoin, FindContainingInterval, Interv
 import graft.multimodal.Media
 import graft.resample.{MakeWindows, ResampleEav, ResampleInterval}
 import graft.similarity.{CosineTopK, EmbeddingDedup, IvfAnn, LshAnn}
-import graft.text.{Fingerprint, LangId, TextStats}
+import graft.text.{Fingerprint, LangId, TextStats, VocabStats}
 import graft.windows.{Impute, PrevNextSpec, PrevNextValues}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -729,6 +729,25 @@ object SparkEntry {
           col("l_returnflag").as("flag"), col("flag_rows"))
     }
 
+  private val q_sample_stratified: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.sample.Sampling.stratified(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        strata = Seq("lang"), idCol = "doc_id", n = 25, seed = 7L)
+
+  private val q_sample_split: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      // binary-exact weights: the cumulative bounds (0.75, 0.875) are the
+      // same float64 literals the oracle SQL uses
+      graft.sample.Sampling.assignSplit(
+        docs(s, dir).select(col("doc_id")),
+        idCol = "doc_id", weights = Seq(0.75, 0.125, 0.125), seed = 7L)
+
+  private val q_top_tokens: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      VocabStats.topTokens(docs(s, dir), "text",
+        groupBy = Seq("lang"), k = 10)
+
   private val q_text_stats: (SparkSession, String) => DataFrame =
     (s, dir) =>
       TextStats(docs(s, dir), "text")
@@ -876,6 +895,9 @@ object SparkEntry {
     "q_ann_lsh"             -> q_ann_lsh,
     "q_ann_ivf"             -> q_ann_ivf,
     "q_salted_join"         -> q_salted_join,
+    "q_sample_stratified"   -> q_sample_stratified,
+    "q_sample_split"        -> q_sample_split,
+    "q_top_tokens"          -> q_top_tokens,
     "q_text_stats"          -> q_text_stats,
     "q_langid"              -> q_langid,
     "q_text_fingerprint"    -> q_text_fingerprint,
@@ -1359,6 +1381,27 @@ object SparkEntry {
         |SELECT l.l_orderkey AS okey, l.l_linenumber AS lnum,
         |       l.l_returnflag AS flag, f.flag_rows
         |FROM lineitem l JOIN f USING (l_returnflag)""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+        |      ('0x' || substring(md5(CONCAT_WS('#', 7, doc_id)), 1, 15))::BIGINT,
+        |      doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 25""".stripMargin,
+    "q_sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 0.75 THEN 0 WHEN u < 0.875 THEN 1 ELSE 2 END AS split
+        |FROM (SELECT doc_id,
+        |        (('0x' || substring(md5(CONCAT_WS('#', 7, doc_id)), 1, 15))::BIGINT)::DOUBLE
+        |          / 1152921504606846976.0 AS u
+        |      FROM documents)""".stripMargin,
+    "q_top_tokens" ->
+      s"""WITH tok AS (SELECT lang, unnest($ToksExpr) AS token FROM documents),
+        |c AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY cnt DESC, token) AS rank FROM c)
+        |SELECT lang, token, cnt, rank FROM r WHERE rank <= 10""".stripMargin,
     "q_text_stats" ->
       s"""WITH d AS (SELECT doc_id, text, $ToksExpr AS tk FROM documents)
         |SELECT doc_id, len(tk) AS n_tokens,

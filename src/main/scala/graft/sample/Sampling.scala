@@ -1,0 +1,86 @@
+package graft.sample
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling utilities for training-data curation.
+  *
+  * `df.sample`/`sampleBy` draw BERNOULLI samples: the output size is
+  * random (binomial), rows change with partitioning, and per-stratum
+  * quotas ("exactly n docs per language") are not expressible. Curation
+  * pipelines want exact quotas and reproducibility instead, so these
+  * operators rank rows by a deterministic pseudo-random key — a hash of
+  * (id, seed) — and cut at the quota:
+  *
+  *   sampled = row_number() over (partition by strata
+  *                                order by hash(id, seed), id) <= n
+  *
+  * Properties at scale: the rank is a window over the strata partitions
+  * (one shuffle on the strata key; skewed strata are bounded by the quota
+  * cut, and `WindowGroupLimit` prunes each partition to its top-n before
+  * the final sort); re-running with the same seed reproduces the exact
+  * sample on any cluster layout, and growing n is MONOTONE — the n=1000
+  * sample is a superset of the n=500 sample, which makes incremental
+  * quota changes diff-friendly.
+  *
+  * The hash defaults to a 60-bit md5 prefix, not Murmur3/xxhash: md5 is
+  * bit-identical in every engine, so a differential oracle (or a later
+  * re-draw in another system) selects the same rows.
+  */
+object Sampling {
+
+  /** 60-bit integer from the md5 of (seed, id) — engine-portable. */
+  def md5Rank(id: Column, seed: Long): Column =
+    conv(substring(md5(concat_ws("#", lit(seed), id).cast("binary")), 1, 15),
+      16, 10).cast("long")
+
+  /** Exactly `n` rows per stratum (fewer when the stratum is smaller),
+    * deterministic in `seed`, monotone in `n`.
+    *
+    * @param strata  stratum key columns (e.g. language, source, label)
+    * @param idCol   unique row id — the tie-break and hash input
+    */
+  def stratified(
+      df: DataFrame,
+      strata: Seq[String],
+      idCol: String,
+      n: Int,
+      seed: Long = 42L): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(md5Rank(col(idCol), seed).asc, col(idCol).asc)
+    df.withColumn("__graft_rank", row_number().over(w))
+      .filter(col("__graft_rank") <= n)
+      .drop("__graft_rank")
+  }
+
+  /** Global exact-size sample: `stratified` with a single stratum. */
+  def exact(df: DataFrame, idCol: String, n: Int, seed: Long = 42L): DataFrame =
+    stratified(df.withColumn("__graft_one", lit(1)),
+      Seq("__graft_one"), idCol, n, seed)
+      .drop("__graft_one")
+
+  /** Deterministic train/validation/test-style split: assigns each row a
+    * bucket in [0, weights.length) with probability proportional to
+    * `weights`, stable in (id, seed) — the md5-rank modulo trick, so the
+    * assignment is reproducible row-by-row in any engine and INDEPENDENT
+    * of the frame's partitioning or row order.
+    */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      weights: Seq[Double],
+      seed: Long = 42L,
+      outCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "positive weights")
+    val total = weights.sum
+    val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
+    // uniform in [0,1): 60-bit md5 rank / 2^60
+    val u = Sampling.md5Rank(col(idCol), seed).cast("double") / lit((1L << 60).toDouble)
+    val bucket = cum.init.zipWithIndex.foldRight(lit(weights.length - 1): Column) {
+      case ((bound, i), acc) => when(u < bound, lit(i)).otherwise(acc)
+    }
+    df.withColumn(outCol, bucket)
+  }
+}

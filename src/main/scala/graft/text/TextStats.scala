@@ -86,6 +86,42 @@ object TextStats {
   }
 }
 
+/** Corpus-level vocabulary statistics: token frequencies and per-group
+  * top-k (vocabulary building / domain-mix inspection for training data).
+  */
+object VocabStats {
+
+  /** Token → count per group (one shuffle on (group, token); map-side
+    * combine collapses in-partition repeats before the exchange).
+    */
+  def tokenCounts(
+      df: DataFrame,
+      textCol: String,
+      groupBy: Seq[String] = Nil): DataFrame =
+    df.select(groupBy.map(col) :+
+        explode(Shingles.tokens(col(textCol))).as("token"): _*)
+      .groupBy((groupBy :+ "token").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The `k` most frequent tokens per group, rank 1..k by count
+    * descending, ties by token ascending (deterministic). The rank filter
+    * pushes into the window sort (`WindowGroupLimit`), so each partition
+    * holds at most k rows per group before the final per-group sort.
+    */
+  def topTokens(
+      df: DataFrame,
+      textCol: String,
+      groupBy: Seq[String] = Nil,
+      k: Int = 100): DataFrame = {
+    val counts = tokenCounts(df, textCol, groupBy)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupBy.map(col): _*)
+      .orderBy(col("cnt").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
+
 /** N-gram-profile language identification heuristic: score each language's
   * marker-word list against the document's token set, pick the argmax
   * (ties → lexicographically first language; "und" when nothing matches).

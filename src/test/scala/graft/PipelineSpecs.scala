@@ -140,6 +140,60 @@ class PipelineSpecs extends SparkSuite {
     }
   }
 
+  test("sampling: exact quotas, seed determinism, monotone growth, splits") {
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+
+    val s50 = graft.sample.Sampling.stratified(df, Seq("stratum"), "id", 50, seed = 9L)
+    val got = s50.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("s0" -> 50L, "s1" -> 50L, "s2" -> 50L))
+
+    // same seed → identical rows even after repartitioning
+    val again = graft.sample.Sampling
+      .stratified(df.repartition(7), Seq("stratum"), "id", 50, seed = 9L)
+    assert(s50.select("id").collect().map(_.getLong(0)).toSet ==
+      again.select("id").collect().map(_.getLong(0)).toSet)
+
+    // monotone: n=20 sample ⊂ n=50 sample
+    val s20 = graft.sample.Sampling.stratified(df, Seq("stratum"), "id", 20, seed = 9L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s20.subsetOf(s50.select("id").collect().map(_.getLong(0)).toSet))
+    assert(s20.size == 60)
+
+    // small stratum: returns all of it
+    val tiny = (0L until 5L).map(i => (i, "only")).toDF("id", "stratum")
+    assert(graft.sample.Sampling.stratified(tiny, Seq("stratum"), "id", 50).count() == 5)
+
+    // split: every row assigned one bucket, proportions roughly honored,
+    // deterministic in (id, seed) regardless of row order
+    val sp = graft.sample.Sampling.assignSplit(df, "id", Seq(0.75, 0.125, 0.125), 9L)
+    val byBucket = sp.groupBy("split").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byBucket.values.sum == 300L)
+    assert(byBucket(0) > 180 && byBucket(0) < 270) // ~225 expected
+    val sp2 = graft.sample.Sampling
+      .assignSplit(df.orderBy(col("id").desc), "id", Seq(0.75, 0.125, 0.125), 9L)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "split").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(pairs(sp) == pairs(sp2))
+  }
+
+  test("vocab stats: per-group token counts and deterministic top-k") {
+    val df = Seq(
+      (0L, "en", "a a a b b c"),
+      (1L, "en", "b c c"),
+      (2L, "de", "x y x")
+    ).toDF("doc_id", "lang", "text")
+    val top = graft.text.VocabStats.topTokens(df, "text", Seq("lang"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val en = top.filter(_._1 == "en").sortBy(_._4)
+    // en counts: a=3, b=3, c=3 → ties broken by token asc → a, b
+    assert(en.map(t => (t._2, t._3)).toSeq == Seq(("a", 3L), ("b", 3L)))
+    val de = top.filter(_._1 == "de").sortBy(_._4)
+    assert(de.map(t => (t._2, t._3)).toSeq == Seq(("x", 2L), ("y", 1L)))
+  }
+
   test("embedding dedup: within-block pairs above threshold") {
     val vecs = Seq(
       (0L, "a", Array(1.0, 0.0)), (1L, "a", Array(0.9, 0.1)),
