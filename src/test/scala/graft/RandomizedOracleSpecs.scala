@@ -1,0 +1,163 @@
+package graft
+
+import graft.intervals.{CombineIntervals, GroupIntervals}
+import graft.joins.FindContainingInterval
+import org.apache.spark.sql.functions._
+
+/** Randomized differential tests with INDEPENDENT sequential oracles —
+  * different algorithms, not re-runs of the distributed plan: segment
+  * evaluation for the sweep-line, union-find for single-linkage, a per-
+  * point loop for containment. Golden fixtures in OperatorSpecs pin the
+  * semantics; these sweeps hunt distributed-plan bugs (window frames,
+  * partition boundaries, collapse rules) across many random shapes.
+  */
+class RandomizedOracleSpecs extends SparkSuite {
+  import spark.implicits._
+
+  private def genIntervals(seed: Int, n: Int, groups: Int,
+      maxLen: Int): Seq[(Long, Int, Double, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val s = rnd.nextInt(30).toDouble
+      (i.toLong, rnd.nextInt(groups), s, s + rnd.nextInt(maxLen + 1))
+    }
+  }
+
+  test("combine_intervals ≡ elementary-segment oracle (n_min/n_max sweeps)") {
+    for (seed <- Seq(3, 4); (nMin, nMax) <- Seq((1, None), (2, None),
+        (0, Some(0)), (2, Some(3)), (0, None))) {
+      val ivs = genIntervals(seed, 50, 3, 6)
+      val df = ivs.toDF("id", "g", "s", "e")
+      val got = CombineIntervals(df, "s", Some("e"), groupBy = Seq("g"),
+        nMin = nMin, nMax = nMax)
+        .select("g", "s", "e").collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSet
+
+      // oracle: depth on each elementary segment between adjacent event
+      // points; closed interval [s,e] covers segment (t1,t2) iff s<=t1<t2<=e
+      val want = ivs.groupBy(_._2).flatMap { case (g, rows) =>
+        val pts = rows.flatMap(r => Seq(r._3, r._4)).distinct.sorted
+        val segs = pts.zip(pts.drop(1)).map { case (t1, t2) =>
+          val depth = rows.count(r => r._3 <= t1 && t2 <= r._4)
+          (t1, t2, depth >= nMin && nMax.forall(depth <= _))
+        }
+        // merge adjacent qualifying segments
+        val out = scala.collection.mutable.ListBuffer.empty[(Double, Double)]
+        var cur: Option[(Double, Double)] = None
+        for ((t1, t2, ok) <- segs) {
+          cur = (cur, ok) match {
+            case (Some((a, b)), true) if b == t1 => Some((a, t2))
+            case (c, true) => c.foreach(out += _); Some((t1, t2))
+            case (c, false) => c.foreach(out += _); None
+          }
+        }
+        cur.foreach(out += _)
+        out.filter(p => p._1 < p._2).map(p => (g, p._1, p._2))
+      }.toSet
+      assert(got == want, s"seed=$seed nMin=$nMin nMax=$nMax")
+    }
+  }
+
+  test("combine_intervals attr_cols ≡ distinct-attribute segment oracle") {
+    val rnd = new scala.util.Random(11)
+    val ivs = (0 until 60).map { i =>
+      val s = rnd.nextInt(25).toDouble
+      (i.toLong, rnd.nextInt(2), s"a${rnd.nextInt(3)}", s,
+        s + rnd.nextInt(5) + 1)
+    }
+    val df = ivs.toDF("id", "g", "attr", "s", "e")
+    for ((nMin, nMax) <- Seq((1, None: Option[Int]), (2, None), (3, Some(3)))) {
+      val got = CombineIntervals(df, "s", Some("e"), attrCols = Seq("attr"),
+        groupBy = Seq("g"), nMin = nMin, nMax = nMax)
+        .select("g", "s", "e").collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSet
+      val want = ivs.groupBy(_._2).flatMap { case (g, rows) =>
+        val pts = rows.flatMap(r => Seq(r._4, r._5.toDouble)).distinct.sorted
+        val segs = pts.zip(pts.drop(1)).map { case (t1, t2) =>
+          // equal-attribute overlaps count ONCE (misc.py:367-401)
+          val depth = rows.filter(r => r._4 <= t1 && t2 <= r._5)
+            .map(_._3).distinct.size
+          (t1, t2, depth >= nMin && nMax.forall(depth <= _))
+        }
+        val out = scala.collection.mutable.ListBuffer.empty[(Double, Double)]
+        var cur: Option[(Double, Double)] = None
+        for ((t1, t2, ok) <- segs) {
+          cur = (cur, ok) match {
+            case (Some((a, b)), true) if b == t1 => Some((a, t2))
+            case (c, true) => c.foreach(out += _); Some((t1, t2))
+            case (c, false) => c.foreach(out += _); None
+          }
+        }
+        cur.foreach(out += _)
+        out.filter(p => p._1 < p._2).map(p => (g, p._1, p._2))
+      }.toSet
+      assert(got == want, s"nMin=$nMin nMax=$nMax")
+    }
+  }
+
+  test("group_intervals ≡ union-find single-linkage partition") {
+    // the connection relation the reference IMPLEMENTS is the signed gap
+    // (later.start − earlier.stop): overlapping intervals connect even
+    // under strict inequality (misc.py:245-252, `start < cummax + d`).
+    // exclusive + d=0 with equal-start ties is order-dependent in the
+    // reference (stable sort = input order) — not a contract to test.
+    for (seed <- Seq(5, 6);
+        (dist, inclusive) <- Seq((0.0, true), (1.0, true), (3.0, true),
+          (0.5, false), (2.0, false))) {
+      val ivs = genIntervals(seed, 60, 3, 5)
+      val df = ivs.toDF("id", "g", "s", "e")
+      val out = GroupIntervals(df, "s", Some("e"), groupBy = Seq("g"),
+        distance = lit(dist), inclusive = inclusive)
+        .select("id", "interval_group").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      // partition = set of clusters (as row-id sets)
+      val gotPartition = out.groupBy(_._2).values
+        .map(_.map(_._1).toSet).toSet
+
+      // oracle: union-find over all connected pairs within a group
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = parent(find(a)) = find(b)
+      for {
+        a <- ivs; b <- ivs // ordered pairs: edge iff a starts no later
+        if a._1 != b._1 && a._2 == b._2 && a._3 <= b._3
+        gap = b._3 - a._4 // signed: negative for overlap/containment
+        if (if (inclusive) gap <= dist else gap < dist)
+      } union(a._1, b._1)
+      val wantPartition = ivs.map(_._1).groupBy(find).values
+        .map(_.toSet).toSet
+      assert(gotPartition == wantPartition,
+        s"seed=$seed dist=$dist inclusive=$inclusive")
+    }
+  }
+
+  test("find_containing_interval ≡ per-point first/last loop") {
+    val rnd = new scala.util.Random(13)
+    val ivs = (0 until 40).map { i =>
+      val s = rnd.nextInt(20).toDouble
+      (i.toLong, rnd.nextInt(3), s, s + rnd.nextInt(6))
+    }
+    val pts = (0 until 80).map { i =>
+      (i.toLong, rnd.nextInt(3), rnd.nextInt(28).toDouble - 1)
+    }
+    val out = FindContainingInterval(
+      ivs.toDF("iid", "g", "s", "e"), pts.toDF("pid", "g", "p"),
+      pointCols = Seq("p"), on = Seq("g"),
+      startCol = Some("s"), stopCol = Some("e"),
+      intervalIdCol = Some("iid"))
+      .select("pid", "p_first", "p_last").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    for ((pid, g, p) <- pts) {
+      val containing = ivs.filter(iv =>
+        iv._2 == g && iv._3 <= p && p <= iv._4).map(_._1)
+      val want =
+        if (containing.isEmpty) (-1L, -1L)
+        else (containing.min, containing.max)
+      assert(out(pid) == want, s"pid=$pid p=$p g=$g")
+    }
+  }
+}
