@@ -134,6 +134,109 @@ class RandomizedOracleSpecs extends SparkSuite {
     }
   }
 
+  test("impute ≡ sequential per-group fill oracle (methods × limits)") {
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 240).map { i =>
+      val v: java.lang.Double =
+        if (rnd.nextInt(10) < 4) null else rnd.nextInt(50).toDouble
+      (i.toLong, rnd.nextInt(4), v)
+    }
+    val df = rows.toDF("rid", "g", "v").repartition(5)
+
+    // sequential oracle over one group's ordered values
+    def fills(vs: Vector[Option[Double]], limit: Option[Int]):
+        (Vector[Option[Double]], Vector[Option[Double]], Vector[Option[Double]]) = {
+      val n = vs.length
+      def donor(dir: Int): Vector[Option[(Int, Double)]] = {
+        val idx = if (dir > 0) 0 until n else (n - 1) to 0 by -1
+        var last: Option[(Int, Double)] = None
+        val arr = new Array[Option[(Int, Double)]](n)
+        for (i <- idx) {
+          vs(i).foreach(v => last = Some((i, v)))
+          arr(i) = last
+        }
+        arr.toVector
+      }
+      val prev = donor(+1)
+      val next = donor(-1)
+      def within(i: Int, d: Option[(Int, Double)]): Option[Double] =
+        d.filter { case (j, _) => limit.forall(k => math.abs(i - j) <= k) }.map(_._2)
+      val f = Vector.tabulate(n)(i => vs(i).orElse(within(i, prev(i))))
+      val b = Vector.tabulate(n)(i => vs(i).orElse(within(i, next(i))))
+      // linear: interior only, by position; limit fills the first k
+      // positions of the gap, values as if fully interpolated
+      val lin = Vector.tabulate(n) { i =>
+        vs(i).orElse {
+          (prev(i), next(i)) match {
+            case (Some((j, a)), Some((k2, c))) if limit.forall(l => i - j <= l) =>
+              Some(a + (c - a) * (i - j).toDouble / (k2 - j).toDouble)
+            case _ => None
+          }
+        }
+      }
+      (f, b, lin)
+    }
+
+    for (limit <- Seq(None, Some(1), Some(2));
+        method <- Seq("ffill", "bfill", "afill", "linear")) {
+      val got = graft.windows.Impute(df, Seq("v"), method,
+        groupBy = Seq("g"), orderBy = Seq(col("rid").asc), limit = limit)
+        .select("rid", "v").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+      val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(_._1)
+        val vs = sorted.map(r => Option(r._3).map(_.doubleValue)).toVector
+        val (f, b, lin) = fills(vs, limit)
+        val outs = method match {
+          case "ffill"  => f
+          case "bfill"  => b
+          case "linear" => lin
+          case "afill"  => Vector.tabulate(vs.length) { i =>
+            (f(i), b(i)) match {
+              case (Some(x), Some(y)) => Some((x + y) / 2)
+              case (x, y)             => x.orElse(y)
+            }
+          }
+        }
+        sorted.map(_._1).zip(outs)
+      }
+      // 1e-9 tolerance: linear interpolation agrees up to float
+      // association (a + (c-a)*t vs equivalent orderings)
+      assert(got.keySet == want.keySet, s"method=$method limit=$limit")
+      for ((k, w) <- want) {
+        (got(k), w) match {
+          case (None, None) => ()
+          case (Some(x), Some(y)) =>
+            assert(math.abs(x - y) < 1e-9, s"method=$method limit=$limit rid=$k")
+          case other => fail(s"method=$method limit=$limit rid=$k: $other")
+        }
+      }
+    }
+
+    // lfill (no limit): linear, then ffill, then bfill — every null filled
+    val lf = graft.windows.Impute(df, Seq("v"), "lfill",
+      groupBy = Seq("g"), orderBy = Seq(col("rid").asc))
+      .select("rid", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    val wantLf = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(_._1)
+      val vs = sorted.map(r => Option(r._3).map(_.doubleValue)).toVector
+      val (f0, b0, lin) = fills(vs, None)
+      val afterLin = Vector.tabulate(vs.length)(i => vs(i).orElse(lin(i)))
+      val (f1, _, _) = fills(afterLin, None)
+      val (_, b1, _) = fills(f1, None)
+      sorted.map(_._1).zip(b1)
+    }
+    assert(lf.keySet == wantLf.keySet)
+    for ((k, w) <- wantLf) {
+      (lf(k), w) match {
+        case (None, None) => ()
+        case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-9, s"lfill rid=$k")
+        case other => fail(s"lfill rid=$k: $other")
+      }
+    }
+  }
+
   test("find_containing_interval ≡ per-point first/last loop") {
     val rnd = new scala.util.Random(13)
     val ivs = (0 until 40).map { i =>
