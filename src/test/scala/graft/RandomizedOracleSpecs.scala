@@ -237,6 +237,96 @@ class RandomizedOracleSpecs extends SparkSuite {
     }
   }
 
+  test("prev_next_values ≡ sequential lag/lead with fills and indicators") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 150).map { i =>
+      (i.toLong, rnd.nextInt(5), rnd.nextInt(40), rnd.nextInt(100).toDouble)
+    }
+    val df = rows.toDF("rid", "g", "ord", "v").repartition(6)
+    val got = graft.windows.PrevNextValues(
+      df, sortBy = Seq("ord", "rid"), groupBy = Seq("g"),
+      columns = Map("v" -> graft.windows.PrevNextSpec(
+        prevName = Some("pv"), nextName = Some("nv"),
+        prevFill = Some(lit(-1.0)), nextFill = None)),
+      firstIndicatorName = Some("isf"), lastIndicatorName = Some("isl"))
+      .select("rid", "pv", "nv", "isf", "isl").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          r.getBoolean(3), r.getBoolean(4)))).toMap
+    for ((_, rs) <- rows.groupBy(_._2)) {
+      val sorted = rs.sortBy(r => (r._3, r._1))
+      for ((r, i) <- sorted.zipWithIndex) {
+        val pv = if (i == 0) -1.0 else sorted(i - 1)._4
+        val nv = if (i == sorted.length - 1) None else Some(sorted(i + 1)._4)
+        assert(got(r._1) == ((pv, nv, i == 0, i == sorted.length - 1)),
+          s"rid=${r._1}")
+      }
+    }
+  }
+
+  test("grouped_mode ≡ counting oracle (dropna both ways)") {
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 200).map { i =>
+      val v: java.lang.Integer =
+        if (rnd.nextInt(5) == 0) null else Integer.valueOf(rnd.nextInt(6))
+      (rnd.nextInt(8), v)
+    }
+    val df = rows.toDF("g", "v")
+    for (dropna <- Seq(true, false)) {
+      val got = graft.agg.GroupedMode(df, Seq("g"), "v", dropna = dropna)
+        .collect().map(r => r.getInt(0) ->
+          ((Option(r.get(1)), r.getLong(2)))).toMap
+      for ((g, rs) <- rows.groupBy(_._1)) {
+        val vals = rs.map(r => Option(r._2).map(_.intValue))
+          .filter(v => !dropna || v.isDefined)
+        val want =
+          if (vals.isEmpty) (None, 0L)
+          else {
+            val counts = vals.groupBy(identity).view.mapValues(_.size)
+            val maxC = counts.values.max
+            // ties: smallest value wins, nulls last
+            val best = counts.filter(_._2 == maxC).keys.toSeq
+              .sortBy(v => (v.isEmpty, v.getOrElse(0))).head
+            (best, maxC.toLong)
+          }
+        assert(got(g)._2 == want._2 &&
+          got(g)._1.map(_.asInstanceOf[Int]) == want._1.map(identity),
+          s"g=$g dropna=$dropna got=${got(g)} want=$want")
+      }
+    }
+  }
+
+  test("factorize invariants: bijection, dense codes, sort order, joint sharing") {
+    val rnd = new scala.util.Random(37)
+    val rows = (0 until 180).map(_ =>
+      (s"k${rnd.nextInt(12)}", rnd.nextInt(4)))
+    val df = rows.toDF("a", "b")
+    val (coded, n) = graft.agg.Factorize.withCount(df, Seq("a", "b"))
+    val pairs = coded.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+    // equal rows ⇔ equal codes (bijection on distinct keys)
+    val byKey = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byKey.values.forall(_.size == 1))
+    val keyToCode = byKey.mapValues(_.head).toMap
+    assert(keyToCode.values.toSet.size == keyToCode.size)
+    // dense 0..n-1, count matches distinct keys
+    assert(n == keyToCode.size.toLong)
+    assert(keyToCode.values.toSet == (0L until n).toSet)
+    // sort=true: codes follow lexicographic key order
+    val sortedKeys = keyToCode.keys.toSeq.sorted
+    assert(sortedKeys.map(keyToCode) == (0L until n))
+
+    // joint: equal rows across frames share codes
+    val rows2 = (0 until 90).map(_ => (s"k${rnd.nextInt(16)}", rnd.nextInt(4)))
+    val (c1, c2) = graft.agg.Factorize.joint(
+      df, Seq("a", "b"), rows2.toDF("a", "b"), Seq("a", "b"))
+    val m1 = c1.collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val m2 = c2.collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (k <- m1.keySet intersect m2.keySet) assert(m1(k) == m2(k), s"k=$k")
+    assert((m1.values.toSet ++ m2.values.toSet) ==
+      (0L until (m1.keySet ++ m2.keySet).size.toLong).toSet)
+  }
+
   test("find_containing_interval ≡ per-point first/last loop") {
     val rnd = new scala.util.Random(13)
     val ivs = (0 until 40).map { i =>
