@@ -814,9 +814,11 @@ object SparkEntry {
   // post-filter) evaluates 10k groups × 990×105 = 1e9 candidate pairs
   // (~77 s at local[32]); binning on (grp, ⌊x/w⌋) prunes candidates to
   // ~|output| and beats the reference's published single-node numbers
-  // (measured at sf0.1: 5.1 s vs 5.47 s contain, 8.0 s vs 9.73 s overlap;
-  // w swept over {20,50,100,200}, flat within ±20% — the rewrite, not
-  // the width, is the win).
+  // (best-of-2 at sf0.1: ~4.5 s vs 5.47 s contain, ~7.2 s vs 9.73 s
+  // overlap). Widths re-swept round 3: contain optimum 50 {25:5.1,
+  // 50:4.5, 100:5.1}, overlap optimum ~75-100 {50:7.8, 75:7.2, 100:7.2,
+  // 200:8.3, 400:9.4} — the rewrite is the big win, the width buys the
+  // last ~20%.
   private val q_bench_contain: (SparkSession, String) => DataFrame =
     (s, dir) =>
       IntervalJoin(
@@ -837,7 +839,7 @@ object SparkEntry {
         leftSpec  = IntervalSpec.closed("s", "e"),
         rightSpec = IntervalSpec.closed("rs", "re"),
         leftOn = Seq("grp"), rightOn = Seq("grp"),
-        keepOrder = false, binWidth = Some(200.0))
+        keepOrder = false, binWidth = Some(100.0))
         .select(col("grp_x").as("grp"), col("s"), col("rs"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
