@@ -814,16 +814,17 @@ object SparkEntry {
   // post-filter) evaluates 10k groups × 990×105 = 1e9 candidate pairs
   // (~77 s at local[32]); binning on (grp, ⌊x/w⌋) prunes candidates to
   // ~|output| and beats the reference's published single-node numbers
-  // (best-of-2 at sf0.1: ~4.5 s vs 5.47 s contain, ~7.2 s vs 9.73 s
+  // (best-of-2 at sf0.1: ~4.5 s vs 5.47 s contain, ~4.3-4.8 s vs 9.73 s
   // overlap). Widths re-swept round 3: contain optimum 50 {25:5.1,
   // 50:4.5, 100:5.1}, overlap optimum ~75-100 {50:7.8, 75:7.2, 100:7.2,
-  // 200:8.3, 400:9.4} — the rewrite is the big win, the width buys the
-  // last ~20%.
+  // 200:8.3, 400:9.4} — the rewrite is the big win; the width and the
+  // shuffle_hash hints (serial broadcast build → parallel shuffled
+  // build) buy the rest.
   private val q_bench_contain: (SparkSession, String) => DataFrame =
     (s, dir) =>
       IntervalJoin(
         benchLeft(s, dir),
-        benchRight(s, dir).select(col("grp"), col("p")),
+        benchRight(s, dir).select(col("grp"), col("p")).hint("shuffle_hash"),
         leftSpec  = IntervalSpec.closed("s", "e"),
         rightSpec = IntervalSpec.point("p"),
         leftOn = Seq("grp"), rightOn = Seq("grp"),
@@ -835,7 +836,13 @@ object SparkEntry {
       IntervalJoin(
         benchLeft(s, dir),
         benchRight(s, dir)
-          .select(col("grp"), col("p").as("rs"), (col("p") + col("len")).as("re")),
+          .select(col("grp"), col("p").as("rs"), (col("p") + col("len")).as("re"))
+          // shuffle_hash beats the default broadcast here (7.3 s → 5.6 s):
+          // the exploded build side is ~1.4M rows, and a broadcast builds
+          // that hash relation ON ONE THREAD while 32 cores idle — the
+          // shuffled build is parallel. (Same lesson at cluster scale:
+          // broadcasting is for sides that are small, not just fit.)
+          .hint("shuffle_hash"),
         leftSpec  = IntervalSpec.closed("s", "e"),
         rightSpec = IntervalSpec.closed("rs", "re"),
         leftOn = Seq("grp"), rightOn = Seq("grp"),
