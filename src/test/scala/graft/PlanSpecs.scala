@@ -60,6 +60,18 @@ class PlanSpecs extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("no driver query degenerates to cartesian/nested-loop (except by design)") {
+    // intended exceptions: q_cross_join IS a cross join; q_ann_topk scores
+    // every (query, corpus) pair by design — a broadcast nested loop over
+    // the broadcast query set is exactly its plan
+    val intended = Set("q_cross_join", "q_ann_topk")
+    for (name <- SparkEntry.queries.keys if !intended(name)) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name planned a BNLJ")
+    }
+  }
+
   test("driver contract: every query has an oracle and every oracle a query") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
