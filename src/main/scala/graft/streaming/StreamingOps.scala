@@ -200,6 +200,48 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream interval-containment join: a stream of points against
+    * a STREAM of intervals, both under event-time watermarks — the fully
+    * incremental form of `merge_intervals` containment (point-in-interval
+    * kind). Spark's stream-stream join keeps both sides' state until the
+    * watermark proves no future match is possible; for that proof the
+    * join condition must bound each side's event time by the other's,
+    * which an unbounded interval length cannot do — hence the REQUIRED
+    * `maxDuration` (an upper bound on interval length, enforced in the
+    * condition): state per key is then O(events within watermark +
+    * maxDuration).
+    *
+    * @param maxDuration SQL interval literal body, e.g. "1 HOUR" — only
+    *        intervals no longer than this can match (longer ones are
+    *        truncated by the bound, documented contract)
+    * @return inner join: point rows × containing interval rows (interval
+    *         columns suffixed `_iv` on name collision)
+    */
+  def pointsInStreamingIntervals(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointTime: String,
+      startCol: String,
+      stopCol: String,
+      on: Seq[String],
+      watermark: String,
+      maxDuration: String): DataFrame = {
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    val ivR = overlap.foldLeft(intervals)(
+      (d, c) => d.withColumnRenamed(c, c + "_iv"))
+    def iName(c: String): String = if (overlap(c)) c + "_iv" else c
+    val p = points.withWatermark(pointTime, watermark)
+    val iv = ivR.withWatermark(iName(startCol), watermark)
+    val keyCond = on.map(k => col(k) === col(iName(k)))
+    val cond = (keyCond :+
+      (col(pointTime) >= col(iName(startCol))) :+
+      (col(pointTime) <= col(iName(stopCol))) :+
+      // the state-eviction bound: point time ≤ interval start + maxDuration
+      (col(pointTime) <= col(iName(startCol)) + expr(s"INTERVAL $maxDuration")))
+      .reduce(_ && _)
+    p.join(iv, cond, "inner")
+  }
+
   /** Streaming interval-containment enrichment: join a stream of points
     * against a STATIC intervals table (broadcast dimension) — the
     * streaming analog of `find_containing_interval` for slowly-changing

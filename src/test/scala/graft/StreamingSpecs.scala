@@ -120,6 +120,37 @@ class StreamingSpecs extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval containment under watermarks") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Int, Timestamp)]
+    val iIn = MemoryStream[(Long, Int, Timestamp, Timestamp)]
+    val out = StreamingOps.pointsInStreamingIntervals(
+      pIn.toDF().toDF("pid", "k", "pt"),
+      iIn.toDF().toDF("iid", "k", "start", "stop"),
+      pointTime = "pt", startCol = "start", stopCol = "stop",
+      on = Seq("k"), watermark = "10 minutes", maxDuration = "1 HOUR")
+    val q = out.writeStream.format("memory").queryName("ssj_stream")
+      .outputMode("append").start()
+    try {
+      iIn.addData(
+        (100L, 1, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00")),
+        (101L, 2, ts("2024-01-01 00:10:00"), ts("2024-01-01 00:20:00")))
+      pIn.addData(
+        (1L, 1, ts("2024-01-01 00:15:00")), // in 100
+        (2L, 1, ts("2024-01-01 00:45:00")), // after 100 stops
+        (3L, 2, ts("2024-01-01 00:15:00")), // in 101
+        (4L, 2, ts("2024-01-01 00:05:00"))) // before 101 starts
+      q.processAllAvailable()
+      // push the watermark so inner-join results flush deterministically
+      pIn.addData((99L, 9, ts("2024-01-01 03:00:00")))
+      iIn.addData((999L, 9, ts("2024-01-01 03:00:00"), ts("2024-01-01 03:01:00")))
+      q.processAllAvailable()
+      val got = spark.table("ssj_stream").select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 100L), (3L, 101L), (99L, 999L)))
+    } finally q.stop()
+  }
+
   test("streaming simhash dedup drops re-sent and near-identical docs") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
