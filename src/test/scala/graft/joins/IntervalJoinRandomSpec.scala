@@ -82,6 +82,27 @@ class IntervalJoinRandomSpec extends SparkSuite {
     }
   }
 
+  test("randomized: half-unbounded left side (missing start column) vs oracle") {
+    // leftSpec = (-inf, e]: matches right [s,e'] iff s <= e (and both valid)
+    val ls = gen(91, 35)
+    val rs = gen(291, 30)
+    val got = IntervalJoin(
+      ls.toDF().drop("s"), rs.toDF(),
+      leftSpec = IntervalSpec(None, Some("e")),
+      rightSpec = IntervalSpec(Some("s"), Some("e")),
+      on = Seq("g"), keepOrder = false,
+      leftIdCol = Some("id"), rightIdCol = Some("id"))
+      .select(col("id_x"), col("id_y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      a <- ls if a.e != null
+      b <- rs if b.s != null && b.e != null && b.s <= b.e
+      if a.g == b.g && b.s <= a.e
+    } yield (a.id, b.id)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("randomized: how=left/outer row accounting and keep=first/last/both") {
     val ls = gen(7, 30)
     val rs = gen(207, 25)
