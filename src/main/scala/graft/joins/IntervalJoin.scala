@@ -197,7 +197,9 @@ object IntervalJoin {
         // or duplicate unmatched rows. Pin the frame with a lazy
         // localCheckpoint so both subtrees read the same materialized
         // partitions; skipped when the caller supplies a (unique) id
-        // column, which is deterministic by construction.
+        // column, which is deterministic by construction. (localCheckpoint
+        // trades lineage for stability — executor loss forfeits
+        // recomputation; at cluster scale prefer supplying id columns.)
         val lSrc = if ((how == "left" || how == "outer") && leftIdCol.isEmpty)
           l0.localCheckpoint(false) else l0
         val rSrc = if ((how == "right" || how == "outer") && rightIdCol.isEmpty)
