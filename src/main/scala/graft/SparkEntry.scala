@@ -849,6 +849,30 @@ object SparkEntry {
         keepOrder = false, binWidth = Some(100.0))
         .select(col("grp_x").as("grp"), col("s"), col("rs"))
 
+  /** The [[graft.plans.BinnedJoinRewrite]] optimizer rule end-to-end: a
+    * PLAIN DataFrame range join — no graft operator call — on a session
+    * with the rule installed. Spark alone plans this keyless overlap as a
+    * cartesian/BNLJ; the rule turns it into the binned equi-join, and the
+    * oracle checks the rows are untouched. Runs in a `newSession` so the
+    * width conf and the extra optimization cannot leak into other queries
+    * (sessions share the SparkContext but have isolated conf/optimizer
+    * state).
+    */
+  private val q_rule_binned: (SparkSession, String) => DataFrame =
+    (s0, dir) => {
+      val s = s0.newSession()
+      s.experimental.extraOptimizations = Seq(graft.plans.BinnedJoinRewrite)
+      s.conf.set(graft.plans.BinnedJoinRewrite.widthKey, "300")
+      val o = t(s, dir, "orders")
+      val l = o.filter(col("o_orderkey") % 20 === 0).select(
+        (col("o_orderkey") * 13 % 100000).as("s"),
+        (col("o_orderkey") * 13 % 100000 + col("o_custkey") % 300).as("e"))
+      val r = o.filter(col("o_orderkey") % 97 === 0).select(
+        (col("o_orderkey") * 31 % 100000).as("rs"),
+        (col("o_orderkey") * 31 % 100000 + col("o_custkey") % 500).as("re"))
+      l.join(r, col("s") <= col("re") && col("rs") <= col("e"))
+    }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q_interval_contain(spark, "/root/testdata/sf0.001")
@@ -914,6 +938,7 @@ object SparkEntry {
     "q_media_features"      -> q_media_features,
     "q_bench_contain"       -> q_bench_contain,
     "q_bench_overlap"       -> q_bench_overlap,
+    "q_rule_binned"         -> q_rule_binned,
   )
 
   /** DuckDB tokenization matching [[graft.text.Shingles.tokens]]. */
@@ -1474,6 +1499,15 @@ object SparkEntry {
         |      FROM orders CROSS JOIN generate_series(0, 6) AS t(i))
         |SELECT l.grp, l.s, r.rs
         |FROM l JOIN r ON l.grp = r.grp AND l.s <= r.re AND r.rs <= l.e""".stripMargin,
+    "q_rule_binned" ->
+      """WITH l AS (SELECT (o_orderkey * 13) % 100000 AS s,
+        |             (o_orderkey * 13) % 100000 + (o_custkey % 300) AS e
+        |           FROM orders WHERE o_orderkey % 20 = 0),
+        |r AS (SELECT (o_orderkey * 31) % 100000 AS rs,
+        |        (o_orderkey * 31) % 100000 + (o_custkey % 500) AS re
+        |      FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT l.s, l.e, r.rs, r.re
+        |FROM l JOIN r ON l.s <= r.re AND r.rs <= l.e""".stripMargin,
     // the decode stub is md5-keyed so the oracle reproduces feature 0
     // exactly: first 24 bits of md5(utf8(text) ++ ':0'), scaled to [0,1)
     "q_media_features" ->
