@@ -70,6 +70,38 @@ object IvfAnn {
       .collect()
       .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq)
 
+  /** Trained quantizer: Spark ML k-means (Lloyd over distributed
+    * partials — the training itself is a Spark job, so it scales to any
+    * corpus; train on a sample for speed, the quantizer only needs the
+    * coarse shape). `distanceMeasure = cosine` matches the cosine-argmax
+    * cell assignment in [[Model.cell]] — training with the same metric
+    * the probes use is what buys recall at low `nprobe`.
+    *
+    * @param sampleFraction train on a corpus sample (deterministic under
+    *                       the same seed + input; 1.0 = full corpus)
+    */
+  def fitKMeans(
+      corpus: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      seed: Long = 42L,
+      maxIter: Int = 20,
+      sampleFraction: Double = 1.0): Model = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base =
+      if (sampleFraction < 1.0) corpus.sample(withReplacement = false, sampleFraction, seed)
+      else corpus
+    val feats = base.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val km = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setDistanceMeasure("cosine")
+      .setFeaturesCol("features")
+    Model(km.fit(feats).clusterCenters
+      .map(_.toArray.toIndexedSeq).toIndexedSeq)
+  }
+
   /** Top-k cosine neighbors per query among the probed cells.
     *
     * @param corpus  (idCol, vecCol)

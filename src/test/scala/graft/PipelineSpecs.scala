@@ -114,6 +114,43 @@ class PipelineSpecs extends SparkSuite {
     assert(cells.forall(c => c >= 0 && c < 8))
   }
 
+  test("ivf ann: k-means-trained quantizer recovers separated clusters") {
+    // 4 well-separated directions, tight angular noise: trained centroids
+    // should land one per direction, so probing a single cell (nprobe=1)
+    // already finds every true nearest neighbor
+    val dirs = Seq(
+      Array(10.0, 0.0, 0.0), Array(0.0, 10.0, 0.0),
+      Array(0.0, 0.0, 10.0), Array(-10.0, -10.0, -10.0))
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 120L).map { i =>
+      val d = dirs((i % 4).toInt)
+      (i, d.map(_ + rnd.nextDouble() * 0.5 - 0.25))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 8)
+
+    val m = IvfAnn.fitKMeans(vecs, "embedding", nlist = 4, seed = 5)
+    assert(m.centroids.size == 4 && m.centroids.forall(_.size == 3))
+
+    // every cluster member must share its direction-mates' cell
+    val assigned = vecs
+      .select((col("vec_id") % 4).as("dir"),
+        m.cell(col("embedding").cast("array<double>")).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(assigned.groupBy(_._1).values.forall(_.map(_._2).distinct.size == 1),
+      "a trained quantizer must give each tight cluster a single cell")
+    assert(assigned.map(_._2).distinct.length == 4,
+      "4 separated clusters must occupy 4 distinct cells")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = rows(IvfAnn.search(vecs, queries, "vec_id", "embedding",
+      k = 3, m, nprobe = 1))
+    val brute = rows(CosineTopK(vecs, queries, "vec_id", "embedding", k = 3))
+    assert(got == brute,
+      "nprobe=1 over trained cells must equal brute force on clustered data")
+  }
+
   test("salted join ≡ plain join (inner/left, null keys, hot keys)") {
     val rnd = new scala.util.Random(41)
     val big = (0 until 500).map { i =>
