@@ -25,8 +25,60 @@ import org.apache.spark.sql.types._
   * `spark.experimental.extraOptimizations ++= Seq(BinnedJoinRewrite)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BinnedJoinRewrite)
+    GraftFunctions.all.foreach(ext.injectFunction)
+  }
+}
+
+/** SQL registrations for the codegen'd graft expressions, so pure-SQL
+  * users (`spark.sql`, JDBC) get the same native hot loops the Scala
+  * `VecFunctions` facade exposes: `vec_dot`, `vec_norm`,
+  * `sorted_long_intersect_count`, `simhash64`, `minhash_bands`,
+  * `gram_hash`.
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.graft._
+
+  // the usage-bearing ExpressionInfo constructors are deprecated (5-arg)
+  // or group-validating (11-arg); usage strings live in the builders'
+  // Scaladoc instead
+  private def info(cls: Class[_], name: String, usage: String) =
+    new ExpressionInfo(cls.getName, null, name)
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn(...): $arg must be an integer literal, got $other")
+  }
+
+  /** (identifier, info, builder) triples for `injectFunction`. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      info(classOf[VecDot], "vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))),
+    (FunctionIdentifier("vec_norm"),
+      info(classOf[VecNorm], "vec_norm", "vec_norm(a) - L2 norm of a double array"),
+      (args: Seq[Expression]) => VecNorm(args(0))),
+    (FunctionIdentifier("sorted_long_intersect_count"),
+      info(classOf[SortedLongIntersectCount], "sorted_long_intersect_count",
+        "sorted_long_intersect_count(a, b) - |a ∩ b| of two sorted bigint arrays"),
+      (args: Seq[Expression]) => SortedLongIntersectCount(args(0), args(1))),
+    (FunctionIdentifier("simhash64"),
+      info(classOf[SimHash64], "simhash64", "simhash64(hashes) - 64-bit simhash of a bigint hash array"),
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    (FunctionIdentifier("minhash_bands"),
+      info(classOf[MinHashBands], "minhash_bands",
+        "minhash_bands(hashes, numBands, r) - banded minhash bucket ids"),
+      (args: Seq[Expression]) => MinHashBands(args(0),
+        intLit(args(1), "minhash_bands", "numBands"),
+        intLit(args(2), "minhash_bands", "r"))),
+    (FunctionIdentifier("gram_hash"),
+      info(classOf[GramHash], "gram_hash", "gram_hash(hashes, n) - rolling n-gram hashes of a bigint array"),
+      (args: Seq[Expression]) => GramHash(args(0),
+        intLit(args(1), "gram_hash", "n"))))
 }
 
 /** Rewrites inner joins whose condition contains a pair of opposing range

@@ -156,6 +156,20 @@ class BinnedJoinRewriteSpec extends SparkSuite {
       val q = l.join(r, col("lo") <= col("rhi") && col("rlo") <= col("hi"))
       assert(q.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
       assert(q.count() == 2)
+
+      // the extension also registers the native expressions for SQL users
+      val row = s2.sql(
+        """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+          |       vec_norm(array(3.0d, 4.0d)) AS n,
+          |       sorted_long_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS i,
+          |       size(gram_hash(array(1L, 2L, 3L), 2)) AS g,
+          |       size(minhash_bands(array(1L, 2L), 4, 2)) AS b,
+          |       simhash64(array(0L)) AS s
+          |""".stripMargin).head()
+      assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 5.0)
+      assert(row.getInt(2) == 2 && row.getInt(3) == 2 && row.getInt(4) == 4)
+      // simhash of the all-zero-bits hash: every vote negative → 0
+      assert(row.getLong(5) == 0L)
     } finally {
       active.foreach(SparkSession.setActiveSession)
       default.foreach(SparkSession.setDefaultSession)
