@@ -759,6 +759,14 @@ object SparkEntry {
       LangId.assign(docs(s, dir), "text")
         .select(col("doc_id"), col("lang_guess"))
 
+  /** Gopher-style repetition quality signals (token + top-2-gram level;
+    * the corpus has no newlines, so the line-level signals are covered by
+    * unit specs instead).
+    */
+  private val q_text_repetition: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.text.Repetition.signals(docs(s, dir), "doc_id", "text", n = 2)
+
   private val q_text_fingerprint: (SparkSession, String) => DataFrame =
     (s, dir) =>
       Fingerprint(docs(s, dir), "text",
@@ -932,6 +940,7 @@ object SparkEntry {
     "q_sample_split"        -> q_sample_split,
     "q_top_tokens"          -> q_top_tokens,
     "q_text_stats"          -> q_text_stats,
+    "q_text_repetition"     -> q_text_repetition,
     "q_langid"              -> q_langid,
     "q_text_fingerprint"    -> q_text_fingerprint,
     "q_media_frames"        -> q_media_frames,
@@ -1451,6 +1460,33 @@ object SparkEntry {
         |       ELSE list_aggregate(list_transform(tk, x -> len(x)), 'sum')::DOUBLE / len(tk)
         |  END AS mean_token_len
         |FROM d""".stripMargin,
+    "q_text_repetition" ->
+      s"""WITH d AS (SELECT doc_id, length(text) AS doclen, $ToksExpr AS toks
+        |           FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+        |ta AS (SELECT doc_id,
+        |         1.0 - COUNT(*)::DOUBLE / SUM(cnt) AS dup_token_frac,
+        |         SUM(CASE WHEN cnt > 1 THEN cnt * length(tok) ELSE 0 END)::DOUBLE
+        |           / SUM(cnt * length(tok)) AS dup_token_char_frac
+        |       FROM tc GROUP BY 1),
+        |g AS (SELECT doc_id, doclen,
+        |        unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS gram
+        |      FROM d WHERE len(toks) >= 2),
+        |gc AS (SELECT doc_id, doclen, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |tg AS (SELECT doc_id, gram,
+        |         (cnt * length(gram))::DOUBLE / doclen AS frac,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |           ORDER BY cnt DESC, gram ASC) AS rn
+        |       FROM gc)
+        |SELECT d.doc_id,
+        |       COALESCE(ta.dup_token_frac, 0.0) AS dup_token_frac,
+        |       COALESCE(ta.dup_token_char_frac, 0.0) AS dup_token_char_frac,
+        |       COALESCE(tg.gram, '') AS top_ngram,
+        |       COALESCE(tg.frac, 0.0) AS top_ngram_char_frac
+        |FROM d
+        |LEFT JOIN ta ON ta.doc_id = d.doc_id
+        |LEFT JOIN tg ON tg.doc_id = d.doc_id AND tg.rn = 1""".stripMargin,
     "q_langid" ->
       s"""WITH d AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
         |s AS (SELECT doc_id,

@@ -253,6 +253,45 @@ class PipelineSpecs extends SparkSuite {
     assert(out.getAs[Double]("mean_token_len") == 15.0 / 5)
   }
 
+  test("repetition: line, token, and n-gram duplication signals") {
+    import graft.text.Repetition
+    // lines: "a b" ×2 (dup, 3 chars each), "c d e" ×1 → dupLineFrac = 1/3,
+    // dupLineCharFrac = 6/11
+    val txt = "a b\n  \nc d e\na b"
+    val lined = Seq((0L, txt)).toDF("id", "text")
+      .withColumn("ls", Repetition.lines(col("text")))
+      .select(
+        Repetition.dupLineFrac(col("ls")).as("dlf"),
+        Repetition.dupLineCharFrac(col("ls")).as("dlcf"))
+      .head()
+    assert(math.abs(lined.getDouble(0) - 1.0 / 3) < 1e-12)
+    assert(math.abs(lined.getDouble(1) - 6.0 / 11) < 1e-12)
+    // empty text → no lines → both 0
+    val empty = Seq((0L, "  ")).toDF("id", "text")
+      .withColumn("ls", Repetition.lines(col("text")))
+      .select(Repetition.dupLineFrac(col("ls")),
+        Repetition.dupLineCharFrac(col("ls"))).head()
+    assert(empty.getDouble(0) == 0.0 && empty.getDouble(1) == 0.0)
+
+    // "x y x y z": tokens x,y ×2, z ×1 → dup_token_frac = 1 - 3/5 = 0.4,
+    // dup_token_char_frac = 4/5; 2-grams: "x y"×2, "y x", "y z" →
+    // top = "x y", frac = 2*3/9
+    val sig = Repetition.signals(
+      Seq((7L, "x y x y z"), (8L, "q"), (9L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val s7 = sig(7L)
+    assert(math.abs(s7.getAs[Double]("dup_token_frac") - 0.4) < 1e-12)
+    assert(math.abs(s7.getAs[Double]("dup_token_char_frac") - 0.8) < 1e-12)
+    assert(s7.getAs[String]("top_ngram") == "x y")
+    assert(math.abs(s7.getAs[Double]("top_ngram_char_frac") - 6.0 / 9) < 1e-12)
+    // single-token doc: no 2-grams, no repeats; empty doc: all zeros
+    assert(sig(8L).getAs[Double]("dup_token_frac") == 0.0)
+    assert(sig(8L).getAs[String]("top_ngram") == "")
+    assert(sig(8L).getAs[Double]("top_ngram_char_frac") == 0.0)
+    assert(sig(9L).getAs[Double]("dup_token_char_frac") == 0.0)
+  }
+
   test("langid: picks profile with most hits, und for no hits") {
     val df = Seq(
       (0L, "the cat is of the dog and it"),
