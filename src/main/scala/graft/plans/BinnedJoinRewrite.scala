@@ -181,6 +181,10 @@ object BinnedJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       width: Double,
       withKeys: Boolean,
       noNaN: Boolean): Option[LogicalPlan] = {
+    // stream-stream joins plan through stateful operators that require
+    // the join shape the analyzer checked; exploding them behind the
+    // optimizer's back breaks watermark/state planning — leave them be
+    if (j.left.isStreaming || j.right.isStreaming) return None
     val lSet = j.left.outputSet
     val rSet = j.right.outputSet
     // Some(true) = deterministic and references only the left side
