@@ -767,6 +767,22 @@ object SparkEntry {
     (s, dir) =>
       graft.text.Repetition.signals(docs(s, dir), "doc_id", "text", n = 2)
 
+  /** Train/eval contamination: every 50th document plays the eval set;
+    * 3-grams (the small word-soup vocabulary makes classic 8-grams all
+    * unique — no signal to check). Gram keys are md5-derived so DuckDB
+    * reproduces them bit-for-bit (xxhash64 is Spark-specific).
+    */
+  private val q_contamination: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val d = docs(s, dir)
+      graft.text.Contamination.check(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3,
+        gramKey = g =>
+          conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast("long"))
+    }
+
   private val q_text_fingerprint: (SparkSession, String) => DataFrame =
     (s, dir) =>
       Fingerprint(docs(s, dir), "text",
@@ -941,6 +957,7 @@ object SparkEntry {
     "q_top_tokens"          -> q_top_tokens,
     "q_text_stats"          -> q_text_stats,
     "q_text_repetition"     -> q_text_repetition,
+    "q_contamination"       -> q_contamination,
     "q_langid"              -> q_langid,
     "q_text_fingerprint"    -> q_text_fingerprint,
     "q_media_frames"        -> q_media_frames,
@@ -1487,6 +1504,34 @@ object SparkEntry {
         |FROM d
         |LEFT JOIN ta ON ta.doc_id = d.doc_id
         |LEFT JOIN tg ON tg.doc_id = d.doc_id AND tg.rn = 1""".stripMargin,
+    "q_contamination" ->
+      s"""WITH d AS (SELECT doc_id, $ToksExpr AS toks FROM documents),
+        |g0 AS (SELECT doc_id,
+        |         CASE WHEN len(toks) = 0 THEN []
+        |              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |              ELSE [array_to_string(toks[i:i+2], ' ')
+        |                    for i in range(1, len(toks) - 1)]
+        |         END AS grams
+        |       FROM d),
+        |ge AS (SELECT DISTINCT ('0x' || substring(md5(gram), 1, 15))::BIGINT AS g
+        |       FROM (SELECT unnest(grams) AS gram FROM g0 WHERE doc_id % 50 = 0)),
+        |gc AS (SELECT DISTINCT doc_id,
+        |         ('0x' || substring(md5(gram), 1, 15))::BIGINT AS g
+        |       FROM (SELECT doc_id, unnest(grams) AS gram FROM g0
+        |             WHERE doc_id % 50 <> 0)),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM gc GROUP BY 1),
+        |hit AS (SELECT gc.doc_id, COUNT(*) AS n_contaminated
+        |        FROM gc JOIN ge USING (g) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       COALESCE(tot.n_grams, 0) AS n_grams,
+        |       COALESCE(hit.n_contaminated, 0) AS n_contaminated,
+        |       CASE WHEN COALESCE(tot.n_grams, 0) = 0 THEN 0.0
+        |            ELSE COALESCE(hit.n_contaminated, 0)::DOUBLE / tot.n_grams
+        |       END AS contamination_frac
+        |FROM d
+        |LEFT JOIN tot ON tot.doc_id = d.doc_id
+        |LEFT JOIN hit ON hit.doc_id = d.doc_id
+        |WHERE d.doc_id % 50 <> 0""".stripMargin,
     "q_langid" ->
       s"""WITH d AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
         |s AS (SELECT doc_id,

@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train/eval contamination checking: for every corpus document, the
+  * fraction of its distinct word `n`-grams that also occur anywhere in an
+  * evaluation corpus — the overlap filter LM pipelines run before
+  * training so benchmark data can be excluded or flagged (classically
+  * with 8- to 13-grams).
+  *
+  * Plan shape (the 100 TB posture):
+  *   - both sides: tokens → staged gram array → explode → distinct gram
+  *     keys — per-row work is codegen'd, gram arrays are materialized
+  *     once (interpreted HOFs have no CSE);
+  *   - the eval side collapses to its distinct gram keys; an eval set is
+  *     small by nature, so the corpus-side join is a broadcast hash join
+  *     (Catalyst/AQE decide — with a huge "eval" side it degrades to one
+  *     shuffle keyed by gram, still linear);
+  *   - per-doc totals and hits are two aggregations keyed by doc id with
+  *     map-side combine. The corpus is never shuffled whole — only its
+  *     (id, gram key) pairs.
+  *
+  * `gramKey` maps the gram string to the join key: default `xxhash64`
+  * (fastest); pass an md5-based key for cross-engine differential
+  * testing (md5 is bit-identical in every engine, xxhash64 is not).
+  */
+object Contamination {
+
+  /** @return one row per corpus row: `idCol`, `n_grams` (distinct grams),
+    *         `n_contaminated` (grams also in eval), `contamination_frac`
+    *         (0.0 for gram-less documents)
+    */
+  def check(
+      corpus: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      gramKey: Column => Column = xxhash64(_)): DataFrame = {
+    def gramKeys(df: DataFrame, cols: Seq[Column]): DataFrame =
+      df.withColumn("__graft_tk", Shingles.tokens(col(textCol)))
+        .withColumn("__graft_gr",
+          Shingles.wordNGramsFromTokens(col("__graft_tk"), n))
+        .select(cols :+ explode(col("__graft_gr")).as("__graft_gram"): _*)
+        .filter(length(col("__graft_gram")) > 0)
+        .select(cols :+ gramKey(col("__graft_gram")).as("__graft_g"): _*)
+
+    val corpusG = gramKeys(corpus, Seq(col(idCol))).distinct()
+    val evalG = gramKeys(eval, Nil).distinct()
+
+    val totals = corpusG.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = corpusG.join(evalG, "__graft_g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+
+    corpus.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+            col("n_grams"))
+          .as("contamination_frac"))
+  }
+}

@@ -292,6 +292,29 @@ class PipelineSpecs extends SparkSuite {
     assert(sig(9L).getAs[Double]("dup_token_char_frac") == 0.0)
   }
 
+  test("contamination: per-doc n-gram overlap against an eval set") {
+    import graft.text.Contamination
+    val corpus = Seq(
+      (1L, "a b c d"),   // 2-grams: a b | b c | c d → 2 of 3 in eval
+      (2L, "x y z w"),   // no overlap
+      (3L, ""),          // gram-less
+      (4L, "b"))         // shorter than n → single full-seq gram "b"
+      .toDF("doc_id", "text")
+    val eval = Seq((90L, "b c d q r"), (91L, "b")).toDF("doc_id", "text")
+    val out = Contamination.check(corpus, eval, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_grams") == 3)
+    assert(out(1L).getAs[Long]("n_contaminated") == 2)
+    assert(math.abs(out(1L).getAs[Double]("contamination_frac") - 2.0 / 3) < 1e-12)
+    assert(out(2L).getAs[Long]("n_contaminated") == 0)
+    assert(out(3L).getAs[Long]("n_grams") == 0 &&
+      out(3L).getAs[Double]("contamination_frac") == 0.0)
+    // the short eval doc 91 contributes the full-sequence gram "b",
+    // which contaminates the equally short corpus doc 4
+    assert(out(4L).getAs[Long]("n_grams") == 1 &&
+      out(4L).getAs[Long]("n_contaminated") == 1)
+  }
+
   test("langid: picks profile with most hits, und for no hits") {
     val df = Seq(
       (0L, "the cat is of the dog and it"),
