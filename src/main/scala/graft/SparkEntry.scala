@@ -783,6 +783,28 @@ object SparkEntry {
           conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast("long"))
     }
 
+  /** PII scrub over deterministically synthesized addresses (the corpus
+    * itself is PII-free word soup). Counts cast to long — DuckDB's
+    * `len()` is BIGINT and the driver compares dtypes.
+    */
+  private val q_text_scrub: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.text.Scrub(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0, lit(" ping user7@example.com"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 0, lit(" at https://data.example.org/x?y=1"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 13 === 0, lit(" from 192.168.0.7"))
+              .otherwise(lit(""))).as("text")),
+        "text")
+        .select(col("doc_id"),
+          col("n_email").cast("long").as("n_email"),
+          col("n_url").cast("long").as("n_url"),
+          col("n_ipv4").cast("long").as("n_ipv4"),
+          col("scrubbed"))
+
   private val q_text_fingerprint: (SparkSession, String) => DataFrame =
     (s, dir) =>
       Fingerprint(docs(s, dir), "text",
@@ -958,6 +980,7 @@ object SparkEntry {
     "q_text_stats"          -> q_text_stats,
     "q_text_repetition"     -> q_text_repetition,
     "q_contamination"       -> q_contamination,
+    "q_text_scrub"          -> q_text_scrub,
     "q_langid"              -> q_langid,
     "q_text_fingerprint"    -> q_text_fingerprint,
     "q_media_frames"        -> q_media_frames,
@@ -1532,6 +1555,22 @@ object SparkEntry {
         |LEFT JOIN tot ON tot.doc_id = d.doc_id
         |LEFT JOIN hit ON hit.doc_id = d.doc_id
         |WHERE d.doc_id % 50 <> 0""".stripMargin,
+    "q_text_scrub" ->
+      """WITH d AS (SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' ping user7@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' at https://data.example.org/x?y=1' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN ' from 192.168.0.7' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_url,
+        |  len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g') AS scrubbed
+        |FROM d""".stripMargin,
     "q_langid" ->
       s"""WITH d AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
         |s AS (SELECT doc_id,

@@ -315,6 +315,25 @@ class PipelineSpecs extends SparkSuite {
       out(4L).getAs[Long]("n_contaminated") == 1)
   }
 
+  test("scrub: counts and redacts emails, urls, ipv4") {
+    import graft.text.Scrub
+    val out = Scrub(Seq(
+      (1L, "mail a.b@x.org or c@d.io, see https://e.fg/h?i=1 at 10.0.0.1 end"),
+      (2L, "clean text"),
+      (3L, "url with ip http://1.2.3.4/path stays one URL"))
+      .toDF("id", "text"), "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_email") == 2)
+    assert(out(1L).getAs[Int]("n_url") == 1)
+    assert(out(1L).getAs[Int]("n_ipv4") == 1)
+    assert(out(1L).getAs[String]("scrubbed") ==
+      "mail <EMAIL> or <EMAIL>, see <URL> at <IPV4> end")
+    assert(out(2L).getAs[String]("scrubbed") == "clean text")
+    // URL scrubs before IPv4, so the embedded address never surfaces
+    assert(out(3L).getAs[String]("scrubbed") == "url with ip <URL> stays one URL")
+    assert(out(3L).getAs[Int]("n_ipv4") == 1) // counts are on the original text
+  }
+
   test("langid: picks profile with most hits, und for no hits") {
     val df = Seq(
       (0L, "the cat is of the dog and it"),
