@@ -779,8 +779,8 @@ object SparkEntry {
         d.filter(col("doc_id") % 50 =!= 0),
         d.filter(col("doc_id") % 50 === 0),
         "doc_id", "text", n = 3,
-        gramKey = g =>
-          conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast("long"))
+        gramKey = Some(g =>
+          conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast("long")))
     }
 
   /** PII scrub over deterministically synthesized addresses (the corpus

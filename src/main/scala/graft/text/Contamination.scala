@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   *     map-side combine. The corpus is never shuffled whole — only its
   *     (id, gram key) pairs.
   *
-  * `gramKey` maps the gram string to the join key: default `xxhash64`
-  * (fastest); pass an md5-based key for cross-engine differential
-  * testing (md5 is bit-identical in every engine, xxhash64 is not).
+  * `gramKey = None` (the scale default) never builds gram STRINGS at
+  * all: tokens hash once and the codegen'd [[GramHash]] loop combines
+  * them into rolling n-gram keys (string grams via interpreted
+  * `concat_ws` lambdas were the dominant cost — the same lesson as
+  * n-gram Jaccard). Pass `Some(f)` mapping the gram string to a key for
+  * cross-engine differential testing (e.g. an md5-derived key — md5 is
+  * bit-identical in every engine, the native hash is not).
   */
 object Contamination {
 
@@ -37,27 +41,39 @@ object Contamination {
       idCol: String,
       textCol: String,
       n: Int = 8,
-      gramKey: Column => Column = xxhash64(_)): DataFrame = {
-    def gramKeys(df: DataFrame, cols: Seq[Column]): DataFrame =
-      df.withColumn("__graft_tk", Shingles.tokens(col(textCol)))
-        .withColumn("__graft_gr",
-          Shingles.wordNGramsFromTokens(col("__graft_tk"), n))
-        .select(cols :+ explode(col("__graft_gr")).as("__graft_gram"): _*)
-        .filter(length(col("__graft_gram")) > 0)
-        .select(cols :+ gramKey(col("__graft_gram")).as("__graft_g"): _*)
+      gramKey: Option[Column => Column] = None): DataFrame = {
+    def gramKeys(df: DataFrame, cols: Seq[Column]): DataFrame = gramKey match {
+      case None =>
+        // native path: token hashes → rolling gram hashes, no strings
+        df.withColumn("__graft_tk", Shingles.tokens(col(textCol)))
+          .withColumn("__graft_th", transform(col("__graft_tk"), t => xxhash64(t)))
+          .select(cols :+ explode(array_distinct(
+            org.apache.spark.sql.graft.VecFunctions.gram_hash(col("__graft_th"), n)))
+            .as("__graft_g"): _*)
+      case Some(key) =>
+        df.withColumn("__graft_tk", Shingles.tokens(col(textCol)))
+          .withColumn("__graft_gr",
+            Shingles.wordNGramsFromTokens(col("__graft_tk"), n))
+          .select(cols :+ explode(col("__graft_gr")).as("__graft_gram"): _*)
+          .filter(length(col("__graft_gram")) > 0)
+          .select(cols :+ key(col("__graft_gram")).as("__graft_g"): _*)
+    }
 
     val corpusG = gramKeys(corpus, Seq(col(idCol))).distinct()
     val evalG = gramKeys(eval, Nil).distinct()
 
-    val totals = corpusG.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"))
-    val hits = corpusG.join(evalG, "__graft_g")
+    // ONE pass over the corpus gram pipeline: left-join the (broadcast)
+    // eval keys to tag hits, then a single per-doc aggregation counts
+    // totals and hits together. (Separate totals/hits aggregations would
+    // re-evaluate the whole shingle+hash pipeline per consumer.)
+    val stats = corpusG
+      .join(evalG.withColumn("__graft_hit", lit(1)), Seq("__graft_g"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_contaminated"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__graft_hit")).as("n_contaminated"))
 
     corpus.select(col(idCol))
-      .join(totals, Seq(idCol), "left")
-      .join(hits, Seq(idCol), "left")
+      .join(stats, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),

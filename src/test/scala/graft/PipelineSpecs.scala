@@ -303,6 +303,14 @@ class PipelineSpecs extends SparkSuite {
     val eval = Seq((90L, "b c d q r"), (91L, "b")).toDF("doc_id", "text")
     val out = Contamination.check(corpus, eval, "doc_id", "text", n = 2)
       .collect().map(r => r.getLong(0) -> r).toMap
+    // the native hashed-gram path and the string-gram path agree
+    val viaStrings = Contamination.check(corpus, eval, "doc_id", "text", n = 2,
+      gramKey = Some(g => xxhash64(g)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == viaStrings.keySet && out.keys.forall(k =>
+      out(k).getAs[Long]("n_grams") == viaStrings(k).getAs[Long]("n_grams") &&
+        out(k).getAs[Long]("n_contaminated") ==
+          viaStrings(k).getAs[Long]("n_contaminated")))
     assert(out(1L).getAs[Long]("n_grams") == 3)
     assert(out(1L).getAs[Long]("n_contaminated") == 2)
     assert(math.abs(out(1L).getAs[Double]("contamination_frac") - 2.0 / 3) < 1e-12)
