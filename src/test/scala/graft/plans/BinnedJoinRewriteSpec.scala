@@ -134,6 +134,28 @@ class BinnedJoinRewriteSpec extends SparkSuite {
     }
   }
 
+  test("randomized: any width, any shape, rows identical to the naive join") {
+    val rnd = new Random(99)
+    for (trial <- 1 to 6) {
+      val width = Seq("1", "7", "40", "1000")(rnd.nextInt(4))
+      val strictL = rnd.nextBoolean()
+      val strictR = rnd.nextBoolean()
+      val l = intervals(100 + trial, 120, nulls = true)
+      val r = intervals(200 + trial, 90, nulls = true).toDF("rid", "rlo", "rhi")
+      def q: DataFrame = l.join(r,
+        (if (strictL) col("lo") < col("rhi") else col("lo") <= col("rhi")) &&
+          (if (strictR) col("rlo") < col("hi") else col("rlo") <= col("hi")))
+      val expected = rows(q)
+      withRule(BinnedJoinRewrite.widthKey -> width) {
+        val planned = q
+        assert(planned.queryExecution.optimizedPlan.toString.contains("__graft_bin"),
+          s"trial $trial (width=$width) did not rewrite")
+        assert(rows(planned) == expected,
+          s"trial $trial (width=$width strictL=$strictL strictR=$strictR) diverged")
+      }
+    }
+  }
+
   test("GraftExtensions wiring installs the rule in a fresh session") {
     import org.apache.spark.sql.SparkSession
     val active = SparkSession.getActiveSession
