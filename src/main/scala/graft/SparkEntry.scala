@@ -783,6 +783,19 @@ object SparkEntry {
           conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast("long")))
     }
 
+  /** GPT-style sequence packing: documents in doc_id order concatenated
+    * and cut into 128-token packs; one row per (doc × pack) overlap.
+    */
+  private val q_packing: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.text.Packing.chunk(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(graft.text.Shingles.tokens(col("text"))).as("n")),
+        Seq(col("doc_id")), col("n"), budget = 128L)
+        .select(col("doc_id"), col("pack_id"),
+          col("off_start"), col("off_end"), col("pack_off"))
+
   /** PII scrub over deterministically synthesized addresses (the corpus
     * itself is PII-free word soup). Counts cast to long — DuckDB's
     * `len()` is BIGINT and the driver compares dtypes.
@@ -981,6 +994,7 @@ object SparkEntry {
     "q_text_repetition"     -> q_text_repetition,
     "q_contamination"       -> q_contamination,
     "q_text_scrub"          -> q_text_scrub,
+    "q_packing"             -> q_packing,
     "q_langid"              -> q_langid,
     "q_text_fingerprint"    -> q_text_fingerprint,
     "q_media_frames"        -> q_media_frames,
@@ -1555,6 +1569,22 @@ object SparkEntry {
         |LEFT JOIN tot ON tot.doc_id = d.doc_id
         |LEFT JOIN hit ON hit.doc_id = d.doc_id
         |WHERE d.doc_id % 50 <> 0""".stripMargin,
+    "q_packing" ->
+      s"""WITH d AS (SELECT doc_id, len($ToksExpr) AS n FROM documents),
+        |nz AS (SELECT doc_id, n FROM d WHERE n > 0),
+        |c AS (SELECT doc_id, n,
+        |        CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |             AS BIGINT) AS e
+        |      FROM nz),
+        |s AS (SELECT doc_id, e - n AS st, e FROM c),
+        |p AS (SELECT doc_id, st, e,
+        |        unnest(range(st // 128, (e - 1) // 128 + 1)) AS pack_id
+        |      FROM s)
+        |SELECT doc_id, pack_id,
+        |  greatest(st, pack_id * 128) - st AS off_start,
+        |  least(e, (pack_id + 1) * 128) - st AS off_end,
+        |  greatest(st, pack_id * 128) - pack_id * 128 AS pack_off
+        |FROM p""".stripMargin,
     "q_text_scrub" ->
       """WITH d AS (SELECT doc_id,
         |    text

@@ -342,6 +342,28 @@ class PipelineSpecs extends SparkSuite {
     assert(out(3L).getAs[Int]("n_ipv4") == 1) // counts are on the original text
   }
 
+  test("packing: concatenate-then-chunk layout with straddling docs") {
+    import graft.text.Packing
+    val docs = Seq((1L, 3L), (2L, 4L), (3L, 2L), (4L, 0L)).toDF("doc_id", "n")
+    val out = Packing.chunk(docs, Seq(col("doc_id")), col("n"), budget = 4L)
+      .select("doc_id", "pack_id", "off_start", "off_end", "pack_off")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // stream: d1 [0,3) d2 [3,7) d3 [7,9); packs of 4: [0,4) [4,8) [8,12)
+    assert(out == Set(
+      (1L, 0L, 0L, 3L, 0L),  // d1 whole in pack 0 at offset 0
+      (2L, 0L, 0L, 1L, 3L),  // d2 first token fills pack 0
+      (2L, 1L, 1L, 4L, 0L),  // d2 rest opens pack 1
+      (3L, 1L, 0L, 1L, 3L),  // d3 first token closes pack 1
+      (3L, 2L, 1L, 2L, 0L))) // d3 last token opens pack 2; d4 (0 tokens) dropped
+    // conservation: every pack except the last is exactly full
+    val perPack = Packing.chunk(docs, Seq(col("doc_id")), col("n"), budget = 4L)
+      .groupBy("pack_id").agg(sum(col("off_end") - col("off_start")).as("filled"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perPack == Map(0L -> 4L, 1L -> 4L, 2L -> 1L))
+  }
+
   test("langid: picks profile with most hits, und for no hits") {
     val df = Seq(
       (0L, "the cat is of the dog and it"),
