@@ -210,6 +210,24 @@ class StreamingSpecs extends SparkSuite {
     }
   }
 
+  test("per-row curation ops run unchanged on streams (scrub)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // the batch operator applies verbatim: stateless projections need no
+    // watermark, no state store, no streaming-specific variant
+    val out = graft.text.Scrub(input.toDF().toDF("id", "text"), "text")
+    val q = out.writeStream.format("memory").queryName("scrub_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "mail a@b.co now"), (2L, "nothing here"))
+      q.processAllAvailable()
+      val rows = spark.table("scrub_stream").orderBy("id").collect()
+      assert(rows(0).getAs[String]("scrubbed") == "mail <EMAIL> now")
+      assert(rows(0).getAs[Int]("n_email") == 1)
+      assert(rows(1).getAs[String]("scrubbed") == "nothing here")
+    } finally q.stop()
+  }
+
   test("partition_series: greedy packing under budget, oversized groups isolated") {
     val df = (Seq.fill(5)(1) ++ Seq.fill(3)(2) ++ Seq.fill(12)(3) ++ Seq.fill(4)(4))
       .map(g => (g, 0)).toDF("g", "x")
