@@ -1532,15 +1532,21 @@ object SparkEntry {
         |         (cnt * length(gram))::DOUBLE / doclen AS frac,
         |         ROW_NUMBER() OVER (PARTITION BY doc_id
         |           ORDER BY cnt DESC, gram ASC) AS rn
-        |       FROM gc)
+        |       FROM gc),
+        |gd AS (SELECT doc_id,
+        |         SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)::DOUBLE
+        |           / SUM(cnt * length(gram)) AS dup_ngram_char_frac
+        |       FROM gc GROUP BY 1)
         |SELECT d.doc_id,
         |       COALESCE(ta.dup_token_frac, 0.0) AS dup_token_frac,
         |       COALESCE(ta.dup_token_char_frac, 0.0) AS dup_token_char_frac,
         |       COALESCE(tg.gram, '') AS top_ngram,
-        |       COALESCE(tg.frac, 0.0) AS top_ngram_char_frac
+        |       COALESCE(tg.frac, 0.0) AS top_ngram_char_frac,
+        |       COALESCE(gd.dup_ngram_char_frac, 0.0) AS dup_ngram_char_frac
         |FROM d
         |LEFT JOIN ta ON ta.doc_id = d.doc_id
-        |LEFT JOIN tg ON tg.doc_id = d.doc_id AND tg.rn = 1""".stripMargin,
+        |LEFT JOIN tg ON tg.doc_id = d.doc_id AND tg.rn = 1
+        |LEFT JOIN gd ON gd.doc_id = d.doc_id""".stripMargin,
     "q_contamination" ->
       s"""WITH d AS (SELECT doc_id, $ToksExpr AS toks FROM documents),
         |g0 AS (SELECT doc_id,

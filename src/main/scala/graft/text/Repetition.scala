@@ -97,24 +97,43 @@ object Repetition {
           i => concat_ws(" ", slice(col("__graft_tk"), i + 1, lit(n)))))
         .otherwise(array()))
         .as("gram"))
-    val w = Window.partitionBy(col("__graft_id"))
-      .orderBy(col("cnt").desc, col("gram").asc)
-    val topGram = grams
+    // gram counts feed BOTH the top-1 window and the duplicate-gram
+    // aggregate
+    val gramCounts = grams
       .groupBy(col("__graft_id"), col("__graft_doclen"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("__graft_id"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+    val topGram = gramCounts
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
       .select(col("__graft_id"), col("gram").as("top_ngram"),
         (col("cnt") * length(col("gram")) / col("__graft_doclen"))
           .as("top_ngram_char_frac"))
+    // chars in grams occurring more than once / all gram chars (the
+    // simplified occurrence-weighted form of Gopher's dup-n-gram rule —
+    // overlapping-position coverage needs per-position bookkeeping that
+    // buys little at filter time)
+    // grouping by (id, doclen) — doclen is functionally dependent on id —
+    // keeps this branch's gram-count subtree canonically equal to
+    // topGram's so AQE stage reuse CAN kick in (column pruning would
+    // otherwise drop doclen here and fork the pipeline from the scan)
+    val dupGram = gramCounts
+      .groupBy(col("__graft_id"), col("__graft_doclen"))
+      .agg((sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))
+        .otherwise(lit(0L))).cast("double") /
+        sum(col("cnt") * length(col("gram")))).as("dup_ngram_char_frac"))
+      .drop("__graft_doclen")
 
     df.select(col(idCol))
       .join(tokAgg, col(idCol) === col("__graft_id"), "left").drop("__graft_id")
       .join(topGram, col(idCol) === col("__graft_id"), "left").drop("__graft_id")
+      .join(dupGram, col(idCol) === col("__graft_id"), "left").drop("__graft_id")
       .select(col(idCol),
         coalesce(col("dup_token_frac"), lit(0.0)).as("dup_token_frac"),
         coalesce(col("dup_token_char_frac"), lit(0.0)).as("dup_token_char_frac"),
         coalesce(col("top_ngram"), lit("")).as("top_ngram"),
-        coalesce(col("top_ngram_char_frac"), lit(0.0)).as("top_ngram_char_frac"))
+        coalesce(col("top_ngram_char_frac"), lit(0.0)).as("top_ngram_char_frac"),
+        coalesce(col("dup_ngram_char_frac"), lit(0.0)).as("dup_ngram_char_frac"))
   }
 }

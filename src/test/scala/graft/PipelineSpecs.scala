@@ -285,6 +285,9 @@ class PipelineSpecs extends SparkSuite {
     assert(math.abs(s7.getAs[Double]("dup_token_char_frac") - 0.8) < 1e-12)
     assert(s7.getAs[String]("top_ngram") == "x y")
     assert(math.abs(s7.getAs[Double]("top_ngram_char_frac") - 6.0 / 9) < 1e-12)
+    // gram chars: "x y"×2 (dup, 6) + "y x" + "y z" (6 unique) → 6/12
+    assert(math.abs(s7.getAs[Double]("dup_ngram_char_frac") - 0.5) < 1e-12)
+    assert(sig(8L).getAs[Double]("dup_ngram_char_frac") == 0.0)
     // single-token doc: no 2-grams, no repeats; empty doc: all zeros
     assert(sig(8L).getAs[Double]("dup_token_frac") == 0.0)
     assert(sig(8L).getAs[String]("top_ngram") == "")
