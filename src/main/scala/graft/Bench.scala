@@ -66,11 +66,28 @@ object Bench {
       name -> (if (best.isInfinity) -1.0 else best)
     }
     val failed = results.collect { case (name, v) if v < 0 => name }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"agg":"min","sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    // The driver captures only the last ~2000 chars of stdout and parses the
+    // JSON line out of that tail; the round-3 line (64 queries × 9-decimal
+    // doubles) overflowed it and the round's bench number was lost. Print a
+    // COMPACT line — total + the slowest queries that fit a hard budget —
+    // and write the complete per-query map to bench_details.json instead.
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_details.json"),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failedJson,"runs":$runs,"agg":"min","n_queries":${names.size},"sf":"$sfDir"}""")
+    val budget = 1100 // chars for the queries object; tail is 2000 total
+    val slowestFirst = results.sortBy(-_._2)
+    val sb = new StringBuilder
+    var kept = 0
+    slowestFirst.foreach { case (k, v) =>
+      val entry = (if (kept == 0) "" else ",") + "\"" + k + "\":" + fmt(v)
+      if (sb.length + entry.length <= budget) { sb.append(entry); kept += 1 }
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{${sb.toString}},"queries_omitted":${names.size - kept},"failed":$failedJson,"runs":$runs,"agg":"min","n_queries":${names.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
