@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.agg.{Factorize, GroupedMode}
 import graft.core.{IntervalSpec, Tables}
-import graft.dedup.{ExactDedup, MinHashDedup, NgramJaccardDedup, SimHashDedup}
+import graft.dedup.{DuplicateClusters, ExactDedup, MinHashDedup, NgramJaccardDedup, SimHashDedup}
 import graft.intervals.{CombineIntervals, GroupIntervals}
 import graft.joins.{AsOfJoin, BinnedIntervalJoin, FindContainingInterval, IntervalJoin, SaltedJoin}
 import graft.multimodal.Media
@@ -679,6 +679,19 @@ object SparkEntry {
       MinHashDedup(docs(s, dir), "text", "doc_id",
         numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.8)
 
+  /** Near-dup clustering: ngram-Jaccard pairs → transitive closure →
+    * per-doc cluster id / size / survivor flag. Oracle: the same pairs in
+    * DuckDB, closed with a recursive CTE. */
+  private val q_dedup_cluster: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = NgramJaccardDedup(d, "text", "doc_id",
+        n = 1, threshold = 0.9, blockBy = Seq("lang"))
+      DuplicateClusters(d, "doc_id", pairs, "id_l", "id_r")
+        .select(col("doc_id").as("did"), col("cluster_id").as("cid"),
+          col("cluster_size").as("sz"), col("is_canonical").as("canon"))
+    }
+
   /** 60-bit token hash both Spark and DuckDB compute bit-identically:
     * the first 15 hex digits of md5. Used by the simhash driver query so
     * its DuckDB oracle can reproduce the fingerprints exactly.
@@ -981,6 +994,7 @@ object SparkEntry {
     "q_dedup_exact"         -> q_dedup_exact,
     "q_dedup_ngram"         -> q_dedup_ngram,
     "q_dedup_minhash"       -> q_dedup_minhash,
+    "q_dedup_cluster"       -> q_dedup_cluster,
     "q_dedup_simhash"       -> q_dedup_simhash,
     "q_dedup_embcos"        -> q_dedup_embcos,
     "q_ann_topk"            -> q_ann_topk,
@@ -1434,6 +1448,22 @@ object SparkEntry {
         |FROM g a JOIN g b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""".stripMargin,
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE
+        |d AS (SELECT doc_id, lang, list_distinct($ToksExpr) AS tk FROM documents),
+        |p AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
+        |          / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.9),
+        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+        |                UNION SELECT r.u, ed.v FROM reach r JOIN e ed ON r.v = ed.u),
+        |comp AS (SELECT u AS node, MIN(v) AS comp FROM reach GROUP BY u),
+        |lab AS (SELECT doc.doc_id AS did, COALESCE(c.comp, doc.doc_id) AS cid
+        |        FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node)
+        |SELECT did, cid, COUNT(*) OVER (PARTITION BY cid) AS sz,
+        |       CAST(did = cid AS INT) AS canon
+        |FROM lab""".stripMargin,
     "q_dedup_embcos" ->
       """SELECT a.vec_id AS id_l, b.vec_id AS id_r,
         |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine

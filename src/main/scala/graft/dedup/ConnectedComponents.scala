@@ -1,0 +1,104 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair graph, and cluster
+  * assignment for a document corpus.
+  *
+  * The pair generators ([[MinHashDedup]], [[SimHashDedup]],
+  * [[NgramJaccardDedup]], [[graft.similarity.EmbeddingDedup]]) emit edges;
+  * actually deduplicating a corpus additionally needs the transitive
+  * closure — a chain a~b~c must collapse to ONE cluster even when (a,c)
+  * itself is below the similarity threshold. The reference is a
+  * single-machine pandas library and has no analogue; at cluster scale the
+  * closure is the classic iterative min-label algorithm with pointer
+  * jumping (cf. Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14): O(log d) rounds for diameter d, each round a pair of
+  * shuffle-partitioned equi-joins plus a grouped min.
+  *
+  * Scale posture: the per-round state is one (node, comp) frame of two
+  * longs per node — tiny next to the corpus — and is localCheckpoint'ed
+  * every round to truncate lineage (an iterative plan would otherwise grow
+  * without bound and recompute every prior round). Convergence detection
+  * is a single scalar aggregate per round (labels are monotonically
+  * non-increasing, so the label sum is a fixpoint witness), not a collect
+  * of data.
+  */
+object ConnectedComponents {
+
+  /** `(node: long, comp: long)` for every node appearing in `edges`;
+    * `comp` is the least node id in the node's component. Self-loops and
+    * null endpoints are ignored. Nodes not mentioned in `edges` do not
+    * appear (callers complete singletons themselves, cf.
+    * [[DuplicateClusters]]).
+    */
+  def apply(edges: DataFrame, srcCol: String, dstCol: String,
+            maxIter: Int = 30): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    // undirected: both orientations once; reused by every round
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint()
+    // label sum as the fixpoint witness; decimal(38,0): a long sum can
+    // overflow once node-id × node-count crosses 2^63 (real at 100 TB)
+    def witness(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prev = witness(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // propagate: comp'(u) = min(comp(u), min over neighbors v of comp(v))
+      val nbrMin = sym.as("e")
+        .join(labels.as("l"), col("e.v") === col("l.node"))
+        .groupBy(col("e.u").as("node")).agg(min(col("l.comp")).as("nmin"))
+      val prop = labels.as("l")
+        .join(nbrMin.as("m"), col("l.node") === col("m.node"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.comp"), coalesce(col("m.nmin"), col("l.comp"))).as("comp"))
+      // pointer jump: comp''(u) = min(comp'(u), comp'(comp'(u))) — label
+      // values are themselves node ids, so one extra self-join halves the
+      // remaining chain length (this is what makes the loop O(log d))
+      val jumped = prop.as("a")
+        .join(prop.select(col("node").as("jn"), col("comp").as("jc")).as("j"),
+          col("a.comp") === col("j.jn"), "left")
+        .select(col("a.node").as("node"),
+          least(col("a.comp"), coalesce(col("j.jc"), col("a.comp"))).as("comp"))
+        .localCheckpoint()
+      val cur = witness(jumped)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      labels = jumped
+      iter += 1
+    }
+    labels
+  }
+}
+
+/** Cluster assignment: every document gets the id of its near-duplicate
+  * cluster (the least reachable doc id through `pairs`), the cluster size,
+  * and a canonical flag marking the one survivor per cluster. Documents in
+  * no pair form singleton clusters of themselves.
+  */
+object DuplicateClusters {
+
+  def apply(docs: DataFrame, idCol: String,
+            pairs: DataFrame, leftCol: String, rightCol: String,
+            maxIter: Int = 30): DataFrame = {
+    val comp = ConnectedComponents(pairs, leftCol, rightCol, maxIter)
+    val labeled = docs.as("d")
+      .join(comp.as("c"), col(s"d.$idCol").cast("long") === col("c.node"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("c.comp"), col(s"d.$idCol").cast("long")))
+      .drop("node", "comp")
+    labeled
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("is_canonical",
+        (col(idCol).cast("long") === col("cluster_id")).cast("int"))
+  }
+}

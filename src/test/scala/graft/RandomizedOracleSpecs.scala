@@ -353,4 +353,52 @@ class RandomizedOracleSpecs extends SparkSuite {
       assert(out(pid) == want, s"pid=$pid p=$p g=$g")
     }
   }
+
+  test("connected components ≡ union-find closure (random graphs)") {
+    import graft.dedup.ConnectedComponents
+    for (seed <- Seq(7, 8); (n, m) <- Seq((40, 20), (60, 90), (30, 1))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (0 until m).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val df = edges.toDF("a", "b")
+      val got = ConnectedComponents(df, "a", "b").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges if a != b) parent(find(a)) = find(b)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).filter(x =>
+        edges.exists(e => e._1 != e._2 && (e._1 == x || e._2 == x))).distinct
+      // oracle comp = min node id of the union-find class
+      val classMin = nodes.groupBy(find).map { case (_, xs) => find(xs.head) -> xs.min }
+      val want = nodes.map(x => x -> classMin(find(x))).toMap
+      assert(got == want, s"seed=$seed n=$n m=$m")
+    }
+  }
+
+  test("connected components: long chain converges (pointer jumping)") {
+    import graft.dedup.ConnectedComponents
+    // a 200-node path has diameter 199 — plain min-propagation would need
+    // 199 rounds; with pointer jumping maxIter=30 must suffice
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val got = ConnectedComponents(chain.toDF("a", "b"), "a", "b").collect()
+    assert(got.length == 200 && got.forall(_.getLong(1) == 0L))
+  }
+
+  test("duplicate clusters: transitive closure, singletons, canonical flags") {
+    import graft.dedup.DuplicateClusters
+    val docs = (0L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // chain 0~1~2 (no direct 0~2 edge) + pair 4~5; 3 and 6 untouched
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id_l", "id_r")
+    val out = DuplicateClusters(docs, "doc_id", pairs, "id_l", "id_r")
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(0L) == ((0L, 3L, 1)) && out(1L) == ((0L, 3L, 0)) &&
+      out(2L) == ((0L, 3L, 0)))
+    assert(out(4L) == ((4L, 2L, 1)) && out(5L) == ((4L, 2L, 0)))
+    assert(out(3L) == ((3L, 1L, 1)) && out(6L) == ((6L, 1L, 1)))
+  }
 }
