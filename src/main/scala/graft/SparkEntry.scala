@@ -11,7 +11,7 @@ import graft.joins.{AsOfJoin, BinnedIntervalJoin, FindContainingInterval, Interv
 import graft.multimodal.Media
 import graft.resample.{MakeWindows, ResampleEav, ResampleInterval}
 import graft.similarity.{CosineTopK, EmbeddingDedup, IvfAnn, LshAnn}
-import graft.text.{Fingerprint, LangId, TextStats, VocabStats}
+import graft.text.{Bm25, Fingerprint, LangId, Shingles, TextStats, VocabStats}
 import graft.windows.{Impute, PrevNextSpec, PrevNextValues}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -761,6 +761,20 @@ object SparkEntry {
       VocabStats.topTokens(docs(s, dir), "text",
         groupBy = Seq("lang"), k = 10)
 
+  /** BM25 scores of every document against the 8 most frequent corpus
+    * tokens of length >= 4 (deterministic tie-break by token). */
+  private val q_bm25: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val d = docs(s, dir)
+      val terms = d.select(explode(Shingles.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) >= 4)
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(8)
+        .select(col("tok").as("term"))
+      Bm25(d, "doc_id", "text", terms)
+        .select(col("term"), col("doc_id").as("did"), r6m(col("score")).as("score"))
+    }
+
   private val q_text_stats: (SparkSession, String) => DataFrame =
     (s, dir) =>
       TextStats(docs(s, dir), "text")
@@ -1004,6 +1018,7 @@ object SparkEntry {
     "q_sample_stratified"   -> q_sample_stratified,
     "q_sample_split"        -> q_sample_split,
     "q_top_tokens"          -> q_top_tokens,
+    "q_bm25"                -> q_bm25,
     "q_text_stats"          -> q_text_stats,
     "q_text_repetition"     -> q_text_repetition,
     "q_contamination"       -> q_contamination,
@@ -1529,6 +1544,22 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
         |        ORDER BY cnt DESC, token) AS rank FROM c)
         |SELECT lang, token, cnt, rank FROM r WHERE rank <= 10""".stripMargin,
+    "q_bm25" ->
+      s"""WITH t AS (SELECT doc_id, unnest($ToksExpr) AS w FROM documents),
+        |qt AS (SELECT w AS term FROM t WHERE len(w) >= 4
+        |       GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 8),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t JOIN qt ON t.w = qt.term
+        |       GROUP BY doc_id, w),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+        |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+        |              (SELECT COUNT(*) FROM t)::DOUBLE
+        |                / (SELECT COUNT(*) FROM documents) AS avgdl),
+        |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w)
+        |SELECT tf.w AS term, tf.doc_id AS did,
+        |  ROUND(ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+        |    * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+        |    + 1e-9, 6) + 0.0 AS score
+        |FROM tf JOIN dl USING (doc_id) JOIN dfq USING (w) CROSS JOIN st""".stripMargin,
     "q_text_stats" ->
       s"""WITH d AS (SELECT doc_id, text, $ToksExpr AS tk FROM documents)
         |SELECT doc_id, len(tk) AS n_tokens,

@@ -425,4 +425,25 @@ class PipelineSpecs extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(frames == Map(0L -> 1L, 1L -> 3L, 2L -> 1L)) // video: frames 0,4,8
   }
+
+  test("bm25: hand-computed scores, zero-token docs count toward avgdl") {
+    import graft.text.Bm25
+    val d = Seq(
+      (0L, "apple banana apple"), (1L, "banana cherry"),
+      (2L, "apple"), (3L, "")
+    ).toDF("doc_id", "text")
+    val terms = Seq("apple", "banana").toDF("term")
+    val got = Bm25(d, "doc_id", "text", terms).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // N=4 docs (empty one included), 6 tokens, avgdl=1.5; df=2 for both
+    // terms -> idf = ln(1 + 2.5/2.5) = ln 2
+    val idf = math.log(2.0)
+    def w(tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 1.5))
+    assert(got.size == 4)
+    assert(math.abs(got(("apple", 0L)) - w(2, 3)) < 1e-12)
+    assert(math.abs(got(("banana", 0L)) - w(1, 3)) < 1e-12)
+    assert(math.abs(got(("banana", 1L)) - w(1, 2)) < 1e-12)
+    assert(math.abs(got(("apple", 2L)) - w(1, 1)) < 1e-12)
+  }
 }
