@@ -51,10 +51,20 @@ object Contamination {
             org.apache.spark.sql.graft.VecFunctions.gram_hash(col("__graft_th"), n)))
             .as("__graft_g"): _*)
       case Some(key) =>
+        // gram STRINGS, but no interpreted lambda: explode token
+        // POSITIONS first, then build each gram with plain slice/
+        // concat_ws — ordinary expressions stay inside whole-stage
+        // codegen, where a `transform(sequence, …)` HOF cannot. Within-
+        // doc dup grams are handled by the caller's distinct() (the HOF
+        // path pre-deduped via array_distinct; here dedup after keying
+        // costs a few extra md5s but keeps the hot loop codegen'd).
         df.withColumn("__graft_tk", Shingles.tokens(col(textCol)))
-          .withColumn("__graft_gr",
-            Shingles.wordNGramsFromTokens(col("__graft_tk"), n))
-          .select(cols :+ explode(col("__graft_gr")).as("__graft_gram"): _*)
+          .select(cols :+ col("__graft_tk") :+
+            explode(sequence(lit(0),
+              greatest(size(col("__graft_tk")) - n, lit(0)))).as("__graft_i"): _*)
+          .select(cols :+ concat_ws(" ",
+            slice(col("__graft_tk"), col("__graft_i") + 1, lit(n)))
+            .as("__graft_gram"): _*)
           .filter(length(col("__graft_gram")) > 0)
           .select(cols :+ key(col("__graft_gram")).as("__graft_g"): _*)
     }
