@@ -92,4 +92,50 @@ object Contamination {
             col("n_grams"))
           .as("contamination_frac"))
   }
+
+  /** The distinct native gram keys of an eval corpus, collected to the
+    * driver — the input to [[perRow]]. Eval sets are small by nature
+    * (benchmark suites, not corpora); a corpus-sized "eval" side belongs
+    * to [[check]], whose join never leaves the cluster.
+    */
+  def evalGramKeys(eval: DataFrame, textCol: String, n: Int = 8): Array[Long] =
+    eval.withColumn("__graft_tk", Shingles.tokens(col(textCol)))
+      .withColumn("__graft_th", transform(col("__graft_tk"), t => xxhash64(t)))
+      .select(explode(array_distinct(
+        org.apache.spark.sql.graft.VecFunctions.gram_hash(col("__graft_th"), n)))
+        .as("__graft_g"))
+      .distinct().collect().map(_.getLong(0)).sorted
+
+  /** Shuffle-free, state-free contamination: each document's distinct
+    * gram keys are computed in-row (codegen'd rolling [[GramHash]]) and
+    * merge-intersected against the sorted eval keys with the codegen'd
+    * [[org.apache.spark.sql.graft.SortedLongIntersectCount]] — a pure
+    * projection, so it runs UNCHANGED in Structured Streaming (the
+    * streaming decontamination gate) and adds zero exchanges in batch.
+    * Agrees exactly with [[check]]`(gramKey = None)` on the same inputs.
+    */
+  def perRow(
+      corpus: DataFrame,
+      textCol: String,
+      evalKeys: Array[Long],
+      n: Int = 8): DataFrame = {
+    val sortedKeys = evalKeys.sorted
+    val staged = corpus
+      .withColumn("__graft_tk", Shingles.tokens(col(textCol)))
+      .withColumn("__graft_th", transform(col("__graft_tk"), t => xxhash64(t)))
+      // projection boundary: the gram array materializes ONCE; the two
+      // consumers below reference the attribute, not the HOF pipeline
+      .withColumn("__graft_g", sort_array(array_distinct(
+        org.apache.spark.sql.graft.VecFunctions.gram_hash(col("__graft_th"), n))))
+    staged
+      .withColumn("n_grams", size(col("__graft_g")).cast("long"))
+      .withColumn("n_contaminated",
+        org.apache.spark.sql.graft.VecFunctions
+          .sorted_long_intersect_count(col("__graft_g"),
+            typedLit(sortedKeys)).cast("long"))
+      .withColumn("contamination_frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_contaminated").cast("double") / col("n_grams")))
+      .drop("__graft_tk", "__graft_th", "__graft_g")
+  }
 }

@@ -63,8 +63,10 @@ class PlanSpecs extends SparkSuite {
   test("no driver query degenerates to cartesian/nested-loop (except by design)") {
     // intended exceptions: q_cross_join IS a cross join; q_ann_topk scores
     // every (query, corpus) pair by design — a broadcast nested loop over
-    // the broadcast query set is exactly its plan
-    val intended = Set("q_cross_join", "q_ann_topk")
+    // the broadcast query set is exactly its plan; q_bm25 cross-joins a
+    // ONE-ROW broadcast corpus-stats frame (N, avgdl) — a scalar
+    // broadcast, not a data-sized nested loop
+    val intended = Set("q_cross_join", "q_ann_topk", "q_bm25")
     for (name <- SparkEntry.queries.keys if !intended(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian")

@@ -228,6 +228,48 @@ class StreamingSpecs extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming contamination gate ≡ batch Contamination.check") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.Contamination
+    val evalDf = Seq("alpha beta gamma delta", "omega psi chi phi")
+      .toDF("text")
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"), // contains eval 4-grams
+      (1L, "completely unrelated words here today"),
+      (2L, "x omega psi chi phi y"),
+      (3L, "ab")) // fewer than n tokens -> one short gram
+      .map { case (i, t) => (i, t) }
+    val keys = Contamination.evalGramKeys(evalDf, "text", n = 4)
+
+    val batch = Contamination.check(
+      corpus.toDF("id", "text"), evalDf, "id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val perRow = Contamination.perRow(
+      corpus.toDF("id", "text"), "text", keys, n = 4)
+      .select("id", "n_grams", "n_contaminated", "contamination_frac")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(perRow == batch)
+    assert(batch(0L)._2 > 0 && batch(1L)._2 == 0)
+
+    // and unchanged on a stream: pure projection, no state store
+    val input = MemoryStream[(Long, String)]
+    val out = Contamination.perRow(
+      input.toDF().toDF("id", "text"), "text", keys, n = 4)
+    val q = out.writeStream.format("memory").queryName("contam_stream")
+      .outputMode("append").start()
+    try {
+      corpus.foreach(input.addData(_))
+      q.processAllAvailable()
+      val streamed = spark.table("contam_stream")
+        .select("id", "n_grams", "n_contaminated", "contamination_frac")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("partition_series: greedy packing under budget, oversized groups isolated") {
     val df = (Seq.fill(5)(1) ++ Seq.fill(3)(2) ++ Seq.fill(12)(3) ++ Seq.fill(4)(4))
       .map(g => (g, 0)).toDF("g", "x")
