@@ -36,9 +36,14 @@ object ConnectedComponents {
     */
   def apply(edges: DataFrame, srcCol: String, dstCol: String,
             maxIter: Int = 30): DataFrame = {
+    // materialize the edge list BEFORE mirroring: `edges` is typically an
+    // expensive pair-generation pipeline (LSH banding, Jaccard verify),
+    // and the union below references it twice — without the barrier the
+    // whole pipeline would run once per orientation
     val e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .localCheckpoint()
     // undirected: both orientations once; reused by every round
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
