@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.agg.{Factorize, GroupedMode}
+import graft.agg.{Factorize, GroupedMode, Histogram}
 import graft.core.{IntervalSpec, Tables}
 import graft.dedup.{DuplicateClusters, ExactDedup, MinHashDedup, NgramJaccardDedup, SimHashDedup}
 import graft.intervals.{CombineIntervals, GroupIntervals}
@@ -664,6 +664,24 @@ object SparkEntry {
         t(s, dir, "lineitem"), Seq("l_orderkey"), budget = 1000L)
         .select(col("l_orderkey").as("g"), col("partition_id").as("pid"))
 
+  /** Equal-width histogram of extended price per return flag. */
+  private val q_hist_width: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      Histogram.equalWidth(t(s, dir, "lineitem"), "l_extendedprice",
+        Seq("l_returnflag"), bins = 8)
+        .select(col("l_returnflag").as("g"), col("bin"),
+          col("n"), col("lo"), col("hi"))
+
+  /** Quartile bins of order totals per priority (ntile, tie-broken by
+    * order key for cross-engine determinism). */
+  private val q_hist_quantile: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      Histogram.quantileBins(t(s, dir, "orders"), "o_totalprice",
+        "o_orderkey", Seq("o_orderpriority"), k = 4)
+        .select(col("o_orderpriority").as("g"),
+          col("bucket").cast("long").as("bucket"),
+          col("n"), col("lo"), col("hi"))
+
   private val q_dedup_exact: (SparkSession, String) => DataFrame =
     (s, dir) =>
       ExactDedup(docs(s, dir), Seq("text"), "doc_id")
@@ -1005,6 +1023,8 @@ object SparkEntry {
     "q_impute_bfill"        -> q_impute_bfill,
     "q_impute_lfill"        -> q_impute_lfill,
     "q_partition_series"    -> q_partition_series,
+    "q_hist_width"          -> q_hist_width,
+    "q_hist_quantile"       -> q_hist_quantile,
     "q_dedup_exact"         -> q_dedup_exact,
     "q_dedup_ngram"         -> q_dedup_ngram,
     "q_dedup_minhash"       -> q_dedup_minhash,
@@ -1440,6 +1460,24 @@ object SparkEntry {
         |c AS (SELECT g, SUM(LEAST(n, 1000)) OVER (ORDER BY g
         |        ROWS UNBOUNDED PRECEDING) AS cum FROM s)
         |SELECT g, CAST(FLOOR((cum - 1) / 1000.0) AS BIGINT) AS pid FROM c""".stripMargin,
+    "q_hist_width" ->
+      """WITH s AS (SELECT l_returnflag AS g, MIN(l_extendedprice) AS mn,
+        |             MAX(l_extendedprice) AS mx FROM lineitem GROUP BY 1),
+        |b AS (SELECT s.g,
+        |        CAST(CASE WHEN mx = mn THEN 0
+        |          ELSE LEAST(FLOOR((l_extendedprice - mn) * 8 / (mx - mn)), 7)
+        |        END AS BIGINT) AS bin,
+        |        l_extendedprice AS v
+        |      FROM lineitem l JOIN s ON l.l_returnflag = s.g)
+        |SELECT g, bin, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    "q_hist_quantile" ->
+      """WITH r AS (SELECT o_orderpriority AS g, o_totalprice AS v,
+        |             NTILE(4) OVER (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice, o_orderkey) AS bucket
+        |           FROM orders)
+        |SELECT g, bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "q_dedup_exact" ->
       "SELECT MIN(doc_id) AS cid, COUNT(*) AS n FROM documents GROUP BY text",
     "q_dedup_ngram" ->

@@ -214,4 +214,29 @@ class OperatorSpecs extends SparkSuite {
     assert(n == 3L)
     assert(coded.select("code").distinct().count() == 3L)
   }
+
+  test("histogram equalWidth: bin bounds, max folds into last bin, constant group") {
+    import graft.agg.Histogram
+    val df = (Seq(0.0, 1.0, 2.0, 3.0, 10.0).map(("a", _)) ++
+      Seq(7.0, 7.0, 7.0).map(("b", _))).toDF("g", "v")
+    val out = Histogram.equalWidth(df, "v", Seq("g"), bins = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // a: mn=0 mx=10, bin = floor(v/2), v=10 -> last bin 4
+    assert(out(("a", 0L)) == ((2L, 0.0, 1.0)))
+    assert(out(("a", 1L)) == ((2L, 2.0, 3.0)))
+    assert(out(("a", 4L)) == ((1L, 10.0, 10.0)))
+    // constant group collapses to bin 0
+    assert(out(("b", 0L)) == ((3L, 7.0, 7.0)))
+    assert(out.size == 4)
+  }
+
+  test("histogram quantileBins: ntile sizes 3,3,2,2 with deterministic ties") {
+    import graft.agg.Histogram
+    val df = (1 to 10).map(i => ("a", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val out = Histogram.quantileBins(df, "v", "id", Seq("g"), k = 4).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1) == ((3L, 1.0, 3.0)) && out(2) == ((3L, 4.0, 6.0)))
+    assert(out(3) == ((2L, 7.0, 8.0)) && out(4) == ((2L, 9.0, 10.0)))
+  }
 }
