@@ -687,6 +687,24 @@ object SparkEntry {
       ExactDedup(docs(s, dir), Seq("text"), "doc_id")
         .select(col("canonical_id").as("cid"), col("dup_count").as("n"))
 
+  /** End-to-end curation pipeline: length filter → exact-dedup survivors
+    * → near-dup transitive-closure canonicals → per-(lang, source) corpus
+    * stats. Every stage is an oracle-proven operator; the composition is
+    * oracle-checked as a whole. */
+  private val q_pipeline: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val d1 = docs(s, dir)
+        .withColumn("ntok", size(Shingles.tokens(col("text"))).cast("long"))
+        .filter(col("ntok") >= 5)
+      val d3 = ExactDedup.survivors(d1, Seq("text"), "doc_id")
+      val pairs = NgramJaccardDedup(d3, "text", "doc_id",
+        n = 1, threshold = 0.9, blockBy = Seq("lang"))
+      DuplicateClusters(d3, "doc_id", pairs, "id_l", "id_r")
+        .filter(col("is_canonical") === 1)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+    }
+
   private val q_dedup_ngram: (SparkSession, String) => DataFrame =
     (s, dir) =>
       NgramJaccardDedup(docs(s, dir), "text", "doc_id",
@@ -1029,6 +1047,7 @@ object SparkEntry {
     "q_dedup_ngram"         -> q_dedup_ngram,
     "q_dedup_minhash"       -> q_dedup_minhash,
     "q_dedup_cluster"       -> q_dedup_cluster,
+    "q_pipeline"            -> q_pipeline,
     "q_dedup_simhash"       -> q_dedup_simhash,
     "q_dedup_embcos"        -> q_dedup_embcos,
     "q_ann_topk"            -> q_ann_topk,
@@ -1517,6 +1536,27 @@ object SparkEntry {
         |SELECT did, cid, COUNT(*) OVER (PARTITION BY cid) AS sz,
         |       CAST(did = cid AS INT) AS canon
         |FROM lab""".stripMargin,
+    "q_pipeline" ->
+      s"""WITH RECURSIVE
+        |d0 AS (SELECT doc_id, text, lang, source, len($ToksExpr) AS ntok
+        |       FROM documents),
+        |d1 AS (SELECT * FROM d0 WHERE ntok >= 5),
+        |sv AS (SELECT MIN(doc_id) AS doc_id FROM d1 GROUP BY text),
+        |d3 AS (SELECT d1.* FROM d1 JOIN sv USING (doc_id)),
+        |dk AS (SELECT doc_id, lang, list_distinct($ToksExpr) AS tk FROM d3),
+        |p AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |      FROM dk a JOIN dk b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
+        |          / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.9),
+        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+        |                UNION SELECT r.u, ed.v FROM reach r JOIN e ed ON r.v = ed.u),
+        |comp AS (SELECT u AS node, MIN(v) AS comp FROM reach GROUP BY u),
+        |keep AS (SELECT d3.* FROM d3 LEFT JOIN comp ON d3.doc_id = comp.node
+        |         WHERE d3.doc_id = COALESCE(comp.comp, d3.doc_id))
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |       CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        |FROM keep GROUP BY 1, 2""".stripMargin,
     "q_dedup_embcos" ->
       """SELECT a.vec_id AS id_l, b.vec_id AS id_r,
         |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
