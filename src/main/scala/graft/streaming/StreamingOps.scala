@@ -242,6 +242,47 @@ object StreamingOps {
     p.join(iv, cond, "inner")
   }
 
+  /** Watermarked stream-stream interval OVERLAP join: both sides are
+    * interval streams; emits every key-equal pair whose intervals
+    * intersect (closed endpoints — the batch
+    * [[graft.joins.IntervalJoin]] default). `maxDuration` bounds BOTH
+    * sides' interval lengths, and longer intervals are dropped — the
+    * price of bounded state: the overlap predicate alone relates each
+    * side's watermarked start only to the other's UNwatermarked stop, so
+    * without a length bound no state could ever be evicted. The two
+    * derived start-vs-start inequalities are stated explicitly so the
+    * watermark analysis sees them and ages out join state on both sides.
+    *
+    * Right-side columns are suffixed `_r` on name collision.
+    */
+  def streamingIntervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      startCol: String,
+      stopCol: String,
+      on: Seq[String],
+      watermark: String,
+      maxDuration: String): DataFrame = {
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    val rR = shared.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_r"))
+    def rName(c: String): String = if (shared(c)) c + "_r" else c
+    val dur = expr(s"INTERVAL $maxDuration")
+    val l = left.filter(col(stopCol) <= col(startCol) + dur)
+      .withWatermark(startCol, watermark)
+    val r = rR.filter(col(rName(stopCol)) <= col(rName(startCol)) + dur)
+      .withWatermark(rName(startCol), watermark)
+    val keyCond = on.map(k => col(k) === col(rName(k)))
+    val cond = (keyCond :+
+      (col(startCol) <= col(rName(stopCol))) :+
+      (col(rName(startCol)) <= col(stopCol)) :+
+      // start-vs-start bounds implied by the length cap — the eviction
+      // condition the state store needs
+      (col(startCol) <= col(rName(startCol)) + dur) :+
+      (col(rName(startCol)) <= col(startCol) + dur))
+      .reduce(_ && _)
+    l.join(r, cond, "inner")
+  }
+
   /** Streaming interval-containment enrichment: join a stream of points
     * against a STATIC intervals table (broadcast dimension) — the
     * streaming analog of `find_containing_interval` for slowly-changing

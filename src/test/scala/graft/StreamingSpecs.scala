@@ -151,6 +151,48 @@ class StreamingSpecs extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval overlap under watermarks ≡ batch IntervalJoin") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Int, Timestamp, Timestamp)]
+    val rIn = MemoryStream[(Long, Int, Timestamp, Timestamp)]
+    val out = StreamingOps.streamingIntervalOverlap(
+      lIn.toDF().toDF("lid", "k", "start", "stop"),
+      rIn.toDF().toDF("rid", "k", "start", "stop"),
+      startCol = "start", stopCol = "stop", on = Seq("k"),
+      watermark = "10 minutes", maxDuration = "1 HOUR")
+    val q = out.writeStream.format("memory").queryName("ssov_stream")
+      .outputMode("append").start()
+    val lRows = Seq(
+      (1L, 1, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00")),
+      (2L, 1, ts("2024-01-01 00:40:00"), ts("2024-01-01 00:50:00")),
+      (3L, 2, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00")),
+      // 2h long: exceeds maxDuration -> dropped by contract
+      (4L, 1, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")))
+    val rRows = Seq(
+      (100L, 1, ts("2024-01-01 00:20:00"), ts("2024-01-01 00:45:00")), // hits 1 and 2
+      (101L, 2, ts("2024-01-01 00:10:00"), ts("2024-01-01 00:20:00")), // touches 3 at 00:10
+      (102L, 1, ts("2024-01-01 00:55:00"), ts("2024-01-01 00:59:00"))) // no match
+    try {
+      lIn.addData(lRows: _*)
+      rIn.addData(rRows: _*)
+      q.processAllAvailable()
+      // push both watermarks to flush the inner join deterministically
+      lIn.addData((9L, 9, ts("2024-01-01 05:00:00"), ts("2024-01-01 05:01:00")))
+      rIn.addData((999L, 8, ts("2024-01-01 05:00:00"), ts("2024-01-01 05:01:00")))
+      q.processAllAvailable()
+      val got = spark.table("ssov_stream").select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch oracle: same pairs from the closed-endpoint overlap join,
+      // minus the over-long interval the streaming contract drops
+      val batch = (for {
+        (lid, lk, ls, le) <- lRows if le.getTime - ls.getTime <= 3600 * 1000
+        (rid, rk, rs, re) <- rRows
+        if lk == rk && !ls.after(re) && !rs.after(le)
+      } yield (lid, rid)).toSet
+      assert(got == batch && got == Set((1L, 100L), (2L, 100L), (3L, 101L)))
+    } finally q.stop()
+  }
+
   test("streaming simhash dedup drops re-sent and near-identical docs") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
