@@ -696,7 +696,11 @@ object SparkEntry {
       val d1 = docs(s, dir)
         .withColumn("ntok", size(Shingles.tokens(col("text"))).cast("long"))
         .filter(col("ntok") >= 5)
+      // the survivors frame feeds BOTH pair generation and cluster
+      // assignment — materialize once (at lake scale this is the point
+      // where a pipeline writes its intermediate back to storage)
       val d3 = ExactDedup.survivors(d1, Seq("text"), "doc_id")
+        .localCheckpoint(false)
       val pairs = NgramJaccardDedup(d3, "text", "doc_id",
         n = 1, threshold = 0.9, blockBy = Seq("lang"))
       DuplicateClusters(d3, "doc_id", pairs, "id_l", "id_r")
