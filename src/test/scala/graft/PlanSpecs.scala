@@ -60,6 +60,28 @@ class PlanSpecs extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("histogram: per-group stats broadcast back onto the rows") {
+    val p = plan("q_hist_width")
+    // (group -> min,max) is group-cardinality-sized: must broadcast, and
+    // the row side must never sort-merge
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "row side shuffled for the stats join")
+  }
+
+  test("bm25: terms and df broadcast; one token-stream exchange is reused") {
+    val p = plan("q_bm25")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // tf/dl/df all derive from the same groupBy(doc, token) shuffle — the
+    // executed plan must reuse that exchange, not recompute the token
+    // stream. Under AQE reuse happens at RUNTIME (stage dedup), so drive
+    // the query and inspect the final adaptive plan, not the initial one.
+    val df = SparkEntry.queries("q_bm25")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      "token-stream exchange not reused at runtime")
+  }
+
   test("no driver query degenerates to cartesian/nested-loop (except by design)") {
     // intended exceptions: q_cross_join IS a cross join; q_ann_topk scores
     // every (query, corpus) pair by design — a broadcast nested loop over

@@ -387,6 +387,61 @@ class RandomizedOracleSpecs extends SparkSuite {
     assert(got.length == 200 && got.forall(_.getLong(1) == 0L))
   }
 
+  test("histogram equalWidth ≡ sequential binning oracle (random shapes)") {
+    import graft.agg.Histogram
+    for (seed <- Seq(11, 12); bins <- Seq(1, 4, 7)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 120).map { _ =>
+        (rnd.nextInt(4).toString, math.floor(rnd.nextDouble() * 50) / 2.0)
+      } :+ (("c", 3.0)) :+ (("c", 3.0)) // a possibly-constant group
+      val got = Histogram.equalWidth(rows.toDF("g", "v"), "v", Seq("g"), bins)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      val want = rows.groupBy(_._1).flatMap { case (g, vs) =>
+        val (mn, mx) = (vs.map(_._2).min, vs.map(_._2).max)
+        def bin(v: Double): Long =
+          if (mx == mn) 0L
+          else math.min(math.floor((v - mn) * bins / (mx - mn)).toLong, bins - 1L)
+        vs.groupBy(v => bin(v._2)).map { case (b, bs) =>
+          (g, b) -> ((bs.size.toLong, bs.map(_._2).min, bs.map(_._2).max))
+        }
+      }
+      assert(got == want, s"seed=$seed bins=$bins")
+    }
+  }
+
+  test("bm25 ≡ sequential scoring oracle (random corpora)") {
+    import graft.text.Bm25
+    val words = Vector("ant", "bee", "cat", "dog", "elk", "fox")
+    for (seed <- Seq(13, 14)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0L until 30L).map { i =>
+        (i, Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size))).mkString(" "))
+      }
+      val terms = Seq("ant", "cat", "elk")
+      val got = Bm25(corpus.toDF("id", "text"), "id", "text",
+        terms.toDF("term")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+      val toks = corpus.map { case (i, t) =>
+        i -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val n = corpus.size
+      val avgdl = toks.values.map(_.size).sum.toDouble / n
+      val want = (for {
+        term <- terms
+        (id, tk) <- toks
+        tf = tk.count(_ == term) if tf > 0
+      } yield {
+        val df = toks.values.count(_.contains(term))
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        (term, id) -> idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * tk.size / avgdl))
+      }).toMap
+      assert(got.keySet == want.keySet, s"seed=$seed")
+      want.foreach { case (k, v) =>
+        assert(math.abs(got(k) - v) < 1e-9, s"seed=$seed key=$k") }
+    }
+  }
+
   test("duplicate clusters: transitive closure, singletons, canonical flags") {
     import graft.dedup.DuplicateClusters
     val docs = (0L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
