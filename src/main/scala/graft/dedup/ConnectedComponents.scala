@@ -50,9 +50,13 @@ object ConnectedComponents {
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint()
     // label sum as the fixpoint witness; decimal(38,0): a long sum can
-    // overflow once node-id × node-count crosses 2^63 (real at 100 TB)
-    def witness(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    // overflow once node-id × node-count crosses 2^63 (real at 100 TB).
+    // An empty label frame (no edges at all) sums to SQL null — normalize
+    // to zero so the fixpoint compare terminates instead of NPE-ing.
+    def witness(l: DataFrame): java.math.BigDecimal = {
+      val d = l.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
     var prev = witness(labels)
     var iter = 0
     var converged = false
@@ -94,6 +98,11 @@ object DuplicateClusters {
   def apply(docs: DataFrame, idCol: String,
             pairs: DataFrame, leftCol: String, rightCol: String,
             maxIter: Int = 30): DataFrame = {
+    // ids must be integral: the cluster id IS the least id, and a silent
+    // cast("long") on strings would null out every cluster assignment
+    val idType = docs.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"DuplicateClusters needs an integral id column, got $idType for $idCol")
     val comp = ConnectedComponents(pairs, leftCol, rightCol, maxIter)
     val labeled = docs.as("d")
       .join(comp.as("c"), col(s"d.$idCol").cast("long") === col("c.node"), "left")

@@ -456,4 +456,15 @@ class RandomizedOracleSpecs extends SparkSuite {
     assert(out(4L) == ((4L, 2L, 1)) && out(5L) == ((4L, 2L, 0)))
     assert(out(3L) == ((3L, 1L, 1)) && out(6L) == ((6L, 1L, 1)))
   }
+
+  test("duplicate clusters: EMPTY pair set -> all singletons (no NPE)") {
+    import graft.dedup.DuplicateClusters
+    val docs = (0L to 3L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_l", "id_r")
+    val out = DuplicateClusters(docs, "doc_id", noPairs, "id_l", "id_r")
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical").collect()
+    assert(out.length == 4)
+    assert(out.forall(r => r.getLong(0) == r.getLong(1) &&
+      r.getLong(2) == 1L && r.getInt(3) == 1))
+  }
 }
