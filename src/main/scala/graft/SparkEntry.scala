@@ -788,6 +788,17 @@ object SparkEntry {
         docs(s, dir).select(col("doc_id"), col("lang")),
         strata = Seq("lang"), idCol = "doc_id", n = 25, seed = 7L)
 
+  /** Mixture rebalancing: sample documents to a 50/20/15/10/5 language
+    * mix over a 200-row budget (quota = floor(total·w) per language). */
+  private val q_sample_mixture: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.sample.Sampling.mixture(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        strataCol = "lang", idCol = "doc_id",
+        weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15,
+          "es" -> 0.1, "zh" -> 0.05),
+        total = 200L, seed = 7L)
+
   private val q_sample_split: (SparkSession, String) => DataFrame =
     (s, dir) =>
       // binary-exact weights: the cumulative bounds (0.75, 0.875) are the
@@ -1059,6 +1070,7 @@ object SparkEntry {
     "q_ann_ivf"             -> q_ann_ivf,
     "q_salted_join"         -> q_salted_join,
     "q_sample_stratified"   -> q_sample_stratified,
+    "q_sample_mixture"      -> q_sample_mixture,
     "q_sample_split"        -> q_sample_split,
     "q_top_tokens"          -> q_top_tokens,
     "q_bm25"                -> q_bm25,
@@ -1613,6 +1625,17 @@ object SparkEntry {
         |      doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, lang FROM r WHERE rn <= 25""".stripMargin,
+    "q_sample_mixture" ->
+      """WITH q(lang, quota) AS (VALUES ('en', 100), ('de', 40), ('fr', 30),
+        |                              ('es', 20), ('zh', 10)),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+        |      ('0x' || substring(md5(CONCAT_WS('#', 7, doc_id)), 1, 15))::BIGINT,
+        |      doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.lang, r.doc_id FROM r JOIN q ON r.lang = q.lang
+        |WHERE r.rn <= q.quota""".stripMargin,
     "q_sample_split" ->
       """SELECT doc_id,
         |  CASE WHEN u < 0.75 THEN 0 WHEN u < 0.875 THEN 1 ELSE 2 END AS split

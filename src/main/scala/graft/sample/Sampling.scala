@@ -61,6 +61,43 @@ object Sampling {
       Seq("__graft_one"), idCol, n, seed)
       .drop("__graft_one")
 
+  /** Deterministic source-mixture rebalancing — the "data mixing" step of
+    * a training-data pipeline: sample so the output approaches the target
+    * stratum proportions. Stratum `s` keeps `floor(total · weight(s))`
+    * rows (fewer when the stratum is smaller — the caller checks
+    * feasibility against availability if the exact mixture is a hard
+    * requirement); strata absent from `weights` are dropped. Selection is
+    * the same engine-portable md5 rank as [[stratified]]: deterministic
+    * in `seed`, stable under any partitioning, monotone in `total`.
+    *
+    * Scale note: per-stratum quotas arrive as a broadcast frame, so the
+    * rank filter compares against a COLUMN — `WindowGroupLimit` cannot
+    * prune early the way [[stratified]]'s literal cut allows; the
+    * full sort per stratum stands. With uniform literal quotas prefer
+    * [[stratified]].
+    */
+  def mixture(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      weights: Map[String, Double],
+      total: Long,
+      seed: Long = 42L): DataFrame = {
+    require(total > 0, "total must be positive")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val spark = df.sparkSession
+    val quotas = spark.createDataFrame(weights.toSeq)
+      .toDF(strataCol, "__graft_w")
+      .select(col(strataCol),
+        floor(lit(total) * col("__graft_w")).cast("long").as("__graft_quota"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5Rank(col(idCol), seed).asc, col(idCol).asc)
+    df.join(broadcast(quotas), Seq(strataCol))
+      .withColumn("__graft_rank", row_number().over(w))
+      .filter(col("__graft_rank") <= col("__graft_quota"))
+      .drop("__graft_rank", "__graft_quota")
+  }
+
   /** Deterministic train/validation/test-style split: assigns each row a
     * bucket in [0, weights.length) with probability proportional to
     * `weights`, stable in (id, seed) — the md5-rank modulo trick, so the

@@ -426,6 +426,30 @@ class PipelineSpecs extends SparkSuite {
     assert(frames == Map(0L -> 1L, 1L -> 3L, 2L -> 1L)) // video: frames 0,4,8
   }
 
+  test("mixture sampling: quotas, caps, dropped strata, determinism, monotonicity") {
+    import graft.sample.Sampling
+    val df = ((0L until 40L).map((_, "en")) ++ (40L until 50L).map((_, "de")) ++
+      (50L until 53L).map((_, "zz"))).toDF("id", "lang")
+    val weights = Map("en" -> 0.6, "de" -> 0.4)
+    val out = Sampling.mixture(df, "lang", "id", weights, total = 20L, seed = 3L)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en: floor(20*0.6)=12; de: floor(20*0.4)=8 but only... 10 available -> 8
+    assert(counts == Map("en" -> 12L, "de" -> 8L)) // zz dropped entirely
+    // determinism under repartition
+    val again = Sampling.mixture(df.repartition(7), "lang", "id",
+      weights, total = 20L, seed = 3L).select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
+    // monotone: the total=10 sample is a subset of the total=20 sample
+    val small = Sampling.mixture(df, "lang", "id", weights, total = 10L, seed = 3L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(again) && small.size == 10)
+    // cap: demand beyond availability keeps the whole stratum
+    val capped = Sampling.mixture(df, "lang", "id", Map("de" -> 1.0),
+      total = 100L, seed = 3L)
+    assert(capped.count() == 10L)
+  }
+
   test("bm25: hand-computed scores, zero-token docs count toward avgdl") {
     import graft.text.Bm25
     val d = Seq(
