@@ -812,6 +812,16 @@ object SparkEntry {
       VocabStats.topTokens(docs(s, dir), "text",
         groupBy = Seq("lang"), k = 10)
 
+  /** RAG-style character chunking: 120-char windows advancing by 100
+    * (20-char overlap), tail window included. */
+  private val q_text_chunks: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.text.Chunker.chunk(
+        docs(s, dir).select(col("doc_id"), col("text")), "text",
+        size = 120, overlap = 20)
+        .select(col("doc_id").as("did"), col("chunk_id"),
+          col("chunk_start"), col("chunk"))
+
   /** BM25 scores of every document against the 8 most frequent corpus
     * tokens of length >= 4 (deterministic tie-break by token). */
   private val q_bm25: (SparkSession, String) => DataFrame =
@@ -1074,6 +1084,7 @@ object SparkEntry {
     "q_sample_split"        -> q_sample_split,
     "q_top_tokens"          -> q_top_tokens,
     "q_bm25"                -> q_bm25,
+    "q_text_chunks"         -> q_text_chunks,
     "q_text_stats"          -> q_text_stats,
     "q_text_repetition"     -> q_text_repetition,
     "q_contamination"       -> q_contamination,
@@ -1649,6 +1660,19 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
         |        ORDER BY cnt DESC, token) AS rank FROM c)
         |SELECT lang, token, cnt, rank FROM r WHERE rank <= 10""".stripMargin,
+    "q_text_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+        |           FROM documents WHERE length(text) > 0),
+        |s AS (SELECT doc_id, text,
+        |        unnest(range(0,
+        |          GREATEST(CAST(FLOOR((len - 21)::DOUBLE / 100) AS BIGINT) * 100,
+        |                   0) + 1,
+        |          100)) AS chunk_start
+        |      FROM d)
+        |SELECT doc_id AS did, CAST(chunk_start / 100 AS BIGINT) AS chunk_id,
+        |       chunk_start,
+        |       substring(text, CAST(chunk_start + 1 AS INT), 120) AS chunk
+        |FROM s""".stripMargin,
     "q_bm25" ->
       s"""WITH t AS (SELECT doc_id, unnest($ToksExpr) AS w FROM documents),
         |qt AS (SELECT w AS term FROM t WHERE len(w) >= 4

@@ -450,6 +450,30 @@ class PipelineSpecs extends SparkSuite {
     assert(capped.count() == 10L)
   }
 
+  test("chunker: window boundaries, tail coverage, empty docs") {
+    import graft.text.Chunker
+    val df = Seq((0L, "abcde"), (1L, "abcdef"), (2L, "abcdefg"),
+      (3L, ""), (4L, "ab")).toDF("id", "text")
+    val out = Chunker.chunk(df, "text", size = 5, overlap = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("chunk_id"))) ->
+        ((r.getLong(r.fieldIndex("chunk_start")),
+          r.getString(r.fieldIndex("chunk"))))).toMap
+    assert(out == Map(
+      (0L, 0L) -> ((0L, "abcde")),
+      (1L, 0L) -> ((0L, "abcde")), (1L, 1L) -> ((3L, "def")),
+      (2L, 0L) -> ((0L, "abcde")), (2L, 1L) -> ((3L, "defg")),
+      (4L, 0L) -> ((0L, "ab"))))
+    // reconstruction: stripping the overlap from every non-first chunk
+    // rebuilds the document exactly
+    val rebuilt = Chunker.chunk(df, "text", size = 5, overlap = 2)
+      .orderBy("id", "chunk_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.zipWithIndex.map { case (r, i) =>
+        val c = r.getString(r.fieldIndex("chunk"))
+        if (i == 0) c else c.drop(2)
+      }.mkString).toMap
+    assert(rebuilt == Map(0L -> "abcde", 1L -> "abcdef", 2L -> "abcdefg", 4L -> "ab"))
+  }
+
   test("bm25: hand-computed scores, zero-token docs count toward avgdl") {
     import graft.text.Bm25
     val d = Seq(

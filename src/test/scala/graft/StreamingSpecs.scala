@@ -270,6 +270,26 @@ class StreamingSpecs extends SparkSuite {
     } finally q.stop()
   }
 
+  test("chunker and split assignment run unchanged on streams") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // both are stateless projections/generators: no watermark, no state
+    val out = graft.sample.Sampling.assignSplit(
+      graft.text.Chunker.chunk(input.toDF().toDF("id", "text"),
+        "text", size = 5, overlap = 2),
+      idCol = "id", weights = Seq(0.5, 0.5), seed = 3L)
+    val q = out.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "abcdefg"), (2L, ""))
+      q.processAllAvailable()
+      val rows = spark.table("chunk_stream").orderBy("id", "chunk_id").collect()
+      assert(rows.map(r => r.getString(r.fieldIndex("chunk"))).toSeq ==
+        Seq("abcde", "defg"))
+      assert(rows.forall(r => Set(0, 1)(r.getInt(r.fieldIndex("split")))))
+    } finally q.stop()
+  }
+
   test("streaming contamination gate ≡ batch Contamination.check") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.Contamination
