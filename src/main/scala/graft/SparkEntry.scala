@@ -749,6 +749,15 @@ object SparkEntry {
       EmbeddingDedup(emb(s, dir), "vec_id", "embedding",
         threshold = 0.3, blockBy = Seq("label"))
 
+  /** Per-label embedding centroids (long form; float-sum noise handled
+    * by the midpoint-nudged rounding on both engines). */
+  private val q_centroid: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.similarity.VectorOps.centroidLong(emb(s, dir), "embedding",
+        Seq("label"))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          r6m(col("mean")).as("mean"))
+
   private val q_ann_topk: (SparkSession, String) => DataFrame =
     (s, dir) => {
       val e = emb(s, dir)
@@ -1075,6 +1084,7 @@ object SparkEntry {
     "q_pipeline"            -> q_pipeline,
     "q_dedup_simhash"       -> q_dedup_simhash,
     "q_dedup_embcos"        -> q_dedup_embcos,
+    "q_centroid"            -> q_centroid,
     "q_ann_topk"            -> q_ann_topk,
     "q_ann_lsh"             -> q_ann_lsh,
     "q_ann_ivf"             -> q_ann_ivf,
@@ -1590,6 +1600,13 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3""".stripMargin,
+    "q_centroid" ->
+      """WITH e AS (SELECT label,
+        |             unnest(range(1, len(embedding) + 1)) AS dim,
+        |             unnest(embedding) AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT label, dim, ROUND(AVG(v::DOUBLE) + 1e-9, 6) + 0.0 AS mean
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |s AS (SELECT q.qid, c.vec_id AS nid,

@@ -23,6 +23,37 @@ object VectorOps {
     val n = norm(a) * norm(b)
     when(n === 0, lit(0.0)).otherwise(d / n)
   }
+
+  /** Per-group centroid of an array-vector column, LONG form: one row per
+    * (group, dim) with the mean component — class prototypes, cluster
+    * centers, label-conditional means.
+    *
+    * Scale posture: `posexplode` + a (group, dim) hash aggregation with
+    * map-side combine — vectors never collect per group (a
+    * `collect_list`-then-average would concentrate each group's vectors
+    * on one task); the shuffle carries only (group, dim, partial sum).
+    * Null vectors are dropped; `dim` is 1-based.
+    */
+  def centroidLong(df: DataFrame, vecCol: String,
+                   groupBy: Seq[String]): DataFrame = {
+    val exploded = df.filter(col(vecCol).isNotNull)
+      .select(groupBy.map(col) :+ posexplode(col(vecCol)): _*)
+    exploded.groupBy((groupBy :+ "pos").map(col): _*)
+      .agg(avg(col("col").cast("double")).as("mean"))
+      .withColumn("dim", col("pos") + 1).drop("pos")
+  }
+
+  /** [[centroidLong]] reassembled to one array per group (dims sorted).
+    * The per-group array is built from at most `dim` rows — fine for any
+    * real embedding width.
+    */
+  def centroid(df: DataFrame, vecCol: String,
+               groupBy: Seq[String]): DataFrame =
+    centroidLong(df, vecCol, groupBy)
+      .groupBy(groupBy.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mean")))),
+        s => s.getField("mean")).as("centroid"))
 }
 
 /** Brute-force cosine top-k similarity search: every query vector against

@@ -450,6 +450,23 @@ class PipelineSpecs extends SparkSuite {
     assert(capped.count() == 10L)
   }
 
+  test("centroid: per-group component means, null vectors dropped, wide form") {
+    val df = Seq(
+      (0, Some(Array(1.0f, 2.0f, 3.0f))),
+      (0, Some(Array(3.0f, 2.0f, 1.0f))),
+      (1, Some(Array(10.0f, 0.0f, 0.0f))),
+      (1, None)
+    ).toDF("label", "vec")
+    val long = VectorOps.centroidLong(df, "vec", Seq("label")).collect()
+      .map(r => (r.getInt(0), r.getInt(r.fieldIndex("dim"))) ->
+        r.getDouble(r.fieldIndex("mean"))).toMap
+    assert(long == Map((0, 1) -> 2.0, (0, 2) -> 2.0, (0, 3) -> 2.0,
+      (1, 1) -> 10.0, (1, 2) -> 0.0, (1, 3) -> 0.0))
+    val wide = VectorOps.centroid(df, "vec", Seq("label")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(wide == Map(0 -> Seq(2.0, 2.0, 2.0), 1 -> Seq(10.0, 0.0, 0.0)))
+  }
+
   test("chunker: window boundaries, tail coverage, empty docs") {
     import graft.text.Chunker
     val df = Seq((0L, "abcde"), (1L, "abcdef"), (2L, "abcdefg"),
