@@ -821,6 +821,14 @@ object SparkEntry {
       VocabStats.topTokens(docs(s, dir), "text",
         groupBy = Seq("lang"), k = 10)
 
+  /** Corpus-trained bigram-LM quality score per document (add-1
+    * smoothing); ln noise handled by midpoint-nudged rounding. */
+  private val q_lm_score: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.text.NgramLm.scoreBigram(docs(s, dir), "doc_id", "text", k = 1.0)
+        .select(col("doc_id").as("did"), col("n_bigrams"),
+          r6m(col("avg_logprob")).as("avg_logprob"))
+
   /** RAG-style character chunking: 120-char windows advancing by 100
     * (20-char overlap), tail window included. */
   private val q_text_chunks: (SparkSession, String) => DataFrame =
@@ -1095,6 +1103,7 @@ object SparkEntry {
     "q_top_tokens"          -> q_top_tokens,
     "q_bm25"                -> q_bm25,
     "q_text_chunks"         -> q_text_chunks,
+    "q_lm_score"            -> q_lm_score,
     "q_text_stats"          -> q_text_stats,
     "q_text_repetition"     -> q_text_repetition,
     "q_contamination"       -> q_contamination,
@@ -1677,6 +1686,21 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
         |        ORDER BY cnt DESC, token) AS rank FROM c)
         |SELECT lang, token, cnt, rank FROM r WHERE rank <= 10""".stripMargin,
+    "q_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
+        |pr AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+        |              unnest(tk[2:len(tk)]) AS w2
+        |       FROM t WHERE len(tk) >= 2),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM pr GROUP BY 1, 2),
+        |cc AS (SELECT w1, COUNT(*) AS c1 FROM pr GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w) AS vs
+        |      FROM (SELECT unnest(tk) AS w FROM t) u),
+        |sc AS (SELECT pr.doc_id,
+        |         ln((bc.c12 + 1.0) / (cc.c1 + 1.0 * vs)) AS lp
+        |       FROM pr JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v)
+        |SELECT doc_id AS did, COUNT(*) AS n_bigrams,
+        |       ROUND(AVG(lp) + 1e-9, 6) + 0.0 AS avg_logprob
+        |FROM sc GROUP BY 1""".stripMargin,
     "q_text_chunks" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len
         |           FROM documents WHERE length(text) > 0),

@@ -450,6 +450,19 @@ class PipelineSpecs extends SparkSuite {
     assert(capped.count() == 10L)
   }
 
+  test("bigram LM: hand-computed add-1 smoothed log-probs, short docs excluded") {
+    import graft.text.NgramLm
+    val df = Seq((0L, "a b a b"), (1L, "a b"), (2L, "c")).toDF("id", "text")
+    val out = NgramLm.scoreBigram(df, "id", "text", k = 1.0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // bc: (a,b)=3, (b,a)=1; cc: a=3, b=1; V=3
+    val lpAb = math.log((3 + 1.0) / (3 + 3.0))
+    val lpBa = math.log((1 + 1.0) / (1 + 3.0))
+    assert(out.keySet == Set(0L, 1L)) // doc 2 has no bigrams
+    assert(out(0L)._1 == 3L && math.abs(out(0L)._2 - (2 * lpAb + lpBa) / 3) < 1e-12)
+    assert(out(1L)._1 == 1L && math.abs(out(1L)._2 - lpAb) < 1e-12)
+  }
+
   test("centroid: per-group component means, null vectors dropped, wide form") {
     val df = Seq(
       (0, Some(Array(1.0f, 2.0f, 3.0f))),
