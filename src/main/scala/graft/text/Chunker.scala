@@ -36,6 +36,6 @@ object Chunker {
         explode(sequence(lit(0L), lastStart, lit(stride.toLong))))
       .withColumn("chunk_id", (col("chunk_start") / stride).cast("long"))
       .withColumn("chunk",
-        expr(s"substring($textCol, chunk_start + 1, $size)"))
+        col(textCol).substr(col("chunk_start") + 1, lit(size)))
   }
 }
