@@ -26,6 +26,12 @@ object Histogram {
     * folds into the last bin; a constant group collapses to bin 0).
     * Null values are dropped. Returns one row per non-empty
     * (group, bin): `bin`, `n`, `lo`, `hi` (the bin's value bounds).
+    *
+    * The per-group (min, max) frame is FORCE-broadcast: a histogram's
+    * group count is human-scale by construction (someone reads one
+    * histogram per group). If the group cardinality is itself
+    * data-scale, a broadcast of it is wrong no matter the operator —
+    * aggregate to scalars per group instead.
     */
   def equalWidth(df: DataFrame, valueCol: String, groupBy: Seq[String],
                  bins: Int): DataFrame = {
