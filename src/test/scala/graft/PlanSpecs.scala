@@ -85,10 +85,10 @@ class PlanSpecs extends SparkSuite {
   test("no driver query degenerates to cartesian/nested-loop (except by design)") {
     // intended exceptions: q_cross_join IS a cross join; q_ann_topk scores
     // every (query, corpus) pair by design — a broadcast nested loop over
-    // the broadcast query set is exactly its plan; q_bm25 cross-joins a
-    // ONE-ROW broadcast corpus-stats frame (N, avgdl) — a scalar
-    // broadcast, not a data-sized nested loop
-    val intended = Set("q_cross_join", "q_ann_topk", "q_bm25")
+    // the broadcast query set is exactly its plan; q_bm25 and q_lm_score
+    // cross-join ONE-ROW broadcast corpus-stats frames ((N, avgdl) /
+    // vocab size) — scalar broadcasts, not data-sized nested loops
+    val intended = Set("q_cross_join", "q_ann_topk", "q_bm25", "q_lm_score")
     for (name <- SparkEntry.queries.keys if !intended(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian")
