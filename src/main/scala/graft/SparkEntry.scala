@@ -758,6 +758,14 @@ object SparkEntry {
         .select(col("label"), col("dim").cast("long").as("dim"),
           r6m(col("mean")).as("mean"))
 
+  /** Symmetric int8 quantization codes, long form (dim 1-based). */
+  private val q_quantize: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.similarity.Quantize.int8(emb(s, dir), "embedding")
+        .select(col("vec_id"), col("scale"), posexplode(col("q8")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          col("col").cast("int").as("q"), col("scale"))
+
   private val q_ann_topk: (SparkSession, String) => DataFrame =
     (s, dir) => {
       val e = emb(s, dir)
@@ -1093,6 +1101,7 @@ object SparkEntry {
     "q_dedup_simhash"       -> q_dedup_simhash,
     "q_dedup_embcos"        -> q_dedup_embcos,
     "q_centroid"            -> q_centroid,
+    "q_quantize"            -> q_quantize,
     "q_ann_topk"            -> q_ann_topk,
     "q_ann_lsh"             -> q_ann_lsh,
     "q_ann_ivf"             -> q_ann_ivf,
@@ -1609,6 +1618,22 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3""".stripMargin,
+    "q_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |    GREATEST(COALESCE(list_max(
+        |      list_transform(embedding, x -> abs(x::DOUBLE))), 0), 0) / 127
+        |      AS scale
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |e AS (SELECT vec_id, scale,
+        |        unnest(range(1, len(embedding) + 1)) AS dim,
+        |        unnest(embedding) AS v
+        |      FROM m)
+        |SELECT vec_id, dim,
+        |  CASE WHEN scale = 0 THEN 0
+        |    ELSE CAST(LEAST(GREATEST(ROUND(v::DOUBLE / scale), -127), 127)
+        |         AS INT) END AS q,
+        |  scale
+        |FROM e""".stripMargin,
     "q_centroid" ->
       """WITH e AS (SELECT label,
         |             unnest(range(1, len(embedding) + 1)) AS dim,

@@ -450,6 +450,45 @@ class PipelineSpecs extends SparkSuite {
     assert(capped.count() == 10L)
   }
 
+  test("int8 quantization: code range, roundtrip bound, cosine preserved") {
+    import graft.similarity.Quantize
+    val vecs = Seq(
+      (0L, Some(Array(0.5f, -1.0f, 0.25f, 0.0f))),
+      (1L, Some(Array(0.0f, 0.0f, 0.0f, 0.0f))),   // zero vector
+      (2L, Some(Array(3.0f, 4.0f, 0.0f, -5.0f))),
+      (3L, None)
+    ).toDF("id", "vec")
+    val q = Quantize.int8(vecs, "vec")
+    val rows = q.collect().map { r =>
+      r.getLong(0) -> ((Option(r.get(r.fieldIndex("q8")))
+        .map(_.asInstanceOf[scala.collection.Seq[Byte]].toList),
+        r.getDouble(r.fieldIndex("scale"))))
+    }.toMap
+    // max|x|=1 -> scale 1/127; 0.5 -> round(63.5)=64 (ties away from zero)
+    assert(rows(0L)._1.get == Seq[Byte](64, -127, 32, 0))
+    assert(rows(1L)._1.get == Seq[Byte](0, 0, 0, 0) && rows(1L)._2 == 0.0)
+    assert(rows(3L)._1.isEmpty)
+    // roundtrip error <= scale/2 per component
+    val deq = q.filter(col("id") === 2L)
+      .select(explode(arrays_zip(col("vec"),
+        Quantize.dequantize(col("q8"), col("scale")))))
+      .collect().map(r => (r.getStruct(0).getFloat(0), r.getStruct(0).getDouble(1)))
+    val scale2 = rows(2L)._2
+    assert(deq.forall { case (x, d) => math.abs(x - d) <= scale2 / 2 + 1e-12 })
+    // cosine of quantized vectors tracks the float cosine
+    val pair = q.filter(col("id").isin(0L, 2L))
+      .agg(collect_list(struct(col("vec"), col("q8"), col("scale"))))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    val c = vecs.sparkSession.range(1).select(
+      Quantize.cosine8(
+        typedLit(pair(0).getSeq[Byte](1).toList),
+        typedLit(pair(1).getSeq[Byte](1).toList)),
+      VectorOps.cosine(
+        typedLit(pair(0).getSeq[Float](0).map(_.toDouble).toList),
+        typedLit(pair(1).getSeq[Float](0).map(_.toDouble).toList))).head
+    assert(math.abs(c.getDouble(0) - c.getDouble(1)) < 0.01)
+  }
+
   test("bigram LM: hand-computed add-1 smoothed log-probs, short docs excluded") {
     import graft.text.NgramLm
     val df = Seq((0L, "a b a b"), (1L, "a b"), (2L, "c")).toDF("id", "text")
