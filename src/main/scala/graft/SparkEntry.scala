@@ -816,6 +816,23 @@ object SparkEntry {
           "es" -> 0.1, "zh" -> 0.05),
         total = 200L, seed = 7L)
 
+  /** Token-budget plan: 50k-char budget at 40/30/20/10 weights over four
+    * sources, repetition capped at 2 epochs. */
+  private val q_token_plan: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.sample.TokenBudget.plan(docs(s, dir), "source", "n_chars",
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+        budget = 50000L, maxEpochs = 2.0)
+
+  /** Budget-bounded sampling: keep docs per source in md5 order until
+    * the char quota is crossed. */
+  private val q_token_sample: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.sample.TokenBudget.sampleToBudget(
+        docs(s, dir).select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "doc_id", "n_chars",
+        Map("src0" -> 5000L, "src1" -> 3000L), seed = 7L)
+
   private val q_sample_split: (SparkSession, String) => DataFrame =
     (s, dir) =>
       // binary-exact weights: the cumulative bounds (0.75, 0.875) are the
@@ -1108,6 +1125,8 @@ object SparkEntry {
     "q_salted_join"         -> q_salted_join,
     "q_sample_stratified"   -> q_sample_stratified,
     "q_sample_mixture"      -> q_sample_mixture,
+    "q_token_plan"          -> q_token_plan,
+    "q_token_sample"        -> q_token_sample,
     "q_sample_split"        -> q_sample_split,
     "q_top_tokens"          -> q_top_tokens,
     "q_bm25"                -> q_bm25,
@@ -1698,6 +1717,26 @@ object SparkEntry {
         |  FROM documents)
         |SELECT r.lang, r.doc_id FROM r JOIN q ON r.lang = q.lang
         |WHERE r.rn <= q.quota""".stripMargin,
+    "q_token_plan" ->
+      """WITH w(source, wt) AS (VALUES ('src0', 0.4), ('src1', 0.3),
+        |                             ('src2', 0.2), ('src3', 0.1)),
+        |a AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tokens_available
+        |      FROM documents GROUP BY 1)
+        |SELECT a.source, tokens_available,
+        |  CAST(LEAST(FLOOR(50000 * wt), FLOOR(2.0 * tokens_available))
+        |       AS BIGINT) AS tokens_allocated,
+        |  CAST(LEAST(FLOOR(50000 * wt), FLOOR(2.0 * tokens_available))
+        |       AS BIGINT)::DOUBLE / tokens_available AS epochs
+        |FROM a JOIN w ON a.source = w.source""".stripMargin,
+    "q_token_sample" ->
+      """WITH q(source, quota) AS (VALUES ('src0', 5000), ('src1', 3000)),
+        |r AS (SELECT source, doc_id, n_chars, quota,
+        |        COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY
+        |          ('0x' || substring(md5(CONCAT_WS('#', 7, doc_id)), 1, 15))::BIGINT,
+        |          doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |      FROM documents JOIN q USING (source))
+        |SELECT source, doc_id, n_chars FROM r WHERE pre < quota""".stripMargin,
     "q_sample_split" ->
       """SELECT doc_id,
         |  CASE WHEN u < 0.75 THEN 0 WHEN u < 0.875 THEN 1 ELSE 2 END AS split

@@ -450,6 +450,33 @@ class PipelineSpecs extends SparkSuite {
     assert(capped.count() == 10L)
   }
 
+  test("token budget: plan caps by epochs, sampling overshoots once then stops") {
+    import graft.sample.TokenBudget
+    val docs = ((0L until 10L).map(i => ("a", i, 10L)) ++
+      (10L until 110L).map(i => ("b", i, 10L))).toDF("src", "id", "tok")
+    val plan = TokenBudget.plan(docs, "src", "tok",
+      Map("a" -> 0.5, "b" -> 0.5), budget = 300L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // a: avail 100, min(150, 200) = 150 -> 1.5 epochs; b: avail 1000 -> 150, 0.15
+    assert(plan("a") == ((100L, 150L, 1.5)))
+    assert(plan("b") == ((1000L, 150L, 0.15)))
+
+    val kept = TokenBudget.sampleToBudget(docs, "src", "id", "tok",
+      Map("a" -> 25L), seed = 3L)
+    // pre-sums 0,10,20 < 25 -> exactly 3 docs (30 tokens: one overshoot)
+    assert(kept.count() == 3L)
+    assert(kept.select("src").distinct().head.getString(0) == "a")
+    // deterministic under repartition + monotone in the quota
+    val again = TokenBudget.sampleToBudget(docs.repartition(5), "src", "id",
+      "tok", Map("a" -> 25L), seed = 3L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("id").collect().map(_.getLong(0)).toSet)
+    val smaller = TokenBudget.sampleToBudget(docs, "src", "id", "tok",
+      Map("a" -> 15L), seed = 3L).select("id").collect().map(_.getLong(0)).toSet
+    assert(smaller.subsetOf(again) && smaller.size == 2)
+  }
+
   test("int8 quantization: code range, roundtrip bound, cosine preserved") {
     import graft.similarity.Quantize
     val vecs = Seq(
