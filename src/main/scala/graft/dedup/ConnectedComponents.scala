@@ -47,8 +47,13 @@ object ConnectedComponents {
     // undirected: both orientations once; reused by every round
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint()
+    // seed with min(self, neighbors) — the first propagate round folded
+    // into initialization (one grouped min on the mirrored edges), which
+    // saves a full checkpoint+witness cycle on star-shaped dup clusters
+    var labels = sym.groupBy(col("u").as("node"))
+      .agg(min(col("v")).as("__nm"))
+      .select(col("node"), least(col("node"), col("__nm")).as("comp"))
+      .localCheckpoint()
     // label sum as the fixpoint witness; decimal(38,0): a long sum can
     // overflow once node-id × node-count crosses 2^63 (real at 100 TB).
     // An empty label frame (no edges at all) sums to SQL null — normalize
