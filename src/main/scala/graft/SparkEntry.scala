@@ -773,6 +773,18 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
     }
 
+  /** Quantized brute-force top-k: int8 codes end-to-end. Dot and norms
+    * are exact longs (codegen'd VecDotI8/VecSumSqI8) and IEEE sqrt/
+    * divide are exactly rounded, so the scores — and hence the ranks —
+    * are bit-identical in DuckDB with NO rounding nudge. */
+  private val q_ann_q8: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val qz = graft.similarity.Quantize.int8(emb(s, dir), "embedding")
+        .select(col("vec_id"), col("q8"))
+      graft.similarity.Quantize.topK(
+        qz, qz.filter(col("vec_id") < 10), "vec_id", "q8", k = 5)
+    }
+
   private val q_ann_lsh: (SparkSession, String) => DataFrame =
     (s, dir) =>
       LshAnn.nearDupPairs(emb(s, dir), "vec_id", "embedding",
@@ -1119,6 +1131,7 @@ object SparkEntry {
     "q_dedup_embcos"        -> q_dedup_embcos,
     "q_centroid"            -> q_centroid,
     "q_quantize"            -> q_quantize,
+    "q_ann_q8"              -> q_ann_q8,
     "q_ann_topk"            -> q_ann_topk,
     "q_ann_lsh"             -> q_ann_lsh,
     "q_ann_ivf"             -> q_ann_ivf,
@@ -1653,6 +1666,37 @@ object SparkEntry {
         |         AS INT) END AS q,
         |  scale
         |FROM e""".stripMargin,
+    "q_ann_q8" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |    GREATEST(COALESCE(list_max(
+        |      list_transform(embedding, x -> abs(x::DOUBLE))), 0), 0) / 127
+        |      AS scale
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |e AS (SELECT vec_id, scale,
+        |        unnest(range(1, len(embedding) + 1)) AS dim,
+        |        unnest(embedding) AS v
+        |      FROM m),
+        |codes AS (SELECT vec_id, dim,
+        |    CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(LEAST(GREATEST(ROUND(v::DOUBLE / scale), -127), 127)
+        |           AS INT) END AS q
+        |  FROM e),
+        |ss AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS ss
+        |       FROM codes GROUP BY 1),
+        |d AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |        CAST(SUM(a.q * b.q) AS BIGINT) AS d
+        |      FROM codes a JOIN codes b USING (dim)
+        |      WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id GROUP BY 1, 2),
+        |sc AS (SELECT qid, nid,
+        |         CASE WHEN sa.ss = 0 OR sb.ss = 0 THEN 0.0
+        |           ELSE d::DOUBLE / (sqrt(sa.ss::DOUBLE) * sqrt(sb.ss::DOUBLE))
+        |         END AS cos
+        |       FROM d JOIN ss sa ON sa.vec_id = d.qid
+        |              JOIN ss sb ON sb.vec_id = d.nid),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, nid) AS rn FROM sc)
+        |SELECT qid AS query_id, nid AS neighbor_id, cos AS cosine, rn AS rank
+        |FROM r WHERE rn <= 5""".stripMargin,
     "q_centroid" ->
       """WITH e AS (SELECT label,
         |             unnest(range(1, len(embedding) + 1)) AS dim,

@@ -78,7 +78,15 @@ object GraftFunctions {
     (FunctionIdentifier("gram_hash"),
       info(classOf[GramHash], "gram_hash", "gram_hash(hashes, n) - rolling n-gram hashes of a bigint array"),
       (args: Seq[Expression]) => GramHash(args(0),
-        intLit(args(1), "gram_hash", "n"))))
+        intLit(args(1), "gram_hash", "n"))),
+    (FunctionIdentifier("vec_dot_i8"),
+      info(classOf[VecDotI8], "vec_dot_i8",
+        "vec_dot_i8(a, b) - exact long dot product of two tinyint arrays"),
+      (args: Seq[Expression]) => VecDotI8(args(0), args(1))),
+    (FunctionIdentifier("vec_sumsq_i8"),
+      info(classOf[VecSumSqI8], "vec_sumsq_i8",
+        "vec_sumsq_i8(a) - exact long sum of squares of a tinyint array"),
+      (args: Seq[Expression]) => VecSumSqI8(args(0))))
 }
 
 /** Rewrites inner joins whose condition contains a pair of opposing range

@@ -103,6 +103,91 @@ case class VecNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** Integer dot product of two `array<tinyint>` columns (int8-quantized
+  * embeddings) — exact in long, so quantized similarity is
+  * bit-reproducible across engines (no float summation order). Same
+  * codegen rationale as [[VecDot]]: this is the innermost loop of
+  * quantized brute-force scoring.
+  */
+case class VecDotI8(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.ByteType),
+      ArrayType(org.apache.spark.sql.types.ByteType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "vec_dot_i8"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getByte(i).toLong * y.getByte(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((long) $a.getByte($i)) * $b.getByte($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotI8 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sum of squares of an `array<tinyint>` column, exact in long — the
+  * norm input of quantized cosine. */
+case class VecSumSqI8(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.ByteType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "vec_sumsq_i8"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0L
+    var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = x.getByte(i).toLong; s += v * v; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $v = (long) $a.getByte($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecSumSqI8 =
+    copy(child = newChild)
+}
+
 /** Intersection size of two SORTED `array<bigint>` columns via a codegen'd
   * merge scan — the hot inner loop of set-similarity verification
   * (n-gram Jaccard over hashed shingles). The interpreted built-in
@@ -368,6 +453,12 @@ object VecFunctions {
 
   def vec_norm(a: Column): Column =
     ExpressionUtils.column(VecNorm(expr(a)))
+
+  def vec_dot_i8(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecDotI8(expr(a), expr(b)))
+
+  def vec_sumsq_i8(a: Column): Column =
+    ExpressionUtils.column(VecSumSqI8(expr(a)))
 
   def sorted_long_intersect_count(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedLongIntersectCount(expr(a), expr(b)))

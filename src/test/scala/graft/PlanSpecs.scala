@@ -88,7 +88,9 @@ class PlanSpecs extends SparkSuite {
     // the broadcast query set is exactly its plan; q_bm25 and q_lm_score
     // cross-join ONE-ROW broadcast corpus-stats frames ((N, avgdl) /
     // vocab size) — scalar broadcasts, not data-sized nested loops
-    val intended = Set("q_cross_join", "q_ann_topk", "q_bm25", "q_lm_score")
+    // q_ann_q8 = q_ann_topk's plan on int8 codes (broadcast query loop)
+    val intended = Set("q_cross_join", "q_ann_topk", "q_ann_q8",
+      "q_bm25", "q_lm_score")
     for (name <- SparkEntry.queries.keys if !intended(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian")
