@@ -1,7 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Row types of [[StreamingOps.trendingTokens]] (top-level so Spark can
+  * derive product encoders). */
+case class TokenWindowEvent(ws: java.sql.Timestamp, token: String)
+case class TrendState(counts: Map[String, Long])
+case class Trend(window_start: java.sql.Timestamp, token: String,
+                 n: Long, rank: Int)
 
 /** Structured Streaming variants of the engine's core operators.
   *
@@ -80,6 +88,66 @@ object StreamingOps {
       .select(col(entityCol), col(attrCol),
         col("win.start").as("win_start"), col("win.end").as("win_stop"),
         col("n"), col("v_sum"), col("v_min"), col("v_max"), col("v_avg"))
+  }
+
+  /** Streaming top-k trending tokens per tumbling window — the
+    * custom-state streaming surface (`flatMapGroupsWithState`): the
+    * per-window token counts are arbitrary user state Spark's built-in
+    * streaming aggregation cannot rank incrementally (a windowed
+    * `groupBy(token).count` cannot emit "top k per window" in append
+    * mode). State per window is one bounded count map; an event-time
+    * timeout fires once the watermark passes the window end, emitting
+    * the final ranking exactly once and dropping the state.
+    *
+    * `maxTokens` bounds state for adversarial vocabularies: when the map
+    * overflows, the smallest counts are evicted (top-k of what remains
+    * is exact for `k ≪ maxTokens` unless an evicted token re-surges —
+    * the standard space-bounded heavy-hitters tradeoff).
+    */
+  def trendingTokens(
+      docs: DataFrame,
+      timeCol: String,
+      textCol: String,
+      windowMillis: Long,
+      k: Int,
+      watermark: String,
+      maxTokens: Int = 10000): Dataset[Trend] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(windowMillis > 0 && k > 0 && maxTokens >= k,
+      "need windowMillis > 0, 0 < k <= maxTokens")
+    // the watermark is declared on the WINDOW-START column (the grouping
+    // key itself): the original event-time column does not survive the
+    // projection, and the stateful operator needs a watermarked column
+    // in ITS input to drive event-time timeouts
+    val toks = docs
+      .select(
+        window(col(timeCol), s"$windowMillis milliseconds")
+          .getField("start").as("ws"),
+        explode(graft.text.Shingles.tokens(col(textCol))).as("token"))
+      .withWatermark("ws", watermark)
+      .as[TokenWindowEvent]
+    toks.groupByKey(_.ws)
+      .flatMapGroupsWithState[TrendState, Trend](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (ws, events, state) =>
+          if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+              .zipWithIndex
+              .map { case ((t, n), i) => Trend(ws, t, n, i + 1) }.iterator
+          } else {
+            var m = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            events.foreach(e => m = m.updated(e.token, m.getOrElse(e.token, 0L) + 1L))
+            if (m.size > maxTokens)
+              m = m.toSeq.sortBy { case (t, n) => (-n, t) }.take(maxTokens).toMap
+            state.update(TrendState(m))
+            // fire when the watermark passes the window end
+            state.setTimeoutTimestamp(ws.getTime + windowMillis)
+            Iterator.empty
+          }
+      }
   }
 
   /** Streaming exact dedup: keep the first occurrence of each key within

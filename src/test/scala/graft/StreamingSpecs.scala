@@ -270,6 +270,32 @@ class StreamingSpecs extends SparkSuite {
     } finally q.stop()
   }
 
+  test("trending tokens: stateful per-window top-k, emitted once on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = StreamingOps.trendingTokens(
+      input.toDF().toDF("ts", "text"), "ts", "text",
+      windowMillis = 60_000L, k = 2, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("trend_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:10"), "apple apple banana"),
+        (ts("2024-01-01 00:00:30"), "apple cherry cherry banana"))
+      q.processAllAvailable()
+      assert(spark.table("trend_stream").isEmpty) // window still open
+      // advance the watermark past the window end -> ranking flushes
+      input.addData((ts("2024-01-01 00:05:00"), "later"))
+      q.processAllAvailable()
+      val rows = spark.table("trend_stream")
+        .filter(col("window_start") === ts("2024-01-01 00:00:00"))
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+      // apple 3, banana/cherry 2 each -> banana wins the tie lexically
+      assert(rows.toSeq == Seq(("apple", 3L, 1), ("banana", 2L, 2)))
+    } finally q.stop()
+  }
+
   test("chunker and split assignment run unchanged on streams") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
