@@ -143,8 +143,13 @@ object StreamingOps {
             if (m.size > maxTokens)
               m = m.toSeq.sortBy { case (t, n) => (-n, t) }.take(maxTokens).toMap
             state.update(TrendState(m))
-            // fire when the watermark passes the window end
-            state.setTimeoutTimestamp(ws.getTime + windowMillis)
+            // fire when the watermark passes the window end. The upstream
+            // watermark filter guarantees surviving rows have ws >= the
+            // batch watermark (so ws + window > watermark), but clamp
+            // anyway — a timeout at-or-before the current watermark
+            // throws and would kill the query, and insurance is free
+            state.setTimeoutTimestamp(
+              math.max(ws.getTime + windowMillis, state.getCurrentWatermarkMs + 1))
             Iterator.empty
           }
       }
