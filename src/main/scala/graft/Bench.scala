@@ -67,8 +67,15 @@ object Bench {
     }
     val failed = results.collect { case (name, v) if v < 0 => name }
     val total = results.map(_._2).filter(_ >= 0).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def fmt(v: Double): String = f"$v%.3f"
+    // cap the failed list: a mass-failure run must not overflow the
+    // driver's stdout tail with 70 names — the count carries the signal
+    val failedJson = (failed.take(10).map("\"" + _ + "\"") ++
+      (if (failed.size > 10) Seq("\"+" + (failed.size - 10) + " more\"")
+       else Nil)).mkString("[", ",", "]")
+    // Locale.ROOT: the f interpolator is locale-sensitive — a comma
+    // decimal separator would make the line unparseable JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // The driver captures only the last ~2000 chars of stdout and parses the
     // JSON line out of that tail; the round-3 line (64 queries × 9-decimal
     // doubles) overflowed it and the round's bench number was lost. Print a
@@ -76,9 +83,14 @@ object Bench {
     // and write the complete per-query map to bench_details.json instead.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
+    // best-effort side file — an unwritable CWD must never cost the
+    // stdout line the driver actually parses
+    try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_details.json"),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failedJson,"runs":$runs,"agg":"min","n_queries":${names.size},"sf":"$sfDir"}""")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] bench_details.json not written: $e")
+    }
     val budget = 1100 // chars for the queries object; tail is 2000 total
     // the two BASELINE-comparable probes lead regardless of rank, then
     // slowest-first fills the budget

@@ -86,9 +86,15 @@ object ConnectedComponents {
       val cur = witness(jumped)
       converged = cur.compareTo(prev) == 0
       prev = cur
+      // the superseded round's checkpoint blocks are dead the moment the
+      // new frame is materialized — at cluster scale, 30 retained copies
+      // of a per-node frame is real storage pressure
+      labels.unpersist(blocking = false)
       labels = jumped
       iter += 1
     }
+    sym.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     labels
   }
 }
@@ -103,11 +109,19 @@ object DuplicateClusters {
   def apply(docs: DataFrame, idCol: String,
             pairs: DataFrame, leftCol: String, rightCol: String,
             maxIter: Int = 30): DataFrame = {
-    // ids must be integral: the cluster id IS the least id, and a silent
-    // cast("long") on strings would null out every cluster assignment
-    val idType = docs.schema(idCol).dataType
-    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
-      s"DuplicateClusters needs an integral id column, got $idType for $idCol")
+    // ids must be integral — EVERYWHERE: the cluster id IS the least id,
+    // and a silent cast("long") on strings would null out cluster
+    // assignments (docs side) or drop every edge (pairs side, where the
+    // nulls feed the isNotNull filter and dedup silently no-ops)
+    val integral = Set("byte", "short", "integer", "long")
+    def checkId(df: DataFrame, c: String, what: String): Unit = {
+      val t = df.schema(c).dataType
+      require(integral(t.typeName),
+        s"DuplicateClusters needs an integral $what column, got $t for $c")
+    }
+    checkId(docs, idCol, "id")
+    checkId(pairs, leftCol, "pair-endpoint")
+    checkId(pairs, rightCol, "pair-endpoint")
     val comp = ConnectedComponents(pairs, leftCol, rightCol, maxIter)
     val labeled = docs.as("d")
       .join(comp.as("c"), col(s"d.$idCol").cast("long") === col("c.node"), "left")

@@ -29,7 +29,9 @@ object Quantize {
     */
   def int8(df: DataFrame, vecCol: String,
            qCol: String = "q8", scaleCol: String = "scale"): DataFrame = {
-    val staged = df.withColumn(scaleCol, maxAbs(col(vecCol)) / 127)
+    val staged = df.withColumn(scaleCol,
+      when(col(vecCol).isNull, lit(null))
+        .otherwise(maxAbs(col(vecCol)) / 127))
     staged.withColumn(qCol,
       when(col(vecCol).isNull, lit(null))
         .otherwise(transform(col(vecCol), x =>
@@ -69,8 +71,12 @@ object Quantize {
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
            qCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(idCol).as("query_id"), col(qCol).as("__graft_qq"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(qCol).as("__graft_cq"))
+    // null codes never rank: a null cosine would still WIN window slots
+    // (row_number assigns ranks to null-scored rows too)
+    val q = queries.filter(col(qCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(qCol).as("__graft_qq"))
+    val c = corpus.filter(col(qCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(qCol).as("__graft_cq"))
     val scored = c.crossJoin(broadcast(q))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("cosine", cosine8(col("__graft_qq"), col("__graft_cq")))

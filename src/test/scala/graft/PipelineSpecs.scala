@@ -489,18 +489,18 @@ class PipelineSpecs extends SparkSuite {
     val rows = q.collect().map { r =>
       r.getLong(0) -> ((Option(r.get(r.fieldIndex("q8")))
         .map(_.asInstanceOf[scala.collection.Seq[Byte]].toList),
-        r.getDouble(r.fieldIndex("scale"))))
+        Option(r.get(r.fieldIndex("scale"))).map(_.asInstanceOf[Double])))
     }.toMap
     // max|x|=1 -> scale 1/127; 0.5 -> round(63.5)=64 (ties away from zero)
     assert(rows(0L)._1.get == Seq[Byte](64, -127, 32, 0))
-    assert(rows(1L)._1.get == Seq[Byte](0, 0, 0, 0) && rows(1L)._2 == 0.0)
-    assert(rows(3L)._1.isEmpty)
+    assert(rows(1L)._1.get == Seq[Byte](0, 0, 0, 0) && rows(1L)._2.contains(0.0))
+    assert(rows(3L)._1.isEmpty && rows(3L)._2.isEmpty) // null vec -> null q8+scale
     // roundtrip error <= scale/2 per component
     val deq = q.filter(col("id") === 2L)
       .select(explode(arrays_zip(col("vec"),
         Quantize.dequantize(col("q8"), col("scale")))))
       .collect().map(r => (r.getStruct(0).getFloat(0), r.getStruct(0).getDouble(1)))
-    val scale2 = rows(2L)._2
+    val scale2 = rows(2L)._2.get
     assert(deq.forall { case (x, d) => math.abs(x - d) <= scale2 / 2 + 1e-12 })
     // cosine of quantized vectors tracks the float cosine
     val pair = q.filter(col("id").isin(0L, 2L))
