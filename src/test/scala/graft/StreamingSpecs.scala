@@ -296,6 +296,22 @@ class StreamingSpecs extends SparkSuite {
     } finally q.stop()
   }
 
+  test("int8 quantization runs unchanged on streams") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val out = graft.similarity.Quantize.int8(
+      input.toDF().toDF("id", "vec"), "vec")
+    val q = out.writeStream.format("memory").queryName("q8_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, Array(0.5f, -1.0f)), (2L, Array(0.0f, 0.0f)))
+      q.processAllAvailable()
+      val rows = spark.table("q8_stream").orderBy("id").collect()
+      assert(rows(0).getSeq[Byte](rows(0).fieldIndex("q8")) == Seq[Byte](64, -127))
+      assert(rows(1).getSeq[Byte](rows(1).fieldIndex("q8")) == Seq[Byte](0, 0))
+    } finally q.stop()
+  }
+
   test("chunker and split assignment run unchanged on streams") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
