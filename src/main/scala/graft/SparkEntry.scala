@@ -773,6 +773,18 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
     }
 
+  /** Embedding-space dedup clustering: cosine near-dup pairs closed
+    * transitively — clustering composes with ANY pair generator. */
+  private val q_dedup_embcluster: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = emb(s, dir)
+      val pairs = EmbeddingDedup(e, "vec_id", "embedding",
+        threshold = 0.3, blockBy = Seq("label"))
+      DuplicateClusters(e.select("vec_id"), "vec_id", pairs, "id_l", "id_r")
+        .select(col("vec_id").as("vid"), col("cluster_id").as("cid"),
+          col("cluster_size").as("sz"), col("is_canonical").as("canon"))
+    }
+
   /** Quantized brute-force top-k: int8 codes end-to-end. Dot and norms
     * are exact longs (codegen'd VecDotI8/VecSumSqI8) and IEEE sqrt/
     * divide are exactly rounded, so the scores — and hence the ranks —
@@ -1129,6 +1141,7 @@ object SparkEntry {
     "q_pipeline"            -> q_pipeline,
     "q_dedup_simhash"       -> q_dedup_simhash,
     "q_dedup_embcos"        -> q_dedup_embcos,
+    "q_dedup_embcluster"    -> q_dedup_embcluster,
     "q_centroid"            -> q_centroid,
     "q_quantize"            -> q_quantize,
     "q_ann_q8"              -> q_ann_q8,
@@ -1650,6 +1663,22 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3""".stripMargin,
+    "q_dedup_embcluster" ->
+      """WITH RECURSIVE
+        |p AS (SELECT a.vec_id AS u, b.vec_id AS v
+        |      FROM embeddings a JOIN embeddings b
+        |        ON a.label = b.label AND a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |              b.embedding::DOUBLE[]) >= 0.3),
+        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+        |                UNION SELECT r.u, ed.v FROM reach r JOIN e ed ON r.v = ed.u),
+        |comp AS (SELECT u AS node, MIN(v) AS comp FROM reach GROUP BY u),
+        |lab AS (SELECT em.vec_id AS vid, COALESCE(c.comp, em.vec_id) AS cid
+        |        FROM embeddings em LEFT JOIN comp c ON em.vec_id = c.node)
+        |SELECT vid, cid, COUNT(*) OVER (PARTITION BY cid) AS sz,
+        |       CAST(vid = cid AS INT) AS canon
+        |FROM lab""".stripMargin,
     "q_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,
         |    GREATEST(COALESCE(list_max(
