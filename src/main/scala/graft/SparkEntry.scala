@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.agg.{Factorize, GroupedMode, Histogram}
+import graft.agg.{Factorize, GroupedMode, Histogram, Winsorize}
 import graft.core.{IntervalSpec, Tables}
 import graft.dedup.{DuplicateClusters, ExactDedup, MinHashDedup, NgramJaccardDedup, SimHashDedup}
 import graft.intervals.{CombineIntervals, GroupIntervals}
@@ -1086,6 +1086,56 @@ object SparkEntry {
       l.join(r, col("s") <= col("re") && col("rs") <= col("e"))
     }
 
+  /** C4-style corpus line-dedup: drop "lines" occurring in ≥ 78% of
+    * documents, reassemble survivors in order. This corpus has no
+    * newlines, so the demo delimiter is the token separator; real
+    * corpora pass "\n" (specs cover that). The scalar `count()` mirrors
+    * the oracle's `ceil(0.78 * COUNT(*))` in the same IEEE arithmetic.
+    */
+  private val q_line_dedup: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val minDocs = math.ceil(0.78 * d.count()).toInt
+      graft.text.LineDedup(d, "doc_id", "text",
+        delimiter = " ", minDocs = minDocs)
+        .select(col("doc_id").as("did"), col("text").as("kept_text"),
+          col("n_lines"), col("n_removed"))
+    }
+
+  /** Trailing 1-hour event-time rolling aggregates per user. The frame
+    * is value-based (range), so equal timestamps agree on their result
+    * in both engines regardless of tie order. */
+  private val q_rolling: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.windows.Rolling.timeWindow(
+        t(s, dir, "events"), Seq("user_id"), "ts", "value",
+        window = 3600L * 1000000L,
+        aggs = Seq("count", "sum", "mean", "min", "max"))
+        .select(col("event_id").as("eid"), col("roll_count"),
+          r6m(col("roll_sum")).as("roll_sum"),
+          r6m(col("roll_mean")).as("roll_mean"),
+          col("roll_min"), col("roll_max"))
+
+  /** Schema-on-read JSON payload extraction (events.props) + a pushed
+    * filter on the extracted field. */
+  private val q_json_extract: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      graft.sources.SemiStructured.extractJson(
+        t(s, dir, "events"), "props", StructType(Seq(StructField("k", LongType))))
+        .filter(col("k") >= 50)
+        .select(col("event_id").as("eid"), col("event_type"), col("k"))
+    }
+
+  /** Per-returnflag winsorization of extended price at [p05, p95]. */
+  private val q_winsorize: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      Winsorize(t(s, dir, "lineitem"), "l_extendedprice", Seq("l_returnflag"),
+        lower = 0.05, upper = 0.95)
+        .select(col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+          r6m(col("l_extendedprice_w")).as("vw"),
+          r6m(col("w_lo")).as("lo"), r6m(col("w_hi")).as("hi"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q_interval_contain(spark, "/root/testdata/sf0.001")
@@ -1167,6 +1217,10 @@ object SparkEntry {
     "q_text_fingerprint"    -> q_text_fingerprint,
     "q_media_frames"        -> q_media_frames,
     "q_media_features"      -> q_media_features,
+    "q_line_dedup"          -> q_line_dedup,
+    "q_rolling"             -> q_rolling,
+    "q_json_extract"        -> q_json_extract,
+    "q_winsorize"           -> q_winsorize,
     "q_bench_contain"       -> q_bench_contain,
     "q_bench_overlap"       -> q_bench_overlap,
     "q_rule_binned"         -> q_rule_binned,
@@ -2100,5 +2154,48 @@ object SparkEntry {
         |FROM p JOIN embeddings x ON x.vec_id = p.id_l
         |       JOIN embeddings y ON y.vec_id = p.id_r
         |WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.3""".stripMargin,
+    // line-level dedup: frequency threshold ceil(0.78·n_docs) computed in
+    // the same IEEE double arithmetic as the Spark side's math.ceil
+    "q_line_dedup" ->
+      """WITH l AS (SELECT doc_id, unnest(string_split(text, ' ')) AS line,
+        |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+        |           FROM documents),
+        |f AS (SELECT line FROM l GROUP BY line
+        |      HAVING COUNT(DISTINCT doc_id) >=
+        |        (SELECT CAST(ceil(0.78 * COUNT(*)) AS BIGINT) FROM documents)),
+        |k AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM f)),
+        |r AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS kept_text,
+        |             COUNT(*) AS n_kept FROM k GROUP BY doc_id)
+        |SELECT d.doc_id AS did, COALESCE(r.kept_text, '') AS kept_text,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_lines,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT)
+        |         - COALESCE(r.n_kept, 0) AS n_removed
+        |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
+    "q_rolling" ->
+      """SELECT event_id AS eid,
+        |  COUNT(value) OVER w AS roll_count,
+        |  ROUND(SUM(value) OVER w + 1e-9, 6) + 0.0 AS roll_sum,
+        |  ROUND(AVG(value) OVER w + 1e-9, 6) + 0.0 AS roll_mean,
+        |  MIN(value) OVER w AS roll_min,
+        |  MAX(value) OVER w AS roll_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id AS eid, event_type,
+        |       CAST(props->>'k' AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(props->>'k' AS BIGINT) >= 50""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |             quantile_cont(l_extendedprice, 0.05) AS qlo,
+        |             quantile_cont(l_extendedprice, 0.95) AS qhi
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l.l_orderkey AS okey, l.l_linenumber AS lnum,
+        |  ROUND(LEAST(GREATEST(l.l_extendedprice, b.qlo), b.qhi) + 1e-9, 6)
+        |    + 0.0 AS vw,
+        |  ROUND(b.qlo + 1e-9, 6) + 0.0 AS lo,
+        |  ROUND(b.qhi + 1e-9, 6) + 0.0 AS hi
+        |FROM lineitem l JOIN b USING (l_returnflag)""".stripMargin,
   )
 }

@@ -239,4 +239,71 @@ class OperatorSpecs extends SparkSuite {
     assert(out(1) == ((3L, 1.0, 3.0)) && out(2) == ((3L, 4.0, 6.0)))
     assert(out(3) == ((2L, 7.0, 8.0)) && out(4) == ((2L, 9.0, 10.0)))
   }
+
+  // ── rolling time windows ─────────────────────────────────────────────
+
+  test("rolling: trailing range frame, closed endpoints, equal-ts ties, null values") {
+    import graft.windows.Rolling
+    val df = Seq(
+      ("u", "2024-01-01 00:00:00", Some(1.0)),
+      ("u", "2024-01-01 00:30:00", Some(2.0)),
+      ("u", "2024-01-01 01:01:00", Some(3.0)),
+      ("u", "2024-01-01 01:02:00", Some(4.0)),
+      ("u", "2024-01-01 01:02:00", None), // tie on ts, null value
+      ("v", "2024-01-01 05:00:00", Some(9.0)))
+      .toDF("g", "tss", "v")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = Rolling.timeWindow(df, Seq("g"), "ts", "v",
+      window = 3600L * 1000000L, aggs = Seq("count", "sum", "mean"))
+      .select("g", "tss", "v", "roll_count", "roll_sum")
+      .collect().map(r => (r.getString(0), r.getString(1), Option(r.get(2))) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    // 00:00 sees itself; 00:30 sees both; 01:01's lower bound 00:01
+    // excludes 00:00 (closed endpoints); the 01:02 tie rows share a frame
+    assert(out(("u", "2024-01-01 00:00:00", Some(1.0))) == ((1L, 1.0)))
+    assert(out(("u", "2024-01-01 00:30:00", Some(2.0))) == ((2L, 3.0)))
+    assert(out(("u", "2024-01-01 01:01:00", Some(3.0))) == ((2L, 5.0)))
+    assert(out(("u", "2024-01-01 01:02:00", Some(4.0))) == ((3L, 9.0)))
+    assert(out(("u", "2024-01-01 01:02:00", None)) == ((3L, 9.0)))
+    assert(out(("v", "2024-01-01 05:00:00", Some(9.0))) == ((1L, 9.0)))
+  }
+
+  // ── winsorize ────────────────────────────────────────────────────────
+
+  test("winsorize: pandas-interpolated bounds, clipping, nulls, singleton group") {
+    import graft.agg.Winsorize
+    val a = (1 to 10).map(i => ("a", Some(i.toDouble)))
+    val df = (a :+ (("a", None: Option[Double])) :+ (("b", Some(42.0))))
+      .toDF("g", "v")
+    val out = Winsorize(df, "v", Seq("g"), 0.05, 0.95)
+      .select("g", "v", "v_w", "w_lo", "w_hi").collect()
+      .map(r => (r.getString(0), Option(r.get(1))) ->
+        ((Option(r.get(2)), r.getDouble(3), r.getDouble(4)))).toMap
+    // n=10: h_lo = 9·0.05 = 0.45 → 1·0.55 + 2·0.45 = 1.45;
+    //       h_hi = 9·0.95 = 8.55 → 9·0.45 + 10·0.55 = 9.55
+    def close(a: Any, b: Double) = math.abs(a.asInstanceOf[Double] - b) < 1e-12
+    val (c1, lo1, hi1) = out(("a", Some(1.0)))
+    assert(close(c1.get, 1.45) && close(lo1, 1.45) && close(hi1, 9.55))
+    val (c10, _, _) = out(("a", Some(10.0)))
+    assert(close(c10.get, 9.55))
+    assert(out(("a", Some(5.0)))._1 == Some(5.0))
+    assert(out(("a", None))._1.isEmpty)
+    assert(out(("b", Some(42.0))) == ((Some(42.0), 42.0, 42.0)))
+  }
+
+  test("winsorize bounds agree with the built-in percentile aggregate") {
+    import graft.agg.Winsorize
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 400)
+      .map(i => (s"g${i % 7}", rnd.nextDouble() * 100)).toDF("g", "v")
+    val got = Winsorize(df, "v", Seq("g"), 0.1, 0.9)
+      .groupBy("g").agg(first("w_lo").as("lo"), first("w_hi").as("hi"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val want = df.groupBy("g").agg(
+      expr("percentile(v, 0.1)").as("lo"), expr("percentile(v, 0.9)").as("hi"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    want.foreach { case (g, (lo, hi)) =>
+      assert(math.abs(got(g)._1 - lo) < 1e-9 && math.abs(got(g)._2 - hi) < 1e-9, g)
+    }
+  }
 }

@@ -590,4 +590,56 @@ class PipelineSpecs extends SparkSuite {
     assert(math.abs(got(("banana", 1L)) - w(1, 2)) < 1e-12)
     assert(math.abs(got(("apple", 2L)) - w(1, 1)) < 1e-12)
   }
+
+  test("line dedup: frequent lines drop everywhere, order kept, in-doc repeats") {
+    import graft.text.LineDedup
+    // "COOKIE" is in 3 distinct docs (>= minDocs=3); "hi" is in 2 docs
+    // plus repeated inside doc 0 — in-doc repetition must not promote it
+    val df = Seq(
+      (0L, "hi\nCOOKIE\nalpha\nhi"),
+      (1L, "COOKIE\nbeta"),
+      (2L, "gamma\nCOOKIE"),
+      (3L, "hi\ndelta")).toDF("doc_id", "text")
+    val out = LineDedup(df, "doc_id", "text", "\n", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(r.fieldIndex("n_lines")),
+          r.getLong(r.fieldIndex("n_removed"))))).toMap
+    assert(out == Map(
+      0L -> (("hi\nalpha\nhi", 4L, 1L)),
+      1L -> (("beta", 2L, 1L)),
+      2L -> (("gamma", 2L, 1L)),
+      3L -> (("hi\ndelta", 2L, 0L))))
+  }
+
+  test("line dedup: total loss yields empty text; short lines are immune") {
+    import graft.text.LineDedup
+    val df = Seq(
+      (0L, "SAME"), (1L, "SAME"), (2L, "SAME\nkeep"),
+      (3L, "a\nb"), (4L, "a\nb")).toDF("doc_id", "text")
+    // minLineChars=2: the 1-char lines "a"/"b" are never counted/removed
+    val out = LineDedup(df, "doc_id", "text", "\n", minDocs = 2, minLineChars = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(r.fieldIndex("n_removed"))))).toMap
+    assert(out == Map(
+      0L -> (("", 1L)), 1L -> (("", 1L)), 2L -> (("keep", 1L)),
+      3L -> (("a\nb", 0L)), 4L -> (("a\nb", 0L))))
+  }
+
+  test("json extraction: fields promoted, corrupt payloads null out") {
+    import graft.sources.SemiStructured
+    import org.apache.spark.sql.types._
+    val df = Seq(
+      (0L, """{"k": 7, "s": "x"}"""),
+      (1L, """{"k": null}"""),
+      (2L, """not json""")).toDF("id", "props")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    val out = SemiStructured.extractJson(df, "props", schema)
+      .select("id", "k", "s").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out == Map(
+      0L -> ((Some(7L), Some("x"))),
+      1L -> ((None, None)),
+      2L -> ((None, None))))
+  }
 }
