@@ -1136,6 +1136,36 @@ object SparkEntry {
           r6m(col("l_extendedprice_w")).as("vw"),
           r6m(col("w_lo")).as("lo"), r6m(col("w_hi")).as("hi"))
 
+  /** Weight-proportional sample (Efraimidis–Spirakis) of 50 docs, longer
+    * docs favored by n_chars. Key uses ln, whose last-ulp can differ
+    * between libm implementations — but keys are spread over ~1e-1 gaps
+    * at this k, so selection is engine-stable (same argument as the
+    * cosine-threshold oracles). */
+  private val q_sample_weighted: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.sample.Sampling.weighted(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        idCol = "doc_id", weightCol = "n_chars", k = 50, seed = 7L)
+        .select(col("doc_id").as("did"), col("n_chars"))
+
+  /** Partitioned-layout sink round-trip: write lineitem hive-partitioned
+    * by returnflag + sorted by shipdate, read it back with a partition
+    * predicate (pruned at listing time — see LayoutSpec's PartitionFilters
+    * audit), aggregate per month. The oracle reads the ORIGINAL table:
+    * equality proves the layout round-trip is lossless. */
+  private val q_layout_scan: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_layout_${math.abs(dir.hashCode)}"
+      graft.sources.Layout.writePartitioned(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_shipdate")),
+        path, partitionBy = Seq("l_returnflag"), sortBy = Seq("l_shipdate"))
+      graft.sources.Layout.read(s, path)
+        .filter(col("l_returnflag") === "R")
+        .groupBy(date_trunc("month", col("l_shipdate")).as("m"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+    }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q_interval_contain(spark, "/root/testdata/sf0.001")
@@ -1218,6 +1248,8 @@ object SparkEntry {
     "q_media_frames"        -> q_media_frames,
     "q_media_features"      -> q_media_features,
     "q_line_dedup"          -> q_line_dedup,
+    "q_sample_weighted"     -> q_sample_weighted,
+    "q_layout_scan"         -> q_layout_scan,
     "q_rolling"             -> q_rolling,
     "q_json_extract"        -> q_json_extract,
     "q_winsorize"           -> q_winsorize,
@@ -2186,6 +2218,17 @@ object SparkEntry {
         |       CAST(props->>'k' AS BIGINT) AS k
         |FROM events
         |WHERE CAST(props->>'k' AS BIGINT) >= 50""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |  ln((('0x' || substring(md5(CONCAT_WS('#', 7, doc_id)), 1, 15))::BIGINT
+        |      + 1.0) / 1152921504606846976.0) / n_chars AS key
+        |  FROM documents)
+        |SELECT doc_id AS did, n_chars
+        |FROM s ORDER BY key DESC, doc_id LIMIT 50""".stripMargin,
+    "q_layout_scan" ->
+      """SELECT date_trunc('month', l_shipdate) AS m,
+        |       COUNT(*) AS n, SUM(l_quantity) AS q
+        |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1""".stripMargin,
     "q_winsorize" ->
       """WITH b AS (SELECT l_returnflag,
         |             quantile_cont(l_extendedprice, 0.05) AS qlo,

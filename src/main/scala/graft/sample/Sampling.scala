@@ -98,6 +98,47 @@ object Sampling {
       .drop("__graft_rank", "__graft_quota")
   }
 
+  /** Weight-proportional sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-Res, Inf. Proc. Letters 97(5), 2006): each row draws a
+    * deterministic uniform u from its (id, seed) md5 rank and competes
+    * with key ln(u)/w — the top-k keys are a weighted sample where a
+    * row's selection odds scale with its weight (quality-score-weighted
+    * corpus subsetting, importance sampling for eval sets).
+    *
+    * Scale posture: global top-k plans as TakeOrderedAndProject —
+    * per-partition heaps of size k merged once, NO global sort, no
+    * single-partition window; with `strata`, a per-stratum window with
+    * the literal cut lets `WindowGroupLimit` prune partitions to their
+    * top-k before the final sort. Deterministic in `seed` on any
+    * cluster layout either way.
+    */
+  def weighted(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long = 42L,
+      strata: Seq[String] = Nil): DataFrame = {
+    require(k > 0, "k must be positive")
+    // u in (0, 1]: the +1 keeps ln finite; ln(u)/w is a monotone
+    // transform of u^(1/w) with far better float behavior near 1
+    val u = (md5Rank(col(idCol), seed).cast("double") + 1.0) /
+      lit((1L << 60).toDouble)
+    val key = log(u) / col(weightCol).cast("double")
+    if (strata.isEmpty)
+      df.withColumn("__graft_key", key)
+        .orderBy(col("__graft_key").desc, col(idCol).asc)
+        .limit(k)
+        .drop("__graft_key")
+    else {
+      val w = Window.partitionBy(strata.map(col): _*)
+        .orderBy(key.desc, col(idCol).asc)
+      df.withColumn("__graft_rank", row_number().over(w))
+        .filter(col("__graft_rank") <= k)
+        .drop("__graft_rank")
+    }
+  }
+
   /** Deterministic train/validation/test-style split: assigns each row a
     * bucket in [0, weights.length) with probability proportional to
     * `weights`, stable in (id, seed) — the md5-rank modulo trick, so the

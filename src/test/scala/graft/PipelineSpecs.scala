@@ -625,6 +625,48 @@ class PipelineSpecs extends SparkSuite {
       3L -> (("a\nb", 0L)), 4L -> (("a\nb", 0L))))
   }
 
+  test("weighted sampling: weight-monotone inclusion, determinism, strata form") {
+    import graft.sample.Sampling
+    val df = (0L until 2000L).map(i => (i, if (i < 100) 50.0 else 1.0))
+      .toDF("id", "w")
+    val picked = Sampling.weighted(df, "id", "w", k = 100, seed = 3L)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked.size == 100)
+    // the 100 heavy rows (50× weight) dominate the sample
+    val heavy = picked.count(_ < 100)
+    assert(heavy > 60, s"heavy rows picked: $heavy")
+    // deterministic under repartitioning
+    val again = Sampling.weighted(df.repartition(7), "id", "w", k = 100, seed = 3L)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == picked)
+    // strata variant: k per stratum
+    val sdf = df.withColumn("g", (col("id") % 4).cast("string"))
+    val per = Sampling.weighted(sdf, "id", "w", k = 10, seed = 3L, strata = Seq("g"))
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per.values.toSet == Set(10L) && per.size == 4)
+  }
+
+  test("layout sink: partition dirs on disk, pruned scan, lossless round-trip") {
+    import graft.sources.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout_spec").toString
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 5.0))
+      .toDF("id", "part", "v")
+    Layout.writePartitioned(df, dir, Seq("part"), Seq("id"))
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("part="))
+    assert(dirs.toSet == Set("part=a", "part=b", "part=c"))
+    val back = Layout.read(spark, dir)
+    // round-trip lossless
+    assert(back.select("id", "part", "v").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+      Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 5.0)))
+    // the partition predicate reaches the scan as a PartitionFilter
+    val plan = back.filter(col("part") === "a")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)].*", "$1").nonEmpty,
+      s"partition filter not pushed:\n$plan")
+  }
+
   test("json extraction: fields promoted, corrupt payloads null out") {
     import graft.sources.SemiStructured
     import org.apache.spark.sql.types._
