@@ -1166,6 +1166,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
     }
 
+  /** Per-group score normalization: z-score (rounded — mean/std carry
+    * summation-order noise), min-max and percent-rank (raw — both are
+    * ratios of exact values, bit-identical across engines). */
+  private val q_normalize: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.agg.Normalize(t(s, dir, "lineitem"), "l_extendedprice",
+        Seq("l_returnflag"), Seq("zscore", "minmax", "rank"))
+        .select(col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+          r6m(col("l_extendedprice_zscore")).as("z"),
+          col("l_extendedprice_minmax").as("mm"),
+          col("l_extendedprice_rank").as("pr"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q_interval_contain(spark, "/root/testdata/sf0.001")
@@ -1249,6 +1261,7 @@ object SparkEntry {
     "q_media_features"      -> q_media_features,
     "q_line_dedup"          -> q_line_dedup,
     "q_sample_weighted"     -> q_sample_weighted,
+    "q_normalize"           -> q_normalize,
     "q_layout_scan"         -> q_layout_scan,
     "q_rolling"             -> q_rolling,
     "q_json_extract"        -> q_json_extract,
@@ -2218,6 +2231,16 @@ object SparkEntry {
         |       CAST(props->>'k' AS BIGINT) AS k
         |FROM events
         |WHERE CAST(props->>'k' AS BIGINT) >= 50""".stripMargin,
+    "q_normalize" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS lnum,
+        |  ROUND((l_extendedprice - AVG(l_extendedprice) OVER w)
+        |        / (STDDEV_SAMP(l_extendedprice) OVER w) + 1e-9, 6) + 0.0 AS z,
+        |  (l_extendedprice - MIN(l_extendedprice) OVER w)
+        |    / (MAX(l_extendedprice) OVER w - MIN(l_extendedprice) OVER w) AS mm,
+        |  (RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+        |     - 1)::DOUBLE / (COUNT(l_extendedprice) OVER w - 1) AS pr
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag)""".stripMargin,
     "q_sample_weighted" ->
       """WITH s AS (SELECT doc_id, n_chars,
         |  ln((('0x' || substring(md5(CONCAT_WS('#', 7, doc_id)), 1, 15))::BIGINT

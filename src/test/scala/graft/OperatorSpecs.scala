@@ -291,6 +291,32 @@ class OperatorSpecs extends SparkSuite {
     assert(out(("b", Some(42.0))) == ((Some(42.0), 42.0, 42.0)))
   }
 
+  test("normalize: zscore/minmax/rank, nulls excluded, ties, constant group") {
+    import graft.agg.Normalize
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", Some(4.0)),
+      ("a", None),
+      ("t", Some(1.0)), ("t", Some(1.0)), ("t", Some(2.0)),
+      ("c", Some(7.0)), ("c", Some(7.0))).toDF("g", "v")
+    val out = Normalize(df, "v", Seq("g"), Seq("zscore", "minmax", "rank"))
+      .collect().map { r =>
+        (r.getString(0), Option(r.get(1))) ->
+          ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+      }.toMap
+    def d(x: Option[Any]) = x.get.asInstanceOf[Double]
+    // group a: mean 2.5, std sqrt(5/3); null row normalizes to all-null
+    val z1 = (1.0 - 2.5) / math.sqrt(5.0 / 3.0)
+    assert(math.abs(d(out(("a", Some(1.0)))._1) - z1) < 1e-12)
+    assert(out(("a", Some(1.0)))._2 == Some(0.0) && out(("a", Some(4.0)))._2 == Some(1.0))
+    assert(out(("a", Some(2.0)))._3 == Some(1.0 / 3))
+    assert(out(("a", None)) == ((None, None, None)))
+    // ties share a competition rank: [1,1,2] → pr 0, 0, 1
+    assert(out(("t", Some(2.0)))._3 == Some(1.0))
+    assert(out(("t", Some(1.0)))._3 == Some(0.0))
+    // constant group: zscore/minmax null (zero variance), rank 0
+    assert(out(("c", Some(7.0))) == ((None, None, Some(0.0))))
+  }
+
   test("winsorize bounds agree with the built-in percentile aggregate") {
     import graft.agg.Winsorize
     val rnd = new scala.util.Random(11)
