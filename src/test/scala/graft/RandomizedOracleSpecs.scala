@@ -467,4 +467,76 @@ class RandomizedOracleSpecs extends SparkSuite {
     assert(out.forall(r => r.getLong(0) == r.getLong(1) &&
       r.getLong(2) == 1L && r.getInt(3) == 1))
   }
+
+  test("rolling time windows ≡ per-row scan oracle (random ts incl. ties)") {
+    for (seed <- Seq(5, 6)) {
+      val rnd = new scala.util.Random(seed)
+      // coarse second grid in a small range forces plenty of exact ties
+      val rows = (0 until 300).map { i =>
+        (i.toLong, rnd.nextInt(4).toLong,
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+            .getTime + rnd.nextInt(120) * 1000L,
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextDouble() * 10))
+      }
+      val df = rows.map { case (id, g, ms, v) =>
+        (id, g, new java.sql.Timestamp(ms), v)
+      }.toDF("id", "g", "ts", "v")
+      val win = 30L * 1000000L // 30 s in micros
+      val got = graft.windows.Rolling
+        .timeWindow(df, Seq("g"), "ts", "v", win, Seq("count", "sum", "max"))
+        .select("id", "roll_count", "roll_sum", "roll_max").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+      // oracle: literal definition — scan every same-group row
+      rows.foreach { case (id, g, ms, _) =>
+        val frame = rows.filter(o => o._2 == g &&
+          o._3 <= ms && o._3 >= ms - 30000L).flatMap(_._4)
+        val want = (frame.size.toLong,
+          if (frame.isEmpty) None else Some(frame.sum),
+          if (frame.isEmpty) None else Some(frame.max))
+        val (gc, gs, gm) = got(id)
+        assert(gc == want._1, s"seed=$seed id=$id count")
+        assert(gm.map(_.asInstanceOf[Double]) == want._3, s"seed=$seed id=$id max")
+        (gs, want._2) match {
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a.asInstanceOf[Double] - b) < 1e-9, s"seed=$seed id=$id sum")
+          case (a, b) => assert(a.isEmpty == b.isEmpty, s"seed=$seed id=$id sum-null")
+        }
+      }
+    }
+  }
+
+  test("line dedup ≡ sequential frequency oracle (random corpora)") {
+    for (seed <- Seq(7, 8)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("aa", "bb", "cc", "dd", "e", "")
+      val docs = (0L until 80L).map { id =>
+        id -> (0 until (1 + rnd.nextInt(6)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString("\n")
+      }
+      val minDocs = 2 + rnd.nextInt(3)
+      val minChars = rnd.nextInt(2) + 1
+      val got = graft.text.LineDedup(
+        docs.toDF("doc_id", "text"), "doc_id", "text", "\n",
+        minDocs = minDocs, minLineChars = minChars)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(r.fieldIndex("n_lines")),
+            r.getLong(r.fieldIndex("n_removed"))))).toMap
+      // oracle: count distinct docs per eligible line, filter, reassemble
+      val df2 = docs.flatMap { case (id, t) =>
+        t.split("\n", -1).filter(_.length >= minChars).map(l => (l, id))
+      }.groupBy(_._1).collect {
+        case (l, occ) if occ.map(_._2).distinct.size >= minDocs => l
+      }.toSet
+      docs.foreach { case (id, t) =>
+        val want = if (t.isEmpty) (t, 0L, 0L) else {
+          val lines = t.split("\n", -1)
+          val keptLines = lines.filter(l => l.length < minChars || !df2(l))
+          (keptLines.mkString("\n"), lines.length.toLong,
+            (lines.length - keptLines.length).toLong)
+        }
+        assert(got(id) == want, s"seed=$seed doc=$id")
+      }
+    }
+  }
 }
