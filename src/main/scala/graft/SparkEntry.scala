@@ -1166,6 +1166,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
     }
 
+  /** Inverted index over the corpus: exact document frequency, postings
+    * capped at 100 (every token here exceeds the cap — the truncation
+    * path is the one exercised), compared by posting-digest. */
+  private val q_inverted: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.text.InvertedIndex.build(docs(s, dir), "doc_id", "text",
+        minDf = 2L, maxPostings = 100)
+        .select(col("token"), col("df"),
+          md5(concat_ws(",", transform(col("postings"), _.cast("string")))
+            .cast("binary")).as("digest"),
+          col("truncated"))
+
   /** Per-group score normalization: z-score (rounded — mean/std carry
     * summation-order noise), min-max and percent-rank (raw — both are
     * ratios of exact values, bit-identical across engines). */
@@ -1262,6 +1274,7 @@ object SparkEntry {
     "q_line_dedup"          -> q_line_dedup,
     "q_sample_weighted"     -> q_sample_weighted,
     "q_normalize"           -> q_normalize,
+    "q_inverted"            -> q_inverted,
     "q_layout_scan"         -> q_layout_scan,
     "q_rolling"             -> q_rolling,
     "q_json_extract"        -> q_json_extract,
@@ -2231,6 +2244,18 @@ object SparkEntry {
         |       CAST(props->>'k' AS BIGINT) AS k
         |FROM events
         |WHERE CAST(props->>'k' AS BIGINT) >= 50""".stripMargin,
+    "q_inverted" ->
+      s"""WITH p AS (SELECT DISTINCT doc_id, unnest($ToksExpr) AS token
+        |           FROM documents),
+        |c AS (SELECT token, doc_id,
+        |        COUNT(*) OVER (PARTITION BY token) AS df,
+        |        ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |      FROM p)
+        |SELECT token, df,
+        |       md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS digest,
+        |       df > 100 AS truncated
+        |FROM c WHERE df >= 2 AND rn <= 100
+        |GROUP BY token, df""".stripMargin,
     "q_normalize" ->
       """SELECT l_orderkey AS okey, l_linenumber AS lnum,
         |  ROUND((l_extendedprice - AVG(l_extendedprice) OVER w)

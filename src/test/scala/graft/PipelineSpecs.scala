@@ -625,6 +625,21 @@ class PipelineSpecs extends SparkSuite {
       3L -> (("a\nb", 0L)), 4L -> (("a\nb", 0L))))
   }
 
+  test("inverted index: exact df, sorted capped postings, minDf drop, in-doc repeats") {
+    import graft.text.InvertedIndex
+    val df = Seq(
+      (3L, "apple banana apple"),   // in-doc repeat counts once
+      (1L, "apple cherry"),
+      (2L, "apple banana"),
+      (4L, "dates")).toDF("doc_id", "text")      // hapax → dropped at minDf=2
+    val out = InvertedIndex.build(df, "doc_id", "text", minDf = 2L, maxPostings = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[Long](2).toList, r.getBoolean(3)))).toMap
+    assert(out == Map(
+      "apple"  -> ((3L, List(1L, 2L), true)),   // df exact despite the cap
+      "banana" -> ((2L, List(2L, 3L), false))))
+  }
+
   test("weighted sampling: weight-monotone inclusion, determinism, strata form") {
     import graft.sample.Sampling
     val df = (0L until 2000L).map(i => (i, if (i < 100) 50.0 else 1.0))
