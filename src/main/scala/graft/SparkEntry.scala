@@ -1166,6 +1166,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
     }
 
+  /** Normalization before dedup: the corpus text is already clean, so
+    * the query DIRTIES it deterministically (case, tabs, a control
+    * char, trailing runs) and checks the cleaner canonicalizes it. */
+  private val q_text_clean: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val messy = concat(
+        upper(substring(col("text"), 1, 30)), lit("\t \u0001"),
+        substring(col("text"), 31, 1000000), lit("  "))
+      docs(s, dir)
+        .select(col("doc_id").as("did"),
+          graft.text.TextClean.clean(messy).as("clean_text"))
+    }
+
+  /** The deterministic hash cut for q_sample_hash: floor(0.2·2^60)
+    * computed in DOUBLE on both engines (the oracle inlines this value —
+    * a DECIMAL 0.2 in SQL would floor to a different integer). */
+  private val HashCut: Long = math.floor(0.2 * (1L << 60).toDouble).toLong
+
+  /** Stateless Bernoulli-by-hash sample (the streaming-safe sampler). */
+  private val q_sample_hash: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.sample.Sampling.hashFilter(
+        docs(s, dir).select(col("doc_id")), "doc_id", p = 0.2, seed = 5L)
+        .select(col("doc_id").as("did"))
+
   /** Inverted index over the corpus: exact document frequency, postings
     * capped at 100 (every token here exceeds the cap — the truncation
     * path is the one exercised), compared by posting-digest. */
@@ -1275,6 +1300,8 @@ object SparkEntry {
     "q_sample_weighted"     -> q_sample_weighted,
     "q_normalize"           -> q_normalize,
     "q_inverted"            -> q_inverted,
+    "q_text_clean"          -> q_text_clean,
+    "q_sample_hash"         -> q_sample_hash,
     "q_layout_scan"         -> q_layout_scan,
     "q_rolling"             -> q_rolling,
     "q_json_extract"        -> q_json_extract,
@@ -2244,6 +2271,19 @@ object SparkEntry {
         |       CAST(props->>'k' AS BIGINT) AS k
         |FROM events
         |WHERE CAST(props->>'k' AS BIGINT) >= 50""".stripMargin,
+    "q_text_clean" ->
+      """WITH m AS (SELECT doc_id,
+        |    upper(substring(text, 1, 30)) || chr(9) || ' ' || chr(1)
+        |      || substring(text, 31, 1000000) || '  ' AS messy
+        |  FROM documents)
+        |SELECT doc_id AS did,
+        |  trim(regexp_replace(regexp_replace(lower(messy),
+        |    '[\x00-\x08\x0b-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text
+        |FROM m""".stripMargin,
+    "q_sample_hash" ->
+      s"""SELECT doc_id AS did FROM documents
+        |WHERE ('0x' || substring(md5(CONCAT_WS('#', 5, doc_id)), 1, 15))::BIGINT
+        |      < $HashCut""".stripMargin,
     "q_inverted" ->
       s"""WITH p AS (SELECT DISTINCT doc_id, unnest($ToksExpr) AS token
         |           FROM documents),

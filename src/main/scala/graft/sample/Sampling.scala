@@ -98,6 +98,20 @@ object Sampling {
       .drop("__graft_rank", "__graft_quota")
   }
 
+  /** Deterministic Bernoulli-by-hash filter: keep a row iff its md5
+    * uniform falls below `p`. Unlike `df.sample` this is a pure
+    * PROJECTION — no RNG state, no partition sensitivity — so it is
+    * reproducible across engines and runs UNCHANGED in Structured
+    * Streaming (the canonical "sample the firehose" op; the stateful
+    * samplers above need a batch view). The cut is the integer
+    * `floor(p·2^60)` so the comparison is exact in any engine.
+    */
+  def hashFilter(df: DataFrame, idCol: String, p: Double,
+                 seed: Long = 42L): DataFrame = {
+    require(p >= 0 && p <= 1, "need 0 <= p <= 1")
+    df.filter(md5Rank(col(idCol), seed) < lit(math.floor(p * (1L << 60).toDouble).toLong))
+  }
+
   /** Weight-proportional sampling WITHOUT replacement (Efraimidis–
     * Spirakis A-Res, Inf. Proc. Letters 97(5), 2006): each row draws a
     * deterministic uniform u from its (id, seed) md5 rank and competes

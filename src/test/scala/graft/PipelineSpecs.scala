@@ -625,6 +625,44 @@ class PipelineSpecs extends SparkSuite {
       3L -> (("a\nb", 0L)), 4L -> (("a\nb", 0L))))
   }
 
+  test("text clean: case, control chars, whitespace runs, trim; \\n\\t survive as spaces") {
+    import graft.text.TextClean
+    val df = Seq(
+      (0L, "  Hello\t\tWORLD x\n\ny  "),
+      (1L, "already clean"),
+      (2L, "")).toDF("id", "text")
+    val out = TextClean(df, "text").select("id", "text_clean").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(0L -> "hello world x y", 1L -> "already clean", 2L -> ""))
+  }
+
+  test("hash filter: deterministic, partition-independent, ~p fraction, streams unchanged") {
+    import graft.sample.Sampling
+    val df = (0L until 5000L).toDF("id")
+    val a = Sampling.hashFilter(df, "id", 0.3, seed = 9L)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashFilter(df.repartition(13), "id", 0.3, seed = 9L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(math.abs(a.size / 5000.0 - 0.3) < 0.02, s"kept ${a.size}")
+    // monotone in p: growing the rate only adds rows
+    val wider = Sampling.hashFilter(df, "id", 0.5, seed = 9L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider))
+    // pure projection → runs on a stream verbatim
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Long]
+    val q = Sampling.hashFilter(in.toDF().withColumnRenamed("value", "id"),
+        "id", 0.3, seed = 9L)
+      .writeStream.format("memory").queryName("hash_filter_stream").start()
+    in.addData(0L until 5000L: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hash_filter_stream")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == a)
+  }
+
   test("inverted index: exact df, sorted capped postings, minDf drop, in-doc repeats") {
     import graft.text.InvertedIndex
     val df = Seq(
