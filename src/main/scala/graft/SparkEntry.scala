@@ -1166,6 +1166,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
     }
 
+  /** Interval anti-join: events outside every same-user error blackout
+    * hour (time-range decontamination). Spark alone would plan the
+    * NOT-EXISTS range condition as a nested-loop anti join. */
+  private val q_interval_anti: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val blackouts = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("b_uid"), col("ts").as("b_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("b_stop"))
+      graft.joins.IntervalAntiJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")), blackouts,
+        leftSpec  = IntervalSpec.point("ts"),
+        rightSpec = IntervalSpec.closed("b_start", "b_stop"),
+        leftOn = Seq("user_id"), rightOn = Seq("b_uid"))
+        .select(col("event_id").as("eid"))
+    }
+
   /** Normalization before dedup: the corpus text is already clean, so
     * the query DIRTIES it deterministically (case, tabs, a control
     * char, trailing runs) and checks the cleaner canonicalizes it. */
@@ -1301,6 +1318,7 @@ object SparkEntry {
     "q_normalize"           -> q_normalize,
     "q_inverted"            -> q_inverted,
     "q_text_clean"          -> q_text_clean,
+    "q_interval_anti"       -> q_interval_anti,
     "q_sample_hash"         -> q_sample_hash,
     "q_layout_scan"         -> q_layout_scan,
     "q_rolling"             -> q_rolling,
@@ -2271,6 +2289,12 @@ object SparkEntry {
         |       CAST(props->>'k' AS BIGINT) AS k
         |FROM events
         |WHERE CAST(props->>'k' AS BIGINT) >= 50""".stripMargin,
+    "q_interval_anti" ->
+      """SELECT e.event_id AS eid FROM events e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events b
+        |  WHERE b.event_type = 'error' AND b.user_id = e.user_id
+        |    AND e.ts >= b.ts AND e.ts <= b.ts + INTERVAL 1 HOUR)""".stripMargin,
     "q_text_clean" ->
       """WITH m AS (SELECT doc_id,
         |    upper(substring(text, 1, 30)) || chr(9) || ' ' || chr(1)

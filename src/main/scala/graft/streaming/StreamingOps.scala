@@ -7,6 +7,9 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 /** Row types of [[StreamingOps.trendingTokens]] (top-level so Spark can
   * derive product encoders). */
 case class TokenWindowEvent(ws: java.sql.Timestamp, token: String)
+/** State of [[StreamingOps.streamingQuotaSample]] (top-level for the
+  * product encoder). */
+case class QuotaState(taken: Long)
 case class TrendState(counts: Map[String, Long])
 case class Trend(window_start: java.sql.Timestamp, token: String,
                  n: Long, rank: Int)
@@ -153,6 +156,42 @@ object StreamingOps {
             Iterator.empty
           }
       }
+  }
+
+  /** Streaming per-stratum quota sampling: pass rows through until each
+    * stratum has emitted `quota`, then drop — the admission-control
+    * counterpart of the batch [[graft.sample.Sampling.stratified]] (which
+    * needs a complete view to rank; a stream admits in arrival order).
+    * "Collect at most N documents per language from the firehose."
+    *
+    * State is ONE long per stratum — bounded by stratum cardinality, not
+    * data volume, and it never needs eviction (a filled quota must stay
+    * filled, which is why this uses explicit `mapGroupsWithState` rather
+    * than a watermarked aggregation). Within a micro-batch admission
+    * follows the batch's iterator order; across batches the counter is
+    * exact — at most `quota` rows per stratum ever emit.
+    */
+  def streamingQuotaSample(
+      df: DataFrame,
+      strataCol: String,
+      quota: Long): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    implicit val stateEnc: org.apache.spark.sql.Encoder[QuotaState] =
+      org.apache.spark.sql.Encoders.product[QuotaState]
+    implicit val rowEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(df.schema)
+    df.groupByKey(r => String.valueOf(r.getAs[Any](strataCol)))(
+        org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[QuotaState, org.apache.spark.sql.Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val already  = state.getOption.map(_.taken).getOrElse(0L)
+          val room     = math.max(quota - already, 0L)
+          val admitted = rows.take(math.min(room, Int.MaxValue.toLong).toInt).toSeq
+          state.update(QuotaState(already + admitted.size))
+          admitted.iterator
+      }
+      .toDF()
   }
 
   /** Streaming exact dedup: keep the first occurrence of each key within

@@ -395,4 +395,32 @@ class StreamingSpecs extends SparkSuite {
       .scanLeft((0, 0L)) { case ((_, acc), (k, n)) => (k, acc + n) }.drop(1)
     assert(got.toSeq == want.map { case (k, c) => k -> c })
   }
+
+  test("streaming quota sample: admits until quota per stratum, then drops forever") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("id", "lang")
+
+    val out = StreamingOps.streamingQuotaSample(stream, "lang", quota = 3L)
+    val q = out.writeStream.format("memory").queryName("quota_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: en over quota, de under
+      input.addData((1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"),
+        (5L, "de"))
+      q.processAllAvailable()
+      val b1 = spark.table("quota_stream").collect()
+        .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+      assert(b1 == Map("en" -> 3, "de" -> 1))
+      // batch 2: en is full (nothing admitted); de tops up to 3 and caps
+      input.addData((6L, "en"), (7L, "de"), (8L, "de"), (9L, "de"))
+      q.processAllAvailable()
+      val b2 = spark.table("quota_stream").collect()
+        .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+      assert(b2 == Map("en" -> 3, "de" -> 3))
+      // emitted rows are real input rows
+      val ids = spark.table("quota_stream").collect().map(_.getLong(0)).toSet
+      assert(ids.subsetOf((1L to 9L).toSet) && ids.size == 6)
+    } finally q.stop()
+  }
 }
