@@ -156,4 +156,12 @@ object Ops {
       big: DataFrame, small: DataFrame, on: Seq[String],
       salts: Int, how: String = "inner"): DataFrame =
     graft.joins.SaltedJoin(big, small, on, salts, how)
+
+  def intervalAntiJoin(
+      left: DataFrame, right: DataFrame,
+      leftSpec: IntervalSpec, rightSpec: IntervalSpec,
+      on: Seq[String] = Nil,
+      binWidth: Option[Double] = None): DataFrame =
+    graft.joins.IntervalAntiJoin(left, right, leftSpec, rightSpec,
+      on = on, binWidth = binWidth)
 }

@@ -1116,6 +1116,17 @@ object SparkEntry {
           r6m(col("roll_mean")).as("roll_mean"),
           col("roll_min"), col("roll_max"))
 
+  /** Positional rolling (pandas rolling(window=5, min_periods=3)) per
+    * user over a deterministic total order (ts, event_id). */
+  private val q_rolling_rows: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.windows.Rolling.rowWindow(
+        t(s, dir, "events"), Seq("user_id"), Seq("ts", "event_id"),
+        "value", k = 5, aggs = Seq("count", "sum", "mean"), minPeriods = 3)
+        .select(col("event_id").as("eid"), col("roll_count"),
+          r6m(col("roll_sum")).as("roll_sum"),
+          r6m(col("roll_mean")).as("roll_mean"))
+
   /** Schema-on-read JSON payload extraction (events.props) + a pushed
     * filter on the extracted field. */
   private val q_json_extract: (SparkSession, String) => DataFrame =
@@ -1322,6 +1333,7 @@ object SparkEntry {
     "q_sample_hash"         -> q_sample_hash,
     "q_layout_scan"         -> q_layout_scan,
     "q_rolling"             -> q_rolling,
+    "q_rolling_rows"        -> q_rolling_rows,
     "q_json_extract"        -> q_json_extract,
     "q_winsorize"           -> q_winsorize,
     "q_bench_contain"       -> q_bench_contain,
@@ -2284,6 +2296,16 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_rolling_rows" ->
+      """SELECT event_id AS eid,
+        |  COUNT(value) OVER w AS roll_count,
+        |  CASE WHEN COUNT(value) OVER w >= 3
+        |       THEN ROUND(SUM(value) OVER w + 1e-9, 6) + 0.0 END AS roll_sum,
+        |  CASE WHEN COUNT(value) OVER w >= 3
+        |       THEN ROUND(AVG(value) OVER w + 1e-9, 6) + 0.0 END AS roll_mean
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id AS eid, event_type,
         |       CAST(props->>'k' AS BIGINT) AS k

@@ -58,4 +58,45 @@ object Rolling {
     }
     withAggs.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
   }
+
+  /** Positional rolling aggregates — pandas `rolling(window=k)`: the
+    * last `k` rows (current included) per group in `orderBy` order. The
+    * reference's `roll1d`/shift helpers (`misc.py:981-1116`) are the
+    * 1-step special case.
+    *
+    * Unlike [[timeWindow]]'s value-based frame, a ROWS frame depends on
+    * the total order, so `orderBy` must be a deterministic total order
+    * within each group (include a unique tiebreak column — ties would
+    * otherwise make results partitioning-dependent).
+    *
+    * `minPeriods` mirrors pandas: rows whose frame holds fewer than
+    * `minPeriods` non-null values yield null (pandas default = window
+    * size; pass 1 for "emit from the first row").
+    */
+  def rowWindow(df: DataFrame, groupBy: Seq[String], orderBy: Seq[String],
+                valueCol: String, k: Int, aggs: Seq[String],
+                minPeriods: Int = 1): DataFrame = {
+    require(groupBy.nonEmpty, "rolling windows need group keys")
+    require(k >= 1, "window must hold at least one row")
+    require(minPeriods >= 1 && minPeriods <= k, "need 1 <= minPeriods <= k")
+    require(orderBy.nonEmpty, "ROWS frames need an explicit total order")
+    require(aggs.nonEmpty, "no aggregates requested")
+
+    val w = Window
+      .partitionBy(groupBy.map(col): _*)
+      .orderBy(orderBy.map(col(_).asc): _*)
+      .rowsBetween(-(k - 1).toLong, 0)
+    val v = col(valueCol)
+    val enough = count(v).over(w) >= minPeriods
+
+    val withAggs: Seq[(String, Column)] = aggs.map {
+      case "count" => "roll_count" -> count(v).over(w)
+      case "sum"   => "roll_sum"   -> when(enough, sum(v).over(w))
+      case "mean"  => "roll_mean"  -> when(enough, avg(v).over(w))
+      case "min"   => "roll_min"   -> when(enough, min(v).over(w))
+      case "max"   => "roll_max"   -> when(enough, max(v).over(w))
+      case other   => throw new IllegalArgumentException(s"unknown rolling agg: $other")
+    }
+    withAggs.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+  }
 }

@@ -268,6 +268,25 @@ class OperatorSpecs extends SparkSuite {
     assert(out(("v", "2024-01-01 05:00:00", Some(9.0))) == ((1L, 9.0)))
   }
 
+  test("rolling rows frame: window size, minPeriods nulls, per-group isolation") {
+    import graft.windows.Rolling
+    val df = Seq(
+      ("u", 1L, Some(1.0)), ("u", 2L, Some(2.0)), ("u", 3L, Some(3.0)),
+      ("u", 4L, None), ("u", 5L, Some(5.0)),
+      ("v", 1L, Some(10.0))).toDF("g", "ord", "v")
+    val out = Rolling.rowWindow(df, Seq("g"), Seq("ord"), "v",
+      k = 3, aggs = Seq("count", "sum"), minPeriods = 2)
+      .select("g", "ord", "roll_count", "roll_sum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3))))).toMap
+    assert(out(("u", 1L)) == ((1L, None)))           // below minPeriods
+    assert(out(("u", 2L)) == ((2L, Some(3.0))))
+    assert(out(("u", 3L)) == ((3L, Some(6.0))))
+    assert(out(("u", 4L)) == ((2L, Some(5.0))))      // null value drops out
+    assert(out(("u", 5L)) == ((2L, Some(8.0))))      // frame rows 3,4,5
+    assert(out(("v", 1L)) == ((1L, None)))           // group isolation
+  }
+
   // ── winsorize ────────────────────────────────────────────────────────
 
   test("winsorize: pandas-interpolated bounds, clipping, nulls, singleton group") {
