@@ -758,6 +758,16 @@ object SparkEntry {
         .select(col("label"), col("dim").cast("long").as("dim"),
           r6m(col("mean")).as("mean"))
 
+  /** L2-normalized embeddings, long form (the pre-ANN unit-vector
+    * step; dim 1-based). */
+  private val q_l2norm: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      emb(s, dir)
+        .select(col("vec_id"),
+          posexplode(graft.similarity.VectorOps.l2normalize(col("embedding"))))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          r6m(col("col")).as("comp"))
+
   /** Symmetric int8 quantization codes, long form (dim 1-based). */
   private val q_quantize: (SparkSession, String) => DataFrame =
     (s, dir) =>
@@ -1300,6 +1310,7 @@ object SparkEntry {
     "q_dedup_embcos"        -> q_dedup_embcos,
     "q_dedup_embcluster"    -> q_dedup_embcluster,
     "q_centroid"            -> q_centroid,
+    "q_l2norm"              -> q_l2norm,
     "q_quantize"            -> q_quantize,
     "q_ann_q8"              -> q_ann_q8,
     "q_ann_topk"            -> q_ann_topk,
@@ -1895,6 +1906,17 @@ object SparkEntry {
         |        ORDER BY cos DESC, nid) AS rn FROM sc)
         |SELECT qid AS query_id, nid AS neighbor_id, cos AS cosine, rn AS rank
         |FROM r WHERE rn <= 5""".stripMargin,
+    "q_l2norm" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |             sqrt(list_sum([x * x FOR x IN embedding::DOUBLE[]])) AS nrm
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |e AS (SELECT vec_id,
+        |        unnest(range(1, len(v) + 1)) AS dim,
+        |        unnest(v) AS x, nrm
+        |      FROM n WHERE nrm > 0)
+        |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        |       ROUND(x / nrm + 1e-9, 6) + 0.0 AS comp
+        |FROM e""".stripMargin,
     "q_centroid" ->
       """WITH e AS (SELECT label,
         |             unnest(range(1, len(embedding) + 1)) AS dim,

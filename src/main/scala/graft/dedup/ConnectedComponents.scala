@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -133,5 +133,23 @@ object DuplicateClusters {
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .withColumn("is_canonical",
         (col(idCol).cast("long") === col("cluster_id")).cast("int"))
+  }
+
+  /** Re-elects each cluster's canonical row by PREFERENCE rather than
+    * least-id: curation pipelines keep the best duplicate (longest text,
+    * highest quality score), not the numerically smallest id. `prefer`
+    * columns rank descending-first-wins; ties fall back to ascending id
+    * so the choice stays deterministic. One rank window over the
+    * existing cluster partitioning — no new shuffle when the frame is
+    * already cluster-keyed.
+    */
+  def canonicalBy(clustered: DataFrame, idCol: String,
+                  prefer: Seq[Column],
+                  clusterCol: String = "cluster_id"): DataFrame = {
+    require(prefer.nonEmpty, "pass at least one preference column")
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(prefer.map(_.desc) :+ col(idCol).asc: _*)
+    clustered.withColumn("is_canonical",
+      (row_number().over(w) === 1).cast("int"))
   }
 }

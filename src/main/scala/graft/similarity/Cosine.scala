@@ -24,6 +24,19 @@ object VectorOps {
     when(n === 0, lit(0.0)).otherwise(d / n)
   }
 
+  /** L2-normalization — the standard pre-ANN step (unit vectors turn
+    * cosine into a plain dot product, which [[CosineTopK]]/[[IvfAnn]]
+    * then exploit). Zero vectors normalize to null (no direction), null
+    * vectors pass through. Pure per-row projection: no shuffle, streams
+    * unchanged; the norm comes from the codegen'd [[norm]], the divide
+    * is one interpreted-HOF pass over an already-computed scalar.
+    */
+  def l2normalize(vec: Column): Column = {
+    val n = norm(vec)
+    when(vec.isNull || n === 0, lit(null))
+      .otherwise(transform(vec, x => x / n))
+  }
+
   /** Per-group centroid of an array-vector column, LONG form: one row per
     * (group, dim) with the mean component — class prototypes, cluster
     * centers, label-conditional means.

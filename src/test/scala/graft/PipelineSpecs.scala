@@ -625,6 +625,31 @@ class PipelineSpecs extends SparkSuite {
       3L -> (("a\nb", 0L)), 4L -> (("a\nb", 0L))))
   }
 
+  test("l2 normalize: unit norm, zero/null vectors null out, direction kept") {
+    import graft.similarity.VectorOps
+    val df = Seq(
+      (0L, Some(Seq(3.0, 4.0))),
+      (1L, Some(Seq(0.0, 0.0))),
+      (2L, None: Option[Seq[Double]])).toDF("id", "v")
+    val out = df.select(col("id"), VectorOps.l2normalize(col("v")).as("u"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+    val u = out(0L).get
+    assert(math.abs(u(0) - 0.6) < 1e-12 && math.abs(u(1) - 0.8) < 1e-12)
+    assert(math.abs(u.map(x => x * x).sum - 1.0) < 1e-12)
+  }
+
+  test("canonicalBy: preference beats least-id, ties fall back to id") {
+    import graft.dedup.DuplicateClusters
+    val clustered = Seq(
+      (1L, 10L, 5.0), (2L, 10L, 9.0), (3L, 10L, 9.0), // cluster 10: score tie 2,3
+      (7L, 7L, 1.0)).toDF("doc_id", "cluster_id", "score")
+    val got = DuplicateClusters.canonicalBy(clustered, "doc_id", Seq(col("score")))
+      .collect().map(r => r.getLong(0) -> r.getInt(r.fieldIndex("is_canonical"))).toMap
+    // highest score wins; within the 9.0 tie the smaller id (2) wins
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0, 7L -> 1))
+  }
+
   test("text clean: case, control chars, whitespace runs, trim; \\n\\t survive as spaces") {
     import graft.text.TextClean
     val df = Seq(
