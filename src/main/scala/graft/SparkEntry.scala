@@ -1157,6 +1157,25 @@ object SparkEntry {
           r6m(col("l_extendedprice_w")).as("vw"),
           r6m(col("w_lo")).as("lo"), r6m(col("w_hi")).as("hi"))
 
+  /** Second end-to-end curation chain, composed ENTIRELY of this round's
+    * operators: line-level dedup → token stats of the deduped text →
+    * per-language percent-rank normalization → quality-threshold filter
+    * → per-(lang, source) corpus stats. Oracle-checked as a whole. */
+  private val q_pipeline2: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        col("lang"), col("source"))
+      val minDocs = math.ceil(0.78 * d.count()).toInt
+      val deduped = graft.text.LineDedup(d, "doc_id", "text",
+        delimiter = " ", minDocs = minDocs)
+        .withColumn("ntok",
+          size(Shingles.tokens(col("text"))).cast("long"))
+      val ranked = graft.agg.Normalize(deduped, "ntok", Seq("lang"), Seq("rank"))
+      ranked.filter(col("ntok_rank") >= 0.25)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"), r6m(avg(col("ntok"))).as("avg_ntok"))
+    }
+
   /** Weight-proportional sample (Efraimidis–Spirakis) of 50 docs, longer
     * docs favored by n_chars. Key uses ln, whose last-ulp can differ
     * between libm implementations — but keys are spread over ~1e-1 gaps
@@ -1341,6 +1360,7 @@ object SparkEntry {
     "q_inverted"            -> q_inverted,
     "q_text_clean"          -> q_text_clean,
     "q_interval_anti"       -> q_interval_anti,
+    "q_pipeline2"           -> q_pipeline2,
     "q_sample_hash"         -> q_sample_hash,
     "q_layout_scan"         -> q_layout_scan,
     "q_rolling"             -> q_rolling,
@@ -2374,6 +2394,25 @@ object SparkEntry {
         |     - 1)::DOUBLE / (COUNT(l_extendedprice) OVER w - 1) AS pr
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_returnflag)""".stripMargin,
+    // pipeline2: with delimiter ' ' every line IS a token, so the deduped
+    // token count equals the kept-line count — no re-split needed
+    "q_pipeline2" ->
+      """WITH l AS (SELECT doc_id, unnest(string_split(text, ' ')) AS line
+        |           FROM documents),
+        |f AS (SELECT line FROM l GROUP BY line
+        |      HAVING COUNT(DISTINCT doc_id) >=
+        |        (SELECT CAST(ceil(0.78 * COUNT(*)) AS BIGINT) FROM documents)),
+        |k AS (SELECT doc_id, COUNT(*) AS n_kept
+        |      FROM l WHERE line NOT IN (SELECT line FROM f) GROUP BY doc_id),
+        |t AS (SELECT d.doc_id, d.lang, d.source, COALESCE(k.n_kept, 0) AS ntok
+        |      FROM documents d LEFT JOIN k USING (doc_id)),
+        |r AS (SELECT *,
+        |        (RANK() OVER (PARTITION BY lang ORDER BY ntok) - 1)::DOUBLE
+        |          / (COUNT(ntok) OVER (PARTITION BY lang) - 1) AS pr
+        |      FROM t)
+        |SELECT lang, source, COUNT(*) AS n,
+        |       ROUND(AVG(ntok) + 1e-9, 6) + 0.0 AS avg_ntok
+        |FROM r WHERE pr >= 0.25 GROUP BY 1, 2""".stripMargin,
     "q_sample_weighted" ->
       """WITH s AS (SELECT doc_id, n_chars,
         |  ln((('0x' || substring(md5(CONCAT_WS('#', 7, doc_id)), 1, 15))::BIGINT
