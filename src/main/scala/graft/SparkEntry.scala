@@ -833,6 +833,23 @@ object SparkEntry {
           col("l_returnflag").as("flag"), col("flag_rows"))
     }
 
+  /** Bloom-pruned selective semi-join: lineitems of urgent high-value
+    * orders. The bloom probe cuts lineitem BEFORE its shuffle (a pure
+    * codegen'd projection filter — no broadcast relation build, no
+    * shuffle); the exact semi join then removes the ≤fpp false positives,
+    * so the result is exactly the plain semi join the oracle runs. */
+  private val q_bloom_join: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val hot = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 150000.0)
+      graft.joins.BloomPrune
+        .semiJoin(li, hot, "l_orderkey", "o_orderkey", fpp = 0.01)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    }
+
   private val q_sample_stratified: (SparkSession, String) => DataFrame =
     (s, dir) =>
       graft.sample.Sampling.stratified(
@@ -1336,6 +1353,7 @@ object SparkEntry {
     "q_ann_lsh"             -> q_ann_lsh,
     "q_ann_ivf"             -> q_ann_ivf,
     "q_salted_join"         -> q_salted_join,
+    "q_bloom_join"          -> q_bloom_join,
     "q_sample_stratified"   -> q_sample_stratified,
     "q_sample_mixture"      -> q_sample_mixture,
     "q_token_plan"          -> q_token_plan,
@@ -1976,6 +1994,13 @@ object SparkEntry {
         |        ORDER BY cos DESC, nid) AS rn FROM s)
         |SELECT qid AS query_id, nid AS neighbor_id, cos AS cosine, rn AS rank
         |FROM r WHERE rn <= 5""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_returnflag AS flag, count(*) AS n, sum(l_quantity) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT'
+        |                       AND o_totalprice > 150000.0)
+        |GROUP BY 1""".stripMargin,
     "q_salted_join" ->
       """WITH f AS (SELECT l_returnflag, count(*) AS flag_rows
         |           FROM lineitem GROUP BY 1)

@@ -177,6 +177,57 @@ class PipelineSpecs extends SparkSuite {
     }
   }
 
+  test("bloom prune: semi/inner/anti ≡ plain joins; prefilter has no false negatives") {
+    import graft.joins.BloomPrune
+    val rnd = new scala.util.Random(43)
+    val big = (0 until 2000).map { i =>
+      val k: java.lang.Long =
+        if (i % 17 == 16) null else java.lang.Long.valueOf(rnd.nextInt(400).toLong)
+      (i.toLong, k, rnd.nextInt(100))
+    }.toDF("row_id", "k", "payload")
+    // small side covers ~10% of the key space → selective join
+    val small = (0 until 50).map { i =>
+      val k: java.lang.Long =
+        if (i == 49) null else java.lang.Long.valueOf(rnd.nextInt(40).toLong)
+      (k, s"name$i")
+    }.toDF("sk", "name")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("row_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    val semi = rows(BloomPrune.semiJoin(big, small, "k", "sk", fpp = 0.05))
+    val plainSemi = rows(big.join(small.select(col("sk")).distinct(),
+      col("k") === col("sk"), "left_semi"))
+    assert(semi == plainSemi, "bloom-pruned semi join must equal plain semi join")
+
+    val anti = rows(BloomPrune.join(big, small, "k", "sk", how = "left_anti"))
+    val plainAnti = rows(big.join(small.select(col("sk")).distinct(),
+      col("k") === col("sk"), "left_anti"))
+    assert(anti == plainAnti, "bloom-pruned anti join must equal plain anti join")
+    assert(semi.size + anti.size == 2000, "semi + anti partition big")
+
+    val inner = BloomPrune.join(big, small, "k", "sk", how = "inner")
+      .select("row_id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val plainInner = big.join(small, col("k") === col("sk"), "inner")
+      .select("row_id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(inner == plainInner, "bloom-pruned inner join must equal plain inner")
+
+    // prefilter alone: probabilistic, but never loses a true match
+    val kept = rows(BloomPrune.prefilter(big, small, "k", "sk", fpp = 0.05)).toSet
+    assert(plainSemi.toSet.subsetOf(kept), "bloom filters have no false negatives")
+    assert(kept.size <= 2000)
+
+    // string keys hash consistently through xxhash64 on both sides
+    val bigS = big.filter(col("k").isNotNull)
+      .select(col("row_id"), concat(lit("key"), col("k")).as("k"))
+    val smallS = small.filter(col("sk").isNotNull)
+      .select(concat(lit("key"), col("sk")).as("sk"))
+    assert(rows(BloomPrune.semiJoin(bigS, smallS, "k", "sk")) ==
+      rows(bigS.join(smallS.distinct(), col("k") === col("sk"), "left_semi")))
+  }
+
   test("sampling: exact quotas, seed determinism, monotone growth, splits") {
     val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
 
