@@ -850,6 +850,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
     }
 
+  /** One-pass column profile of lineitem (null/distinct/min/max per
+    * column, single aggregation job). */
+  private val q_profile: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.agg.Profile.columns(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_returnflag", "l_quantity"))
+
+  /** Join-key skew diagnostic: the 10 heaviest supplier keys with their
+    * row share — the number that picks plain join vs SaltedJoin. */
+  private val q_skew: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.agg.Profile.keySkew(t(s, dir, "lineitem"), "l_suppkey", k = 10)
+
+  /** Grouped top-k: each priority class's 3 priciest orders (rank window
+    * + WindowGroupLimit pruning — no group ever buffers more than k). */
+  private val q_topk: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.agg.TopK.perGroup(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+        groupBy = Seq("o_orderpriority"),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3, rankCol = "rnk")
+      .withColumn("rnk", col("rnk").cast("long"))
+
   private val q_sample_stratified: (SparkSession, String) => DataFrame =
     (s, dir) =>
       graft.sample.Sampling.stratified(
@@ -928,6 +953,15 @@ object SparkEntry {
       Bm25(d, "doc_id", "text", terms)
         .select(col("term"), col("doc_id").as("did"), r6m(col("score")).as("score"))
     }
+
+  /** TF-IDF keyword extraction: each document's top-3 terms among those
+    * appearing in ≥5 documents, ranked by raw count (engine-portable
+    * ties); smoothed-idf weights rounded through the midpoint nudge. */
+  private val q_tfidf: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.text.TfIdf(docs(s, dir), "doc_id", "text", minDf = 5L, topK = 3)
+        .select(col("doc_id").as("did"), col("term"), col("tf"), col("df"),
+          r6m(col("tfidf")).as("tfidf"))
 
   private val q_text_stats: (SparkSession, String) => DataFrame =
     (s, dir) =>
@@ -1354,6 +1388,9 @@ object SparkEntry {
     "q_ann_ivf"             -> q_ann_ivf,
     "q_salted_join"         -> q_salted_join,
     "q_bloom_join"          -> q_bloom_join,
+    "q_profile"             -> q_profile,
+    "q_skew"                -> q_skew,
+    "q_topk"                -> q_topk,
     "q_sample_stratified"   -> q_sample_stratified,
     "q_sample_mixture"      -> q_sample_mixture,
     "q_token_plan"          -> q_token_plan,
@@ -1361,6 +1398,7 @@ object SparkEntry {
     "q_sample_split"        -> q_sample_split,
     "q_top_tokens"          -> q_top_tokens,
     "q_bm25"                -> q_bm25,
+    "q_tfidf"               -> q_tfidf,
     "q_text_chunks"         -> q_text_chunks,
     "q_lm_score"            -> q_lm_score,
     "q_text_stats"          -> q_text_stats,
@@ -1994,6 +2032,37 @@ object SparkEntry {
         |        ORDER BY cos DESC, nid) AS rn FROM s)
         |SELECT qid AS query_id, nid AS neighbor_id, cos AS cosine, rn AS rank
         |FROM r WHERE rn <= 5""".stripMargin,
+    "q_topk" ->
+      """WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice, rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
+    "q_profile" ->
+      """SELECT 'l_orderkey' AS "column", COUNT(*) AS n_rows,
+        |  SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        |  COUNT(DISTINCT l_orderkey) AS n_distinct,
+        |  MIN(l_orderkey)::VARCHAR AS min_str, MAX(l_orderkey)::VARCHAR AS max_str
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', COUNT(*),
+        |  SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  COUNT(DISTINCT l_returnflag),
+        |  MIN(l_returnflag), MAX(l_returnflag)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', COUNT(*),
+        |  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  COUNT(DISTINCT l_quantity),
+        |  MIN(l_quantity)::VARCHAR, MAX(l_quantity)::VARCHAR
+        |FROM lineitem""".stripMargin,
+    "q_skew" ->
+      """WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS total FROM lineitem)
+        |SELECT l_suppkey, cnt, cnt::DOUBLE / total AS share
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, l_suppkey LIMIT 10""".stripMargin,
     "q_bloom_join" ->
       """SELECT l_returnflag AS flag, count(*) AS n, sum(l_quantity) AS qty
         |FROM lineitem
@@ -2103,6 +2172,19 @@ object SparkEntry {
         |    * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
         |    + 1e-9, 6) + 0.0 AS score
         |FROM tf JOIN dl USING (doc_id) JOIN dfq USING (w) CROSS JOIN st""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest($ToksExpr) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |d AS (SELECT *, COUNT(*) OVER (PARTITION BY w) AS df FROM tf),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |s AS (SELECT doc_id, w, tf, df,
+        |        tf * (ln((1 + n.n)::DOUBLE / (1 + df)::DOUBLE) + 1.0) AS tfidf
+        |      FROM d CROSS JOIN n WHERE df >= 5),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY tf DESC, w) AS rn FROM s)
+        |SELECT doc_id AS did, w AS term, tf, df,
+        |       ROUND(tfidf + 1e-9, 6) + 0.0 AS tfidf
+        |FROM r WHERE rn <= 3""".stripMargin,
     "q_text_stats" ->
       s"""WITH d AS (SELECT doc_id, text, $ToksExpr AS tk FROM documents)
         |SELECT doc_id, len(tk) AS n_tokens,

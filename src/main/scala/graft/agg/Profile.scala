@@ -1,0 +1,71 @@
+package graft.agg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling + join-key skew diagnostics — the observability
+  * step of a large-scale pipeline (what a data engineer runs BEFORE
+  * choosing a partition strategy, a salt factor, or a broadcast side).
+  *
+  * Two surfaces:
+  *  - [[columns]]: per-column null count / exact distinct count / min /
+  *    max, computed in ONE aggregation pass over the table (one job, no
+  *    per-column scans). Exact distincts expand to `count(distinct c)`
+  *    per column inside a single multi-distinct aggregate — Spark plans
+  *    one `expand` + aggregation, not N scans; pass `approxDistinct =
+  *    true` to swap in HyperLogLog `approx_count_distinct` at 100 TB.
+  *  - [[keySkew]]: the top-k heaviest keys of a prospective join/groupBy
+  *    column with their frequency share — the number that decides
+  *    between a plain shuffle join, `graft.joins.SaltedJoin`, and AQE
+  *    skew splitting. One map-side-combined `groupBy(key)` plus a
+  *    top-k (TakeOrderedAndProject — per-partition heaps, no global
+  *    sort) against a 1-row total broadcast.
+  */
+object Profile {
+
+  /** One row per profiled column:
+    * `(column, n_rows, n_nulls, n_distinct, min_str, max_str)`.
+    * min/max are rendered as strings so heterogeneous column types fit
+    * one output schema (profiles are small human-facing frames; the
+    * casts happen AFTER aggregation, on k rows).
+    */
+  def columns(df: DataFrame, cols: Seq[String],
+              approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "Profile.columns needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        (if (approxDistinct) approx_count_distinct(col(c))
+         else count_distinct(col(c))).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single aggregate row into one row per column: the
+    // stack() literal is k small expressions over a 1-row frame
+    val stacked = cols.map { c =>
+      s"'$c', `__n_$c`, `__nulls_$c`, `__nd_$c`, `__min_$c`, `__max_$c`"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stacked) AS " +
+        "(column, n_rows, n_nulls, n_distinct, min_str, max_str)")
+  }
+
+  /** Top-k heaviest values of `keyCol` with absolute counts and the
+    * fraction of all rows they cover: `(keyCol, cnt, share)`. Ties break
+    * by key value ascending (deterministic). Null keys count as a value —
+    * a skewed null is the single most common real-world skew.
+    */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    counts
+      .orderBy(col("cnt").desc, col(keyCol).asc_nulls_first)
+      .limit(k)
+      .crossJoin(broadcast(total))
+      .select(col(keyCol), col("cnt"),
+        (col("cnt").cast("double") / col("__total")).as("share"))
+  }
+}

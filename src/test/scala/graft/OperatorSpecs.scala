@@ -351,4 +351,61 @@ class OperatorSpecs extends SparkSuite {
       assert(math.abs(got(g)._1 - lo) < 1e-9 && math.abs(got(g)._2 - hi) < 1e-9, g)
     }
   }
+
+  test("top-k: per-group rank semantics + WindowGroupLimit / TakeOrdered plans") {
+    import graft.agg.TopK
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0), ("a", 4L, 5.0),
+      ("b", 5L, 1.0), ("b", 6L, 2.0),
+      ("c", 7L, 9.0)
+    ).toDF("g", "id", "score")
+
+    val top2 = TopK.perGroup(df, Seq("g"),
+      Seq(col("score").desc, col("id").asc), k = 2, rankCol = "r")
+    val got = top2.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    // tie at score=30 in group a breaks by id asc: 2 then 3
+    assert(got == Seq(("a", 2L, 1), ("a", 3L, 2), ("b", 5L, 2), ("b", 6L, 1),
+      ("c", 7L, 1)))
+
+    // the rank-window + filter shape must trigger group-limit pruning
+    val plan = top2.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pruning below the rank sort:\n$plan")
+
+    val g3 = TopK.global(df, Seq(col("score").desc, col("id").asc), 3)
+    assert(g3.collect().map(_.getLong(1)).toSeq == Seq(2L, 3L, 1L))
+    assert(g3.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "global top-k must plan as TakeOrderedAndProject, not a global sort")
+  }
+
+  test("profile: one-pass column stats; keySkew top-k with shares") {
+    import graft.agg.Profile
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(2.5)),
+      (2L, None, Some(1.0)),
+      (3L, Some("b"), None),
+      (4L, Some("a"), Some(2.5))
+    ).toDF("id", "s", "v")
+
+    val prof = Profile.columns(df, Seq("id", "s", "v")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5))))).toMap
+    assert(prof("id") == ((4L, 0L, 4L, Some("1"), Some("4"))))
+    assert(prof("s")  == ((4L, 1L, 2L, Some("a"), Some("b"))))
+    assert(prof("v")  == ((4L, 1L, 2L, Some("1.0"), Some("2.5"))))
+
+    // skew: key 0 dominates; null keys count as a value; ties by key asc
+    val skewed = (Seq.fill(60)(Some(0)) ++ Seq.fill(25)(None) ++
+      (1 to 15).map(i => Some(i % 3 + 1)))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("row", "k")
+    val top = Profile.keySkew(skewed, "k", k = 2).collect()
+      .map(r => (Option(r.get(0)), r.getLong(1), r.getDouble(2)))
+      .sortBy(-_._2)
+    assert(top.length == 2)
+    assert(top(0)._1.contains(0) && top(0)._2 == 60L && top(0)._3 == 0.6)
+    assert(top(1)._1.isEmpty && top(1)._2 == 25L && top(1)._3 == 0.25)
+  }
 }

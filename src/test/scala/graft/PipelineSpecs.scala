@@ -177,6 +177,49 @@ class PipelineSpecs extends SparkSuite {
     }
   }
 
+  test("tf-idf: hand-computed weights, minDf, topK, l2 normalization") {
+    import graft.text.TfIdf
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "banana banana durian")
+    ).toDF("doc_id", "text")
+    // N=3; df: apple=2, banana=2, cherry=1, durian=1
+    def idf(df: Int) = math.log(4.0 / (1 + df)) + 1.0
+
+    val out = TfIdf(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.size == 6)
+    assert(out((0L, "apple"))  == ((2L, 2L, 2 * idf(2))))
+    assert(out((0L, "banana")) == ((1L, 2L, 1 * idf(2))))
+    assert(out((1L, "cherry")) == ((1L, 1L, 1 * idf(1))))
+    assert(out((2L, "durian")) == ((1L, 1L, 1 * idf(1))))
+
+    // minDf=2 drops the singletons
+    val fd = TfIdf(docs, "doc_id", "text", minDf = 2L)
+      .select("term").distinct().collect().map(_.getString(0)).toSet
+    assert(fd == Set("apple", "banana"))
+
+    // topK=1 by raw count: doc0→apple(2), doc2→banana(2); doc1 ties at
+    // tf=1 → term asc → apple
+    val top = TfIdf(docs, "doc_id", "text", topK = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top == Map(0L -> "apple", 1L -> "apple", 2L -> "banana"))
+
+    // l2: per-doc vector norm 1 over ALL surviving terms
+    val l2 = TfIdf(docs, "doc_id", "text", l2 = true)
+      .groupBy("doc_id")
+      .agg(sum(col("tfidf_l2") * col("tfidf_l2")).as("ss"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    l2.values.foreach(v => assert(math.abs(v - 1.0) < 1e-12))
+
+    // rankByTfIdf: doc2 banana tf=2·idf(2) > durian 1·idf(1)
+    val byW = TfIdf(docs, "doc_id", "text", topK = 1, rankByTfIdf = true)
+      .filter(col("doc_id") === 2L).collect()
+    assert(byW.head.getString(1) == "banana")
+  }
+
   test("bloom prune: semi/inner/anti ≡ plain joins; prefilter has no false negatives") {
     import graft.joins.BloomPrune
     val rnd = new scala.util.Random(43)

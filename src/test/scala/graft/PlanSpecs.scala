@@ -89,8 +89,9 @@ class PlanSpecs extends SparkSuite {
     // cross-join ONE-ROW broadcast corpus-stats frames ((N, avgdl) /
     // vocab size) — scalar broadcasts, not data-sized nested loops
     // q_ann_q8 = q_ann_topk's plan on int8 codes (broadcast query loop)
+    // q_tfidf / q_skew cross-join 1-row corpus-total frames, like q_bm25
     val intended = Set("q_cross_join", "q_ann_topk", "q_ann_q8",
-      "q_bm25", "q_lm_score")
+      "q_bm25", "q_lm_score", "q_tfidf", "q_skew")
     for (name <- SparkEntry.queries.keys if !intended(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian")
