@@ -963,6 +963,28 @@ object SparkEntry {
         .select(col("doc_id").as("did"), col("term"), col("tf"), col("df"),
           r6m(col("tfidf")).as("tfidf"))
 
+  /** Incremental dedup: the odd-id half of the corpus ingested as a new
+    * batch against the even-id half as the existing corpus — fresh rows
+    * only, within-batch duplicates collapsed to their canonical row. */
+  private val q_dedup_incr: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+      ExactDedup.incremental(batch, corpus, Seq("text"), "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+    }
+
+  /** Duplicate-span removal (Lee et al.-style substring dedup at 8-token
+    * windows); md5 gram keys so DuckDB reproduces the spans bit-exactly.
+    * Output digests the cleaned text rather than shipping it. */
+  private val q_span_dedup: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.text.SpanDedup(docs(s, dir), "doc_id", "text", n = 8,
+        gramKey = Some(g => md5(g)))
+        .select(col("doc_id").as("did"), md5(col("text")).as("digest"),
+          col("n_tokens"), col("n_removed"))
+
   private val q_text_stats: (SparkSession, String) => DataFrame =
     (s, dir) =>
       TextStats(docs(s, dir), "text")
@@ -1399,6 +1421,8 @@ object SparkEntry {
     "q_top_tokens"          -> q_top_tokens,
     "q_bm25"                -> q_bm25,
     "q_tfidf"               -> q_tfidf,
+    "q_span_dedup"          -> q_span_dedup,
+    "q_dedup_incr"          -> q_dedup_incr,
     "q_text_chunks"         -> q_text_chunks,
     "q_lm_score"            -> q_lm_score,
     "q_text_stats"          -> q_text_stats,
@@ -2172,6 +2196,43 @@ object SparkEntry {
         |    * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
         |    + 1e-9, 6) + 0.0 AS score
         |FROM tf JOIN dl USING (doc_id) JOIN dfq USING (w) CROSS JOIN st""".stripMargin,
+    "q_dedup_incr" ->
+      """WITH c AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        |f AS (SELECT * FROM b WHERE text NOT IN (SELECT text FROM c)),
+        |r AS (SELECT doc_id, text,
+        |        ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |      FROM f)
+        |SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1""".stripMargin,
+    "q_span_dedup" ->
+      s"""WITH d AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
+        |nd AS (SELECT doc_id, tk, len(tk) AS len FROM d WHERE len(tk) > 0),
+        |o AS (SELECT doc_id, len, tk,
+        |        unnest(range(0, greatest(len - 8, 0) + 1)) AS pos
+        |      FROM nd),
+        |og AS (SELECT doc_id, len, pos,
+        |         md5(list_aggregate(tk[pos+1:pos+8], 'string_agg', ' ')) AS g
+        |       FROM o),
+        |r AS (SELECT doc_id, len, pos,
+        |        ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |      FROM og),
+        |rp AS (SELECT DISTINCT doc_id, p FROM (
+        |         SELECT doc_id, unnest(range(pos, least(pos + 8, len))) AS p
+        |         FROM r WHERE rn >= 2)),
+        |tp AS (SELECT doc_id, unnest(tk) AS tok,
+        |         unnest(range(0, len(tk))) AS p FROM nd),
+        |k AS (SELECT tp.doc_id, tp.p, tp.tok
+        |      FROM tp LEFT JOIN rp ON tp.doc_id = rp.doc_id AND tp.p = rp.p
+        |      WHERE rp.doc_id IS NULL),
+        |re AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY p) AS txt
+        |       FROM k GROUP BY doc_id)
+        |SELECT d0.doc_id AS did, md5(coalesce(re.txt, '')) AS digest,
+        |  coalesce(nd.len, 0) AS n_tokens,
+        |  coalesce(nd.len, 0) - coalesce(re.n_kept, 0) AS n_removed
+        |FROM documents d0
+        |LEFT JOIN nd ON d0.doc_id = nd.doc_id
+        |LEFT JOIN re ON d0.doc_id = re.doc_id""".stripMargin,
     "q_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest($ToksExpr) AS w FROM documents),
         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t GROUP BY 1, 2),

@@ -41,6 +41,34 @@ object ExactDedup {
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")
   }
+
+  /** Incremental dedup: the rows of `batch` whose key does not already
+    * exist in `corpus` — batch N deduped against batches 1..N−1 without
+    * re-deduping the corpus (the daily-ingest shape). Within-batch
+    * duplicates also collapse to their canonical row, so appending the
+    * result keeps the corpus exactly-once.
+    *
+    * One anti-join on the key (hash digests via `hashKey = true` keep
+    * shuffle rows small at corpus scale; with `hashKey = false` the raw
+    * key columns join null-safely) plus the within-batch keep-one window.
+    */
+  def incremental(batch: DataFrame, corpus: DataFrame, keyCols: Seq[String],
+                  idCol: String, hashKey: Boolean = false): DataFrame = {
+    val fresh =
+      if (hashKey) {
+        val bk = batch.withColumn("__graft_kh", xxhash64(keyCols.map(col): _*))
+        val ck = corpus.select(xxhash64(keyCols.map(col): _*).as("__graft_kh"))
+          .distinct()
+        bk.join(ck, Seq("__graft_kh"), "left_anti").drop("__graft_kh")
+      } else {
+        val ck = corpus
+          .select(keyCols.map(c => col(c).as(s"__graft_ck_$c")): _*).distinct()
+        batch.join(ck,
+          keyCols.map(c => col(c) <=> col(s"__graft_ck_$c")).reduce(_ && _),
+          "left_anti")
+      }
+    survivors(fresh, keyCols, idCol)
+  }
 }
 
 /** MinHash + banded LSH near-duplicate detection over a text column.

@@ -177,6 +177,64 @@ class PipelineSpecs extends SparkSuite {
     }
   }
 
+  test("incremental dedup: corpus hits drop, in-batch dups collapse, hash path agrees") {
+    val corpus = Seq((0L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "seen before"),   // already in corpus → dropped
+      (13L, "brand new"),
+      (15L, "brand new"),     // in-batch dup → canonical 13 survives
+      (17L, "also seen"),     // corpus hit → dropped
+      (19L, "another one")
+    ).toDF("doc_id", "text")
+    for (hash <- Seq(false, true)) {
+      val got = ExactDedup.incremental(batch, corpus, Seq("text"), "doc_id",
+        hashKey = hash).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(13L, 19L), s"hashKey=$hash")
+    }
+    // null keys: <=> matches corpus nulls, so a null-text batch row drops
+    val nbatch = Seq((1L, null.asInstanceOf[String]), (2L, "x")).toDF("doc_id", "text")
+    val ncorpus = Seq((0L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val nulls = ExactDedup.incremental(nbatch, ncorpus, Seq("text"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nulls == Set(2L))
+  }
+
+  test("span dedup: cross-doc and in-doc spans, first kept, reassembly; paths agree") {
+    import graft.text.SpanDedup
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "x y a b c d e z"),       // shares the a..e passage with doc 0
+      (2L, "a b c q"),
+      (3L, "m n o p m n o p"),       // in-doc repeated passage
+      (4L, "")
+    ).toDF("doc_id", "text")
+
+    // n=3, hand-computed: dup windows "a b c"/"b c d"/"c d e" keep their
+    // doc-0 occurrences; doc1 loses pos 2..6, doc2 pos 0..2; doc3's
+    // repeat loses pos 4..7
+    val out = SpanDedup(docs, "doc_id", "text", n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == (("a b c d e", 5L, 0L)))
+    assert(out(1L) == (("x y z", 8L, 5L)))
+    assert(out(2L) == (("q", 4L, 3L)))
+    assert(out(3L) == (("m n o p", 8L, 4L)))
+    assert(out(4L) == (("", 0L, 0L)))
+
+    // native rolling-hash path ≡ md5 string path on random corpora
+    val rnd = new scala.util.Random(17)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val rdocs = (0L until 60L).map { i =>
+      val base = Seq.fill(4 + rnd.nextInt(12))(words(rnd.nextInt(words.size)))
+      (i, base.mkString(" "))
+    }.toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(canon(SpanDedup(rdocs, "doc_id", "text", n = 4)) ==
+      canon(SpanDedup(rdocs, "doc_id", "text", n = 4, gramKey = Some(md5))),
+      "native gram-hash path must agree with the md5 string path")
+  }
+
   test("tf-idf: hand-computed weights, minDf, topK, l2 normalization") {
     import graft.text.TfIdf
     val docs = Seq(

@@ -82,6 +82,18 @@ class PlanSpecs extends SparkSuite {
       "token-stream exchange not reused at runtime")
   }
 
+  test("bloom prune: probe filters the big side BELOW the join, inside codegen") {
+    val p = plan("q_bloom_join")
+    // the probe must appear as a plain Filter condition (projection-level,
+    // pre-shuffle), not inside the join condition
+    assert(p.contains("bloom_might_contain"), s"bloom probe missing:\n$p")
+    val filterSection = p.linesIterator
+      .filter(l => l.contains("Condition") && l.contains("bloom_might_contain"))
+    assert(filterSection.nonEmpty, "bloom probe is not a Filter condition")
+    // and the pruned side still joins exactly (semi join present)
+    assert(p.contains("LeftSemi"), s"exact semi-join step missing:\n$p")
+  }
+
   test("no driver query degenerates to cartesian/nested-loop (except by design)") {
     // intended exceptions: q_cross_join IS a cross join; q_ann_topk scores
     // every (query, corpus) pair by design — a broadcast nested loop over
