@@ -146,6 +146,21 @@ object Ops {
       tolerance: Option[Column] = None): DataFrame =
     AsOfJoin(left, right, leftTime, rightTime, on, direction, tolerance)
 
+  /** Merge-path as-of join (keyed): one sorted window pass, no pair
+    * explosion — the scale path for dense right sides. */
+  def asofJoinMerge(
+      left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String,
+      on: Seq[String], direction: String = "backward",
+      tolerance: Option[Column] = None): DataFrame =
+    AsOfJoin.merge(left, right, leftTime, rightTime, on, direction, tolerance)
+
+  /** Bloom-pruned exact joins of a big side against a small side's keys. */
+  def bloomSemiJoin(
+      big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
+      fpp: Double = 0.03): DataFrame =
+    graft.joins.BloomPrune.semiJoin(big, small, bigKey, smallKey, fpp)
+
   def binnedIntervalJoin(
       left: DataFrame, right: DataFrame,
       lStart: String, lStop: String, rStart: String, rStop: String,

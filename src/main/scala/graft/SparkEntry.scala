@@ -117,6 +117,21 @@ object SparkEntry {
         .select(col("eid"), col("c_ts").as("click_ts"), col("c_v").as("click_v"))
     }
 
+  /** Same as-of workload as q_asof through the merge path (union + one
+    * sorted window pass per user — no pair explosion); same oracle. */
+  private val q_asof_merge: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("eid"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_v"))
+      AsOfJoin.merge(purchases, clicks, "p_ts", "c_ts",
+        on = Seq("user_id"), direction = "backward",
+        tolerance = Some(expr("INTERVAL 1 DAY")))
+        .select(col("eid"), col("c_ts").as("click_ts"), col("c_v").as("click_v"))
+    }
+
   private def keepQuery(keepMode: String): (SparkSession, String) => DataFrame =
     (s, dir) => {
       val a = orderWindows(s, dir, 30)
@@ -1362,6 +1377,7 @@ object SparkEntry {
     "q_interval_keep_both"  -> keepQuery("both"),
     "q_cross_join"          -> q_cross_join,
     "q_asof"                -> q_asof,
+    "q_asof_merge"          -> q_asof_merge,
     "q_asof_forward"        -> q_asof_forward,
     "q_containing"          -> q_containing,
     "q_containing_length"   -> q_containing_length,
@@ -1774,6 +1790,15 @@ object SparkEntry {
       """SELECT n.n_nationkey AS nk, r.r_regionkey AS rk
         |FROM nation n CROSS JOIN region r""".stripMargin,
     "q_asof" ->
+      """WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.event_id, c.ts AS cts, c.value AS cv,
+        |        ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC) AS rn
+        |      FROM p JOIN c ON c.user_id = p.user_id
+        |        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 DAY)
+        |SELECT p.event_id AS eid, j.cts AS click_ts, j.cv AS click_v
+        |FROM p LEFT JOIN j ON j.event_id = p.event_id AND j.rn = 1""".stripMargin,
+    "q_asof_merge" ->
       """WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
         |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |j AS (SELECT p.event_id, c.ts AS cts, c.value AS cv,

@@ -32,24 +32,23 @@ object Profile {
   def columns(df: DataFrame, cols: Seq[String],
               approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "Profile.columns needs at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(
-        count(lit(1)).as(s"__n_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+    // one aggregate per column, unioned: with a columnar source each
+    // branch scans ONLY its column (pruned read), and a single-column
+    // distinct plans as a plain two-phase aggregate — the one-frame
+    // multi-distinct alternative expands the scan k× and falls back to
+    // SortAggregate for string min/max buffers (measured 4× slower)
+    val perCol = cols.map { c =>
+      df.select(col(c)).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
         (if (approxDistinct) approx_count_distinct(col(c))
-         else count_distinct(col(c))).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+         else count_distinct(col(c))).as("n_distinct"),
+        min(col(c)).cast("string").as("min_str"),
+        max(col(c)).cast("string").as("max_str"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_str"), col("max_str"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot the single aggregate row into one row per column: the
-    // stack() literal is k small expressions over a 1-row frame
-    val stacked = cols.map { c =>
-      s"'$c', `__n_$c`, `__nulls_$c`, `__nd_$c`, `__min_$c`, `__max_$c`"
-    }.mkString(", ")
-    one.selectExpr(
-      s"stack(${cols.size}, $stacked) AS " +
-        "(column, n_rows, n_nulls, n_distinct, min_str, max_str)")
+    perCol.reduce(_ unionByName _)
   }
 
   /** Top-k heaviest values of `keyCol` with absolute counts and the

@@ -168,4 +168,100 @@ object AsOfJoin {
       keepOrder = false)
       .drop(lo, hi)
   }
+
+  /** Merge-path as-of join — same contract as [[apply]] (how=left
+    * semantics: every left row exactly once, nearest right at-or-before /
+    * at-or-after within `tolerance`, right columns null when nothing
+    * matches, overlapping names suffixed), executed as the classic
+    * sorted-merge instead of join + dedup.
+    *
+    * Scale rationale: [[apply]] materializes one row per (left row,
+    * candidate right row) pair before its keep-window collapses them —
+    * with T days of tolerance and R right rows/day per key that is a
+    * T·R× blowup of the left side. This plan unions the two inputs,
+    * sorts ONCE per key by time inside a single window pass, and carries
+    * the latest (or, mirrored, the earliest) right-row payload to each
+    * left row with `last(_, ignoreNulls)` — one shuffle per side, one
+    * sort, zero pair explosion, the plan that survives dense right
+    * sides. Ties among right rows with equal (key, time) resolve to the
+    * right frame's latest (backward) / earliest (forward) original row.
+    *
+    * Equality keys are REQUIRED: they are the window partitioning. (A
+    * keyless merge would be a single global sorted partition — for
+    * keyless as-of use [[apply]], whose binned/broadcast paths
+    * parallelize it.)
+    */
+  def merge(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      on: Seq[String],
+      direction: String = "backward",
+      tolerance: Option[Column] = None,
+      suffixes: (Option[String], Option[String]) = (Some("_x"), Some("_y"))): DataFrame = {
+    require(Seq("backward", "forward").contains(direction), s"direction=$direction")
+    require(on.nonEmpty,
+      "AsOfJoin.merge needs equality keys (the window partitioning); " +
+        "use AsOfJoin.apply for keyless as-of")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.StructType
+
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(right.schema.fields)
+    val gt = "__graft_mt"; val src = "__graft_src"; val rid = "__graft_rid"
+    val lpay = "__graft_lpay"; val rpay = "__graft_rpay"; val m = "__graft_m"
+
+    // right rows with null time can never match; left rows with null time
+    // surface with null right columns (guarded below — the sort would
+    // otherwise place them before every timed row)
+    val rPart = right.filter(col(rightTime).isNotNull)
+      .withColumn(rid, monotonically_increasing_id())
+      .select(on.map(col) ++ Seq(
+        col(rightTime).as(gt), lit(0).as(src), col(rid),
+        lit(null).cast(lType).as(lpay),
+        struct(right.columns.map(col): _*).as(rpay)): _*)
+    val lPart = left.select(on.map(col) ++ Seq(
+      col(leftTime).as(gt), lit(1).as(src), lit(null).cast("long").as(rid),
+      struct(left.columns.map(col): _*).as(lpay),
+      lit(null).cast(rType).as(rpay)): _*)
+    val unioned = lPart.unionByName(rPart)
+
+    val pb = Window.partitionBy(on.map(col): _*)
+    val picked = direction match {
+      case "backward" =>
+        // rights sort before lefts at equal time (inclusive match); the
+        // running `last` carries the latest right payload at-or-before
+        val w = pb.orderBy(col(gt).asc, col(src).asc, col(rid).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned.withColumn(m, last(col(rpay), ignoreNulls = true).over(w))
+      case "forward" =>
+        // lefts sort before rights at equal time; mirror with `first`
+        val w = pb.orderBy(col(gt).asc, col(src).desc, col(rid).asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        unioned.withColumn(m, first(col(rpay), ignoreNulls = true).over(w))
+    }
+
+    val tolOk: Column = tolerance match {
+      case None => lit(true)
+      case Some(tol) => direction match {
+        case "backward" => col(m)(rightTime) >= col(gt) - tol
+        case "forward"  => col(m)(rightTime) <= col(gt) + tol
+      }
+    }
+    val guarded = picked.withColumn(m,
+      when(col(gt).isNotNull && tolOk, col(m)))
+
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty || suffixes._1.isDefined || suffixes._2.isDefined,
+      s"overlapping columns ${overlap.toSeq.sorted.mkString(", ")} " +
+        "require at least one non-None suffix")
+    def outName(c: String, sfx: Option[String], ov: Boolean): String =
+      if (ov) sfx.map(c + _).getOrElse(c) else c
+    guarded.filter(col(src) === 1).select(
+      left.columns.toSeq.map(c =>
+        col(s"$lpay.$c").as(outName(c, suffixes._1, overlap(c)))) ++
+      right.columns.toSeq.map(c =>
+        col(s"$m.$c").as(outName(c, suffixes._2, overlap(c)))): _*)
+  }
 }

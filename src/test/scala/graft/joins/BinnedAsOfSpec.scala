@@ -145,6 +145,39 @@ class BinnedAsOfSpec extends SparkSuite {
     assert(fwdTol(1L).isEmpty)         // nothing in [10, 11]
   }
 
+  test("as-of merge path ≡ join path (directions × tolerance, random keyed data)") {
+    val rnd = new scala.util.Random(23)
+    // distinct (key, time) pairs on the right: equal-time tie order is
+    // the one contract point where the two paths may legitimately differ
+    val right = rnd.shuffle((0 until 6).flatMap { k =>
+      (0 until 40).map(t => (s"k$k", t * 2.5 + k * 0.1, rnd.nextInt(1000)))
+    }).zipWithIndex.map { case ((k, t, v), i) => (k, t, v, i.toLong) }
+      .toDF("k", "rt", "v", "rrow")
+    val left = (0 until 300).map { i =>
+      val k = if (i % 11 == 10) "k_unmatched" else s"k${rnd.nextInt(6)}"
+      (i.toLong, k, rnd.nextDouble() * 110 - 5)
+    }.toDF("lid", "k", "t")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rt", "v").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+        .sortBy(_._1).toSeq
+    for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(3.0))) {
+      val viaJoin = canon(AsOfJoin(left, right, "t", "rt", on = Seq("k"),
+        direction = dir, tolerance = tol.map(lit)))
+      val viaMerge = canon(AsOfJoin.merge(left, right, "t", "rt",
+        on = Seq("k"), direction = dir, tolerance = tol.map(lit)))
+      assert(viaJoin.size == 300 && viaMerge.size == 300,
+        s"how=left row accounting, dir=$dir tol=$tol")
+      assert(viaMerge == viaJoin, s"dir=$dir tol=$tol")
+    }
+
+    // merge requires keys (keyless would be a single sorted partition)
+    intercept[IllegalArgumentException] {
+      AsOfJoin.merge(left, right, "t", "rt", on = Nil)
+    }
+  }
+
   test("binned completion is exact with generated ids off repartitioned inputs") {
     // ADVICE r2 regression: with leftIdCol/rightIdCol = None the non-inner
     // completion used to re-evaluate monotonically_increasing_id() in two
