@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   * times never concentrates its occurrences on one task the way a rank
   * window over the gram partition would. Only grams with count > 1
   * join back (the duplicated set, a small head at any corpus size).
-  * Span→position expansion is bounded by n × duplicated occurrences;
-  * reassembly is the bounded per-document `collect_list` used by
-  * [[LineDedup]].
+  * Removal spans merge per document first (the GroupIntervals cummax
+  * sweep), so no n×-expanded position set ever materializes — tokens
+  * anti-join against the few merged spans of their document; reassembly
+  * is the bounded per-document `collect_list` used by [[LineDedup]].
   *
   * By default gram keys are the codegen'd rolling [[org.apache.spark.sql.graft.GramHash]]
   * over token hashes (no gram strings materialize — the
@@ -81,21 +82,41 @@ object SpanDedup {
         col("__graft_first")("_2").as("__graft_fpos"))
 
     // all non-first occurrences of duplicated grams → removal spans
-    val removedPos = keyed
+    // [pos, end); consecutive duplicate windows overlap n−1 positions, so
+    // MERGE spans per document first (the GroupIntervals cummax sweep —
+    // one window pass keyed by doc) instead of exploding every span into
+    // n positions: the anti-join below then tests each token against the
+    // few merged spans of its document, and nothing n×-sized ever
+    // materializes
+    val spans = keyed
       .join(dupFirsts, Seq("__graft_g"))
       .filter(!(col(idCol) === col("__graft_fid") &&
         col("__graft_pos") === col("__graft_fpos")))
-      .select(col(idCol), explode(sequence(col("__graft_pos"),
-        least(col("__graft_pos") + n, col("__graft_len")) - 1)).as("__graft_rp"))
-      .distinct()
+      .select(col(idCol), col("__graft_pos").as("__graft_s"),
+        least(col("__graft_pos") + n, col("__graft_len")).as("__graft_e"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__graft_s"))
+    val cm = max(col("__graft_e"))
+      .over(wDoc.rowsBetween(Long.MinValue, -1))
+    val merged = spans
+      .withColumn("__graft_new",
+        when(cm.isNull || col("__graft_s") > cm, 1L).otherwise(0L))
+      .withColumn("__graft_sid", sum(col("__graft_new"))
+        .over(wDoc.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col(idCol), col("__graft_sid"))
+      .agg(min(col("__graft_s")).as("__graft_s"),
+        max(col("__graft_e")).as("__graft_e"))
 
     val tokStream = nonEmpty.select(col(idCol),
       posexplode(col("__graft_tk")).as(Seq("__graft_p", "__graft_tok")))
       .withColumn("__graft_p", col("__graft_p").cast("long"))
 
-    val kept = tokStream.join(removedPos,
-      tokStream(idCol) === removedPos(idCol) &&
-        col("__graft_p") === col("__graft_rp"), "left_anti")
+    // drop tokens covered by any merged span: equi-anti-join on the doc
+    // id with the span range as residual condition
+    val kept = tokStream.join(merged,
+      tokStream(idCol) === merged(idCol) &&
+        col("__graft_p") >= col("__graft_s") &&
+        col("__graft_p") < col("__graft_e"), "left_anti")
 
     val reassembled = kept
       .groupBy(idCol)
