@@ -40,9 +40,15 @@ object SpanDedup {
 
   /** One row per input document: `idCol`, `textCol` rewritten to the
     * surviving tokens, `n_tokens` (original), `n_removed`.
+    *
+    * @param crossDocOnly count a span as duplicated only when it appears
+    *                     in MORE THAN ONE document — in-document
+    *                     repetition is then left alone (measure it with
+    *                     [[Repetition]] instead of editing it away)
     */
   def apply(df: DataFrame, idCol: String, textCol: String, n: Int = 8,
-            gramKey: Option[Column => Column] = None): DataFrame = {
+            gramKey: Option[Column => Column] = None,
+            crossDocOnly: Boolean = false): DataFrame = {
     require(n >= 1, "n must be >= 1")
 
     val toks = df.select(col(idCol),
@@ -72,9 +78,11 @@ object SpanDedup {
 
     // duplicated grams + their first occurrence, via partial-aggregating
     // groupBy (skew-robust: no per-gram sorted window)
+    val dupCount: Column =
+      if (crossDocOnly) count_distinct(col(idCol)) else count(lit(1))
     val dupFirsts = keyed
       .groupBy("__graft_g")
-      .agg(count(lit(1)).as("__graft_c"),
+      .agg(dupCount.as("__graft_c"),
         min(struct(col(idCol).as("_1"), col("__graft_pos").as("_2"))).as("__graft_first"))
       .filter(col("__graft_c") > 1)
       .select(col("__graft_g"),

@@ -220,6 +220,15 @@ class PipelineSpecs extends SparkSuite {
     assert(out(3L) == (("m n o p", 8L, 4L)))
     assert(out(4L) == (("", 0L, 0L)))
 
+    // crossDocOnly: doc3's purely in-document repeat survives, the
+    // cross-document spans still go
+    val xdoc = SpanDedup(docs, "doc_id", "text", n = 3, crossDocOnly = true)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(xdoc(3L) == (("m n o p m n o p", 0L)))
+    assert(xdoc(1L) == (("x y z", 5L)))
+    assert(xdoc(2L) == (("q", 3L)))
+
     // native rolling-hash path ≡ md5 string path on random corpora
     val rnd = new scala.util.Random(17)
     val words = Vector("alpha", "beta", "gamma", "delta", "eps")

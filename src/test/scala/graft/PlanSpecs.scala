@@ -94,6 +94,13 @@ class PlanSpecs extends SparkSuite {
     assert(p.contains("LeftSemi"), s"exact semi-join step missing:\n$p")
   }
 
+  test("as-of merge path plans as union + one window — no join operator at all") {
+    val p = plan("q_asof_merge")
+    assert(!p.contains("Join"), s"merge path must not join:\n$p")
+    assert(p.contains("Window"), s"expected the carrying window:\n$p")
+    assert(p.contains("Union"), s"expected the two-side union:\n$p")
+  }
+
   test("no driver query degenerates to cartesian/nested-loop (except by design)") {
     // intended exceptions: q_cross_join IS a cross join; q_ann_topk scores
     // every (query, corpus) pair by design — a broadcast nested loop over

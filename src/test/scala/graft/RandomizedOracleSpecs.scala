@@ -506,6 +506,50 @@ class RandomizedOracleSpecs extends SparkSuite {
     }
   }
 
+  test("span dedup ≡ sequential first-occurrence oracle (random corpora)") {
+    for (seed <- Seq(5, 6)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("p", "q", "r", "s")
+      val n = 2 + rnd.nextInt(3) // window 2..4
+      val docs = (0L until 70L).map { id =>
+        id -> (0 until rnd.nextInt(12))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+
+      // sequential oracle: enumerate windows in (doc, pos) order, count
+      // occurrences per gram, mark every non-first occurrence's positions
+      val occs = docs.flatMap { case (id, t) =>
+        val tk = t.split("\\s+").filter(_.nonEmpty)
+        if (tk.isEmpty) Nil
+        else (0 to math.max(tk.length - n, 0)).map { p =>
+          (tk.slice(p, p + n).mkString(" "), id, p, tk.length)
+        }
+      }
+      val firstOf = occs.groupBy(_._1).map { case (g, os) =>
+        g -> os.map(o => (o._2, o._3)).min
+      }
+      val counts = occs.groupBy(_._1).map { case (g, os) => g -> os.size }
+      val removed = occs.collect {
+        case (g, id, p, len) if counts(g) > 1 && firstOf(g) != ((id, p)) =>
+          (id, p until math.min(p + n, len))
+      }.groupBy(_._1).map { case (id, rs) => id -> rs.flatMap(_._2).toSet }
+
+      val got = graft.text.SpanDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      docs.foreach { case (id, t) =>
+        val tk = t.split("\\s+").filter(_.nonEmpty)
+        val rm = removed.getOrElse(id, Set.empty)
+        val keptToks = tk.zipWithIndex.collect {
+          case (w, i) if !rm(i) => w
+        }
+        val want = (keptToks.mkString(" "), tk.length.toLong, rm.size.toLong)
+        assert(got(id) == want, s"seed=$seed n=$n doc=$id text='$t'")
+      }
+    }
+  }
+
   test("line dedup ≡ sequential frequency oracle (random corpora)") {
     for (seed <- Seq(7, 8)) {
       val rnd = new scala.util.Random(seed)
