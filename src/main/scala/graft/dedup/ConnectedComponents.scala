@@ -128,11 +128,17 @@ object DuplicateClusters {
       .withColumn("cluster_id",
         coalesce(col("c.comp"), col(s"d.$idCol").cast("long")))
       .drop("node", "comp")
-    labeled
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+    // sizes via groupBy + join, not a count-over-cluster window: a
+    // mega-cluster (one boilerplate doc duplicated everywhere) would pin
+    // its whole window partition on one task, while the aggregate
+    // reduces map-side and AQE can skew-split the join
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
       .withColumn("is_canonical",
         (col(idCol).cast("long") === col("cluster_id")).cast("int"))
+      .select((docs.columns.toSeq :+ "cluster_id" :+ "cluster_size"
+        :+ "is_canonical").map(col): _*)
   }
 
   /** Re-elects each cluster's canonical row by PREFERENCE rather than

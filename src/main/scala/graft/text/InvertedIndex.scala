@@ -10,14 +10,18 @@ import org.apache.spark.sql.functions._
   * search / filtering by term.
   *
   * Scale posture: one (doc, token)-distinct aggregation with map-side
-  * combine, then ONE shuffle on the token key. Posting lists are capped
-  * BEFORE collection: a `row_number` over (token, ordered doc id) lets
-  * `WindowGroupLimit` prune each partition to the cap, so a stop-word's
-  * posting list never materializes beyond `maxPostings` anywhere — an
-  * uncapped `collect_list` on a Zipf head token would buffer a
-  * gigabyte-scale array in a single aggregation buffer. Document
-  * frequency is still EXACT (counted over the full partition, not the
-  * capped rows); `truncated` marks capped tokens.
+  * combine, then token-keyed work in two skew-safe shapes. Posting
+  * lists are capped BEFORE collection: the `row_number` filter sits
+  * DIRECTLY on its rank window, so `InferWindowGroupLimit` inserts a
+  * partial `WindowGroupLimit` below the exchange — every map task keeps
+  * at most `maxPostings` rows per token, and a stop-word's posting list
+  * never materializes beyond cap × maps anywhere (an uncapped
+  * `collect_list` on a Zipf-head token would buffer a gigabyte-scale
+  * array in one aggregation buffer). Document frequency is EXACT via a
+  * map-side-combined `groupBy(token)` count joined back — NOT a
+  * count-over-token-partition window, which would pin each hot token's
+  * full partition on one task (AQE splits skewed join partitions, never
+  * window partitions). `truncated` marks capped tokens.
   */
 object InvertedIndex {
 
@@ -35,15 +39,19 @@ object InvertedIndex {
       .select(col(idCol), explode(Shingles.tokens(col(textCol))).as("token"))
       .distinct()
 
-    val byTok  = Window.partitionBy(col("token"))
-    val ranked = Window.partitionBy(col("token")).orderBy(col(idCol).asc)
+    val dfreq = pairs.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
 
-    pairs
-      .withColumn("df", count(lit(1)).over(byTok))
+    val ranked = Window.partitionBy(col("token")).orderBy(col(idCol).asc)
+    val capped = pairs
       .withColumn("__graft_rn", row_number().over(ranked))
-      .filter(col("df") >= minDf && col("__graft_rn") <= maxPostings)
-      .groupBy(col("token"), col("df"))
+      .filter(col("__graft_rn") <= maxPostings)
+      .groupBy(col("token"))
       .agg(array_sort(collect_list(col(idCol))).as("postings"))
-      .withColumn("truncated", col("df") > maxPostings)
+
+    capped.join(dfreq, "token")
+      .select(col("token"), col("df"), col("postings"),
+        (col("df") > maxPostings).as("truncated"))
   }
 }

@@ -11,13 +11,15 @@ import org.apache.spark.sql.functions._
   * normalization).
   *
   * Scale posture: ONE shuffle of the token stream builds the
-  * per-(document, term) count frame; document frequency and the per-doc
-  * L2 norm are WINDOW passes over that frame (partitioned by term and by
-  * document respectively) — no second frame, no join back, nothing
-  * collected. Corpus size N is a 1-row broadcast. With `topK`, the
-  * per-document rank filter is a `row_number` window ordered by the raw
-  * integer count (engine-portable ties), which Spark executes with
-  * WindowGroupLimit pruning below the full sort.
+  * per-(document, term) count frame; document frequency is a map-side-
+  * combined `groupBy(term)` joined back (skew-safe: AQE splits skewed
+  * join partitions, which a count-over-term-partition window — one task
+  * per Zipf-head term — would not allow); the per-doc L2 norm and the
+  * `topK` rank are windows over the DOCUMENT partition, bounded by
+  * per-document vocabulary. Corpus size N is a 1-row broadcast. The
+  * `topK` filter ranks by the raw integer count (engine-portable ties)
+  * and sits directly on its window, so Spark executes it with
+  * WindowGroupLimit pruning below the sort.
   */
 object TfIdf {
 
@@ -39,10 +41,14 @@ object TfIdf {
     val toks = docs.select(col(idCol).as("_did"),
       explode(Shingles.tokens(col(textCol))).as("_tok"))
     val tf = toks.groupBy("_did", "_tok").agg(count(lit(1)).as("_tf"))
-    // one row per (doc, term) ⇒ count over the term partition IS df
-    val withDf = tf
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy("_tok")))
+    // one row per (doc, term) ⇒ df = groupBy(term) count, joined back.
+    // NOT a count-over-term-partition window: a Zipf-head term puts its
+    // whole partition on one task, and AQE can split skewed JOIN
+    // partitions but never window partitions — the aggregate reduces
+    // map-side and the join side AQE handles
+    val dfreq = tf.groupBy("_tok").agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= minDf)
+    val withDf = tf.join(dfreq, "_tok")
     val n1 = docs.agg(count(lit(1)).as("_n"))
     val scored = withDf.crossJoin(broadcast(n1)).withColumn("_tfidf",
       col("_tf") * (log((lit(1L) + col("_n")).cast("double") /

@@ -94,6 +94,12 @@ class PlanSpecs extends SparkSuite {
     assert(p.contains("LeftSemi"), s"exact semi-join step missing:\n$p")
   }
 
+  test("inverted index: posting cap prunes via WindowGroupLimit") {
+    val p = plan("q_inverted")
+    assert(p.contains("WindowGroupLimit"),
+      s"posting cap not pushed below the rank sort:\n$p")
+  }
+
   test("as-of merge path plans as union + one window — no join operator at all") {
     val p = plan("q_asof_merge")
     assert(!p.contains("Join"), s"merge path must not join:\n$p")
