@@ -924,6 +924,15 @@ object SparkEntry {
         "source", "doc_id", "n_chars",
         Map("src0" -> 5000L, "src1" -> 3000L), seed = 7L)
 
+  /** Leakage-free split: bucket by CONTENT digest, not row id — exact
+    * duplicates co-assign, so train and test can never share a text. */
+  private val q_split_bykey: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.sample.Sampling.assignSplit(
+        docs(s, dir).withColumn("__graft_ck", md5(col("text"))),
+        "__graft_ck", weights = Seq(0.8, 0.1, 0.1), seed = 7L)
+        .select(col("doc_id"), col("split"))
+
   private val q_sample_split: (SparkSession, String) => DataFrame =
     (s, dir) =>
       // binary-exact weights: the cumulative bounds (0.75, 0.875) are the
@@ -1434,6 +1443,7 @@ object SparkEntry {
     "q_token_plan"          -> q_token_plan,
     "q_token_sample"        -> q_token_sample,
     "q_sample_split"        -> q_sample_split,
+    "q_split_bykey"         -> q_split_bykey,
     "q_top_tokens"          -> q_top_tokens,
     "q_bm25"                -> q_bm25,
     "q_tfidf"               -> q_tfidf,
@@ -2169,6 +2179,13 @@ object SparkEntry {
         |  CASE WHEN u < 0.75 THEN 0 WHEN u < 0.875 THEN 1 ELSE 2 END AS split
         |FROM (SELECT doc_id,
         |        (('0x' || substring(md5(CONCAT_WS('#', 7, doc_id)), 1, 15))::BIGINT)::DOUBLE
+        |          / 1152921504606846976.0 AS u
+        |      FROM documents)""".stripMargin,
+    "q_split_bykey" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 0 WHEN u < 0.9 THEN 1 ELSE 2 END AS split
+        |FROM (SELECT doc_id,
+        |        (('0x' || substring(md5(CONCAT_WS('#', 7, md5(text))), 1, 15))::BIGINT)::DOUBLE
         |          / 1152921504606846976.0 AS u
         |      FROM documents)""".stripMargin,
     "q_top_tokens" ->

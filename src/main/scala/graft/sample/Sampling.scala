@@ -158,6 +158,13 @@ object Sampling {
     * `weights`, stable in (id, seed) — the md5-rank modulo trick, so the
     * assignment is reproducible row-by-row in any engine and INDEPENDENT
     * of the frame's partitioning or row order.
+    *
+    * Leakage-free splits: pass a CONTENT or CLUSTER key as `idCol` (a
+    * text digest, a near-dup `cluster_id`) and every row sharing the key
+    * lands in the same bucket — duplicates can then never straddle
+    * train and test, the classic eval-contamination bug a row-id split
+    * silently commits. Still a pure projection: no join, no shuffle,
+    * stream-safe.
     */
   def assignSplit(
       df: DataFrame,

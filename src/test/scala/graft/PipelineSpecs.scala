@@ -177,6 +177,28 @@ class PipelineSpecs extends SparkSuite {
     }
   }
 
+  test("leakage-free split: duplicate content co-assigns; proportions hold") {
+    import graft.sample.Sampling
+    val rnd = new scala.util.Random(31)
+    val texts = (0 until 120).map(i => s"text body ${rnd.nextInt(40)}")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val split = Sampling.assignSplit(
+      docs.withColumn("k", md5(col("text"))), "k", Seq(0.7, 0.3), seed = 5L)
+    // same text → same split, ALWAYS
+    val perText = split.groupBy("text")
+      .agg(count_distinct(col("split")).as("n")).collect()
+    assert(perText.forall(_.getLong(1) == 1L),
+      "duplicate content must never straddle splits")
+    // and the split is over CONTENT mass: ~40 distinct texts, 0.7/0.3
+    val buckets = split.select("text", "split").distinct()
+      .groupBy("split").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(buckets.keySet.subsetOf(Set(0, 1)))
+    assert(buckets.getOrElse(0, 0L) > buckets.getOrElse(1, 0L),
+      "train bucket should dominate at 0.7/0.3")
+  }
+
   test("incremental dedup: corpus hits drop, in-batch dups collapse, hash path agrees") {
     val corpus = Seq((0L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
     val batch = Seq(
