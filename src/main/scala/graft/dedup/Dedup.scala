@@ -51,15 +51,28 @@ object ExactDedup {
     * One anti-join on the key (hash digests via `hashKey = true` keep
     * shuffle rows small at corpus scale; with `hashKey = false` the raw
     * key columns join null-safely) plus the within-batch keep-one window.
+    *
+    * The hashed key is `xxhash64` PLUS total key length — the same
+    * widened convention as [[apply]]. A bare 64-bit digest collides with
+    * ~2^32 corpus keys (birthday bound), exactly the scale this mode
+    * targets, and an anti-join collision silently DROPS a genuinely new
+    * row; the independent length dimension pushes the effective width
+    * far past the corpus sizes where that matters.
     */
   def incremental(batch: DataFrame, corpus: DataFrame, keyCols: Seq[String],
                   idCol: String, hashKey: Boolean = false): DataFrame = {
     val fresh =
       if (hashKey) {
-        val bk = batch.withColumn("__graft_kh", xxhash64(keyCols.map(col): _*))
-        val ck = corpus.select(xxhash64(keyCols.map(col): _*).as("__graft_kh"))
+        val keyLen = keyCols.map(c => length(col(c))).reduce(_ + _)
+        val bk = batch
+          .withColumn("__graft_kh", xxhash64(keyCols.map(col): _*))
+          .withColumn("__graft_kl", keyLen)
+        val ck = corpus.select(
+            xxhash64(keyCols.map(col): _*).as("__graft_kh"),
+            keyLen.as("__graft_kl"))
           .distinct()
-        bk.join(ck, Seq("__graft_kh"), "left_anti").drop("__graft_kh")
+        bk.join(ck, Seq("__graft_kh", "__graft_kl"), "left_anti")
+          .drop("__graft_kh", "__graft_kl")
       } else {
         val ck = corpus
           .select(keyCols.map(c => col(c).as(s"__graft_ck_$c")): _*).distinct()
@@ -306,6 +319,10 @@ object SimHashDedup {
   * blocking — the brute-force baseline the LSH variants approximate.
   * Quadratic within a block; use only with a selective `blockBy` (e.g.
   * language, length bucket) or at verification scale.
+  *
+  * `blockBy = Nil` means a full cartesian self-join, so it FAILS LOUDLY
+  * unless the caller opts in with `allowCartesian = true` — the
+  * verification-kernel escape hatch for inputs known to be small.
   */
 object NgramJaccardDedup {
 
@@ -315,7 +332,12 @@ object NgramJaccardDedup {
       idCol: String,
       n: Int = 1,
       threshold: Double = 0.5,
-      blockBy: Seq[String] = Nil): DataFrame = {
+      blockBy: Seq[String] = Nil,
+      allowCartesian: Boolean = false): DataFrame = {
+    require(blockBy.nonEmpty || allowCartesian,
+      "NgramJaccardDedup with blockBy = Nil is a full cartesian " +
+        "self-join (quadratic); pass blockBy (language, length bucket) " +
+        "or explicitly opt in with allowCartesian = true for small inputs")
     // tokens → token hashes → native rolling n-gram hashes → sorted
     // distinct hash sets: the pairwise Jaccard runs on the codegen'd
     // sorted-merge intersection; no string gram construction

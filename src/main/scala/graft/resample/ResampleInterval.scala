@@ -81,10 +81,25 @@ object ResampleInterval {
     require(wStartCol.isDefined || wStopCol.isDefined,
       "at least one of wStartCol/wStopCol required")
 
+    // Attribute inference drives a PIVOT, so the distinct set must be
+    // driver-bounded (same contract as the reference: attributes are a
+    // small vocabulary, resampling.py:580-585). The collect is capped —
+    // an unbounded attr column at 100× scale would stall the driver, so
+    // past the cap the call fails loudly and the caller must pass
+    // `attributes` explicitly (which also skips this extra job).
+    val MaxInferredAttrs = 10000
     val attrs: Seq[String] = attributes.getOrElse {
       attrCol match {
         case Some(a) =>
-          df.select(a).distinct().collect().map(_.get(0).toString).toSeq.sorted
+          val inferred = df.select(a).distinct()
+            .limit(MaxInferredAttrs + 1).collect()
+          require(inferred.length <= MaxInferredAttrs,
+            s"resample_interval inferred more than $MaxInferredAttrs " +
+              s"distinct values in attribute column '$a'; pass " +
+              "attributes = Some(...) explicitly (pivot output grows one " +
+              "column per attribute — an unbounded attribute column is " +
+              "almost certainly the wrong pivot axis)")
+          inferred.map(_.get(0).toString).toSeq.sorted
         case None => Seq("sum")
       }
     }

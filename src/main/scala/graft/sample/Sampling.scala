@@ -119,6 +119,14 @@ object Sampling {
     * row's selection odds scale with its weight (quality-score-weighted
     * corpus subsetting, importance sampling for eval sets).
     *
+    * A-Res is only defined for strictly positive weights: w < 0 flips
+    * the key sign (the row always wins), w = 0 divides to ±Inf/NaN (NaN
+    * sorts FIRST under desc in Spark), and null weights null the key —
+    * all three silently corrupt the sample, so rows with null or
+    * non-positive weight are EXCLUDED from the draw (documented
+    * contract, mirroring `numpy.random.choice`'s rejection of negative
+    * probabilities).
+    *
     * Scale posture: global top-k plans as TakeOrderedAndProject —
     * per-partition heaps of size k merged once, NO global sort, no
     * single-partition window; with `strata`, a per-stratum window with
@@ -139,15 +147,18 @@ object Sampling {
     val u = (md5Rank(col(idCol), seed).cast("double") + 1.0) /
       lit((1L << 60).toDouble)
     val key = log(u) / col(weightCol).cast("double")
+    // rows outside the operator's domain never enter the competition
+    val eligible = df.filter(
+      col(weightCol).isNotNull && col(weightCol).cast("double") > 0.0)
     if (strata.isEmpty)
-      df.withColumn("__graft_key", key)
+      eligible.withColumn("__graft_key", key)
         .orderBy(col("__graft_key").desc, col(idCol).asc)
         .limit(k)
         .drop("__graft_key")
     else {
       val w = Window.partitionBy(strata.map(col): _*)
         .orderBy(key.desc, col(idCol).asc)
-      df.withColumn("__graft_rank", row_number().over(w))
+      eligible.withColumn("__graft_rank", row_number().over(w))
         .filter(col("__graft_rank") <= k)
         .drop("__graft_rank")
     }

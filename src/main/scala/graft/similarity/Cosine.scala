@@ -197,6 +197,11 @@ object LshAnn {
 /** Embedding-cosine near-duplicate detection: exact within-block all-pairs
   * (use a selective block, e.g. a cluster label or LSH signature) — the
   * brute-force complement to [[LshAnn.nearDupPairs]].
+  *
+  * `blockBy = Nil` means a full cartesian self-join — quadratic, a
+  * scale-killer on anything corpus-sized — so it FAILS LOUDLY unless the
+  * caller passes `allowCartesian = true` to assert the input is small
+  * (a verification kernel, a per-cluster refinement).
   */
 object EmbeddingDedup {
 
@@ -205,7 +210,12 @@ object EmbeddingDedup {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      blockBy: Seq[String] = Nil): DataFrame = {
+      blockBy: Seq[String] = Nil,
+      allowCartesian: Boolean = false): DataFrame = {
+    require(blockBy.nonEmpty || allowCartesian,
+      "EmbeddingDedup with blockBy = Nil is a full cartesian self-join " +
+        "(quadratic); pass blockBy (cluster label, LSH signature) or " +
+        "explicitly opt in with allowCartesian = true for small inputs")
     val base = df.select(
       (col(idCol).as("id") +: col(vecCol).as("v") +:
         VectorOps.norm(col(vecCol)).as("nrm") +: blockBy.map(col)): _*)

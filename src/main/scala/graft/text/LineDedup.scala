@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   * dedup family.
   *
   * Scale posture: one (line → doc-frequency) aggregation with map-side
-  * combine; the frequent-line set is the head of a Zipfian distribution,
-  * so it is orders of magnitude smaller than the corpus and
-  * broadcast-joins back to the exploded lines (left_anti). Reassembly is
+  * combine; with a high `minDocs` the frequent-line set is the head of a
+  * Zipfian distribution — tiny, and AQE converts the anti-join to a
+  * broadcast join at runtime from its MEASURED size. The hint is
+  * deliberately NOT hard-coded: at the default `minDocs = 2` the set is
+  * every line occurring twice — unbounded at corpus scale, where a
+  * forced broadcast would OOM the driver; a shuffled left_anti is the
+  * safe default and AQE upgrades it exactly when legal. Reassembly is
   * one `groupBy(id)` with `collect_list` bounded by per-document line
   * counts — no global sort, no driver collection. Three shuffles total
   * at any corpus size, all on keys with bounded skew (a line that occurs
@@ -50,7 +54,9 @@ object LineDedup {
 
     val eligible = length(col("__graft_line")) >= minLineChars
 
-    // head-of-Zipf set: tiny relative to the corpus → broadcast
+    // frequent-line set: no broadcast hint — its size is data-dependent
+    // (unbounded at minDocs=2), so AQE picks broadcast vs shuffle from
+    // the measured post-aggregation size instead of a forced hint
     val frequent = lines
       .filter(eligible)
       .groupBy("__graft_line")
@@ -60,7 +66,7 @@ object LineDedup {
 
     val kept = lines
       .filter(eligible)
-      .join(broadcast(frequent), Seq("__graft_line"), "left_anti")
+      .join(frequent, Seq("__graft_line"), "left_anti")
       .unionByName(lines.filter(!eligible))
 
     val reassembled = kept

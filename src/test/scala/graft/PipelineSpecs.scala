@@ -34,7 +34,8 @@ class PipelineSpecs extends SparkSuite {
   }
 
   test("ngram jaccard dedup: token-set jaccard above threshold") {
-    val out = NgramJaccardDedup(docsDf, "text", "doc_id", n = 1, threshold = 0.7)
+    val out = NgramJaccardDedup(docsDf, "text", "doc_id", n = 1,
+      threshold = 0.7, allowCartesian = true)
       .orderBy("id_l", "id_r").collect()
     // 0-1 share 8 of 9 distinct tokens (8/10 union=0.8); 0-3 identical (1.0)
     val pairs = out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -423,6 +424,23 @@ class PipelineSpecs extends SparkSuite {
       threshold = 0.9, blockBy = Seq("label"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSet == Set((0L, 1L))) // 0-2 blocked apart; 0-3 opposite
+  }
+
+  test("keyless all-pairs dedup fails loudly without allowCartesian") {
+    val vecs = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      EmbeddingDedup(vecs, "vec_id", "embedding", threshold = 0.9)
+    }
+    assert(e1.getMessage.contains("allowCartesian"))
+    val e2 = intercept[IllegalArgumentException] {
+      NgramJaccardDedup(docsDf, "text", "doc_id", n = 1, threshold = 0.7)
+    }
+    assert(e2.getMessage.contains("allowCartesian"))
+    // the opt-in still works (covered functionally above) and blockBy
+    // alone needs no flag
+    EmbeddingDedup(vecs, "vec_id", "embedding", threshold = 0.9,
+      allowCartesian = true).collect()
   }
 
   test("text stats: counts and ratios") {

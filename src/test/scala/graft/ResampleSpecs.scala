@@ -224,6 +224,23 @@ class ResampleSpecs extends SparkSuite {
     assert(out(1).getAs[Double]("s") == 0.0) // invalid window
   }
 
+  test("resample_interval: unbounded attribute inference fails loudly") {
+    // 10001 distinct attribute values exceed the inference cap — the
+    // driver-side collect must refuse instead of pivoting 10001 columns
+    val df = spark.range(10001).select(
+      lit(1L).as("e"), col("id").cast("double").as("a"),
+      (col("id") + 1).cast("double").as("b"), lit(1.0).as("v"),
+      concat(lit("attr_"), col("id")).as("attr"))
+    val w = Seq((1L, 0.0, 5.0)).toDF("e", "ws", "wt")
+    val e = intercept[IllegalArgumentException] {
+      ResampleInterval(
+        df, w, valueCol = "v", entityCol = Some("e"),
+        startCol = Some("a"), stopCol = Some("b"), attrCol = Some("attr"),
+        wStartCol = Some("ws"), wStopCol = Some("wt"))
+    }
+    assert(e.getMessage.contains("attributes"))
+  }
+
   test("make_windows: start+duration, anchor+rel, stop−duration") {
     val df = Seq((1L, 10.0), (2L, 20.0)).toDF("e", "x")
     val w1 = MakeWindows(entity = Some(col("e")), start = Some(col("x")),
