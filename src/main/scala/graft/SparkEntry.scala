@@ -1093,12 +1093,21 @@ object SparkEntry {
         .groupBy(col("media_id"), col("kind"))
         .agg(count(lit(1)).as("n_sampled"))
 
+  /** Real decode end-to-end: payloads are encoded as genuine PNG / PCM /
+    * framed-PNG bytes from known pixel formulas, decoded back through
+    * `javax.imageio` / byte parsing, and the oracle recomputes the
+    * decoded band-mean features arithmetically — a wrong decode fails
+    * the hash compare. `n_bytes` is excluded (PNG length is
+    * encoder-dependent); the decoded dimensions are checked instead.
+    */
   private val q_media_features: (SparkSession, String) => DataFrame =
     (s, dir) =>
       Media.extractFeatures(Media.fromDocuments(s, docs(s, dir)), dim = 16)
         .toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          element_at(col("features"), 1).as("f0"))
+        .select(col("media_id"), col("kind"),
+          col("dec_width").cast("long").as("dec_width"),
+          col("dec_height").cast("long").as("dec_height"),
+          r6m(element_at(col("features"), 1).cast("double")).as("f0"))
 
   // ───────── baseline-shape throughput probes (BASELINE.md rows 1, 5) ──
   //
@@ -2453,16 +2462,45 @@ object SparkEntry {
         |      FROM orders WHERE o_orderkey % 97 = 0)
         |SELECT l.s, l.e, r.rs, r.re
         |FROM l JOIN r ON l.s <= r.re AND r.rs <= l.e""".stripMargin,
-    // the decode stub is md5-keyed so the oracle reproduces feature 0
-    // exactly: first 24 bits of md5(utf8(text) ++ ':0'), scaled to [0,1)
+    // the decode is real (PNG via ImageIO, s16le PCM, framed PNG video);
+    // the oracle recomputes feature 0 from the pixel/sample FORMULAS the
+    // payloads were encoded from (Media.scala pxR/pxG/pxB/pcmSample):
+    //   image: mean luminance of y-band 0 (y<2, 32 wide, dim=16)
+    //   audio: mean normalized sample of band 0 (i*16 < n)
+    //   video: whole-frame mean luminance of decoded frame 0 (8x8)
+    // accumulation is double, truncated to REAL before rounding on both
+    // engines so summation order cannot flip the 6th decimal
     "q_media_features" ->
-      """SELECT doc_id AS media_id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |       ELSE 'video' END AS kind,
-        |  CAST(strlen(text) AS INT) AS n_bytes,
-        |  CAST(CAST('0x' || substring(md5(text || ':0'), 1, 6) AS BIGINT)
-        |       / 16777216.0 AS REAL) AS f0
-        |FROM documents""".stripMargin,
+      """WITH img AS (
+        |  SELECT d.doc_id,
+        |    AVG(((CAST((d.doc_id*31 + x.x*7  + y.y*13) % 256 AS DOUBLE)
+        |        + CAST((d.doc_id*17 + x.x*11 + y.y*5 ) % 256 AS DOUBLE)
+        |        + CAST((d.doc_id*23 + x.x*3  + y.y*19) % 256 AS DOUBLE)) / 3.0) / 255.0) AS f0
+        |  FROM documents d, generate_series(0,31) AS x(x), generate_series(0,1) AS y(y)
+        |  WHERE d.doc_id % 3 = 0 GROUP BY d.doc_id),
+        |vid AS (
+        |  SELECT d.doc_id,
+        |    AVG(((CAST((d.doc_id*31 + x.x*7  + y.y*13) % 256 AS DOUBLE)
+        |        + CAST((d.doc_id*17 + x.x*11 + y.y*5 ) % 256 AS DOUBLE)
+        |        + CAST((d.doc_id*23 + x.x*3  + y.y*19) % 256 AS DOUBLE)) / 3.0) / 255.0) AS f0
+        |  FROM documents d, generate_series(0,7) AS x(x), generate_series(0,7) AS y(y)
+        |  WHERE d.doc_id % 3 = 2 GROUP BY d.doc_id),
+        |aud AS (
+        |  SELECT d.doc_id,
+        |    AVG(((CAST((d.doc_id*7919 + i.i*104729) % 65536 AS DOUBLE) - 32768.0)
+        |         / 32768.0 + 1.0) / 2.0) AS f0
+        |  FROM documents d, generate_series(0, 16) AS i(i)
+        |  WHERE d.doc_id % 3 = 1 AND i.i <= (d.n_chars % 200 + 63) // 16
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id AS media_id, 'image' AS kind,
+        |  CAST(32 AS BIGINT) AS dec_width, CAST(32 AS BIGINT) AS dec_height,
+        |  ROUND(CAST(f0 AS REAL) + 1e-9, 6) + 0.0 AS f0 FROM img
+        |UNION ALL
+        |SELECT doc_id, 'audio', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  ROUND(CAST(f0 AS REAL) + 1e-9, 6) + 0.0 FROM aud
+        |UNION ALL
+        |SELECT doc_id, 'video', CAST(8 AS BIGINT), CAST(8 AS BIGINT),
+        |  ROUND(CAST(f0 AS REAL) + 1e-9, 6) + 0.0 FROM vid""".stripMargin,
     // winnowing fingerprints over md5-hex gram hashes (k=4 token grams,
     // window w=5, min per window, sorted distinct) — md5 makes the hash
     // engine-portable, and string min/sort orders agree byte-wise

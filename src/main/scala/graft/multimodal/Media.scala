@@ -1,5 +1,9 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,6 +25,8 @@ final case class MediaFeatures(
     media_id: Long,
     kind: String,
     n_bytes: Int,
+    dec_width: Int,          // dimensions read back out of the DECODED payload
+    dec_height: Int,         // (0 for audio; 0,0 with empty features = corrupt)
     features: Array[Float])
 
 /** Multimodal column plumbing — batch decode / feature-extract / resize /
@@ -28,54 +34,256 @@ final case class MediaFeatures(
   *
   * Execution model: the Scala-native analog of PySpark's `mapInPandas` is
   * `Dataset.mapPartitions` — each partition is processed as an iterator,
-  * and the decode stages batch rows (`BatchSize`) so a real decoder
-  * (libjpeg/ffmpeg JNI, a model runtime) amortizes per-call overhead
-  * exactly like an Arrow batch would. Partitioning, schema and batch
-  * shape are real and tested; ONLY the innermost byte→pixel decode is a
-  * STUB (this container has no image/audio codecs) — a deterministic
-  * fake keyed on the payload bytes, clearly marked below.
+  * and the decode stages batch rows (`BatchSize`) so decoder setup
+  * amortizes per-call overhead exactly like an Arrow batch would.
+  *
+  * The decode is REAL: images are PNG payloads decoded through
+  * `javax.imageio` (JDK-bundled, present on every executor), audio is
+  * s16le PCM parsed byte-for-byte, video is a length-prefixed sequence of
+  * PNG key frames. Features are band means over the DECODED pixels /
+  * samples, so a wrong decode produces wrong features — which is what the
+  * differential oracle checks (the test payloads are encoded from a known
+  * pixel formula the oracle recomputes arithmetically; see
+  * [[fromDocuments]]).
+  *
+  * A payload `ImageIO` cannot parse yields `dec_width = dec_height = 0`
+  * with empty features instead of failing the job — at corpus scale a
+  * corrupt blob must be quarantineable (filter on `size(features) = 0`),
+  * not a stage killer.
   */
 object Media {
 
   /** Rows per decode batch — the Arrow-batch-size analog. */
   val BatchSize = 64
 
-  /** ── STUB ──  Deterministic fake decoder standing in for a real codec
-    * (libjpeg / PCM / ffmpeg). Maps bytes → `dim` floats in [0,1) so
-    * results are stable across partitionings and retries (a must for
-    * exactly-once semantics at scale). Feature j = the first 24 bits of
-    * `md5(content ++ ":" ++ j)` scaled to [0,1) — md5 is bit-identical in
-    * every engine, so a SQL differential oracle can reproduce the values
-    * (`('0x' || substring(md5(text || ':j'), 1, 6))::BIGINT / 2^24`).
-    * Replace the body with the real codec; every signature stays the same.
+  // ── deterministic test-payload formulas ────────────────────────────
+  // Shared by the PNG/PCM encoders below, the specs, and the DuckDB
+  // oracle (which recomputes them arithmetically instead of decoding).
+  // Channel c of pixel (x, y) in frame f of media `id`:
+  //   r = (id·31 + f·29 + x·7  + y·13) mod 256
+  //   g = (id·17 + f·41 + x·11 + y·5 ) mod 256
+  //   b = (id·23 + f·59 + x·3  + y·19) mod 256
+  // Audio sample i of media `id`: ((id·7919 + i·104729) mod 65536) − 32768.
+
+  def pxR(id: Long, f: Int, x: Int, y: Int): Int =
+    Math.floorMod(id * 31 + f * 29 + x * 7 + y * 13, 256).toInt
+  def pxG(id: Long, f: Int, x: Int, y: Int): Int =
+    Math.floorMod(id * 17 + f * 41 + x * 11 + y * 5, 256).toInt
+  def pxB(id: Long, f: Int, x: Int, y: Int): Int =
+    Math.floorMod(id * 23 + f * 59 + x * 3 + y * 19, 256).toInt
+  def pcmSample(id: Long, i: Int): Int =
+    Math.floorMod(id * 7919 + i * 104729L, 65536).toInt - 32768
+
+  // ── encoders (test-fixture synthesis; real codecs, formula pixels) ──
+
+  /** Lossless PNG of the formula pixels — a REAL image payload any PNG
+    * decoder reads back bit-exactly.
     */
-  private[multimodal] def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var j = 0
-    while (j < dim) {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.update(content)
-      md.update(s":$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val h = md.digest()
-      val v = ((h(0) & 0xffL) << 16) | ((h(1) & 0xffL) << 8) | (h(2) & 0xffL)
-      out(j) = (v.toDouble / (1 << 24).toDouble).toFloat
-      j += 1
+  def encodePng(id: Long, frame: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pxR(id, frame, x, y) << 16) | (pxG(id, frame, x, y) << 8) |
+            pxB(id, frame, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false) // no temp-file spooling on executors
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Raw s16le PCM of the formula samples. */
+  def encodePcm(id: Long, nSamples: Int): Array[Byte] = {
+    val out = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = pcmSample(id, i)
+      out(2 * i) = (s & 0xff).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
     }
     out
   }
 
+  /** Minimal video container: per frame, a 4-byte big-endian length
+    * prefix followed by that frame's PNG bytes.
+    */
+  def encodeVideo(id: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      val png = encodePng(id, f, w, h)
+      baos.write(png.length >>> 24); baos.write((png.length >>> 16) & 0xff)
+      baos.write((png.length >>> 8) & 0xff); baos.write(png.length & 0xff)
+      baos.write(png, 0, png.length)
+      f += 1
+    }
+    baos.toByteArray
+  }
+
+  // ── decoders ───────────────────────────────────────────────────────
+
+  /** `javax.imageio` decode; None when the payload is not a readable
+    * image (corrupt-blob quarantine path).
+    */
+  def decodeImage(content: Array[Byte]): Option[BufferedImage] = {
+    ImageIO.setUseCache(false)
+    try Option(ImageIO.read(new ByteArrayInputStream(content)))
+    catch { case _: Exception => None }
+  }
+
+  /** s16le PCM parse (bytes → samples). Odd trailing byte is ignored. */
+  def decodePcm(content: Array[Byte]): Array[Int] = {
+    val n = content.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((content(2 * i + 1) << 8) | (content(2 * i) & 0xff))
+      i += 1
+    }
+    out
+  }
+
+  /** Parse the length-prefixed frame container; stops at the first
+    * malformed prefix or unreadable frame.
+    */
+  def decodeVideoFrames(content: Array[Byte]): Seq[BufferedImage] = {
+    val frames = Seq.newBuilder[BufferedImage]
+    var off = 0
+    var ok = true
+    while (ok && off + 4 <= content.length) {
+      val len = ((content(off) & 0xff) << 24) | ((content(off + 1) & 0xff) << 16) |
+        ((content(off + 2) & 0xff) << 8) | (content(off + 3) & 0xff)
+      if (len < 0 || off + 4 + len > content.length) ok = false
+      else {
+        decodeImage(java.util.Arrays.copyOfRange(content, off + 4, off + 4 + len)) match {
+          case Some(img) => frames += img; off += 4 + len
+          case None      => ok = false
+        }
+      }
+    }
+    frames.result()
+  }
+
+  /** Mean luminance `((r+g+b)/3)/255` of an image region, from DECODED
+    * pixels.
+    */
+  private def meanLum(img: BufferedImage, x0: Int, x1: Int, y0: Int, y1: Int): Double = {
+    var sum = 0.0
+    var n = 0
+    var y = y0
+    while (y < y1) {
+      var x = x0
+      while (x < x1) {
+        val rgb = img.getRGB(x, y)
+        sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0 / 255.0
+        x += 1
+        n += 1
+      }
+      y += 1
+    }
+    if (n == 0) 0.0 else sum / n
+  }
+
+  /** Per-kind feature extraction over decoded payloads (all accumulation
+    * in double, truncated to float at the end — so an engine summing in
+    * a different order produces the same float32):
+    *  - image: `dim` horizontal-band luminance means — band `j` covers
+    *    rows `y` with `floor(y·dim/h) = j`;
+    *  - audio: `dim` band means of normalized samples `(s/32768+1)/2`,
+    *    band `j` = samples `i` with `floor(i·dim/n) = j`;
+    *  - video: feature `j` = whole-frame mean luminance of decoded frame
+    *    `min(j, frames−1)`.
+    */
+  private[multimodal] def decodeFeatures(m: MediaRow, dim: Int): MediaFeatures = {
+    def empty = MediaFeatures(m.media_id, m.kind, m.content.length, 0, 0, Array.empty)
+    m.kind match {
+      case "image" =>
+        decodeImage(m.content) match {
+          case Some(img) =>
+            val h = img.getHeight
+            val out = new Array[Float](dim)
+            val bands = Array.fill(dim)(0.0)
+            val counts = Array.fill(dim)(0)
+            var y = 0
+            while (y < h) {
+              val j = math.min(y * dim / h, dim - 1)
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                bands(j) +=
+                  (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0 / 255.0
+                counts(j) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var j = 0
+            while (j < dim) {
+              out(j) = (if (counts(j) == 0) 0.0 else bands(j) / counts(j)).toFloat
+              j += 1
+            }
+            MediaFeatures(m.media_id, m.kind, m.content.length,
+              img.getWidth, img.getHeight, out)
+          case None => empty
+        }
+      case "audio" =>
+        val samples = decodePcm(m.content)
+        val n = samples.length
+        if (n == 0) empty
+        else {
+          val bands = Array.fill(dim)(0.0)
+          val counts = Array.fill(dim)(0)
+          var i = 0
+          while (i < n) {
+            val j = math.min(i * dim / n, dim - 1)
+            bands(j) += (samples(i) / 32768.0 + 1.0) / 2.0
+            counts(j) += 1
+            i += 1
+          }
+          val out = new Array[Float](dim)
+          var j = 0
+          while (j < dim) {
+            out(j) = (if (counts(j) == 0) 0.0 else bands(j) / counts(j)).toFloat
+            j += 1
+          }
+          MediaFeatures(m.media_id, m.kind, m.content.length, 0, 0, out)
+        }
+      case "video" =>
+        val frames = decodeVideoFrames(m.content)
+        if (frames.isEmpty) empty
+        else {
+          val out = new Array[Float](dim)
+          var j = 0
+          while (j < dim) {
+            val img = frames(math.min(j, frames.size - 1))
+            out(j) = meanLum(img, 0, img.getWidth, 0, img.getHeight).toFloat
+            j += 1
+          }
+          MediaFeatures(m.media_id, m.kind, m.content.length,
+            frames.head.getWidth, frames.head.getHeight, out)
+        }
+      case _ => empty
+    }
+  }
+
   /** Decode + feature-extract: batched `mapPartitions`; one feature vector
-    * of `dim` floats per media row.
+    * of `dim` floats per media row, derived from genuinely decoded
+    * pixels/samples.
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
-        // real decoders process `batch` as one call; the stub is per-row
-        batch.map { m =>
-          MediaFeatures(m.media_id, m.kind, m.content.length,
-            decodeStub(m.content, dim))
-        }
+        // decoder state (ImageIO readers) is JVM-wide; the batch shape is
+        // what a native decoder would process per call
+        batch.map(decodeFeatures(_, dim))
       }
     }
   }
@@ -104,21 +312,46 @@ object Media {
         .otherwise(array(lit(0)))))
   }
 
-  /** Build a synthetic media table from the documents table (text bytes as
-    * payload) — the testdata has no real binary column; this exercises the
-    * full pipeline shape deterministically.
+  /** Image dimensions of the synthesized test fixtures. */
+  val ImgW = 32
+  val ImgH = 32
+  /** Video key frames are small (8×8) so a 30-frame payload stays a few
+    * KB.
+    */
+  val FrameW = 8
+  val FrameH = 8
+
+  /** Build a synthetic media table from the documents table — the
+    * testdata has no binary column, so payloads are ENCODED here (real
+    * PNG / PCM / framed-PNG bytes of the formula pixels, in the
+    * executors via `mapPartitions`) and the decode stages read them back
+    * through the real codecs. Deterministic in `doc_id`, so the oracle
+    * can recompute every decoded feature arithmetically.
     */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(
+    val base = docs.select(
       col("doc_id").as("media_id"),
       // deterministic kind mix: image/audio/video by id mod 3
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("content"),
-      lit(32).as("width"), lit(32).as("height"),
-      lit(16000).as("sample_rate"),
-      (col("n_chars") % 30 + 1).cast("int").as("n_frames"))
-      .as[MediaRow]
+      (col("n_chars") % 30 + 1).cast("int").as("n_frames"),
+      // audio length: 64..263 samples, deterministic in n_chars
+      (col("n_chars") % 200 + 64).cast("int").as("n_samples"))
+      .as[(Long, String, Int, Int)]
+    base.mapPartitions { it =>
+      it.map { case (id, kind, nFrames, nSamples) =>
+        kind match {
+          case "image" =>
+            MediaRow(id, kind, encodePng(id, 0, ImgW, ImgH),
+              ImgW, ImgH, 0, nFrames)
+          case "audio" =>
+            MediaRow(id, kind, encodePcm(id, nSamples), 0, 0, 16000, nFrames)
+          case _ =>
+            MediaRow(id, kind, encodeVideo(id, nFrames, FrameW, FrameH),
+              FrameW, FrameH, 0, nFrames)
+        }
+      }
+    }
   }
 }

@@ -600,16 +600,61 @@ class PipelineSpecs extends SparkSuite {
     assert(sh.toSet == Set("a b c", "b c d"))
   }
 
+  test("media: real decode round-trips the encoded payloads") {
+    // PNG: encode formula pixels, decode via ImageIO, pixels must match
+    // the formula bit-exactly (PNG is lossless)
+    val png = Media.encodePng(7L, 0, 8, 8)
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val img = Media.decodeImage(png).get
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    val rgb = img.getRGB(3, 5)
+    assert(((rgb >> 16) & 0xff) == Media.pxR(7L, 0, 3, 5))
+    assert(((rgb >> 8) & 0xff) == Media.pxG(7L, 0, 3, 5))
+    assert((rgb & 0xff) == Media.pxB(7L, 0, 3, 5))
+    // PCM: s16le round-trip, including negative samples
+    val pcm = Media.encodePcm(5L, 100)
+    assert(Media.decodePcm(pcm).toSeq ==
+      (0 until 100).map(Media.pcmSample(5L, _)))
+    // video container: frame count and per-frame pixels survive
+    val vid = Media.encodeVideo(3L, 4, 8, 8)
+    val frames = Media.decodeVideoFrames(vid)
+    assert(frames.size == 4)
+    assert((frames(2).getRGB(1, 2) & 0xff) == Media.pxB(3L, 2, 1, 2))
+    // corrupt payloads quarantine instead of throwing
+    assert(Media.decodeImage("not a png".getBytes).isEmpty)
+    assert(Media.decodeVideoFrames("junk".getBytes).isEmpty)
+  }
+
   test("media: batched feature extraction is deterministic, resize, frames") {
     val media = Seq(
-      MediaRow(0L, "image", "hello".getBytes, 32, 32, 0, 0),
-      MediaRow(1L, "video", "world!".getBytes, 32, 32, 0, 9),
-      MediaRow(2L, "audio", Array[Byte](), 0, 0, 16000, 0))
+      MediaRow(0L, "image", Media.encodePng(0L, 0, 32, 32), 32, 32, 0, 0),
+      MediaRow(1L, "video", Media.encodeVideo(1L, 9, 8, 8), 8, 8, 0, 9),
+      MediaRow(2L, "audio", Media.encodePcm(2L, 100), 0, 0, 16000, 0),
+      MediaRow(3L, "image", "corrupt".getBytes, 0, 0, 0, 0))
       .toDS()
     val feats = Media.extractFeatures(media, dim = 8).collect()
       .map(f => f.media_id -> f).toMap
     assert(feats(0L).features.length == 8)
-    assert(feats(0L).n_bytes == 5)
+    assert(feats(0L).dec_width == 32 && feats(0L).dec_height == 32)
+    // image feature j = mean luminance of y-band j over DECODED pixels —
+    // check band 0 (y in 0..3 for h=32, dim=8) against the formula
+    val expected0 = (for { y <- 0 until 4; x <- 0 until 32 } yield
+      (Media.pxR(0L, 0, x, y) + Media.pxG(0L, 0, x, y) +
+        Media.pxB(0L, 0, x, y)) / 3.0 / 255.0).sum / (4 * 32)
+    assert(math.abs(feats(0L).features(0) - expected0) < 1e-6)
+    // audio feature 0 = mean normalized sample of band 0 (i < 13 of 100)
+    val expectedA = (0 until 13).map(i =>
+      (Media.pcmSample(2L, i) / 32768.0 + 1.0) / 2.0).sum / 13
+    assert(feats(2L).dec_width == 0)
+    assert(math.abs(feats(2L).features(0) - expectedA) < 1e-6)
+    // video feature j = mean luminance of decoded frame min(j, n-1)
+    assert(feats(1L).dec_width == 8)
+    val expectedV2 = (for { y <- 0 until 8; x <- 0 until 8 } yield
+      (Media.pxR(1L, 2, x, y) + Media.pxG(1L, 2, x, y) +
+        Media.pxB(1L, 2, x, y)) / 3.0 / 255.0).sum / 64
+    assert(math.abs(feats(1L).features(2) - expectedV2) < 1e-6)
+    // corrupt payload → quarantined, not thrown
+    assert(feats(3L).features.isEmpty && feats(3L).dec_width == 0)
     assert(feats.values.forall(_.features.forall(v => v >= 0f && v < 1f)))
     // determinism across repartitionings
     val feats2 = Media.extractFeatures(media.repartition(3), dim = 8)
@@ -617,14 +662,15 @@ class PipelineSpecs extends SparkSuite {
     assert(feats.map { case (k, v) => k -> v.features.toSeq } == feats2)
 
     val resized = Media.resize(
-      Media.extractFeatures(media, dim = 8).toDF(), "features", 4)
+      Media.extractFeatures(media.filter(_.media_id < 3), dim = 8).toDF(),
+      "features", 4)
       .select(size(col("features"))).collect()
     assert(resized.forall(_.getInt(0) == 4))
 
     val frames = Media.sampleFrames(media.toDF(), stride = 4)
       .groupBy("media_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(frames == Map(0L -> 1L, 1L -> 3L, 2L -> 1L)) // video: frames 0,4,8
+    assert(frames == Map(0L -> 1L, 1L -> 3L, 2L -> 1L, 3L -> 1L)) // video: frames 0,4,8
   }
 
   test("mixture sampling: quotas, caps, dropped strata, determinism, monotonicity") {
