@@ -101,6 +101,36 @@ object SparkEntry {
         .select(col("lkey"), col("rkey"))
     }
 
+  /** merge_intervals on TIMESTAMP endpoints (reference dtype matrix,
+    * tests/test_merge_intervals.py:336-349): per-row-length half-open
+    * windows [orderdate, orderdate + (okey%30+1) days) containing
+    * lineitem ship timestamps, executed through the binned path
+    * (binWidth in seconds) — timestamps bin via unix_micros.
+    */
+  private val q_interval_ts: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val wins = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderdate").as("win_start"),
+        expr("o_orderdate + make_interval(0, 0, 0, cast(o_orderkey % 30 + 1 as int), 0, 0, 0)")
+          .as("win_stop"))
+      val points = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      IntervalJoin(
+        wins, points,
+        leftSpec = IntervalSpec(Some("win_start"), Some("win_stop"),
+          includeStart = true, includeStop = false),
+        rightSpec = IntervalSpec.point("l_shipdate"),
+        leftOn = Seq("o_orderkey"), rightOn = Seq("l_orderkey"),
+        keepOrder = false,
+        binWidth = Some(7 * 86400.0))
+        .select(
+          col("o_orderkey").as("okey"),
+          col("l_linenumber").as("lnum"),
+          col("win_stop").as("wstop"),
+          col("l_shipdate").as("ship"))
+    }
+
   /** As-of join: for each purchase, the user's latest click at-or-before
     * it within 1 day (pandas merge_asof semantics).
     */
@@ -1388,6 +1418,7 @@ object SparkEntry {
     "q_interval_overlap"    -> q_interval_overlap,
     "q_interval_keep_first" -> q_interval_keep_first,
     "q_interval_binned"     -> q_interval_binned,
+    "q_interval_ts"         -> q_interval_ts,
     "q_interval_outer"      -> q_interval_outer,
     "q_interval_indexers"   -> q_interval_indexers,
     "q_interval_open"       -> q_interval_open,
@@ -1787,6 +1818,15 @@ object SparkEntry {
         |  ON a.o_orderdate <= b.o_orderdate + INTERVAL 3 DAY
         | AND b.o_orderdate <= a.o_orderdate + INTERVAL 2 DAY
         |WHERE a.o_orderkey % 97 = 0 AND b.o_orderkey % 13 = 0""".stripMargin,
+    // half-open timestamp windows with per-row length: ship in
+    // [orderdate, orderdate + (okey%30+1) days)
+    "q_interval_ts" ->
+      """SELECT o.o_orderkey AS okey, l.l_linenumber AS lnum,
+        |  o.o_orderdate + to_days(CAST(o.o_orderkey % 30 + 1 AS INTEGER)) AS wstop,
+        |  l.l_shipdate AS ship
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  AND l.l_shipdate >= o.o_orderdate
+        |  AND l.l_shipdate < o.o_orderdate + to_days(CAST(o.o_orderkey % 30 + 1 AS INTEGER))""".stripMargin,
     "q_interval_keep_last" ->
       """WITH j AS (
         |  SELECT a.o_orderkey AS lkey, b.o_orderkey AS rkey,
