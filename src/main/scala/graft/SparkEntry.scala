@@ -14,6 +14,12 @@ import graft.similarity.{CosineTopK, EmbeddingDedup, IvfAnn, LshAnn}
 import graft.text.{Bm25, Fingerprint, LangId, Shingles, TextStats, VocabStats}
 import graft.windows.{Impute, PrevNextSpec, PrevNextValues}
 
+/** Declared output schema for the [[graft.resample.ResampleEav.flatMapWindows]]
+  * driver query: one row per (window, attribute) with count, min value and
+  * last-by-time value.
+  */
+final case class FlatAttrSummary(attr: String, n: Long, vmin: Double, vlast: Double)
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every implemented operator from SURVEY.md §2 is registered in [[queries]]
@@ -569,6 +575,29 @@ object SparkEntry {
         .select(col("user_id").as("uid"), col("win_start").as("ws"),
           col("purchase_count").as("cnt"),
           col("purchase_tmax").as("tmax"), r6(col("purchase_ssq")).as("ssq"))
+
+  /** flatMapGroups custom-agg escape hatch (resampling.py:257-273): per
+    * window, one emitted row per event type present — a multi-row
+    * multi-column custom shape no scalar agg expression can produce.
+    */
+  private val q_resample_eav_flat: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      implicit val enc: org.apache.spark.sql.Encoder[FlatAttrSummary] =
+        org.apache.spark.sql.Encoders.product[FlatAttrSummary]
+      ResampleEav.flatMapWindows[FlatAttrSummary](
+        t(s, dir, "events"), userWeeks(s, dir),
+        timeCol = "ts", valueCol = "value",
+        entityCol = Some("user_id"), attrCol = Some("event_type"),
+        wStartCol = Some("win_start"), wStopCol = Some("win_stop"),
+        attributes = Seq("click", "purchase")) { os =>
+          os.groupBy(_.attr).toSeq.sortBy(_._1).map { case (a, g) =>
+            // g preserves the (t, attr, v) sort → last = latest by time
+            FlatAttrSummary(a, g.size.toLong, g.map(_.v).min, g.last.v)
+          }
+        }
+        .select(col("user_id").as("uid"), col("win_start").as("ws"),
+          col("attr"), col("n"), col("vmin"), col("vlast"))
+    }
 
   private val q_resample_interval: (SparkSession, String) => DataFrame =
     (s, dir) => {
@@ -1444,6 +1473,7 @@ object SparkEntry {
     "q_resample_eav_rank"   -> q_resample_eav_rank,
     "q_resample_eav_mode"   -> q_resample_eav_mode,
     "q_resample_eav_custom" -> q_resample_eav_custom,
+    "q_resample_eav_flat"   -> q_resample_eav_flat,
     "q_resample_eav_more"   -> q_resample_eav_more,
     "q_resample_eav_unbounded" -> q_resample_eav_unbounded,
     "q_resample_interval"   -> q_resample_interval,
@@ -1756,6 +1786,16 @@ object SparkEntry {
         |  ROUND(SUM(j.value * j.value), 6) + 0.0 AS ssq
         |FROM w LEFT JOIN j ON j.uid = w.user_id AND j.ws = w.ws
         |GROUP BY 1, 2""".stripMargin,
+    // flat escape hatch: one row per (window, attr) actually present
+    "q_resample_eav_flat" ->
+      s"""WITH $WeeksCte,
+        |j AS (SELECT w.user_id AS uid, w.ws, e.event_type AS attr, e.ts, e.value
+        |      FROM w JOIN events e ON e.user_id = w.user_id
+        |        AND e.ts >= w.ws AND e.ts < w.wt
+        |        AND e.event_type IN ('click', 'purchase'))
+        |SELECT uid, ws, attr, COUNT(*) AS n,
+        |  MIN(value) AS vmin, ARG_MAX(value, ts) AS vlast
+        |FROM j GROUP BY 1, 2, 3""".stripMargin,
     "q_resample_interval" ->
       """WITH w AS (SELECT o_custkey AS ck, MIN(o_orderdate) AS ws,
         |             MIN(o_orderdate) + INTERVAL 60 DAY AS wt

@@ -3,7 +3,7 @@ package graft.resample
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{DoubleType, FloatType, LongType, TimestampNTZType, TimestampType}
 
 /** EAV window resampling — Spark-native reimplementation of the reference's
   * `resample_eav` (`/root/reference/catabra_pandas/resampling.py:25-450`).
@@ -348,4 +348,122 @@ object ResampleEav {
   }
   private def rankName(k: Int, time: Boolean): String =
     (if (time) "t" else "r") + k.toString
+
+  /** One observation handed to the [[flatMapWindows]] callable: attribute
+    * plus time and value cast to double (timestamps become epoch
+    * seconds; a missing/NaN value arrives as `Double.NaN`, the pandas NA
+    * spelling the reference callable sees).
+    */
+  final case class FlatObs(attr: String, t: Double, v: Double)
+
+  /** Escape hatch for genuinely non-aggregable custom window shapes —
+    * the reference's callable agg may emit ARBITRARY output columns
+    * (`resampling.py:257-273` probes the callable's output schema); the
+    * expression-based [[CustomAgg]] hook covers multi-column scalar
+    * aggs, and this covers the rest: per window, `f` receives all the
+    * window's observations sorted by `(t, attr, v)` and emits zero or
+    * more rows of the DECLARED case-class type `U` (Spark needs the
+    * schema up front where pandas probes it). The result is the windows
+    * frame inner-joined to the emissions — a window whose observation
+    * set is empty emits nothing.
+    *
+    * Scale posture: one equi-join shuffle on entity, one `groupByKey`
+    * shuffle on the window id; each window's observations are
+    * materialized in memory for the callable — the same per-window
+    * bound as the reference's pandas sub-frame (`resampling.py:1875+`).
+    */
+  def flatMapWindows[U <: Product](
+      obs: DataFrame,
+      windows: DataFrame,
+      timeCol: String,
+      valueCol: String,
+      entityCol: Option[String] = None,
+      attrCol: Option[String] = None,
+      wStartCol: Option[String] = None,
+      wStopCol: Option[String] = None,
+      includeStart: Boolean = true,
+      includeStop: Boolean = false,
+      attributes: Seq[String] = Nil)(
+      f: Seq[FlatObs] => IterableOnce[U])(
+      implicit encU: org.apache.spark.sql.Encoder[U]): DataFrame = {
+    require(wStartCol.isDefined || wStopCol.isDefined,
+      "at least one window endpoint column required")
+    require(attrCol.isDefined || attributes.size <= 1,
+      "attrCol=None cannot filter to multiple attributes")
+
+    import org.apache.spark.sql.{Encoder, Encoders}
+
+    val vIsFloat = obs.schema(valueCol).dataType match {
+      case DoubleType | FloatType => true
+      case _                      => false
+    }
+    val vNorm =
+      if (vIsFloat) when(isnan(col(valueCol)), lit(null)).otherwise(col(valueCol))
+      else col(valueCol)
+    def notNaN(df0: DataFrame, c: String): Column =
+      df0.schema(c).dataType match {
+        case DoubleType | FloatType => !isnan(col(c))
+        case _                      => lit(true)
+      }
+
+    // TIMESTAMP_NTZ has no direct double cast — hop through TIMESTAMP
+    // (session timezone is fixed, so the hop is deterministic)
+    def asDouble(df0: DataFrame, c: String): Column =
+      df0.schema(c).dataType match {
+        case TimestampNTZType => col(c).cast(TimestampType).cast("double")
+        case _                => col(c).cast("double")
+      }
+
+    val attrExpr = attrCol.map(col).getOrElse(lit(""))
+    val obsKeep = (Seq(col(timeCol).isNotNull && notNaN(obs, timeCol)) ++
+      (if (attributes.nonEmpty) attrCol.map(a => col(a).isin(attributes: _*))
+       else None)).reduce(_ && _)
+    val obsN = obs
+      .filter(obsKeep)
+      .select(
+        (entityCol.map(col).toSeq :+
+          attrExpr.cast("string").as(Attr) :+
+          asDouble(obs, timeCol).as(TCol) :+
+          coalesce(vNorm.cast("double"), lit(Double.NaN)).as(VCol)): _*)
+
+    val w0 = windows.withColumn(Wid, monotonically_increasing_id())
+    val ePrefix = "__graft_e_"
+    val obsR = entityCol.fold(obsN)(e => obsN.withColumnRenamed(e, ePrefix + e))
+    val keyCond = entityCol.map(e => col(e) === col(ePrefix + e))
+    // obs time was cast to double at ingress; compare in double space
+    // (epoch micros fit double's 53-bit mantissa, so the cast is exact)
+    val lo = wStartCol.map(c =>
+      (if (includeStart) asDouble(windows, c) <= col(TCol)
+       else asDouble(windows, c) < col(TCol)) &&
+        notNaN(windows, c))
+    val hi = wStopCol.map(c =>
+      (if (includeStop) col(TCol) <= asDouble(windows, c)
+       else col(TCol) < asDouble(windows, c)) &&
+        notNaN(windows, c))
+    val cond = (keyCond.toSeq ++ lo ++ hi).reduce(_ && _)
+
+    val joined = w0
+      .select((col(Wid) +: (entityCol.map(col).toSeq ++
+        wStartCol.map(col) ++ wStopCol.map(col))): _*)
+      .join(obsR, cond, "inner")
+      .select(col(Wid), col(Attr), col(TCol), col(VCol))
+
+    implicit val encIn: Encoder[(Long, String, Double, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+        Encoders.scalaDouble, Encoders.scalaDouble)
+    implicit val encKey: Encoder[Long] = Encoders.scalaLong
+    implicit val encOut: Encoder[(Long, U)] =
+      Encoders.tuple(Encoders.scalaLong, encU)
+    val emitted = joined.as[(Long, String, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (wid: Long, it: Iterator[(Long, String, Double, Double)]) =>
+        val os = it.map(r => FlatObs(r._2, r._3, r._4)).toVector
+          .sortBy(o => (o.t, o.attr, o.v))
+        f(os).iterator.map(u => (wid, u))
+      }
+      .toDF("__graft_widk", "__graft_u")
+      .select(col("__graft_widk").as(Wid), col("__graft_u.*"))
+
+    w0.join(emitted, Seq(Wid), "inner").drop(Wid)
+  }
 }

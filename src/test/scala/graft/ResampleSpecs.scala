@@ -224,6 +224,36 @@ class ResampleSpecs extends SparkSuite {
     assert(out(1).getAs[Double]("s") == 0.0) // invalid window
   }
 
+  test("resample_eav flatMapWindows: multi-row multi-column custom shape") {
+    // mirrors the reference's callable agg contract (resampling.py:257-273):
+    // arbitrary declared output columns, here one row per attribute
+    val wins = Seq((1L, 0.0, 5.0), (2L, 3.0, 5.0)).toDF("e", "ws", "wt")
+    implicit val enc: org.apache.spark.sql.Encoder[(String, Long, Double, Double)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaDouble)
+    val obsA = Seq(
+      (1L, "hr", 1.0, 80.0), (1L, "hr", 2.0, 70.0), (1L, "bp", 3.0, 120.0),
+      (1L, "hr", 9.0, 99.0), // outside the window
+      (2L, "hr", 1.0, 60.0)).toDF("e", "attr", "t", "v")
+    val out = ResampleEav.flatMapWindows[(String, Long, Double, Double)](
+      obsA, wins, timeCol = "t", valueCol = "v",
+      entityCol = Some("e"), attrCol = Some("attr"),
+      wStartCol = Some("ws"), wStopCol = Some("wt")) { os =>
+        os.groupBy(_.attr).toSeq.sortBy(_._1).map { case (a, g) =>
+          (a, g.size.toLong, g.map(_.v).min, g.last.v)
+        }
+      }
+      .orderBy("e", "_1").collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+    // window (1, [0,5)): bp → 1 row, hr → 2 rows (last by time = 70);
+    // window (2, [3,5)): no obs → emits nothing
+    assert(out.toSeq == Seq(
+      (1L, "bp", 1L, 120.0, 120.0),
+      (1L, "hr", 2L, 70.0, 70.0)))
+  }
+
   test("resample_interval: unbounded attribute inference fails loudly") {
     // 10001 distinct attribute values exceed the inference cap — the
     // driver-side collect must refuse instead of pivoting 10001 columns
