@@ -1,8 +1,8 @@
 package graft.agg
 
-import org.apache.spark.sql.{DataFrame, Row}
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Joint dense-integer row encoding — reimplementation of the reference's
   * `factorize` (`/root/reference/catabra_pandas/misc.py:1119-1318`).
@@ -13,10 +13,12 @@ import org.apache.spark.sql.types.LongType
   * appearance. Nulls are distinct, matchable factors (`misc.py:1166`).
   *
   * Plan: `distinct()` on the key columns (map-side combine shrinks this to
-  * key cardinality), a distributed `orderBy` + `zipWithIndex` to number the
-  * keys without a single-partition window, then a broadcast-friendly join
-  * back. The two-frame variant unions both key sets so equal rows across
-  * frames share codes (`misc.py:1230-1260`).
+  * key cardinality), a distributed `orderBy` + dense partition-offset
+  * numbering ([[graft.core.Tables.withRowId]] — per-partition counts
+  * rolled into running offsets, no single-partition window and no RDD
+  * round-trip), then a broadcast-friendly join back. The two-frame
+  * variant unions both key sets so equal rows across frames share codes
+  * (`misc.py:1230-1260`).
   */
 object Factorize {
 
@@ -58,7 +60,6 @@ object Factorize {
 
   /** Distinct keys (canonical column names) + dense `__graft_code`. */
   private def codes(frames: Seq[DataFrame], cols: Seq[String], sort: Boolean): DataFrame = {
-    val spark = frames.head.sparkSession
     val keyed =
       if (sort) {
         frames.map(_.select(cols.map(col): _*)).reduce(_ unionByName _)
@@ -82,10 +83,8 @@ object Factorize {
           .orderBy(col("__graft_ord"))
           .drop("__graft_ord")
       }
-    val schema = keyed.schema.add("__graft_code", LongType, nullable = false)
-    spark.createDataFrame(
-      keyed.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      schema)
+    // dense numbering in partition-major (= sorted) order, inside Tungsten
+    Tables.withRowId(keyed, "__graft_code")
   }
 
   private def attach(

@@ -107,6 +107,13 @@ class PlanSpecs extends SparkSuite {
     assert(p.contains("Union"), s"expected the two-side union:\n$p")
   }
 
+  test("factorize numbering stays in Tungsten (no RDD scan in the plan)") {
+    val p = plan("q_factorize")
+    assert(!p.contains("ExistingRDD"), "factorize round-trips through an RDD")
+    val pj = plan("q_factorize_joint")
+    assert(!pj.contains("ExistingRDD"), "joint factorize round-trips through an RDD")
+  }
+
   test("no driver query degenerates to cartesian/nested-loop (except by design)") {
     // intended exceptions: q_cross_join IS a cross join; q_ann_topk scores
     // every (query, corpus) pair by design — a broadcast nested loop over
