@@ -1207,7 +1207,10 @@ object SparkEntry {
   // 50:4.5, 100:5.1}, overlap optimum ~75-100 {50:7.8, 75:7.2, 100:7.2,
   // 200:8.3, 400:9.4} — the rewrite is the big win; the width and the
   // shuffle_hash hints (serial broadcast build → parallel shuffled
-  // build) buy the rest.
+  // build) buy the rest. A caller without sweep data should pass
+  // autoBinWidth = true (sampled median length: ~15 contain / ~55
+  // overlap here — inside the sweep's flat region); the probes pin the
+  // measured optimum so the baseline comparison stays knob-stable.
   private val q_bench_contain: (SparkSession, String) => DataFrame =
     (s, dir) =>
       IntervalJoin(

@@ -82,6 +82,11 @@ object IntervalJoin {
     *                   IDENTICAL at any width — it only shifts the
     *                   explosion-vs-candidates balance, measured flat
     *                   within ±20% across a 10× width range.
+    * @param autoBinWidth derive the bin width from the data instead
+    *                   (sampled median interval length across both
+    *                   sides, [[BinnedIntervalJoin.autoWidth]]) — the
+    *                   no-knob spelling of `binWidth`; mutually
+    *                   exclusive with it
     */
   def apply(
       left: DataFrame,
@@ -99,9 +104,12 @@ object IntervalJoin {
       rightIdCol: Option[String] = None,
       returnIndexers: Boolean = false,
       nullSafeKeys: Boolean = true,
-      binWidth: Option[Double] = None): DataFrame = {
+      binWidth: Option[Double] = None,
+      autoBinWidth: Boolean = false): DataFrame = {
 
     require(Seq("inner", "left", "right", "outer").contains(how), s"how=$how")
+    require(!(autoBinWidth && binWidth.isDefined),
+      "pass either binWidth or autoBinWidth, not both")
     require(Seq("all", "first", "last", "both").contains(keep), s"keep=$keep")
     require(on.isEmpty || (leftOn.isEmpty && rightOn.isEmpty),
       "`on` is mutually exclusive with `leftOn`/`rightOn`")
@@ -177,7 +185,20 @@ object IntervalJoin {
       case "outer" => "full_outer"
     }
 
-    val joined = binWidth match {
+    // auto width: sampled median interval length of both sides (see
+    // BinnedIntervalJoin.autoWidth) — derived from the ORIGINAL frames,
+    // before renaming, so the spec column names resolve
+    val effBinWidth =
+      if (autoBinWidth) {
+        require(leftSpec.start.isDefined && leftSpec.stop.isDefined &&
+            rightSpec.start.isDefined && rightSpec.stop.isDefined,
+          "autoBinWidth requires bounded endpoints on both sides")
+        Some(BinnedIntervalJoin.autoWidth(
+          left, leftSpec.start.get, leftSpec.stop.get,
+          right, rightSpec.start.get, rightSpec.stop.get))
+      } else binWidth
+
+    val joined = effBinWidth match {
       case None => lValid.join(rJoinSide, cond, joinType)
       case Some(w) =>
         require(w > 0, "binWidth must be positive")

@@ -178,4 +178,41 @@ class IntervalJoinSpec extends SparkSuite {
       Seq("start_x", "stop_x", "i_x", "start_y", "stop_y", "i_y"))
     assert(out.count() == 2)
   }
+
+  test("autoBinWidth matches manual widths and the unbinned plan") {
+    // irregular lengths (0 to 45) across a 0..1000 span
+    val left = mkDf((0 until 200).map(i =>
+      ((i * 5).toDouble, (i * 5 + i % 30).toDouble)))
+    val right = mkDf((0 until 150).map(i =>
+      ((i * 7 % 1000).toDouble, (i * 7 % 1000 + i % 45).toDouble)))
+    def run(bw: Option[Double], auto: Boolean = false) =
+      IntervalJoin(left, right,
+        leftSpec = IntervalSpec.closed("start", "stop"),
+        rightSpec = IntervalSpec.closed("start", "stop"),
+        keepOrder = false,
+        leftIdCol = Some("i"), rightIdCol = Some("i"),
+        returnIndexers = true, binWidth = bw, autoBinWidth = auto)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unbinned = run(None)
+    assert(run(None, auto = true) == unbinned)     // auto == ground truth
+    assert(run(Some(5.0)) == unbinned)             // any manual width too
+    assert(run(Some(500.0)) == unbinned)
+    // the derived width lands near the median length (~15-22), not a
+    // degenerate extreme
+    val w = BinnedIntervalJoin.autoWidth(left, "start", "stop",
+      right, "start", "stop", sampleFraction = 1.0)
+    assert(w > 5.0 && w < 60.0, s"autoWidth=$w")
+    // point-only data still yields a positive width (span fallback)
+    val pts = mkDf((0 until 50).map(i => (i.toDouble, i.toDouble)))
+    val wp = BinnedIntervalJoin.autoWidth(pts, "start", "stop",
+      pts, "start", "stop", sampleFraction = 1.0)
+    assert(wp > 0.0)
+    // both knobs at once is a loud error
+    intercept[IllegalArgumentException] {
+      IntervalJoin(left, right,
+        leftSpec = IntervalSpec.closed("start", "stop"),
+        rightSpec = IntervalSpec.closed("start", "stop"),
+        binWidth = Some(5.0), autoBinWidth = true)
+    }
+  }
 }
