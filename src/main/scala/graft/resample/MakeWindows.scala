@@ -45,7 +45,13 @@ final case class MakeWindows(
     */
   def apply(df: DataFrame): DataFrame = {
     val (s, t) = (startExpr, stopExpr) match {
-      case (Some(a), Some(b)) => (Some(a), Some(b))
+      case (Some(a), Some(b)) =>
+        // the reference rejects an over-specified window (both endpoints
+        // AND a duration, test_make_windows.py:118-124) rather than
+        // silently ignoring one of the three
+        require(duration.isEmpty,
+          "duration is exclusive with giving both endpoints")
+        (Some(a), Some(b))
       case (Some(a), None) =>
         (Some(a), duration.map(d => a + d))
       case (None, Some(b)) =>

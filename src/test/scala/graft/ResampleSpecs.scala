@@ -224,6 +224,34 @@ class ResampleSpecs extends SparkSuite {
     assert(out(1).getAs[Double]("s") == 0.0) // invalid window
   }
 
+  test("make_windows: invalid argument combinations raise (test_make_windows.py:101-176)") {
+    val df = Seq((1L, 10.0, 20.0)).toDF("e", "start", "stop")
+    // both start and start_rel given
+    intercept[IllegalArgumentException] {
+      MakeWindows(start = Some(col("start")), startRel = Some(lit(0.0)),
+        anchor = Some(col("start")))
+    }
+    // both stop and stop_rel given
+    intercept[IllegalArgumentException] {
+      MakeWindows(stop = Some(col("stop")), stopRel = Some(lit(0.0)),
+        anchor = Some(col("stop")))
+    }
+    // rel endpoint without an anchor
+    intercept[IllegalArgumentException] {
+      MakeWindows(startRel = Some(lit(-1.0)))
+    }
+    // no endpoints at all (anchor+duration alone cannot place a window)
+    intercept[IllegalArgumentException] {
+      MakeWindows(entity = Some(col("e")), anchor = Some(col("start")),
+        duration = Some(lit(10.0)))(df)
+    }
+    // both endpoints AND a duration: over-specified
+    intercept[IllegalArgumentException] {
+      MakeWindows(start = Some(col("start")), stop = Some(col("stop")),
+        duration = Some(lit(10.0)))(df)
+    }
+  }
+
   test("resample_eav flatMapWindows: multi-row multi-column custom shape") {
     // mirrors the reference's callable agg contract (resampling.py:257-273):
     // arbitrary declared output columns, here one row per attribute

@@ -179,6 +179,44 @@ class IntervalJoinSpec extends SparkSuite {
     assert(out.count() == 2)
   }
 
+  test("invalid arguments raise (test_merge_intervals.py:451-529)") {
+    val left  = mkDf(Seq((0d, 2d), (7d, 8d), (1d, 5d), (8d, 9d)))
+    val right = mkDf(Seq((10d, 11d), (4d, 5d), (0d, 3d)))
+    def join(
+        how: String = "inner", keep: String = "all",
+        on: Seq[String] = Nil, leftOn: Seq[String] = Nil,
+        rightOn: Seq[String] = Nil,
+        suffixes: (Option[String], Option[String]) = (Some("_x"), Some("_y")),
+        lSpec: IntervalSpec = IntervalSpec.closed("start", "stop"),
+        rSpec: IntervalSpec = IntervalSpec.closed("start", "stop")) =
+      IntervalJoin(left, right, lSpec, rSpec, on = on,
+        leftOn = leftOn, rightOn = rightOn, how = how, keep = keep,
+        suffixes = suffixes)
+    // how=True / keep="any" analogs
+    intercept[IllegalArgumentException] { join(how = "bogus") }
+    intercept[IllegalArgumentException] { join(keep = "any") }
+    // on is exclusive with left_on/right_on
+    intercept[IllegalArgumentException] {
+      join(on = Seq("i"), leftOn = Seq("i"))
+    }
+    // left_on="group" vs right_on=["group","idx"]: unequal key lists
+    intercept[IllegalArgumentException] {
+      join(leftOn = Seq("i"), rightOn = Seq("i", "start"))
+    }
+    // nothing to merge on: no keys, no range columns on either side
+    intercept[IllegalArgumentException] {
+      join(lSpec = IntervalSpec(None, None), rSpec = IntervalSpec(None, None))
+    }
+    // overlapping output columns need at least one suffix
+    intercept[IllegalArgumentException] { join(suffixes = (None, None)) }
+    // NOT an error (reference only warns): a degenerate [start, start)
+    // left interval with an open start matches nothing
+    val out = join(
+      lSpec = IntervalSpec(Some("start"), Some("start"), includeStart = false),
+      rSpec = IntervalSpec.closed("start", "stop"))
+    assert(out.count() == 0)
+  }
+
   test("autoBinWidth matches manual widths and the unbinned plan") {
     // irregular lengths (0 to 45) across a 0..1000 span
     val left = mkDf((0 until 200).map(i =>
