@@ -413,6 +413,18 @@ object SparkEntry {
           col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
           col("code"))
 
+  /** Factorize across a mixed dtype row (string + timestamp + boolean) —
+    * the reference dtype matrix runs factorize over category/str/bool
+    * keys (tests/test_factorize.py:77-92).
+    */
+  private val q_factorize_mixed: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      Factorize(
+        t(s, dir, "orders")
+          .withColumn("big", col("o_totalprice") > 100000.0),
+        Seq("o_orderstatus", "o_orderdate", "big"))
+        .select(col("o_orderkey").as("okey"), col("code"))
+
   /** 4 weekly windows per user over Jan 2024, built with [[MakeWindows]]
     * (start + duration form) from the distinct-user frame.
     */
@@ -1451,6 +1463,7 @@ object SparkEntry {
     "q_interval_keep_first" -> q_interval_keep_first,
     "q_interval_binned"     -> q_interval_binned,
     "q_interval_ts"         -> q_interval_ts,
+    "q_factorize_mixed"     -> q_factorize_mixed,
     "q_interval_outer"      -> q_interval_outer,
     "q_interval_indexers"   -> q_interval_indexers,
     "q_interval_open"       -> q_interval_open,
@@ -1686,6 +1699,11 @@ object SparkEntry {
       """SELECT l_orderkey AS okey, l_linenumber AS lnum,
         |       DENSE_RANK() OVER (ORDER BY l_returnflag, l_linestatus) - 1 AS code
         |FROM lineitem""".stripMargin,
+    "q_factorize_mixed" ->
+      """SELECT o_orderkey AS okey,
+        |       DENSE_RANK() OVER (ORDER BY o_orderstatus, o_orderdate,
+        |         o_totalprice > 100000.0) - 1 AS code
+        |FROM orders""".stripMargin,
     "q_interval_contain" ->
       """SELECT o.o_orderkey AS okey, l.l_linenumber AS lnum, l.l_shipdate AS ship
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
