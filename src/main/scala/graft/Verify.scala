@@ -20,7 +20,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce removes the stage
+      // boundary and pulls the whole query plan into the single write
+      // task (measured: a binned join that runs in seconds at 32 threads
+      // took >6 min single-threaded at sf1). repartition keeps upstream
+      // parallelism and only the final tiny result crosses the exchange.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -95,6 +95,9 @@ object ConnectedComponents {
     }
     sym.unpersist(blocking = false)
     e.unpersist(blocking = false)
+    // scale diagnostics: rounds is the O(log d) witness — it should stay
+    // flat as data replicates (components get wider, not deeper)
+    System.err.println(s"[cc] rounds=$iter converged=$converged")
     labels
   }
 }

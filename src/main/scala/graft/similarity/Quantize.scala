@@ -2,7 +2,7 @@ package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, ByteType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType}
 
 /** Symmetric per-vector int8 quantization for embedding columns — the
   * standard storage/bandwidth lever for corpus-scale vector data (4 B
@@ -26,8 +26,33 @@ object Quantize {
 
   /** Adds `scaleCol` (double) and `qCol` (array<tinyint>) next to
     * `vecCol`. Null vectors pass through as null q/scale.
+    *
+    * One generated pass per row (codegen'd
+    * [[org.apache.spark.sql.graft.VecQuant8]]). The declarative HOF
+    * formulation ([[int8Hof]], kept for the differential spec) is O(d²)
+    * per row once `CollapseProject` inlines the scale sub-plan into the
+    * per-element lambda — ~1 ms/row at d = 64, the entire cost of the
+    * quantization bench queries.
     */
   def int8(df: DataFrame, vecCol: String,
+           qCol: String = "q8", scaleCol: String = "scale"): DataFrame = {
+    val f = org.apache.spark.sql.graft.VecFunctions
+    df.withColumn("__graft_qz",
+        f.vec_quant_i8(col(vecCol).cast(ArrayType(DoubleType))))
+      .withColumn(scaleCol, col("__graft_qz.scale"))
+      .withColumn(qCol, col("__graft_qz.q8"))
+      .drop("__graft_qz")
+  }
+
+  /** The declarative HOF formulation of [[int8]] — kept as the
+    * differential-spec reference for the codegen path. The explicit
+    * `x.isNull` branch is load-bearing: without it
+    * `greatest(null, lit(-127))` SKIPS the null and silently turns a
+    * missing component into the extreme code −127 (the same
+    * `greatest`/`least` null-skipping footgun the Winsorize clip fix
+    * documents). Null elements quantize to null codes on both paths.
+    */
+  private[graft] def int8Hof(df: DataFrame, vecCol: String,
            qCol: String = "q8", scaleCol: String = "scale"): DataFrame = {
     val staged = df.withColumn(scaleCol,
       when(col(vecCol).isNull, lit(null))
@@ -35,7 +60,8 @@ object Quantize {
     staged.withColumn(qCol,
       when(col(vecCol).isNull, lit(null))
         .otherwise(transform(col(vecCol), x =>
-          when(col(scaleCol) === 0, lit(0))
+          when(x.isNull, lit(null))
+            .when(col(scaleCol) === 0, lit(0))
             .otherwise(least(greatest(
               round(x.cast("double") / col(scaleCol)), lit(-127)), lit(127)))
             .cast("int")))

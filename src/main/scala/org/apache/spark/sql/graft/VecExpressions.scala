@@ -443,6 +443,108 @@ case class GramHash(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** One-pass symmetric int8 quantization of an `array<double>` vector →
+  * `struct<scale: double, q8: array<tinyint>>`. Declaratively this is
+  * three stacked HOFs (`array_max(transform(abs))` for the scale, then a
+  * `transform` with round/clamp per element) — and because the scale is
+  * referenced inside the per-element lambda, `CollapseProject` inlines
+  * the whole max-abs sub-plan into EVERY element's lambda, turning the
+  * projection O(d²) with an interpreted lambda dispatch and a boxed
+  * array allocation per element (measured ~1 ms/row at d = 64: the
+  * entire cost of the quantization queries). This expression is the same
+  * arithmetic in one generated d-element loop.
+  *
+  * Bit-compatibility: rounding is the exact code Spark's own `Round`
+  * generates for doubles (`BigDecimal.valueOf(v).setScale(0, HALF_UP)`),
+  * so results are identical to the HOF formulation — and to DuckDB's
+  * ties-away-from-zero `round()` (oracle-checked).
+  *
+  * Null semantics: null vector → null struct; null element → null code;
+  * non-null elements of a scale-0 vector (all observed values zero, or
+  * empty/all-null vector) → literal 0. (The original HOF formulation
+  * silently mapped null elements to −127 — `greatest(null, lit(-127))`
+  * SKIPS nulls — which this expression deliberately does not replicate;
+  * the differential spec pins the corrected behavior on both paths.)
+  */
+case class VecQuant8(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  import org.apache.spark.sql.types.{ByteType, StructField, StructType}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q8", ArrayType(ByteType, containsNull = true), nullable = false)))
+  override def prettyName: String = "vec_quant_i8"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val v = math.abs(x.getDouble(i))
+        if (v > mx) mx = v
+      }
+      i += 1
+    }
+    val scale = mx / 127
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) out(i) = null
+      else if (scale == 0) out(i) = 0.toByte
+      else {
+        val r = java.math.BigDecimal.valueOf(x.getDouble(i) / scale)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        out(i) = math.min(math.max(r, -127.0), 127.0).toInt.toByte
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      scale, new org.apache.spark.sql.catalyst.util.GenericArrayData(out))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val mx = ctx.freshName("mx"); val v = ctx.freshName("v")
+      val scale = ctx.freshName("scale"); val out = ctx.freshName("out")
+      val r = ctx.freshName("r")
+      s"""
+         |int $n = $a.numElements();
+         |double $mx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $v = java.lang.Math.abs($a.getDouble($i));
+         |    if ($v > $mx) $mx = $v;
+         |  }
+         |}
+         |double $scale = $mx / 127;
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    $out[$i] = null;
+         |  } else if ($scale == 0) {
+         |    $out[$i] = java.lang.Byte.valueOf((byte) 0);
+         |  } else {
+         |    double $r = java.math.BigDecimal.valueOf($a.getDouble($i) / $scale)
+         |      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue();
+         |    $out[$i] = java.lang.Byte.valueOf(
+         |      (byte) (int) java.lang.Math.min(java.lang.Math.max($r, -127.0), 127.0));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ java.lang.Double.valueOf($scale),
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecQuant8 =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VecFunctions {
 
@@ -471,4 +573,7 @@ object VecFunctions {
 
   def gram_hash(a: Column, n: Int): Column =
     ExpressionUtils.column(GramHash(expr(a), n))
+
+  def vec_quant_i8(a: Column): Column =
+    ExpressionUtils.column(VecQuant8(expr(a)))
 }
