@@ -722,6 +722,17 @@ object SparkEntry {
         orderBy = Seq(col("ts"), col("event_id")), limit = Some(2))
         .select(col("event_id").as("eid"), col("v").as("v_imp"))
 
+  /** Keyless (global-order) afill — exercises the two-phase
+    * range-partition + carry path (no data-sized single-partition
+    * window; see the Impute scale note).
+    */
+  private val q_impute_global: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      Impute(eventsWithNulls(s, dir), Seq("v"), "afill",
+        groupBy = Nil,
+        orderBy = Seq(col("ts"), col("event_id")), limit = Some(3))
+        .select(col("event_id").as("eid"), col("v").as("v_imp"))
+
   /** lfill = linear interior + ffill/bfill at the group edges. */
   private val q_impute_lfill: (SparkSession, String) => DataFrame =
     (s, dir) =>
@@ -1497,6 +1508,7 @@ object SparkEntry {
     "q_resample_interval_unbounded" -> q_resample_interval_unbounded,
     "q_prev_next_fill"      -> q_prev_next_fill,
     "q_impute_ffill"        -> q_impute_ffill,
+    "q_impute_global"       -> q_impute_global,
     "q_impute_linear"       -> q_impute_linear,
     "q_impute_afill"        -> q_impute_afill,
     "q_impute_bfill"        -> q_impute_bfill,
@@ -1873,6 +1885,32 @@ object SparkEntry {
         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv - pv) / 2
         |       ELSE COALESCE(pv, nv) END AS v_imp
         |FROM f""".stripMargin,
+    "q_impute_global" ->
+      """WITH e AS (
+        |  SELECT event_id, ts,
+        |         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn FROM e),
+        |f AS (SELECT *,
+        |        LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY rn
+        |          ROWS UNBOUNDED PRECEDING) AS pv,
+        |        MAX(CASE WHEN v IS NOT NULL THEN rn END) OVER (ORDER BY rn
+        |          ROWS UNBOUNDED PRECEDING) AS prn,
+        |        FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY rn
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |        MIN(CASE WHEN v IS NOT NULL THEN rn END) OVER (ORDER BY rn
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nrn
+        |      FROM r),
+        |g AS (SELECT event_id,
+        |        CASE WHEN v IS NOT NULL THEN v
+        |             WHEN rn - prn <= 3 THEN pv END AS fl,
+        |        CASE WHEN v IS NOT NULL THEN v
+        |             WHEN nrn - rn <= 3 THEN nv END AS bl
+        |      FROM f)
+        |SELECT event_id AS eid,
+        |  CASE WHEN fl IS NOT NULL AND bl IS NOT NULL THEN fl + (bl - fl) / 2
+        |       ELSE COALESCE(fl, bl) END AS v_imp
+        |FROM g""".stripMargin,
     "q_interval_binned" ->
       """SELECT a.o_orderkey AS lkey, b.o_orderkey AS rkey
         |FROM orders a JOIN orders b

@@ -86,7 +86,11 @@ object GraftFunctions {
     (FunctionIdentifier("vec_sumsq_i8"),
       info(classOf[VecSumSqI8], "vec_sumsq_i8",
         "vec_sumsq_i8(a) - exact long sum of squares of a tinyint array"),
-      (args: Seq[Expression]) => VecSumSqI8(args(0))))
+      (args: Seq[Expression]) => VecSumSqI8(args(0))),
+    (FunctionIdentifier("vec_quant_i8"),
+      info(classOf[VecQuant8], "vec_quant_i8",
+        "vec_quant_i8(a) - struct(scale, q8): symmetric int8 quantization of a double array"),
+      (args: Seq[Expression]) => VecQuant8(args(0))))
 }
 
 /** Rewrites inner joins whose condition contains a pair of opposing range

@@ -237,6 +237,38 @@ class RandomizedOracleSpecs extends SparkSuite {
     }
   }
 
+  test("keyless impute (two-phase carry) ≡ grouped impute with a constant key") {
+    // the keyless path range-partitions the global order and fixes up
+    // cross-partition donors from a carry summary; the grouped path with
+    // one constant key is the single-window oracle for the same semantics.
+    // Two impute columns with independent null patterns exercise the
+    // per-column carry; nulls clustered at the head/tail land whole gaps
+    // across partition boundaries.
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 500).map { i =>
+      val u: java.lang.Double =
+        if (i < 15 || i > 485 || rnd.nextInt(10) < 5) null
+        else rnd.nextInt(90).toDouble
+      val v: java.lang.Double =
+        if (rnd.nextInt(10) < 3) null else rnd.nextInt(50).toDouble
+      (i.toLong, u, v)
+    }
+    val df = rows.toDF("rid", "u", "v").repartition(7)
+    for (limit <- Seq(None, Some(2), Some(5));
+         method <- Seq("ffill", "bfill", "afill", "linear", "lfill")) {
+      val keyless = graft.windows.Impute(df, Seq("u", "v"), method,
+        groupBy = Nil, orderBy = Seq(col("rid").asc), limit = limit)
+        .select("rid", "u", "v").collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+      val oracle = graft.windows.Impute(df.withColumn("one", lit(1)),
+        Seq("u", "v"), method,
+        groupBy = Seq("one"), orderBy = Seq(col("rid").asc), limit = limit)
+        .select("rid", "u", "v").collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+      assert(keyless == oracle, s"method=$method limit=$limit")
+    }
+  }
+
   test("prev_next_values ≡ sequential lag/lead with fills and indicators") {
     val rnd = new scala.util.Random(23)
     val rows = (0 until 150).map { i =>

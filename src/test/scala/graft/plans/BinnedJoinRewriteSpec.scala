@@ -186,12 +186,14 @@ class BinnedJoinRewriteSpec extends SparkSuite {
           |       sorted_long_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS i,
           |       size(gram_hash(array(1L, 2L, 3L), 2)) AS g,
           |       size(minhash_bands(array(1L, 2L), 4, 2)) AS b,
-          |       simhash64(array(0L)) AS s
+          |       simhash64(array(0L)) AS s,
+          |       vec_quant_i8(array(0.5d, -1.0d)).q8 AS q
           |""".stripMargin).head()
       assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 5.0)
       assert(row.getInt(2) == 2 && row.getInt(3) == 2 && row.getInt(4) == 4)
       // simhash of the all-zero-bits hash: every vote negative → 0
       assert(row.getLong(5) == 0L)
+      assert(row.getSeq[Byte](6) == Seq[Byte](64, -127))
     } finally {
       active.foreach(SparkSession.setActiveSession)
       default.foreach(SparkSession.setDefaultSession)
