@@ -674,6 +674,23 @@ object SparkEntry {
           r6(col("vsum")).as("vsum"))
     }
 
+  /** Keyless (global-order) prev/next — exercises the range-partition +
+    * boundary-carry path (no data-sized single-partition window).
+    */
+  private val q_prev_next_global: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      PrevNextValues(
+        t(s, dir, "orders"),
+        sortBy = Seq("o_orderdate", "o_orderkey"),
+        groupBy = Nil,
+        columns = Map("o_totalprice" -> PrevNextSpec(
+          prevName = Some("prev_price"), nextName = Some("next_price"),
+          prevFill = Some(lit(-1.0)), nextFill = None)),
+        firstIndicatorName = Some("is_first"))
+        .select(
+          col("o_orderkey").as("okey"),
+          col("prev_price"), col("next_price"), col("is_first"))
+
   /** prev/next with group-edge fill values (misc.py:486-496). */
   private val q_prev_next_fill: (SparkSession, String) => DataFrame =
     (s, dir) =>
@@ -1488,6 +1505,7 @@ object SparkEntry {
     "q_containing_length"   -> q_containing_length,
     "q_containing_multi"    -> q_containing_multi,
     "q_prev_next"           -> q_prev_next,
+    "q_prev_next_global"    -> q_prev_next_global,
     "q_group_intervals"     -> q_group_intervals,
     "q_combine_union"       -> combineQuery(1, None),
     "q_combine_gaps"        -> combineQuery(0, Some(0)),
@@ -1865,6 +1883,13 @@ object SparkEntry {
         |       COALESCE(LEAD(o_totalprice) OVER w, -1.0) AS next_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_prev_next_global" ->
+      """SELECT o_orderkey AS okey,
+        |       COALESCE(LAG(o_totalprice) OVER w, -1.0) AS prev_price,
+        |       LEAD(o_totalprice) OVER w AS next_price,
+        |       ROW_NUMBER() OVER w = 1 AS is_first
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q_impute_ffill" ->
       s"""WITH $ImputeCte
         |SELECT event_id AS eid,

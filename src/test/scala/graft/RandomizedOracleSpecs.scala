@@ -296,6 +296,35 @@ class RandomizedOracleSpecs extends SparkSuite {
     }
   }
 
+  test("keyless prev_next_values (boundary carry) ≡ grouped with a constant key") {
+    // the keyless path range-partitions on sortBy and stitches partition
+    // heads/tails from a per-partition first/last-row summary; grouped
+    // with one constant key is the single-window oracle. Data nulls in v
+    // distinguish "carried value is null" (stays null) from "global
+    // edge" (fill applies).
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 400).map { i =>
+      val v: java.lang.Double =
+        if (rnd.nextInt(10) < 3) null else rnd.nextInt(100).toDouble
+      (i.toLong, rnd.nextInt(60), v)
+    }
+    val df = rows.toDF("rid", "ord", "v").repartition(6)
+    val spec = Map("v" -> graft.windows.PrevNextSpec(
+      prevName = Some("pv"), nextName = Some("nv"),
+      prevFill = Some(lit(-1.0)), nextFill = None))
+    def run(d: org.apache.spark.sql.DataFrame, g: Seq[String]) =
+      graft.windows.PrevNextValues(d, sortBy = Seq("ord", "rid"),
+        groupBy = g, columns = spec,
+        firstIndicatorName = Some("isf"), lastIndicatorName = Some("isl"))
+        .select("rid", "pv", "nv", "isf", "isl").collect()
+        .map(r => r.getLong(0) ->
+          ((Option(r.get(1)), Option(r.get(2)), r.getBoolean(3), r.getBoolean(4))))
+        .toMap
+    val keyless = run(df, Nil)
+    val oracle  = run(df.withColumn("one", lit(1)), Seq("one"))
+    assert(keyless == oracle)
+  }
+
   test("grouped_mode ≡ counting oracle (dropna both ways)") {
     val rnd = new scala.util.Random(29)
     val rows = (0 until 200).map { i =>
