@@ -10,7 +10,7 @@ import graft.intervals.{CombineIntervals, GroupIntervals}
 import graft.joins.{AsOfJoin, BinnedIntervalJoin, FindContainingInterval, IntervalJoin, SaltedJoin}
 import graft.multimodal.Media
 import graft.resample.{MakeWindows, ResampleEav, ResampleInterval}
-import graft.similarity.{CosineTopK, EmbeddingDedup, IvfAnn, LshAnn}
+import graft.similarity.{CosineTopK, EmbeddingDedup, IvfAnn, LshAnn, SemDedup}
 import graft.text.{Bm25, Fingerprint, LangId, Shingles, TextStats, VocabStats}
 import graft.windows.{Impute, PrevNextSpec, PrevNextValues}
 
@@ -909,6 +909,21 @@ object SparkEntry {
           col("cluster_size").as("sz"), col("is_canonical").as("canon"))
     }
 
+  /** SemDeDup (Abbas et al. 2023): IVF cells as semantic dedup blocks —
+    * deterministic seed centroids (the `nlist` smallest vec_ids, which
+    * the DuckDB oracle reproduces as `WHERE vec_id < nlist`), argmax-
+    * cosine cell assignment (ties to the smallest cell id on both
+    * sides), within-cell pairs ≥ threshold, transitive closure.
+    */
+  private val q_dedup_semantic: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = emb(s, dir)
+      val model = IvfAnn.fit(e, "vec_id", "embedding", nlist = 8)
+      SemDedup(e, "vec_id", "embedding", model, threshold = 0.3)
+        .select(col("vec_id").as("vid"), col("cluster_id").as("cid"),
+          col("cluster_size").as("sz"), col("is_canonical").as("canon"))
+    }
+
   /** Quantized brute-force top-k: int8 codes end-to-end. Dot and norms
     * are exact longs (codegen'd VecDotI8/VecSumSqI8) and IEEE sqrt/
     * divide are exactly rounded, so the scores — and hence the ranks —
@@ -1542,6 +1557,7 @@ object SparkEntry {
     "q_dedup_simhash"       -> q_dedup_simhash,
     "q_dedup_embcos"        -> q_dedup_embcos,
     "q_dedup_embcluster"    -> q_dedup_embcluster,
+    "q_dedup_semantic"      -> q_dedup_semantic,
     "q_centroid"            -> q_centroid,
     "q_l2norm"              -> q_l2norm,
     "q_quantize"            -> q_quantize,
@@ -2156,6 +2172,30 @@ object SparkEntry {
         |p AS (SELECT a.vec_id AS u, b.vec_id AS v
         |      FROM embeddings a JOIN embeddings b
         |        ON a.label = b.label AND a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |              b.embedding::DOUBLE[]) >= 0.3),
+        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+        |                UNION SELECT r.u, ed.v FROM reach r JOIN e ed ON r.v = ed.u),
+        |comp AS (SELECT u AS node, MIN(v) AS comp FROM reach GROUP BY u),
+        |lab AS (SELECT em.vec_id AS vid, COALESCE(c.comp, em.vec_id) AS cid
+        |        FROM embeddings em LEFT JOIN comp c ON em.vec_id = c.node)
+        |SELECT vid, cid, COUNT(*) OVER (PARTITION BY cid) AS sz,
+        |       CAST(vid = cid AS INT) AS canon
+        |FROM lab""".stripMargin,
+    "q_dedup_semantic" ->
+      """WITH RECURSIVE
+        |ctr AS (SELECT vec_id AS ctrid, embedding::DOUBLE[] AS c
+        |        FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT e.vec_id, e.embedding, c.ctrid,
+        |          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.c)
+        |              DESC, c.ctrid) AS rk
+        |        FROM embeddings e CROSS JOIN ctr c),
+        |cell AS (SELECT vec_id, embedding, ctrid AS cell FROM asg WHERE rk = 1),
+        |p AS (SELECT a.vec_id AS u, b.vec_id AS v
+        |      FROM cell a JOIN cell b
+        |        ON a.cell = b.cell AND a.vec_id < b.vec_id
         |      WHERE list_cosine_similarity(a.embedding::DOUBLE[],
         |              b.embedding::DOUBLE[]) >= 0.3),
         |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),

@@ -426,6 +426,38 @@ class PipelineSpecs extends SparkSuite {
     assert(out.toSet == Set((0L, 1L))) // 0-2 blocked apart; 0-3 opposite
   }
 
+  test("semantic dedup: IVF cells as blocks, closure within, not across") {
+    // centroids point along +x and +y; docs 0-2 land in the x cell,
+    // 3-4 in the y cell. 0~1 (cos .963) and 1~2 (cos .957) chain into
+    // one semantic cluster while 0-2 itself (cos .844) is below
+    // threshold — the closure is load-bearing; 5 sits between the
+    // cells and is within-threshold of neither cell's members.
+    val model = graft.similarity.IvfAnn.Model(
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val docs = Seq(
+      (0L, Array(1.0, 0.10)),
+      (1L, Array(0.9, 0.35)),
+      (2L, Array(0.7, 0.55)),
+      (3L, Array(0.0, 1.0)),
+      (4L, Array(0.05, 0.9)),
+      (5L, Array(0.72, 0.75))) // diagonal: y component wins → y cell
+      .toDF("vec_id", "embedding")
+    val out = graft.similarity.SemDedup(
+      docs, "vec_id", "embedding", model, threshold = 0.95)
+      .select("vec_id", "cluster_id", "cluster_size", "is_canonical")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._1)
+    val byId = out.map(t => t._1 -> t).toMap
+    // chain 0~1~2 collapses to cluster 0 despite cos(0,2) < 0.97
+    assert(Seq(0L, 1L, 2L).map(byId(_)._2).toSet == Set(0L))
+    assert(byId(0L)._4 == 1 && byId(1L)._4 == 0 && byId(2L)._4 == 0)
+    // y cell: 3~4 cluster together
+    assert(byId(3L)._2 == 3L && byId(4L)._2 == 3L && byId(3L)._3 == 2L)
+    // 5 sits between cells; whichever cell it lands in, it is not
+    // within-threshold of that cell's members → singleton
+    assert(byId(5L)._2 == 5L && byId(5L)._3 == 1L)
+  }
+
   test("keyless all-pairs dedup fails loudly without allowCartesian") {
     val vecs = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)))
       .toDF("vec_id", "embedding")
