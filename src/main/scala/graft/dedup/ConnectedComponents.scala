@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointStats
 
 /** Connected components over a near-duplicate pair graph, and cluster
   * assignment for a document corpus.
@@ -44,9 +45,15 @@ object ConnectedComponents {
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .localCheckpoint()
-    // undirected: both orientations once; reused by every round
-    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // undirected: both orientations once; reused by every round. Pinned
+    // stats: checkpoint leaves inherit the PRE-checkpoint plan's size
+    // estimate (see [[org.apache.spark.sql.graft.CheckpointStats]]) — for
+    // `sym` that is the whole pair-generation pipeline's, typically a
+    // wild multiplicative overestimate that would then seed every
+    // round's join estimates.
+    val sym0 = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
+    val sym = CheckpointStats.withRowCount(sym0, sym0.count(), 24)
     // seed with min(self, neighbors) — the first propagate round folded
     // into initialization (one grouped min on the mirrored edges), which
     // saves a full checkpoint+witness cycle on star-shaped dup clusters
@@ -58,11 +65,15 @@ object ConnectedComponents {
     // overflow once node-id × node-count crosses 2^63 (real at 100 TB).
     // An empty label frame (no edges at all) sums to SQL null — normalize
     // to zero so the fixpoint compare terminates instead of NPE-ing.
-    def witness(l: DataFrame): java.math.BigDecimal = {
-      val d = l.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
-      if (d == null) java.math.BigDecimal.ZERO else d
+    // The same pass counts the rows — the honest size the round's
+    // checkpoints get pinned to (the node set never changes).
+    def witness(l: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = l.agg(sum(col("comp").cast("decimal(38,0)")), count(lit(1))).head
+      val d = r.getDecimal(0)
+      (if (d == null) java.math.BigDecimal.ZERO else d, r.getLong(1))
     }
-    var prev = witness(labels)
+    var (prev, nNodes) = witness(labels)
+    labels = CheckpointStats.withRowCount(labels, nNodes, 24)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -74,29 +85,39 @@ object ConnectedComponents {
         .join(nbrMin.as("m"), col("l.node") === col("m.node"), "left")
         .select(col("l.node").as("node"),
           least(col("l.comp"), coalesce(col("m.nmin"), col("l.comp"))).as("comp"))
+      // materialize the propagate result BEFORE jumping: the jumps below
+      // self-join their input, and every reference to an un-checkpointed
+      // `prop` re-runs the edge join above — the expensive step of the
+      // round. Checkpointed, the edge join runs exactly ONCE per round
+      // and the jumps join a two-long-column frame. Pinned stats: prop
+      // is a 1:1 left join on the label frame, so its row count is
+      // nNodes by construction — without the pin, each round's inherited
+      // estimate compounds multiplicatively through the self-joins and
+      // the optimizer's stats walks end up doing million-bit BigInt
+      // multiplication (measured: q_dedup_embcluster seconds → >7 min).
+      val p = CheckpointStats.withRowCount(prop.localCheckpoint(), nNodes, 24)
       // pointer jump: comp''(u) = min(comp'(u), comp'(comp'(u))) — label
       // values are themselves node ids, so each extra self-join halves
       // the remaining pointer depth (this is what makes the loop
       // O(log d)). TWO jumps per round: a jump is a join on the tiny
-      // (node, comp) frame — far cheaper than the edge-join propagate
-      // step — and chain-shaped duplicate graphs (near-threshold cosine
-      // links) otherwise dominate the round count (measured: 16 → 9
-      // rounds on the sf0.1 embedding-cluster graph for ~2 extra small
-      // joins per round)
+      // checkpointed (node, comp) frame — far cheaper than the edge-join
+      // propagate step — and chain-shaped duplicate graphs
+      // (near-threshold cosine links) otherwise dominate the round count
       def jump(l: DataFrame): DataFrame = l.as("a")
         .join(l.select(col("node").as("jn"), col("comp").as("jc")).as("j"),
           col("a.comp") === col("j.jn"), "left")
         .select(col("a.node").as("node"),
           least(col("a.comp"), coalesce(col("j.jc"), col("a.comp"))).as("comp"))
-      val jumped = jump(jump(prop)).localCheckpoint()
-      val cur = witness(jumped)
+      val jumped = jump(jump(p)).localCheckpoint()
+      p.unpersist(blocking = false)
+      val (cur, _) = witness(jumped)
       converged = cur.compareTo(prev) == 0
       prev = cur
       // the superseded round's checkpoint blocks are dead the moment the
       // new frame is materialized — at cluster scale, 30 retained copies
       // of a per-node frame is real storage pressure
       labels.unpersist(blocking = false)
-      labels = jumped
+      labels = CheckpointStats.withRowCount(jumped, nNodes, 24)
       iter += 1
     }
     sym.unpersist(blocking = false)

@@ -107,6 +107,25 @@ class PlanSpecs extends SparkSuite {
     assert(p.contains("Union"), s"expected the two-side union:\n$p")
   }
 
+  test("closure output carries pinned, non-compounded size statistics") {
+    // localCheckpoint leaves inherit the pre-checkpoint plan's size
+    // estimate; an iterative self-join loop compounds it exponentially
+    // (O(4^rounds) BITS with two pointer jumps per round) until the
+    // optimizer's stats walks grind on million-bit BigInt products —
+    // q_dedup_embcluster measured seconds → >7 min at sf0.1 before
+    // CheckpointStats pinned each round's leaf to the real row count.
+    import graft.dedup.ConnectedComponents
+    import spark.implicits._
+    // a chain forces several rounds, so compounding would be visible
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = ConnectedComponents(edges, "a", "b")
+    val size = labels.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(size.bitLength < 64,
+      s"closure stats not pinned: sizeInBytes has ${size.bitLength} bits")
+    val rows = labels.queryExecution.optimizedPlan.stats.rowCount
+    assert(rows.contains(BigInt(41)), s"expected honest rowCount, got $rows")
+  }
+
   test("factorize numbering stays in Tungsten (no RDD scan in the plan)") {
     val p = plan("q_factorize")
     assert(!p.contains("ExistingRDD"), "factorize round-trips through an RDD")
