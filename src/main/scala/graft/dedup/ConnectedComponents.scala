@@ -45,84 +45,94 @@ object ConnectedComponents {
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .localCheckpoint()
-    // undirected: both orientations once; reused by every round. Pinned
-    // stats: checkpoint leaves inherit the PRE-checkpoint plan's size
-    // estimate (see [[org.apache.spark.sql.graft.CheckpointStats]]) — for
-    // `sym` that is the whole pair-generation pipeline's, typically a
-    // wild multiplicative overestimate that would then seed every
-    // round's join estimates.
-    val sym0 = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // Alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et al.,
+    // SoCC'14 — the algorithm GraphFrames ships as its default CC).
+    // Plain min-label propagation over a FIXED edge list needs
+    // O(diameter) rounds no matter how many pointer jumps accelerate the
+    // label chains — measured on the sf0.1 embedding-cluster graph
+    // (near-threshold cosine chains, scattered ids): 16 rounds with 1, 2
+    // or 4 jumps alike, because the min must physically flood the
+    // original edges one hop per round. Naive "relabel edges by the
+    // grouped min" contraction is no better on chains (a path only loses
+    // its ends each round). The alternating star operations restructure
+    // the edge set itself:
+    //   large-star(u): connect every neighbor v > u to m(u) = min(N(u)∪u)
+    //   small-star(u): connect every neighbor v < u (and u) to the least
+    //                  of them
+    // which provably converges in O(log n) rounds on EVERY graph, with
+    // the fixpoint being one star per component rooted at the component
+    // minimum — same embedding graph: 16 → 3 rounds, 200-node path: 7.
+    // At 100 TB the round shape is what matters: both phases are
+    // map-side-combinable grouped mins plus an equi-join back — no
+    // windows, AQE-splittable — and the edge set collapses toward one
+    // edge per non-root node almost immediately, so later rounds join
+    // star sets, not the corpus-sized pair list.
+    //
+    // Canonical storage: (lo, hi) with lo < hi, one row per undirected
+    // edge (half the rows of the mirrored form the propagate loop
+    // needed). Stats pinned per round via [[CheckpointStats]]: checkpoint
+    // leaves otherwise inherit the pre-checkpoint plan's size estimate,
+    // which an iterative self-referencing loop compounds exponentially
+    // until optimizer stats walks grind on million-bit BigInt products
+    // (measured: q_dedup_embcluster seconds → >7 min at sf0.1).
+    val canon0 = e.select(least(col("u"), col("v")).as("lo"),
+        greatest(col("u"), col("v")).as("hi"))
       .distinct().localCheckpoint()
-    val sym = CheckpointStats.withRowCount(sym0, sym0.count(), 24)
-    // seed with min(self, neighbors) — the first propagate round folded
-    // into initialization (one grouped min on the mirrored edges), which
-    // saves a full checkpoint+witness cycle on star-shaped dup clusters
-    var labels = sym.groupBy(col("u").as("node"))
-      .agg(min(col("v")).as("__nm"))
-      .select(col("node"), least(col("node"), col("__nm")).as("comp"))
-      .localCheckpoint()
-    // label sum as the fixpoint witness; decimal(38,0): a long sum can
-    // overflow once node-id × node-count crosses 2^63 (real at 100 TB).
-    // An empty label frame (no edges at all) sums to SQL null — normalize
-    // to zero so the fixpoint compare terminates instead of NPE-ing.
-    // The same pass counts the rows — the honest size the round's
-    // checkpoints get pinned to (the node set never changes).
-    def witness(l: DataFrame): (java.math.BigDecimal, Long) = {
-      val r = l.agg(sum(col("comp").cast("decimal(38,0)")), count(lit(1))).head
-      val d = r.getDecimal(0)
-      (if (d == null) java.math.BigDecimal.ZERO else d, r.getLong(1))
+    var nEdges = canon0.count()
+    var canon = CheckpointStats.withRowCount(canon0, nEdges, 24)
+    // convergence witness: the star fixpoint leaves the edge SET
+    // unchanged; (count, order-free hash sum) detects that exactly in
+    // the same pass that counts rows for the stats pin
+    def witness(c: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = c.agg(count(lit(1)),
+        sum(xxhash64(col("lo"), col("hi")).cast("decimal(38,0)"))).head
+      val d = r.getDecimal(1)
+      (r.getLong(0), if (d == null) java.math.BigDecimal.ZERO else d)
     }
-    var (prev, nNodes) = witness(labels)
-    labels = CheckpointStats.withRowCount(labels, nNodes, 24)
+    var prev = (nEdges, java.math.BigDecimal.valueOf(-1))
     var iter = 0
-    var converged = false
+    var converged = nEdges == 0
     while (!converged && iter < maxIter) {
-      // propagate: comp'(u) = min(comp(u), min over neighbors v of comp(v))
-      val nbrMin = sym.as("e")
-        .join(labels.as("l"), col("e.v") === col("l.node"))
-        .groupBy(col("e.u").as("node")).agg(min(col("l.comp")).as("nmin"))
-      val prop = labels.as("l")
-        .join(nbrMin.as("m"), col("l.node") === col("m.node"), "left")
-        .select(col("l.node").as("node"),
-          least(col("l.comp"), coalesce(col("m.nmin"), col("l.comp"))).as("comp"))
-      // materialize the propagate result BEFORE jumping: the jumps below
-      // self-join their input, and every reference to an un-checkpointed
-      // `prop` re-runs the edge join above — the expensive step of the
-      // round. Checkpointed, the edge join runs exactly ONCE per round
-      // and the jumps join a two-long-column frame. Pinned stats: prop
-      // is a 1:1 left join on the label frame, so its row count is
-      // nNodes by construction — without the pin, each round's inherited
-      // estimate compounds multiplicatively through the self-joins and
-      // the optimizer's stats walks end up doing million-bit BigInt
-      // multiplication (measured: q_dedup_embcluster seconds → >7 min).
-      val p = CheckpointStats.withRowCount(prop.localCheckpoint(), nNodes, 24)
-      // pointer jump: comp''(u) = min(comp'(u), comp'(comp'(u))) — label
-      // values are themselves node ids, so each extra self-join halves
-      // the remaining pointer depth (this is what makes the loop
-      // O(log d)). TWO jumps per round: a jump is a join on the tiny
-      // checkpointed (node, comp) frame — far cheaper than the edge-join
-      // propagate step — and chain-shaped duplicate graphs
-      // (near-threshold cosine links) otherwise dominate the round count
-      def jump(l: DataFrame): DataFrame = l.as("a")
-        .join(l.select(col("node").as("jn"), col("comp").as("jc")).as("j"),
-          col("a.comp") === col("j.jn"), "left")
-        .select(col("a.node").as("node"),
-          least(col("a.comp"), coalesce(col("j.jc"), col("a.comp"))).as("comp"))
-      val jumped = jump(jump(p)).localCheckpoint()
-      p.unpersist(blocking = false)
-      val (cur, _) = witness(jumped)
-      converged = cur.compareTo(prev) == 0
-      prev = cur
-      // the superseded round's checkpoint blocks are dead the moment the
-      // new frame is materialized — at cluster scale, 30 retained copies
-      // of a per-node frame is real storage pressure
-      labels.unpersist(blocking = false)
-      labels = CheckpointStats.withRowCount(jumped, nNodes, 24)
+      // LARGE-STAR over the mirrored view: m(u) = min(N(u) ∪ u); emit
+      // (m(u), v) for every neighbor v > u. v > u >= m(u), so the pair
+      // is already canonical and never a self-loop. Not materialized:
+      // duplicates don't change the small-star grouped min below and the
+      // round's final distinct removes them, while both small-star
+      // consumers shuffle `ls` by hi — the same exchange, so Catalyst
+      // reuses it and the phase costs one extra scan of the pinned
+      // canon leaf at most.
+      val both = canon.select(col("lo").as("u"), col("hi").as("v"))
+        .union(canon.select(col("hi").as("u"), col("lo").as("v")))
+      val mFull = both.groupBy(col("u"))
+        .agg(min(col("v")).as("__nm"))
+        .select(col("u"), least(col("u"), col("__nm")).as("m"))
+      val ls = both.join(mFull, "u")
+        .where(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+      // SMALL-STAR on the high endpoint: every hi's smaller neighbors
+      // (and hi itself) connect to the least of them. Canonical output:
+      // the target m is the group min, so m <= lo < hi on both shapes.
+      val mS = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val ss0 = ls.join(mS, "hi")
+        .where(col("lo") =!= col("m"))
+        .select(col("m").as("lo"), col("lo").as("hi"))
+        .union(mS.select(col("m").as("lo"), col("hi")))
+        .distinct().localCheckpoint()
+      canon.unpersist(blocking = false)
+      val (n2, h2) = witness(ss0)
+      canon = CheckpointStats.withRowCount(ss0, n2, 24)
+      converged = n2 == 0 || (n2 == prev._1 && h2.compareTo(prev._2) == 0)
+      prev = (n2, h2)
+      nEdges = n2
       iter += 1
     }
-    sym.unpersist(blocking = false)
     e.unpersist(blocking = false)
-    // scale diagnostics: rounds is the O(log d) witness — it should stay
+    // at the star fixpoint every edge is (componentMin, member); roots
+    // appear only on the lo side and map to themselves
+    val labels = canon.select(col("hi").as("node"), col("lo").as("comp"))
+      .union(canon.select(col("lo").as("node"), col("lo").as("comp")))
+      .distinct()
+    // scale diagnostics: rounds is the O(log n) witness — it should stay
     // flat as data replicates (components get wider, not deeper)
     System.err.println(s"[cc] rounds=$iter converged=$converged")
     labels
