@@ -11,7 +11,7 @@ import graft.joins.{AsOfJoin, BinnedIntervalJoin, FindContainingInterval, Interv
 import graft.multimodal.Media
 import graft.resample.{MakeWindows, ResampleEav, ResampleInterval}
 import graft.similarity.{CosineTopK, EmbeddingDedup, IvfAnn, LshAnn, SemDedup}
-import graft.text.{Bm25, Fingerprint, LangId, Shingles, TextStats, VocabStats}
+import graft.text.{Bm25, Fingerprint, LangId, QualityFilter, Shingles, TextStats, VocabStats}
 import graft.windows.{Impute, PrevNextSpec, PrevNextValues}
 
 /** Declared output schema for the [[graft.resample.ResampleEav.flatMapWindows]]
@@ -1021,6 +1021,21 @@ object SparkEntry {
           "es" -> 0.1, "zh" -> 0.05),
         total = 200L, seed = 7L)
 
+  /** Temperature-scaled (α = 0.5) language rebalancing: quotas derive
+    * from the corpus's own counts (count^α / Σ count^α), so the head
+    * language shrinks relatively and the tails keep more of their rows.
+    * Margin check: the quotas' fractional parts sit ≥ 0.24 from an
+    * integer boundary at every gate scale, so the libm `pow` ulp caveat
+    * on [[graft.sample.Sampling.temperature]] cannot flip a row.
+    */
+  private val q_sample_temperature: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.sample.Sampling.temperature(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        strataCol = "lang", idCol = "doc_id",
+        alpha = 0.5, total = 150L, seed = 11L)
+        .select(col("lang"), col("doc_id"))
+
   /** Token-budget plan: 50k-char budget at 40/30/20/10 weights over four
     * sources, repetition capped at 2 epochs. */
   private val q_token_plan: (SparkSession, String) => DataFrame =
@@ -1133,6 +1148,25 @@ object SparkEntry {
     (s, dir) =>
       LangId.assign(docs(s, dir), "text")
         .select(col("doc_id"), col("lang_guess"))
+
+  /** Gopher-rules composite quality gate with thresholds tuned to give
+    * the synthetic corpus mixed outcomes on the token rules; the
+    * line-level rules (bullets, ellipses, symbols) are structurally
+    * always-pass here — no newlines or punctuation in the corpus — and
+    * are exercised by the PipelineSpecs fixture instead.
+    */
+  private val q_quality_gate: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val t = QualityFilter.GopherThresholds(
+        minTokens = 30, maxTokens = 90, minMeanLen = 3.0, maxMeanLen = 4.3,
+        minStopwords = 2)
+      QualityFilter.gopher(docs(s, dir), "text", t)
+        .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
+          col("symbol_ratio"), col("alpha_frac"), col("n_stopwords"),
+          col("r_n_tokens"), col("r_mean_token_len"), col("r_symbol_ratio"),
+          col("r_alpha_frac"), col("r_n_stopwords"),
+          col("passes"), col("reason"))
+    }
 
   /** Gopher-style repetition quality signals (token + top-2-gram level;
     * the corpus has no newlines, so the line-level signals are covered by
@@ -1584,6 +1618,8 @@ object SparkEntry {
     "q_text_chunks"         -> q_text_chunks,
     "q_lm_score"            -> q_lm_score,
     "q_text_stats"          -> q_text_stats,
+    "q_quality_gate"        -> q_quality_gate,
+    "q_sample_temperature"  -> q_sample_temperature,
     "q_text_repetition"     -> q_text_repetition,
     "q_contamination"       -> q_contamination,
     "q_text_scrub"          -> q_text_scrub,
@@ -2367,6 +2403,21 @@ object SparkEntry {
         |  FROM documents)
         |SELECT r.lang, r.doc_id FROM r JOIN q ON r.lang = q.lang
         |WHERE r.rn <= q.quota""".stripMargin,
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*)::DOUBLE AS c FROM documents GROUP BY 1),
+        |z AS (SELECT SUM(pow(c, 0.5)) AS z FROM c),
+        |q AS (SELECT lang,
+        |        CAST(LEAST(FLOOR(150 * pow(c.c, 0.5) / z.z), c.c) AS BIGINT)
+        |          AS quota
+        |      FROM c CROSS JOIN z),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+        |      ('0x' || substring(md5(CONCAT_WS('#', 11, doc_id)), 1, 15))::BIGINT,
+        |      doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.lang, r.doc_id FROM r JOIN q ON r.lang = q.lang
+        |WHERE r.rn <= q.quota""".stripMargin,
     "q_token_plan" ->
       """WITH w(source, wt) AS (VALUES ('src0', 0.4), ('src1', 0.3),
         |                             ('src2', 0.2), ('src3', 0.1)),
@@ -2501,6 +2552,40 @@ object SparkEntry {
         |SELECT doc_id AS did, w AS term, tf, df,
         |       ROUND(tfidf + 1e-9, 6) + 0.0 AS tfidf
         |FROM r WHERE rn <= 3""".stripMargin,
+    "q_quality_gate" ->
+      s"""WITH d AS (SELECT doc_id, text, $ToksExpr AS tk FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(tk) AS n_tokens,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |         ELSE list_aggregate(list_transform(tk, x -> len(x)), 'sum')::DOUBLE
+        |              / len(tk) END AS mean_token_len,
+        |    (len(text) - len(replace(text, '#', ''))
+        |      + len(regexp_extract_all(text, '\\.{3}|…')))::DOUBLE
+        |      / GREATEST(len(tk), 1) AS symbol_ratio,
+        |    len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+        |      / GREATEST(len(tk), 1) AS alpha_frac,
+        |    len(list_filter(['the','a','an','and','or','of','to','in','is','are',
+        |                     'was','for','on','with','as','by','at','it','that',
+        |                     'this'], w -> list_contains(tk, w))) AS n_stopwords
+        |  FROM d)
+        |SELECT doc_id, n_tokens, mean_token_len, symbol_ratio, alpha_frac,
+        |  n_stopwords,
+        |  CASE WHEN n_tokens >= 30 AND n_tokens <= 90 THEN 1 ELSE 0 END
+        |    AS r_n_tokens,
+        |  CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 4.3 THEN 1
+        |       ELSE 0 END AS r_mean_token_len,
+        |  CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS r_symbol_ratio,
+        |  CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS r_alpha_frac,
+        |  CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END AS r_n_stopwords,
+        |  r_n_tokens * r_mean_token_len * r_symbol_ratio * r_alpha_frac
+        |    * r_n_stopwords AS passes,
+        |  CASE WHEN r_n_tokens = 0 THEN 'n_tokens'
+        |       WHEN r_mean_token_len = 0 THEN 'mean_token_len'
+        |       WHEN r_symbol_ratio = 0 THEN 'symbol_ratio'
+        |       WHEN r_alpha_frac = 0 THEN 'alpha_frac'
+        |       WHEN r_n_stopwords = 0 THEN 'n_stopwords'
+        |       ELSE NULL END AS reason
+        |FROM s""".stripMargin,
     "q_text_stats" ->
       s"""WITH d AS (SELECT doc_id, text, $ToksExpr AS tk FROM documents)
         |SELECT doc_id, len(tk) AS n_tokens,

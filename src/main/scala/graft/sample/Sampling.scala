@@ -98,6 +98,58 @@ object Sampling {
       .drop("__graft_rank", "__graft_quota")
   }
 
+  /** Temperature-scaled source mixing: the standard multilingual recipe
+    * (exponential smoothing, cf. the mBERT/XLM sampling scheme) where
+    * stratum `s` gets probability `count(s)^alpha / Σ count(t)^alpha`.
+    * `alpha = 1` reproduces the natural distribution, `alpha → 0`
+    * approaches uniform — between, head strata (English, CommonCrawl)
+    * shrink and tail strata are upsampled RELATIVELY without ever
+    * repeating rows: quotas are capped by availability, so an
+    * over-allocated tail stratum simply keeps everything.
+    *
+    * Unlike [[mixture]], the weights come from the DATA — counts
+    * aggregate in-engine (one map-side-combined groupBy, a 1-row
+    * normalizer broadcast back), so nothing collects to the driver and
+    * the same call runs at any corpus size. Selection is the same
+    * engine-portable md5 rank cut as [[stratified]]: deterministic in
+    * `seed`, monotone in `total`.
+    *
+    * Exactness note: `pow(count, alpha)` is IEEE-double libm territory —
+    * engines may differ in the last ulp, so a quota sitting EXACTLY on
+    * an integer boundary could differ across engines. Real corpora are
+    * nowhere near such knife edges; differential harnesses should check
+    * margins (the driver query's fractional parts are all ≥ 0.2 from a
+    * boundary at every gate scale).
+    */
+  def temperature(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      alpha: Double,
+      total: Long,
+      seed: Long = 42L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "need 0 < alpha <= 1")
+    require(total > 0, "total must be positive")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__graft_c"))
+    val z = counts.agg(
+      sum(pow(col("__graft_c"), alpha)).as("__graft_z"))
+    val quotas = counts.crossJoin(broadcast(z))
+      .select(col(strataCol),
+        // cap at availability: floor(total·w) can exceed the stratum
+        // only when other strata are under-allocated
+        least(
+          floor(lit(total) * pow(col("__graft_c"), alpha) / col("__graft_z"))
+            .cast("long"),
+          col("__graft_c")).as("__graft_quota"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5Rank(col(idCol), seed).asc, col(idCol).asc)
+    df.join(broadcast(quotas), Seq(strataCol))
+      .withColumn("__graft_rank", row_number().over(w))
+      .filter(col("__graft_rank") <= col("__graft_quota"))
+      .drop("__graft_rank", "__graft_quota")
+  }
+
   /** Deterministic Bernoulli-by-hash filter: keep a row iff its md5
     * uniform falls below `p`. Unlike `df.sample` this is a pure
     * PROJECTION — no RNG state, no partition sensitivity — so it is

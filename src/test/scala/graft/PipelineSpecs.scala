@@ -729,6 +729,74 @@ class PipelineSpecs extends SparkSuite {
     assert(capped.count() == 10L)
   }
 
+  test("temperature sampling: alpha flattens the head, caps, determinism") {
+    import graft.sample.Sampling
+    // en 64, de 16, zz 4 — sqrt smoothing gives 8 : 4 : 2 proportions
+    val df = ((0L until 64L).map((_, "en")) ++ (64L until 80L).map((_, "de")) ++
+      (80L until 84L).map((_, "zz"))).toDF("id", "lang")
+    val out = Sampling.temperature(df, "lang", "id",
+      alpha = 0.5, total = 14L, seed = 3L)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // z = 8+4+2 = 14: quotas floor(14·8/14)=8, floor(14·4/14)=4, floor(...)=2
+    assert(counts == Map("en" -> 8L, "de" -> 4L, "zz" -> 2L))
+    // alpha = 1 reproduces the natural proportions
+    val nat = Sampling.temperature(df, "lang", "id",
+      alpha = 1.0, total = 21L, seed = 3L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nat == Map("en" -> 16L, "de" -> 4L, "zz" -> 1L))
+    // availability cap: a huge total keeps every row exactly once
+    assert(Sampling.temperature(df, "lang", "id", 0.5, 10000L).count() == 84L)
+    // determinism under repartition
+    val again = Sampling.temperature(df.repartition(7), "lang", "id",
+      alpha = 0.5, total = 14L, seed = 3L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.temperature(df, "lang", "id", alpha = 0.0, total = 10L)
+    }
+  }
+
+  test("quality gate: each gopher rule flips on its own fixture, reason order") {
+    import graft.text.QualityFilter
+    import graft.text.QualityFilter.GopherThresholds
+    val good = ("good", ("the quick brown fox jumps over the lazy dog and " +
+      "then it runs off to the river bank ") * 3)
+    val docs = Seq(
+      good,
+      ("short", "the a it"),                               // n_tokens < min
+      ("salad", ("a " * 60).trim),                         // mean len < 3
+      ("hashy", good._2 + " " + ("# " * 12).trim),         // symbol ratio
+      ("bullets", (1 to 10).map(i =>
+        s"- bullet item number $i from listing").mkString("\n")),
+      ("dots", (1 to 10).map(i =>
+        s"the long line number $i just keeps trailing gently off...")
+        .mkString("\n")),
+      ("numeric", good._2 + " " + ((100 to 199).map(_.toString).mkString(" "))),
+      ("nostop", ("quick brown fox jump river bank green tree " * 8).trim)
+    ).toDF("id", "text")
+    val t = GopherThresholds(minTokens = 20, maxTokens = 500,
+      maxBulletFrac = 0.5, maxEllipsisFrac = 0.5)
+    val out = QualityFilter.gopher(docs, "text", t)
+      .select("id", "passes", "reason").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out("good") == (1, null))
+    assert(out("short") == (0, "n_tokens"))
+    assert(out("salad") == (0, "mean_token_len"))
+    assert(out("hashy") == (0, "symbol_ratio"))
+    assert(out("bullets") == (0, "bullet_frac"))
+    assert(out("dots") == (0, "ellipsis_frac"))
+    assert(out("numeric") == (0, "alpha_frac"))
+    assert(out("nostop") == (0, "n_stopwords"))
+    // reason reports the FIRST failing rule: 'short' also lacks
+    // stopword variety, but the length rule precedes it
+    // keep() returns passers with the original schema
+    val kept = QualityFilter.keep(docs, "text", t)
+    assert(kept.columns.toSeq == Seq("id", "text"))
+    assert(kept.select("id").collect().map(_.getString(0)).toSeq == Seq("good"))
+  }
+
   test("token budget: plan caps by epochs, sampling overshoots once then stops") {
     import graft.sample.TokenBudget
     val docs = ((0L until 10L).map(i => ("a", i, 10L)) ++

@@ -143,8 +143,9 @@ class PlanSpecs extends SparkSuite {
     // vocab size) — scalar broadcasts, not data-sized nested loops
     // q_ann_q8 = q_ann_topk's plan on int8 codes (broadcast query loop)
     // q_tfidf / q_skew cross-join 1-row corpus-total frames, like q_bm25
+    // q_sample_temperature cross-joins the 1-row pow-sum normalizer
     val intended = Set("q_cross_join", "q_ann_topk", "q_ann_q8",
-      "q_bm25", "q_lm_score", "q_tfidf", "q_skew")
+      "q_bm25", "q_lm_score", "q_tfidf", "q_skew", "q_sample_temperature")
     for (name <- SparkEntry.queries.keys if !intended(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian")
