@@ -1,8 +1,9 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointStats
 
 /** Corpus-level line deduplication (the C4 / RefinedWeb cleaning step):
   * drop every line whose exact text occurs in at least `minDocs`
@@ -16,16 +17,23 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: one (line → doc-frequency) aggregation with map-side
   * combine; with a high `minDocs` the frequent-line set is the head of a
-  * Zipfian distribution — tiny, and AQE converts the anti-join to a
-  * broadcast join at runtime from its MEASURED size. The hint is
-  * deliberately NOT hard-coded: at the default `minDocs = 2` the set is
+  * Zipfian distribution — tiny; at the default `minDocs = 2` it is
   * every line occurring twice — unbounded at corpus scale, where a
-  * forced broadcast would OOM the driver; a shuffled left_anti is the
-  * safe default and AQE upgrades it exactly when legal. Reassembly is
-  * one `groupBy(id)` with `collect_list` bounded by per-document line
-  * counts — no global sort, no driver collection. Three shuffles total
-  * at any corpus size, all on keys with bounded skew (a line that occurs
-  * everywhere still reduces through partial aggregation first).
+  * forced broadcast would OOM the driver. So the broadcast decision is
+  * MEASURED, not hinted: the frequent set is checkpointed (it must be
+  * computed either way), its real row count and byte size are read off
+  * the materialized blocks, and [[CheckpointStats]] pins them on the
+  * leaf — the planner then picks broadcast vs shuffle for the anti-join
+  * from honest statistics under the session's own
+  * `autoBroadcastJoinThreshold`. (AQE alone does NOT recover the
+  * broadcast here: it converts only after both shuffle map stages ran,
+  * so the probe side — every line in the corpus — pays its shuffle
+  * write first; pinned leaf stats move the decision before any
+  * exchange is planned.) Reassembly is one `groupBy(id)` with
+  * `collect_list` bounded by per-document line counts — no global sort,
+  * no driver collection. At most three shuffles total at any corpus
+  * size, all on keys with bounded skew (a line that occurs everywhere
+  * still reduces through partial aggregation first).
   */
 object LineDedup {
 
@@ -55,14 +63,24 @@ object LineDedup {
     val eligible = length(col("__graft_line")) >= minLineChars
 
     // frequent-line set: no broadcast hint — its size is data-dependent
-    // (unbounded at minDocs=2), so AQE picks broadcast vs shuffle from
-    // the measured post-aggregation size instead of a forced hint
-    val frequent = lines
+    // (unbounded at minDocs=2). Materialize it once (it is needed either
+    // way), then pin its MEASURED row count + byte size on the
+    // checkpoint leaf so the planner decides broadcast vs shuffle from
+    // real statistics rather than a guess or a forced hint.
+    val freqRaw = lines
       .filter(eligible)
       .groupBy("__graft_line")
       .agg(count_distinct(col(idCol)).as("__graft_df"))
       .filter(col("__graft_df") >= minDocs)
       .select("__graft_line")
+      .localCheckpoint()
+    val Row(nFreq: Long, freqBytes: Long) = freqRaw
+      .agg(count(lit(1)).cast("long"),
+        coalesce(sum(length(col("__graft_line"))), lit(0L)).cast("long"))
+      .head()
+    // +32 B/row: UTF8String + unsafe-row overhead on top of raw chars
+    val frequent = CheckpointStats.withRowCount(freqRaw, nFreq,
+      if (nFreq == 0) 1L else freqBytes / nFreq + 32L)
 
     val kept = lines
       .filter(eligible)

@@ -128,6 +128,35 @@ class PlanSpecs extends SparkSuite {
       s"closure stats not pinned: sizeInBytes has ${size.bitLength} bits")
   }
 
+  test("line dedup: measured frequent-set stats drive the anti-join strategy") {
+    // LineDedup pins the REAL (row count, bytes) of the materialized
+    // frequent-line set on its checkpoint leaf, so the STATIC planner —
+    // not a hard-coded hint, not a post-shuffle AQE rescue — chooses the
+    // anti-join strategy under the session's own broadcast threshold.
+    import graft.text.LineDedup
+    import spark.implicits._
+    val df = (0L until 64L)
+      .map(i => (i, s"COMMON BOILERPLATE LINE\nunique prose $i"))
+      .toDF("doc_id", "text")
+    def antiJoinPlan(): String =
+      LineDedup(df, "doc_id", "text", "\n", minDocs = 32)
+        .queryExecution.sparkPlan.toString
+    // tiny measured set + default 10m threshold => broadcast anti-join,
+    // already in the INITIAL plan (no AQE conversion needed)
+    val p = antiJoinPlan()
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"small frequent set did not broadcast:\n$p")
+    // broadcast disabled => honest fallback to a shuffled anti-join;
+    // proves the broadcast is threshold-gated, never forced
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = antiJoinPlan()
+      assert(!q.contains("BroadcastHashJoin"),
+        s"anti-join broadcast is forced, not threshold-gated:\n$q")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("factorize numbering stays in Tungsten (no RDD scan in the plan)") {
     val p = plan("q_factorize")
     assert(!p.contains("ExistingRDD"), "factorize round-trips through an RDD")
