@@ -458,6 +458,35 @@ class PipelineSpecs extends SparkSuite {
     assert(byId(5L)._2 == 5L && byId(5L)._3 == 1L)
   }
 
+  test("semantic dedup: collapsed quantizer refuses; dropOversized degrades to singletons") {
+    // one centroid = every vector lands in one cell — the degenerate
+    // quantizer that would silently reintroduce the corpus-quadratic
+    // kernel. maxCell must refuse it loudly...
+    val model = graft.similarity.IvfAnn.Model(Seq(Seq(1.0, 0.0)))
+    val docs = (0L until 8L).map(i => (i, Array(1.0, i * 0.001)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.similarity.SemDedup(
+        docs, "vec_id", "embedding", model, threshold = 0.9, maxCell = 4)
+    }
+    assert(e.getMessage.contains("maxCell") && e.getMessage.contains("nlist"))
+    // ...and with the explicit opt-in, drop the fat cell: every document
+    // survives as its own singleton cluster (un-deduped, never lost)
+    val dropped = graft.similarity.SemDedup(
+      docs, "vec_id", "embedding", model, threshold = 0.9,
+      maxCell = 4, dropOversized = true)
+      .select("vec_id", "cluster_id", "cluster_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dropped.length == 8)
+    assert(dropped.forall { case (id, cid, n) => cid == id && n == 1L })
+    // a healthy cell under the same maxCell still dedups normally
+    val ok = graft.similarity.SemDedup(
+      docs.limit(3), "vec_id", "embedding", model, threshold = 0.9,
+      maxCell = 4)
+      .select("cluster_id").distinct().count()
+    assert(ok == 1L)
+  }
+
   test("keyless all-pairs dedup fails loudly without allowCartesian") {
     val vecs = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)))
       .toDF("vec_id", "embedding")
