@@ -1,9 +1,9 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.CheckpointStats
+import org.apache.spark.sql.graft.{CheckpointStats, ObservedMetrics}
 
 /** Connected components over a near-duplicate pair graph, and cluster
   * assignment for a document corpus.
@@ -23,9 +23,8 @@ import org.apache.spark.sql.graft.CheckpointStats
   * longs per node — tiny next to the corpus — and is localCheckpoint'ed
   * every round to truncate lineage (an iterative plan would otherwise grow
   * without bound and recompute every prior round). Convergence detection
-  * is a single scalar aggregate per round (labels are monotonically
-  * non-increasing, so the label sum is a fixpoint witness), not a collect
-  * of data.
+  * is a scalar (count, hash-sum) witness observed DURING each round's
+  * checkpoint job — one job per round, no collect of data.
   */
 object ConnectedComponents {
 
@@ -37,14 +36,9 @@ object ConnectedComponents {
     */
   def apply(edges: DataFrame, srcCol: String, dstCol: String,
             maxIter: Int = 30): DataFrame = {
-    // materialize the edge list BEFORE mirroring: `edges` is typically an
-    // expensive pair-generation pipeline (LSH banding, Jaccard verify),
-    // and the union below references it twice — without the barrier the
-    // whole pipeline would run once per orientation
     val e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-      .localCheckpoint()
     // Alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et al.,
     // SoCC'14 — the algorithm GraphFrames ships as its default CC).
     // Plain min-label propagation over a FIXED edge list needs
@@ -75,21 +69,42 @@ object ConnectedComponents {
     // which an iterative self-referencing loop compounds exponentially
     // until optimizer stats walks grind on million-bit BigInt products
     // (measured: q_dedup_embcluster seconds → >7 min at sf0.1).
-    val canon0 = e.select(least(col("u"), col("v")).as("lo"),
-        greatest(col("u"), col("v")).as("hi"))
-      .distinct().localCheckpoint()
-    var nEdges = canon0.count()
-    var canon = CheckpointStats.withRowCount(canon0, nEdges, 24)
-    // convergence witness: the star fixpoint leaves the edge SET
-    // unchanged; (count, order-free hash sum) detects that exactly in
-    // the same pass that counts rows for the stats pin
-    def witness(c: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = c.agg(count(lit(1)),
-        sum(xxhash64(col("lo"), col("hi")).cast("decimal(38,0)"))).head
-      val d = r.getDecimal(1)
-      (r.getLong(0), if (d == null) java.math.BigDecimal.ZERO else d)
+    // Convergence witness: the star fixpoint leaves the edge SET
+    // unchanged; (count, order-free hash sum) detects that exactly.
+    // The witness rides the checkpoint materialization itself as
+    // observed metrics (localCheckpoint runs through withAction, so
+    // `observe` accumulators ARE collected — see [[ObservedMetrics]]):
+    // one job per round, not checkpoint + witness. The expensive
+    // pair-generation pipeline feeding `edges` is evaluated exactly
+    // once, inside the first checkpoint — no separate edge-list
+    // materialization pass.
+    def checkpointWitnessed(df: DataFrame)
+        : (DataFrame, Long, java.math.BigDecimal) = {
+      val obs = Observation()
+      val ck = df.observe(obs, count(lit(1)).as("n"),
+          sum(xxhash64(col("lo"), col("hi")).cast("decimal(38,0)")).as("h"))
+        .localCheckpoint()
+      val (n, h) = ObservedMetrics.poll(obs) match {
+        case Some(m) =>
+          (m("n").asInstanceOf[Long],
+            Option(m("h")).map(_.asInstanceOf[java.math.BigDecimal])
+              .getOrElse(java.math.BigDecimal.ZERO))
+        case None => // listener never delivered — pay the explicit job
+          val r = ck.agg(count(lit(1)),
+            sum(xxhash64(col("lo"), col("hi")).cast("decimal(38,0)"))).head
+          (r.getLong(0),
+            Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+      }
+      (CheckpointStats.withRowCount(ck, n, 24), n, h)
     }
-    var prev = (nEdges, java.math.BigDecimal.valueOf(-1))
+    val (canon0, n0, h0) = checkpointWitnessed(
+      e.select(least(col("u"), col("v")).as("lo"),
+        greatest(col("u"), col("v")).as("hi")).distinct())
+    var canon = canon0
+    var nEdges = n0
+    // seeding prev with the REAL initial witness lets an
+    // already-converged input (a star graph) finish after one round
+    var prev = (n0, h0)
     var iter = 0
     var converged = nEdges == 0
     while (!converged && iter < maxIter) {
@@ -117,16 +132,16 @@ object ConnectedComponents {
         .where(col("lo") =!= col("m"))
         .select(col("m").as("lo"), col("lo").as("hi"))
         .union(mS.select(col("m").as("lo"), col("hi")))
-        .distinct().localCheckpoint()
-      canon.unpersist(blocking = false)
-      val (n2, h2) = witness(ss0)
-      canon = CheckpointStats.withRowCount(ss0, n2, 24)
+        .distinct()
+      val old = canon
+      val (c2, n2, h2) = checkpointWitnessed(ss0) // materializes from old
+      old.unpersist(blocking = false)
+      canon = c2
       converged = n2 == 0 || (n2 == prev._1 && h2.compareTo(prev._2) == 0)
       prev = (n2, h2)
       nEdges = n2
       iter += 1
     }
-    e.unpersist(blocking = false)
     // at the star fixpoint every edge is (componentMin, member); roots
     // appear only on the lo side and map to themselves
     val labels = canon.select(col("hi").as("node"), col("lo").as("comp"))
