@@ -95,6 +95,14 @@ object ResampleEav {
     *                   exact percentile buffers every value; exact
     *                   distinct triggers an Expand). Results are
     *                   approximate — keep `false` when oracle-comparing
+    * @param optimize   API parity with the reference's
+    *                   `optimize="time"/"memory"` (resampling.py:113-118),
+    *                   which sizes ITS hand-built join/sort batches
+    *                   (`MAX_ROWS`). Validated, then ignored: Spark sizes
+    *                   and spills those batches itself (Tungsten
+    *                   spillable aggregation + AQE), so both spellings
+    *                   produce the identical plan; the genuine
+    *                   memory-for-accuracy knob here is `approx`
     * @return `windows` + one `{attr}_{agg}` column per requested pair
     */
   def apply(
@@ -110,8 +118,11 @@ object ResampleEav {
       includeStart: Boolean = true,
       includeStop: Boolean = false,
       customAgg: Map[String, Seq[CustomAgg.Spec]] = Map.empty,
-      approx: Boolean = false): DataFrame = {
+      approx: Boolean = false,
+      optimize: String = "time"): DataFrame = {
 
+    require(optimize == "time" || optimize == "memory",
+      s"optimize must be 'time' or 'memory', got '$optimize'")
     require(agg.nonEmpty || customAgg.nonEmpty, "empty agg spec")
     require(attrCol.isDefined || (agg.keySet ++ customAgg.keySet).size == 1,
       "attrCol=None requires a single-attribute agg spec")

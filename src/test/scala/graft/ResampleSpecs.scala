@@ -116,6 +116,23 @@ class ResampleSpecs extends SparkSuite {
     }
   }
 
+  test("resample_eav: optimize='time'/'memory' agree; junk spelling raises") {
+    // reference parity (resampling.py:113-118): optimize sizes the
+    // reference's hand-built batches; Spark sizes and spills its own, so
+    // both spellings must yield identical results — and typos must not
+    // silently pass
+    def run(opt: String) = ResampleEav(
+      obs, wins,
+      agg = Map("a" -> Seq("mean", "p50"), "b" -> Seq("nunique")),
+      timeCol = "t", valueCol = "v", entityCol = Some("e"),
+      attrCol = Some("attr"), wStartCol = Some("ws"), wStopCol = Some("wt"),
+      optimize = opt)
+      .orderBy("e", "ws").collect().toSeq
+    assert(run("time") == run("memory"))
+    val e = intercept[IllegalArgumentException] { run("speed") }
+    assert(e.getMessage.contains("optimize"))
+  }
+
   test("resample_eav: rank aggs rXX/tXX incl. negative and out-of-range") {
     val out = ResampleEav(
       obs, wins,
