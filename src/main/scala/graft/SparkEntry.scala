@@ -1192,6 +1192,42 @@ object SparkEntry {
           conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast("long")))
     }
 
+  /** The zero-state STREAMING decontamination gate executed in batch:
+    * [[graft.text.Contamination.perRow]] is a pure projection (in-row
+    * gram hashes merge-intersected against the broadcast eval-key
+    * array), so the identical plan serves `readStream` unchanged — this
+    * row puts it under the driver's DuckDB gate alongside its
+    * MemoryStream spec. The oracle recomputes the counts from raw gram
+    * STRINGS (no hashes), so agreement also witnesses that the 64-bit
+    * gram hashing is collision-free on this corpus.
+    */
+  private val q_contamination_perrow: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val d = docs(s, dir)
+      val keys = graft.text.Contamination.evalGramKeys(
+        d.filter(col("doc_id") % 50 === 0), "text", n = 3)
+      graft.text.Contamination.perRow(
+        d.filter(col("doc_id") % 50 =!= 0), "text", keys, n = 3)
+        .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+          col("contamination_frac"))
+    }
+
+  /** The streaming sessionizer executed in batch:
+    * [[graft.streaming.StreamingOps.sessionize]] is a pure
+    * `session_window` plan (withWatermark is a no-op on bounded input),
+    * so the same code path the MemoryStream spec drives incrementally is
+    * here checked against a gaps-and-islands DuckDB oracle. The float
+    * session sum rounds on both sides (summation-order noise).
+    */
+  private val q_sessionize: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.streaming.StreamingOps.sessionize(
+        t(s, dir, "events").select(col("ts"), col("user_id"), col("value")),
+        "ts", "user_id", "value", gap = "30 minutes",
+        watermark = "0 seconds")
+        .select(col("user_id"), col("session_start"), col("session_stop"),
+          col("n_events"), r6(col("v_sum")).as("v_sum"))
+
   /** GPT-style sequence packing: documents in doc_id order concatenated
     * and cut into 128-token packs; one row per (doc × pack) overlap.
     */
@@ -1622,6 +1658,8 @@ object SparkEntry {
     "q_sample_temperature"  -> q_sample_temperature,
     "q_text_repetition"     -> q_text_repetition,
     "q_contamination"       -> q_contamination,
+    "q_contamination_perrow" -> q_contamination_perrow,
+    "q_sessionize"          -> q_sessionize,
     "q_text_scrub"          -> q_text_scrub,
     "q_packing"             -> q_packing,
     "q_langid"              -> q_langid,
@@ -2662,6 +2700,46 @@ object SparkEntry {
         |LEFT JOIN tot ON tot.doc_id = d.doc_id
         |LEFT JOIN hit ON hit.doc_id = d.doc_id
         |WHERE d.doc_id % 50 <> 0""".stripMargin,
+    "q_contamination_perrow" ->
+      s"""WITH d AS (SELECT doc_id, $ToksExpr AS toks FROM documents),
+        |g0 AS (SELECT doc_id,
+        |         CASE WHEN len(toks) = 0 THEN []
+        |              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |              ELSE [array_to_string(toks[i:i+2], ' ')
+        |                    for i in range(1, len(toks) - 1)]
+        |         END AS grams
+        |       FROM d),
+        |ge AS (SELECT DISTINCT gram
+        |       FROM (SELECT unnest(grams) AS gram FROM g0 WHERE doc_id % 50 = 0)),
+        |gc AS (SELECT DISTINCT doc_id, gram
+        |       FROM (SELECT doc_id, unnest(grams) AS gram FROM g0
+        |             WHERE doc_id % 50 <> 0)),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM gc GROUP BY 1),
+        |hit AS (SELECT gc.doc_id, COUNT(*) AS n_contaminated
+        |        FROM gc JOIN ge USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       COALESCE(tot.n_grams, 0) AS n_grams,
+        |       COALESCE(hit.n_contaminated, 0) AS n_contaminated,
+        |       CASE WHEN COALESCE(tot.n_grams, 0) = 0 THEN 0.0
+        |            ELSE COALESCE(hit.n_contaminated, 0)::DOUBLE / tot.n_grams
+        |       END AS contamination_frac
+        |FROM d
+        |LEFT JOIN tot ON tot.doc_id = d.doc_id
+        |LEFT JOIN hit ON hit.doc_id = d.doc_id
+        |WHERE d.doc_id % 50 <> 0""".stripMargin,
+    "q_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+        |  FROM events),
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_stop,
+        |       COUNT(*) AS n_events,
+        |       round(SUM(value), 6) + 0.0 AS v_sum
+        |FROM g GROUP BY user_id, sid""".stripMargin,
     "q_packing" ->
       s"""WITH d AS (SELECT doc_id, len($ToksExpr) AS n FROM documents),
         |nz AS (SELECT doc_id, n FROM d WHERE n > 0),
