@@ -93,6 +93,14 @@ object Bench {
     // decimal separator would make the line unparseable JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // host-load context: round-over-round comparisons have been muddied
+    // by uniform slowdowns from a loaded bench host (r4→r5 was ~18%
+    // across the board); recording the 1-min load average alongside the
+    // numbers lets regression attribution separate code from host
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val nproc = Runtime.getRuntime.availableProcessors
+    val hostJson = s""""load_avg":${fmt(loadAvg)},"nproc":$nproc"""
     // full pass list + median per probe (all base passes + probe passes)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -121,7 +129,7 @@ object Bench {
     // stdout line the driver actually parses
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_details.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failedJson,"runs":$runs,"agg":"min","probe_passes":$probePassesJson,"probe_median":$probeMedianJson,"n_queries":${names.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failedJson,"runs":$runs,"agg":"min","probe_passes":$probePassesJson,"probe_median":$probeMedianJson,"n_queries":${names.size},$hostJson,"sf":"$sfDir"}""")
     catch { case e: Exception =>
       System.err.println(s"[bench] bench_details.json not written: $e")
     }
@@ -136,7 +144,7 @@ object Bench {
       val entry = (if (kept == 0) "" else ",") + "\"" + k + "\":" + fmt(v)
       if (sb.length + entry.length <= budget) { sb.append(entry); kept += 1 }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{${sb.toString}},"queries_omitted":${names.size - kept},"failed":$failedJson,"runs":$runs,"agg":"min","probe_median":$probeMedianJson,"n_queries":${names.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{${sb.toString}},"queries_omitted":${names.size - kept},"failed":$failedJson,"runs":$runs,"agg":"min","probe_median":$probeMedianJson,"n_queries":${names.size},$hostJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

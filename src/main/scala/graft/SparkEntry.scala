@@ -1328,9 +1328,12 @@ object SparkEntry {
   // (~77 s at local[32]); binning on (grp, ⌊x/w⌋) prunes candidates to
   // ~|output| and beats the reference's published single-node numbers
   // (best-of-2 at sf0.1: ~4.5 s vs 5.47 s contain, ~4.3-4.8 s vs 9.73 s
-  // overlap). Widths re-swept round 3: contain optimum 50 {25:5.1,
-  // 50:4.5, 100:5.1}, overlap optimum ~75-100 {50:7.8, 75:7.2, 100:7.2,
-  // 200:8.3, 400:9.4} — the rewrite is the big win; the width and the
+  // overlap). Widths re-swept round 6 (interleaved passes, 5-pass
+  // medians): contain optimum moved to 100 {50:4.33, 100:3.77,
+  // 150:5.74} — the r3 optimum of 50 was tuned on a quieter host and
+  // its median had drifted to ~7 s by the r5 driver bench. Overlap
+  // (r3 sweep): optimum ~75-100 {50:7.8, 75:7.2, 100:7.2, 200:8.3,
+  // 400:9.4} — the rewrite is the big win; the width and the
   // shuffle_hash hints (serial broadcast build → parallel shuffled
   // build) buy the rest. A caller without sweep data should pass
   // autoBinWidth = true (sampled median length: ~15 contain / ~55
@@ -1344,7 +1347,7 @@ object SparkEntry {
         leftSpec  = IntervalSpec.closed("s", "e"),
         rightSpec = IntervalSpec.point("p"),
         leftOn = Seq("grp"), rightOn = Seq("grp"),
-        keepOrder = false, binWidth = Some(50.0))
+        keepOrder = false, binWidth = Some(100.0))
         .select(col("grp_x").as("grp"), col("s"), col("p"))
 
   private val q_bench_overlap: (SparkSession, String) => DataFrame =
