@@ -897,6 +897,69 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
     }
 
+  /** KMV distinct-count sketch: bounded-state approximate
+    * `count_distinct` (distinct orders per return flag). The estimate is
+    * deterministic (md5 hashes, no RNG), so the DuckDB oracle reproduces
+    * it exactly — the green row witnesses the whole sketch pipeline, not
+    * just "rows came back".
+    */
+  private val q_distinct_sketch: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.agg.DistinctSketch.approxDistinct(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_orderkey", k = 256)
+        .select(col("l_returnflag"),
+          r6(col("n_distinct_est")).as("n_distinct_est"))
+
+  /** KMV mergeability under the oracle: the corpus is sketched in two
+    * slices (supplier parity) and the sketches UNIONED — the oracle is
+    * the single whole-corpus sketch, so the green row proves slice
+    * sketches roll up losslessly (the daily→monthly rollup shape).
+    */
+  private val q_distinct_sketch_merge: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      import graft.agg.DistinctSketch._
+      val li = t(s, dir, "lineitem")
+      val k = 256
+      def half(p: Int) =
+        sketch(li.filter(col("l_suppkey") % 2 === p),
+          Seq("l_returnflag"), "l_orderkey", k)
+          .withColumnRenamed("kmv", s"kmv_$p")
+      val empty = array().cast("array<long>")
+      half(0).join(half(1), Seq("l_returnflag"), "full")
+        .select(col("l_returnflag"),
+          r6(estimate(unionSketch(coalesce(col("kmv_0"), empty),
+            coalesce(col("kmv_1"), empty), k), k)).as("n_distinct_est"))
+    }
+
+  /** Count-min sketch: token frequencies summarized into a fixed 4×2048
+    * grid, then point-estimated for the 20 most frequent tokens next to
+    * their exact counts. Deterministic md5 row-hashes → the oracle
+    * rebuilds the identical grid and minima in SQL.
+    */
+  private val q_cms_tokens: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(graft.text.Shingles.tokens(col("text"))).as("token"))
+      val sk = graft.agg.CountMin.sketch(toks, "token", depth = 4, width = 2048)
+      val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token")).limit(20)
+      graft.agg.CountMin.estimate(sk, top, "token", depth = 4, width = 2048)
+        .join(top, Seq("token"))
+        .select(col("token"), col("exact_cnt"), col("cms_est"))
+    }
+
+  /** Johnson–Lindenstrauss random projection 64 → 8 dims (deterministic
+    * ±1 md5 matrix), long form. Sums are order-dependent floats → both
+    * sides midpoint-nudge-round (cf. [[r6m]]).
+    */
+  private val q_rand_proj: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.similarity.RandomProjection.project(
+        emb(s, dir), "embedding", dimIn = 64, dimOut = 8, seed = 42L)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          r6m(col("col")).as("p"))
+
   /** Embedding-space dedup clustering: cosine near-dup pairs closed
     * transitively — clustering composes with ANY pair generator. */
   private val q_dedup_embcluster: (SparkSession, String) => DataFrame =
@@ -1636,6 +1699,10 @@ object SparkEntry {
     "q_quantize"            -> q_quantize,
     "q_ann_q8"              -> q_ann_q8,
     "q_ann_topk"            -> q_ann_topk,
+    "q_distinct_sketch"     -> q_distinct_sketch,
+    "q_distinct_sketch_merge" -> q_distinct_sketch_merge,
+    "q_cms_tokens"          -> q_cms_tokens,
+    "q_rand_proj"           -> q_rand_proj,
     "q_ann_lsh"             -> q_ann_lsh,
     "q_ann_ivf"             -> q_ann_ivf,
     "q_salted_join"         -> q_salted_join,
@@ -2284,6 +2351,71 @@ object SparkEntry {
         |SELECT vid, cid, COUNT(*) OVER (PARTITION BY cid) AS sz,
         |       CAST(vid = cid AS INT) AS canon
         |FROM lab""".stripMargin,
+    "q_distinct_sketch" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+        |    ('0x' || substring(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  ROUND(CASE WHEN MAX(n) < 256 THEN MAX(n)::DOUBLE
+        |    ELSE 255.0 * 1152921504606846976.0 /
+        |      (MAX(CASE WHEN rn = 256 THEN hv END)::DOUBLE) END, 6) + 0.0
+        |    AS n_distinct_est
+        |FROM r GROUP BY l_returnflag""".stripMargin,
+    // the union of slice sketches IS the whole-corpus sketch (the k
+    // smallest distinct hashes of A∪B are computable from the k smallest
+    // of A and of B), so the oracle is the same single-pass sketch
+    "q_distinct_sketch_merge" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+        |    ('0x' || substring(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  ROUND(CASE WHEN MAX(n) < 256 THEN MAX(n)::DOUBLE
+        |    ELSE 255.0 * 1152921504606846976.0 /
+        |      (MAX(CASE WHEN rn = 256 THEN hv END)::DOUBLE) END, 6) + 0.0
+        |    AS n_distinct_est
+        |FROM r GROUP BY l_returnflag""".stripMargin,
+    "q_cms_tokens" ->
+      s"""WITH tok AS (SELECT unnest($ToksExpr) AS token FROM documents),
+        |c AS (SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY 1),
+        |top AS (SELECT token, exact_cnt FROM c
+        |        ORDER BY exact_cnt DESC, token LIMIT 20),
+        |cell AS (SELECT t.d AS depth,
+        |    ('0x' || substring(md5(t.d::VARCHAR || '#' || token), 1, 15))::BIGINT
+        |      % 2048 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM tok CROSS JOIN generate_series(0, 3) t(d) GROUP BY 1, 2),
+        |probe AS (SELECT top.token, top.exact_cnt, t.d AS depth,
+        |    ('0x' || substring(md5(t.d::VARCHAR || '#' || top.token), 1, 15))::BIGINT
+        |      % 2048 AS bucket
+        |  FROM top CROSS JOIN generate_series(0, 3) t(d))
+        |SELECT probe.token, probe.exact_cnt,
+        |  MIN(COALESCE(cell.cnt, 0)) AS cms_est
+        |FROM probe LEFT JOIN cell USING (depth, bucket)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_rand_proj" ->
+      """WITH e AS (SELECT vec_id,
+        |    unnest(range(1, len(embedding) + 1)) AS i,
+        |    unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |m AS (SELECT ii.i, jj.j,
+        |    CASE WHEN ('0x' || substring(md5(
+        |        '42:' || (ii.i - 1)::VARCHAR || ':' || jj.j::VARCHAR), 1, 1))::INT
+        |        % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS sgn
+        |  FROM generate_series(1, 64) ii(i)
+        |  CROSS JOIN generate_series(0, 7) jj(j)),
+        |p AS (SELECT e.vec_id, m.j, SUM(e.v * m.sgn) / sqrt(8.0) AS pv
+        |  FROM e JOIN m ON m.i = e.i GROUP BY 1, 2)
+        |SELECT vec_id, (j + 1)::BIGINT AS dim, ROUND(pv + 1e-9, 6) + 0.0 AS p
+        |FROM p""".stripMargin,
     "q_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,
         |    GREATEST(COALESCE(list_max(
