@@ -80,11 +80,30 @@ object ConnectedComponents {
     // materialization pass.
     def checkpointWitnessed(df: DataFrame)
         : (DataFrame, Long, java.math.BigDecimal) = {
+      // The observe ride is an optimization with a known intermittent
+      // failure mode: under heavy load Spark's Observation delivery can
+      // surface a schema-less metrics row, and the resulting NPE
+      // propagates OUT OF the checkpoint job itself (observed at sf1:
+      // "Row.schema() is null" failing q_dedup_cluster after 200 s).
+      // A witness must never be able to fail the round — so the
+      // observed checkpoint gets ONE retry as a plain checkpoint, and
+      // the witness falls back to the explicit aggregation job. A
+      // genuine data/executor failure throws again on the retry and
+      // propagates, as it should.
       val obs = Observation()
-      val ck = df.observe(obs, count(lit(1)).as("n"),
-          sum(xxhash64(col("lo"), col("hi")).cast("decimal(38,0)")).as("h"))
-        .localCheckpoint()
-      val (n, h) = ObservedMetrics.poll(obs) match {
+      val (ck, polled) =
+        try {
+          val c = df.observe(obs, count(lit(1)).as("n"),
+              sum(xxhash64(col("lo"), col("hi")).cast("decimal(38,0)")).as("h"))
+            .localCheckpoint()
+          (c, ObservedMetrics.poll(obs))
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[cc] witnessed checkpoint failed (${e.getClass.getSimpleName}: " +
+              s"${e.getMessage}); retrying unobserved")
+          (df.localCheckpoint(), None)
+        }
+      val (n, h) = polled match {
         case Some(m) =>
           (m("n").asInstanceOf[Long],
             Option(m("h")).map(_.asInstanceOf[java.math.BigDecimal])
