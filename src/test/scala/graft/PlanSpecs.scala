@@ -107,6 +107,35 @@ class PlanSpecs extends SparkSuite {
     assert(p.contains("Union"), s"expected the two-side union:\n$p")
   }
 
+  test("kmv sketch aggregates partially — bounded map-side state") {
+    // the whole point of the KMV sketch is that the partial state is
+    // ≤ k longs per group per task; that requires the planner to run
+    // min_k_longs in partial + final mode like any other bounded agg
+    // (a single-phase plan would shuffle raw rows to the reducers)
+    val p = plan("q_distinct_sketch")
+    assert(p.contains("partial_min_k_longs"),
+      s"kmv agg lost its partial (map-side) phase:\n$p")
+    assert(p.contains("min_k_longs("), p)
+  }
+
+  test("count-min estimate broadcasts the bounded grid, never the probes") {
+    // the sketch is ≤ d·w rows by construction; the probe side can be
+    // any size, so the join must be a broadcast of the sketch
+    val p = plan("q_cms_tokens")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cms estimate join did not broadcast the sketch:\n$p")
+  }
+
+  test("random projection is a stateless per-row map — zero exchanges") {
+    import spark.implicits._
+    val df = Seq((1L, Array.fill(64)(0.5))).toDF("id", "embedding")
+    val p = graft.similarity.RandomProjection
+      .project(df, "embedding", 64, 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"projection should not shuffle:\n$p")
+  }
+
   test("closure output carries pinned, non-compounded size statistics") {
     // localCheckpoint leaves inherit the pre-checkpoint plan's size
     // estimate; an iterative self-join loop compounds it exponentially

@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Chunked bench runner: split the query list over several fresh JVMs.
+
+Why: queries measured 200+ executions into one shared-JVM run read
+3-9x their fresh-session cost (accumulated heap/GC state; isolated
+A/B shows the operators unchanged — see Bench.scala). One JVM per
+query would be honest but pays ~15 s of session startup 115 times;
+chunks of ~30 bound the accumulation while amortizing startup.
+
+The baseline probes (q_bench_contain/overlap) get their own dedicated
+JVM (probes-first protocol inside Bench), matching how the reference's
+published numbers were produced.
+
+Usage:
+  python3 tools/bench_chunked.py <sfDir> <outJson> [chunks] [jar]
+Writes a merged bench_details-format JSON to <outJson>.
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+def run_bench(jar, sf, workdir, env_extra):
+    env = dict(os.environ)
+    env.update(env_extra)
+    env["SPARK_GRAFT_SF_DIR"] = sf
+    env.setdefault("SPARK_GRAFT_CPUS", "32")
+    subprocess.run(
+        ["/opt/spark/bin/spark-submit", "--driver-memory", "100g",
+         "--class", "graft.Bench", jar],
+        cwd=workdir, env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, check=True)
+    with open(os.path.join(workdir, "bench_details.json")) as f:
+        return json.load(f)
+
+def main():
+    sf = sys.argv[1]
+    out = sys.argv[2]
+    chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    jar = (sys.argv[4] if len(sys.argv) > 4 else
+           "target/scala-2.13/catabrapandasspark_2.13-0.1.0.jar")
+    jar = os.path.abspath(jar)
+
+    # discover query names from a -1-chunk listing run? cheaper: ask sbt?
+    # The jar's Verify/Bench know the names; simplest robust source is the
+    # oracle_sql.json a prior Verify wrote, but names == queries keys.
+    # Take them from the last full bench_details if present, else run a
+    # tiny sf0.001 pass to enumerate.
+    names = None
+    for cand in ("bench_details.json",):
+        if os.path.exists(cand):
+            with open(cand) as f:
+                d = json.load(f)
+            if d.get("queries"):
+                names = sorted(d["queries"].keys())
+    if not names:
+        with tempfile.TemporaryDirectory() as td:
+            d = run_bench(jar, "/root/testdata/sf0.001", td,
+                          {"SPARK_GRAFT_RUNS": "1",
+                           "SPARK_GRAFT_PROBE_RUNS": "0"})
+            names = sorted(d["queries"].keys())
+
+    probes = [n for n in names if n.startswith("q_bench_")]
+    rest = [n for n in names if not n.startswith("q_bench_")]
+    parts = [rest[i::chunks] for i in range(chunks)]
+
+    merged = {}
+    loads = []
+    for i, part in enumerate(parts):
+        with tempfile.TemporaryDirectory() as td:
+            d = run_bench(jar, sf, td,
+                          {"SPARK_GRAFT_RUNS": "1",
+                           "SPARK_GRAFT_PROBE_RUNS": "0",
+                           "SPARK_GRAFT_ONLY": ",".join(part)})
+        merged.update(d["queries"])
+        loads.append(d.get("load_avg", -1))
+        print(f"[chunk {i+1}/{chunks}] {len(part)} queries, "
+              f"{sum(v for v in d['queries'].values() if v > 0):.1f} s, "
+              f"load {d.get('load_avg')}", flush=True)
+
+    with tempfile.TemporaryDirectory() as td:
+        pd_ = run_bench(jar, sf, td,
+                        {"SPARK_GRAFT_RUNS": "1",
+                         "SPARK_GRAFT_PROBE_RUNS": "3",
+                         "SPARK_GRAFT_ONLY": ",".join(probes)})
+    merged.update(pd_["queries"])
+    loads.append(pd_.get("load_avg", -1))
+    print(f"[probes] {pd_['probe_median']}, load {pd_.get('load_avg')}",
+          flush=True)
+
+    failed = [k for k, v in merged.items() if v < 0]
+    total = sum(v for v in merged.values() if v >= 0)
+    result = {
+        "metric": "total", "value": round(total, 3), "unit": "sec",
+        "queries": merged, "failed": failed, "runs": 1,
+        "agg": "min", "protocol": f"chunked x{chunks} + dedicated probe JVM",
+        "probe_passes": pd_.get("probe_passes", {}),
+        "probe_median": pd_.get("probe_median", {}),
+        "n_queries": len(merged), "load_avg_per_jvm": loads,
+        "nproc": pd_.get("nproc"), "sf": sf,
+    }
+    with open(out, "w") as f:
+        json.dump(result, f)
+    print(f"[done] {len(merged)} queries, total {total:.1f} s -> {out}",
+          flush=True)
+
+if __name__ == "__main__":
+    main()
