@@ -1326,6 +1326,39 @@ object SparkEntry {
           col("n_ipv4").cast("long").as("n_ipv4"),
           col("scrubbed"))
 
+  /** URL canonicalization over deterministically synthesized crawl URLs
+    * (the corpus has no url column): scheme/host case, fragments,
+    * default ports, tracking params, root-slash — plus host and
+    * registrable-domain extraction. String-exact DuckDB oracle.
+    */
+  private val q_url_normalize: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 3 === 0, lit("HTTP://")).when(id % 3 === 1, lit("https://"))
+          .otherwise(lit("http://")),
+        when(id % 4 === 0, lit("WWW.News")).when(id % 4 === 1, lit("blog.Site"))
+          .when(id % 4 === 2, lit("cdn.media")).otherwise(lit("Docs.Portal")),
+        when(id % 5 === 0, lit(".com")).when(id % 5 === 1, lit(".co.uk"))
+          .when(id % 5 === 2, lit(".org")).when(id % 5 === 3, lit(".com.au"))
+          .otherwise(lit(".io")),
+        when(id % 7 === 0, lit(":80")).when(id % 7 === 1, lit(":443"))
+          .when(id % 7 === 2, lit(":8080")).otherwise(lit("")),
+        when(id % 11 === 0, lit("/"))
+          .otherwise(concat(lit("/p/"), id.cast("string"))),
+        when(id % 2 === 0,
+          concat(lit("?utm_source=x&id="), id.cast("string"),
+            lit("&utm_medium=y")))
+          .when(id % 13 === 0, lit("?utm_campaign=z")).otherwise(lit("")),
+        when(id % 6 === 0, lit("#sec2")).otherwise(lit("")))
+      val d = docs(s, dir).select(id, url.as("url"))
+      val h = graft.text.UrlOps.host(col("url"))
+      d.select(col("doc_id"),
+        graft.text.UrlOps.normalize(col("url")).as("url_norm"),
+        h.as("host"),
+        graft.text.UrlOps.registrableDomain(h).as("domain"))
+    }
+
   private val q_text_fingerprint: (SparkSession, String) => DataFrame =
     (s, dir) =>
       Fingerprint(docs(s, dir), "text",
@@ -1731,6 +1764,7 @@ object SparkEntry {
     "q_contamination_perrow" -> q_contamination_perrow,
     "q_sessionize"          -> q_sessionize,
     "q_text_scrub"          -> q_text_scrub,
+    "q_url_normalize"       -> q_url_normalize,
     "q_packing"             -> q_packing,
     "q_langid"              -> q_langid,
     "q_text_fingerprint"    -> q_text_fingerprint,
@@ -2907,6 +2941,40 @@ object SparkEntry {
         |    'https?://[^\s]+', '<URL>', 'g'),
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g') AS scrubbed
         |FROM d""".stripMargin,
+    "q_url_normalize" ->
+      """WITH syn AS (SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 'HTTP://' WHEN 1 THEN 'https://' ELSE 'http://' END)
+        |    || (CASE doc_id % 4 WHEN 0 THEN 'WWW.News' WHEN 1 THEN 'blog.Site' WHEN 2 THEN 'cdn.media' ELSE 'Docs.Portal' END)
+        |    || (CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' WHEN 2 THEN '.org' WHEN 3 THEN '.com.au' ELSE '.io' END)
+        |    || (CASE doc_id % 7 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END)
+        |    || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '/p/' || doc_id::VARCHAR END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&id=' || doc_id::VARCHAR || '&utm_medium=y'
+        |             WHEN doc_id % 13 = 0 THEN '?utm_campaign=z' ELSE '' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*', '', 'g') AS u FROM syn),
+        |s2 AS (SELECT doc_id, url, u, regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1) AS pfx FROM s1),
+        |s3 AS (SELECT doc_id, url, CASE WHEN pfx = '' THEN u
+        |         ELSE lower(pfx) || substring(u, length(pfx) + 1) END AS u FROM s2),
+        |s4 AS (SELECT doc_id, url, regexp_replace(regexp_replace(u,
+        |         '^(http://[^/:?]+):80([/?]|$)', '\1\2'),
+        |         '^(https://[^/:?]+):443([/?]|$)', '\1\2') AS u FROM s3),
+        |s5 AS (SELECT doc_id, url, regexp_replace(u,
+        |         '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid)=[^&#]*', '\1', 'g') AS u FROM s4),
+        |s6 AS (SELECT doc_id, url, regexp_replace(u, '([?&])&+', '\1', 'g') AS u FROM s5),
+        |s7 AS (SELECT doc_id, url, regexp_replace(u, '[?&]+$', '') AS u FROM s6),
+        |s8 AS (SELECT doc_id, url, regexp_replace(u, '^(https?://[^/?]+)/$', '\1') AS url_norm FROM s7),
+        |h AS (SELECT doc_id, url_norm,
+        |        lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+        |      FROM s8)
+        |SELECT doc_id, url_norm, host,
+        |  CASE WHEN regexp_matches(host, '\.(co|com|net|org|ac|gov|edu)\.[a-z][a-z]$')
+        |            AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+        |       THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+        |       WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+        |       THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |       ELSE host END AS domain
+        |FROM h""".stripMargin,
     "q_langid" ->
       s"""WITH d AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
         |s AS (SELECT doc_id,

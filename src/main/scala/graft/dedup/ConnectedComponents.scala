@@ -28,6 +28,21 @@ import org.apache.spark.sql.graft.{CheckpointStats, ObservedMetrics}
   */
 object ConnectedComponents {
 
+  /** Edge count at or below which the contracted graph is finished on
+    * the driver with union-find instead of more distributed rounds. The
+    * star rounds shrink the edge set geometrically, so the tail rounds
+    * shuffle kilobytes while still paying full fixed stage cost (plan +
+    * janino + scheduling — the dominant per-round cost on small
+    * remainders). The collect is BOUNDED AND MEASURED, not hopeful: the
+    * convergence witness already carries the exact edge count of every
+    * round for free, and the collect only happens when that count is ≤
+    * this cutoff (2^20 edges = 16 MB of longs — the same bounded-driver-
+    * work class as the IVF centroid probe). Set 0 to force every round
+    * distributed (the differential specs do, so the star path stays
+    * exercised).
+    */
+  val DefaultLocalFinishEdges: Long = 1L << 20
+
   /** `(node: long, comp: long)` for every node appearing in `edges`;
     * `comp` is the least node id in the node's component. Self-loops and
     * null endpoints are ignored. Nodes not mentioned in `edges` do not
@@ -35,7 +50,8 @@ object ConnectedComponents {
     * [[DuplicateClusters]]).
     */
   def apply(edges: DataFrame, srcCol: String, dstCol: String,
-            maxIter: Int = 30): DataFrame = {
+            maxIter: Int = 30,
+            localFinishEdges: Long = DefaultLocalFinishEdges): DataFrame = {
     val e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
@@ -126,7 +142,7 @@ object ConnectedComponents {
     var prev = (n0, h0)
     var iter = 0
     var converged = nEdges == 0
-    while (!converged && iter < maxIter) {
+    while (!converged && iter < maxIter && nEdges > localFinishEdges) {
       // LARGE-STAR over the mirrored view: m(u) = min(N(u) ∪ u); emit
       // (m(u), v) for every neighbor v > u. v > u >= m(u), so the pair
       // is already canonical and never a self-loop. Not materialized:
@@ -161,6 +177,42 @@ object ConnectedComponents {
       nEdges = n2
       iter += 1
     }
+    if (!converged && nEdges > 0 && nEdges <= localFinishEdges) {
+      // Local finish: the remaining contracted graph is small (count
+      // proven by the witness, not estimated), so one bounded collect +
+      // union-find replaces the remaining O(log) distributed rounds and
+      // their fixed per-round stage cost. Union-by-min keeps every root
+      // the component minimum, so `find` IS the comp label.
+      val rows = canon.select(col("lo"), col("hi")).collect()
+      val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { x = p; p = parent.getOrDefault(x, x) }
+        // path compression
+        var y = x0
+        while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
+        x
+      }
+      rows.foreach { r =>
+        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (a != b) {
+          if (a < b) parent.put(b, a) else parent.put(a, b)
+        }
+      }
+      val nodes = new java.util.HashSet[Long](rows.length * 2)
+      rows.foreach { r => nodes.add(r.getLong(0)); nodes.add(r.getLong(1)) }
+      val out = new Array[(Long, Long)](nodes.size)
+      var i = 0
+      val it = nodes.iterator()
+      while (it.hasNext) { val n = it.next(); out(i) = (n, find(n)); i += 1 }
+      val spark = canon.sparkSession
+      import spark.implicits._
+      System.err.println(
+        s"[cc] rounds=$iter converged=local localEdges=$nEdges")
+      canon.unpersist(blocking = false)
+      return out.toSeq.toDF("node", "comp")
+    }
     // at the star fixpoint every edge is (componentMin, member); roots
     // appear only on the lo side and map to themselves
     val labels = canon.select(col("hi").as("node"), col("lo").as("comp"))
@@ -182,7 +234,9 @@ object DuplicateClusters {
 
   def apply(docs: DataFrame, idCol: String,
             pairs: DataFrame, leftCol: String, rightCol: String,
-            maxIter: Int = 30): DataFrame = {
+            maxIter: Int = 30,
+            localFinishEdges: Long =
+              ConnectedComponents.DefaultLocalFinishEdges): DataFrame = {
     // ids must be integral — EVERYWHERE: the cluster id IS the least id,
     // and a silent cast("long") on strings would null out cluster
     // assignments (docs side) or drop every edge (pairs side, where the
@@ -196,7 +250,8 @@ object DuplicateClusters {
     checkId(docs, idCol, "id")
     checkId(pairs, leftCol, "pair-endpoint")
     checkId(pairs, rightCol, "pair-endpoint")
-    val comp = ConnectedComponents(pairs, leftCol, rightCol, maxIter)
+    val comp =
+      ConnectedComponents(pairs, leftCol, rightCol, maxIter, localFinishEdges)
     val labeled = docs.as("d")
       .join(comp.as("c"), col(s"d.$idCol").cast("long") === col("c.node"), "left")
       .withColumn("cluster_id",

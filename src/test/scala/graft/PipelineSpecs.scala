@@ -1121,6 +1121,37 @@ class PipelineSpecs extends SparkSuite {
       s"partition filter not pushed:\n$plan")
   }
 
+  test("url ops: normalize cases, host and registrable domain") {
+    import graft.text.UrlOps
+    val rows = Seq(
+      // scheme/host lowercased, path casing kept, default port dropped
+      "HTTP://WWW.Example.COM:80/Path/X",
+      // https default port, fragment dropped, root slash collapsed
+      "HTTPS://news.site:443/#top",
+      // tracking params stripped wherever they sit; real params survive
+      "http://a.com/p?utm_source=x&id=7&utm_medium=y",
+      "http://a.com/p?id=7&utm_campaign=z",
+      "http://a.com/p?utm_only=1",
+      // non-default port and userinfo-free host extraction
+      "http://user:pw@Sub.Host.co.uk:8080/q?a=1#frag",
+      // whitespace trim; not-a-url passes through host="" domain=""
+      "  http://b.io/x  ",
+      "not a url")
+    val out = rows.toDF("url")
+      .select(UrlOps.normalize(col("url")).as("n"),
+        UrlOps.host(col("url")).as("h"),
+        UrlOps.registrableDomain(UrlOps.host(col("url"))).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out(0) == (("http://www.example.com/Path/X", "www.example.com", "example.com")))
+    assert(out(1) == (("https://news.site", "news.site", "news.site")))
+    assert(out(2) == (("http://a.com/p?id=7", "a.com", "a.com")))
+    assert(out(3) == (("http://a.com/p?id=7", "a.com", "a.com")))
+    assert(out(4) == (("http://a.com/p", "a.com", "a.com")))
+    assert(out(5) == (("http://user:pw@sub.host.co.uk:8080/q?a=1", "sub.host.co.uk", "host.co.uk")))
+    assert(out(6) == (("http://b.io/x", "b.io", "b.io")))
+    assert(out(7) == (("not a url", "", "")))
+  }
+
   test("json extraction: fields promoted, corrupt payloads null out") {
     import graft.sources.SemiStructured
     import org.apache.spark.sql.types._

@@ -147,7 +147,7 @@ class PlanSpecs extends SparkSuite {
     import spark.implicits._
     // a chain forces several rounds, so compounding would be visible
     val edges = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = ConnectedComponents(edges, "a", "b")
+    val labels = ConnectedComponents(edges, "a", "b", localFinishEdges = 0L)
     // labels derives from the pinned star-edge leaves by a union +
     // distinct, so its estimate is a small multiple of the real edge
     // count — anything near BigInt-blowup territory means a leaf

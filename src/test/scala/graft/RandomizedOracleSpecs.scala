@@ -421,7 +421,12 @@ class RandomizedOracleSpecs extends SparkSuite {
       val rnd = new scala.util.Random(seed)
       val edges = (0 until m).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
       val df = edges.toDF("a", "b")
-      val got = ConnectedComponents(df, "a", "b").collect()
+      // both execution paths must agree with the oracle: the distributed
+      // star rounds (localFinishEdges = 0) and the bounded local
+      // union-find finish (the default, which these small graphs take)
+      val gotStar = ConnectedComponents(df, "a", "b", localFinishEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotLocal = ConnectedComponents(df, "a", "b").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
       val parent = scala.collection.mutable.Map[Long, Long]()
@@ -435,16 +440,20 @@ class RandomizedOracleSpecs extends SparkSuite {
       // oracle comp = min node id of the union-find class
       val classMin = nodes.groupBy(find).map { case (_, xs) => find(xs.head) -> xs.min }
       val want = nodes.map(x => x -> classMin(find(x))).toMap
-      assert(got == want, s"seed=$seed n=$n m=$m")
+      assert(gotStar == want, s"star path: seed=$seed n=$n m=$m")
+      assert(gotLocal == want, s"local path: seed=$seed n=$n m=$m")
     }
   }
 
   test("connected components: long chain converges (pointer jumping)") {
     import graft.dedup.ConnectedComponents
     // a 200-node path has diameter 199 — plain min-propagation would need
-    // 199 rounds; with pointer jumping maxIter=30 must suffice
+    // 199 rounds; with pointer jumping maxIter=30 must suffice.
+    // localFinishEdges = 0 forces every round distributed — this test
+    // exists to prove the star rounds themselves beat the diameter.
     val chain = (0L until 199L).map(i => (i, i + 1))
-    val got = ConnectedComponents(chain.toDF("a", "b"), "a", "b").collect()
+    val got = ConnectedComponents(chain.toDF("a", "b"), "a", "b",
+      localFinishEdges = 0L).collect()
     assert(got.length == 200 && got.forall(_.getLong(1) == 0L))
   }
 
