@@ -846,6 +846,22 @@ object SparkEntry {
           col("cluster_size").as("sz"), col("is_canonical").as("canon"))
     }
 
+  /** Incremental MinHash+LSH: the 10%-of-docs "daily batch" matched
+    * against the remaining corpus — batch-vs-corpus candidates only,
+    * never corpus-internal pairs. Same LSH parameters as
+    * q_dedup_minhash, so the exact bipartite 3-gram-Jaccard oracle is
+    * complete whp (16×2 bands miss a J ≥ 0.8 pair with p < 1e-7).
+    */
+  private val q_dedup_minhash_incr: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val d = docs(s, dir)
+      MinHashDedup.incremental(
+        d.filter(col("doc_id") % 10 === 0),
+        d.filter(col("doc_id") % 10 =!= 0),
+        "text", "doc_id",
+        numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.8)
+    }
+
   /** 60-bit token hash both Spark and DuckDB compute bit-identically:
     * the first 15 hex digits of md5. Used by the simhash driver query so
     * its DuckDB oracle can reproduce the fingerprints exactly.
@@ -1598,6 +1614,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
     }
 
+  /** CSV sink/source round-trip on the events table (timestamps,
+    * doubles, and a free-text props column that exercises quoting):
+    * write headered CSV, read it back with the EXPLICIT schema, compare
+    * against the original parquet via the oracle — equality proves the
+    * text round-trip is lossless, including the microsecond timestamps.
+    */
+  private val q_csv_roundtrip: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${math.abs(dir.hashCode)}"
+      val ev = t(s, dir, "events")
+      graft.sources.Csv.write(ev, path)
+      val back = graft.sources.Csv.read(s, path,
+        ev.schema)
+      back.filter(col("_corrupt_record").isNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+    }
+
   /** Interval anti-join: events outside every same-user error blackout
     * hour (time-range decontamination). Spark alone would plan the
     * NOT-EXISTS range condition as a nested-loop anti join. */
@@ -1721,6 +1755,7 @@ object SparkEntry {
     "q_dedup_exact"         -> q_dedup_exact,
     "q_dedup_ngram"         -> q_dedup_ngram,
     "q_dedup_minhash"       -> q_dedup_minhash,
+    "q_dedup_minhash_incr"  -> q_dedup_minhash_incr,
     "q_dedup_cluster"       -> q_dedup_cluster,
     "q_pipeline"            -> q_pipeline,
     "q_dedup_simhash"       -> q_dedup_simhash,
@@ -1779,6 +1814,7 @@ object SparkEntry {
     "q_pipeline2"           -> q_pipeline2,
     "q_sample_hash"         -> q_sample_hash,
     "q_layout_scan"         -> q_layout_scan,
+    "q_csv_roundtrip"       -> q_csv_roundtrip,
     "q_rolling"             -> q_rolling,
     "q_rolling_rows"        -> q_rolling_rows,
     "q_json_extract"        -> q_json_extract,
@@ -2302,6 +2338,22 @@ object SparkEntry {
         |FROM g a JOIN g b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""".stripMargin,
+    // bipartite variant of the q_dedup_minhash oracle: batch (doc_id % 10
+    // = 0) vs corpus (rest), exact 3-gram Jaccard — same completeness
+    // argument as above
+    "q_dedup_minhash_incr" ->
+      s"""WITH dd AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
+        |g AS (SELECT doc_id, list_distinct(
+        |        [list_aggregate(tk[i:i+2], 'string_agg', ' ')
+        |         FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS sh FROM dd),
+        |bt AS (SELECT * FROM g WHERE doc_id % 10 = 0),
+        |cp AS (SELECT * FROM g WHERE doc_id % 10 <> 0)
+        |SELECT bt.doc_id AS id_b, cp.doc_id AS id_c,
+        |  len(list_intersect(bt.sh, cp.sh))::DOUBLE
+        |    / (len(bt.sh) + len(cp.sh) - len(list_intersect(bt.sh, cp.sh))) AS jaccard
+        |FROM bt JOIN cp ON true
+        |WHERE len(list_intersect(bt.sh, cp.sh))::DOUBLE
+        |    / (len(bt.sh) + len(cp.sh) - len(list_intersect(bt.sh, cp.sh))) >= 0.8""".stripMargin,
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE
         |d AS (SELECT doc_id, lang, list_distinct($ToksExpr) AS tk FROM documents),
@@ -3238,6 +3290,8 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id AS did, n_chars
         |FROM s ORDER BY key DESC, doc_id LIMIT 50""".stripMargin,
+    "q_csv_roundtrip" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events",
     "q_layout_scan" ->
       """SELECT date_trunc('month', l_shipdate) AS m,
         |       COUNT(*) AS n, SUM(l_quantity) AS q

@@ -101,6 +101,34 @@ object ExactDedup {
   */
 object MinHashDedup {
 
+  /** Shingle-hash a corpus: `(id, h0)` where `h0` is the distinct rolling
+    * n-gram hash set. Shingle strings are hashed ONCE; the k minhash
+    * permutations re-hash those fixed-width longs (`xxhash64(i, h)`,
+    * 16 bytes) instead of re-hashing variable-length strings k times —
+    * ~2× cheaper, and no ANSI overflow concerns (multiplicative universal
+    * hashing would overflow-error under Spark 4's default ANSI mode).
+    * Docs with no shingles drop out (nothing to compare).
+    */
+  private def hashedShingles(df: DataFrame, textCol: String, idCol: String,
+                             shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"), Shingles.tokens(col(textCol)).as("tk"))
+      .withColumn("th", transform(col("tk"), t => xxhash64(t)))
+      .select(col("id"), array_distinct(
+        org.apache.spark.sql.graft.VecFunctions.gram_hash(col("th"), shingleN))
+        .as("h0"))
+      .filter(size(col("h0")) > 0)
+
+  /** `(id, band, bucket)` — all k minhashes + band bucketing in ONE
+    * native codegen'd loop (see org.apache.spark.sql.graft.MinHashBands).
+    */
+  private def bandBuckets(shingled: DataFrame, numBands: Int, r: Int): DataFrame =
+    shingled
+      .select(col("id"),
+        posexplode(org.apache.spark.sql.graft.VecFunctions
+          .minhash_bands(col("h0"), numBands, r)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
   /** @param numHashes   k — minhash signature length
     * @param numBands    b — LSH bands (r = k/b); pair collision probability
     *                    is 1−(1−J^r)^b
@@ -121,33 +149,10 @@ object MinHashDedup {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val r = numHashes / numBands
 
-    // Shingle strings are hashed ONCE (`h0`); the k minhash permutations
-    // re-hash those fixed-width longs (`xxhash64(i, h)`, 16 bytes) instead
-    // of re-hashing variable-length strings k times — ~2× cheaper, and no
-    // ANSI overflow concerns (multiplicative universal hashing would
-    // overflow-error under Spark 4's default ANSI mode). The cache is the
-    // barrier that keeps `sh`/`h0` materialized (HOF lambdas are
-    // interpreted, with no CSE).
-    // tokens → token hashes → native rolling n-gram hashes (no string
-    // gram construction at all; concat_ws was the dominant interpreted
-    // cost of shingling)
-    val shingled = df
-      .select(col(idCol).as("id"), Shingles.tokens(col(textCol)).as("tk"))
-      .withColumn("th", transform(col("tk"), t => xxhash64(t)))
-      .select(col("id"), array_distinct(
-        org.apache.spark.sql.graft.VecFunctions.gram_hash(col("th"), shingleN))
-        .as("h0"))
-      .filter(size(col("h0")) > 0)
-      .cache() // reused by banding and by pair verification
-
-    // all k minhashes + band bucketing in ONE native codegen'd loop
-    // (see org.apache.spark.sql.graft.MinHashBands)
-    val exploded = shingled
-      .select(col("id"),
-        posexplode(org.apache.spark.sql.graft.VecFunctions
-          .minhash_bands(col("h0"), numBands, r)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    // the cache is the barrier that keeps `h0` materialized (HOF lambdas
+    // are interpreted, with no CSE); reused by banding and verification
+    val shingled = hashedShingles(df, textCol, idCol, shingleN).cache()
+    val exploded = bandBuckets(shingled, numBands, r)
 
     // Candidate pairs by grouping each bucket (one aggregation — no
     // self-join, so the banding pipeline is evaluated once, and the
@@ -168,6 +173,71 @@ object MinHashDedup {
     Buckets.hashedJaccard(verified, "hs_l", "hs_r", "jaccard")
       .filter(col("jaccard") >= threshold)
       .select(col("id_l"), col("id_r"), col("jaccard"))
+  }
+
+  /** Incremental near-dup: each `batch` document's corpus near-duplicates
+    * (true Jaccard ≥ `threshold`), WITHOUT generating any corpus-internal
+    * pairs — the daily-ingest shape, where the corpus is already deduped
+    * and only batch-vs-corpus (and within-batch, via [[apply]] on the
+    * batch alone) matches matter.
+    *
+    * Scale posture: the corpus side is banded once (at lake scale the
+    * `(id, band, bucket)` signatures would be persisted and reused across
+    * batches — the banding is deterministic in the text, so append-only);
+    * candidates come from an equi-join of batch buckets against corpus
+    * buckets — the batch side is typically orders of magnitude smaller
+    * and broadcasts under AQE sizing, so the corpus is never shuffled.
+    * The m²-bucket blowup of the self-join shape cannot happen here
+    * (candidates are batch-rows × bucket-mates), but a degenerate corpus
+    * bucket still floods: buckets with more than `maxBucket` corpus
+    * members are dropped, same contract as [[apply]].
+    *
+    * @return `(id_b, id_c, jaccard)` — one row per (batch doc, matching
+    *         corpus doc); batch docs with no match emit nothing.
+    */
+  def incremental(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 32,
+      numBands: Int = 8,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val r = numHashes / numBands
+
+    val bSh = hashedShingles(batch, textCol, idCol, shingleN).cache()
+    val cSh = hashedShingles(corpus, textCol, idCol, shingleN).cache()
+    val bEx = bandBuckets(bSh, numBands, r)
+      .select(col("id").as("id_b"), col("band"), col("bucket"))
+    val cEx = bandBuckets(cSh, numBands, r)
+      .select(col("id").as("id_c"), col("band"), col("bucket"))
+
+    // skew guard on the corpus buckets (the only unbounded side)
+    val cBounded =
+      if (maxBucket == Int.MaxValue) cEx
+      else {
+        val big = cEx.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__graft_n"))
+          .filter(col("__graft_n") > maxBucket)
+          .select(col("band"), col("bucket"))
+        cEx.join(big, Seq("band", "bucket"), "left_anti")
+      }
+
+    val pairs = bEx.join(cBounded, Seq("band", "bucket"))
+      .select(col("id_b"), col("id_c"))
+      .distinct()
+
+    val verified = pairs
+      .join(bSh.select(col("id").as("id_b"), sort_array(col("h0")).as("hs_b")),
+        Seq("id_b"))
+      .join(cSh.select(col("id").as("id_c"), sort_array(col("h0")).as("hs_c")),
+        Seq("id_c"))
+    Buckets.hashedJaccard(verified, "hs_b", "hs_c", "jaccard")
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_b"), col("id_c"), col("jaccard"))
   }
 }
 

@@ -1121,6 +1121,31 @@ class PipelineSpecs extends SparkSuite {
       s"partition filter not pushed:\n$plan")
   }
 
+  test("incremental minhash: batch-vs-corpus matches only, bucket guard") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "the quick brown fox jumps over the lazy dog today"), // corpus-internal dup: must NOT pair
+      (12L, "entirely unrelated text about query optimizers")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),  // matches 10 and 11
+      (2L, "novel content that matches nothing in the corpus at all")
+    ).toDF("doc_id", "text")
+    val out = MinHashDedup.incremental(batch, corpus, "text", "doc_id",
+      numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L), (1L, 11L)))
+    // a degenerate corpus bucket (every doc identical) is dropped by the
+    // guard, leaving the batch unmatched rather than exploding candidates
+    val fat = (0 until 50).map(i => (100L + i, "same same same text"))
+      .toDF("doc_id", "text")
+    val guarded = MinHashDedup.incremental(
+      Seq((1L, "same same same text")).toDF("doc_id", "text"), fat,
+      "text", "doc_id", numHashes = 32, numBands = 16, shingleN = 3,
+      threshold = 0.8, maxBucket = 10)
+    assert(guarded.count() == 0)
+  }
+
   test("url ops: normalize cases, host and registrable domain") {
     import graft.text.UrlOps
     val rows = Seq(
@@ -1150,6 +1175,36 @@ class PipelineSpecs extends SparkSuite {
     assert(out(5) == (("http://user:pw@sub.host.co.uk:8080/q?a=1", "sub.host.co.uk", "host.co.uk")))
     assert(out(6) == (("http://b.io/x", "b.io", "b.io")))
     assert(out(7) == (("not a url", "", "")))
+  }
+
+  test("csv source: lossless round-trip, corrupt rows quarantined") {
+    import graft.sources.Csv
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_csv_spec").toString
+    val df = Seq(
+      (1L, "a,b \"quoted\"", 1.5),
+      (2L, "{\"json\": [1,2]}", -0.25)
+    ).toDF("id", "payload", "v")
+    Csv.write(df, s"$dir/out")
+    val back = Csv.read(spark, s"$dir/out", df.schema).cache()
+    assert(back.filter(col("_corrupt_record").isNotNull).count() == 0)
+    assert(back.select("id", "payload", "v").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+      Set((1L, "a,b \"quoted\"", 1.5), (2L, "{\"json\": [1,2]}", -0.25)))
+    // malformed line → quarantine row, data columns null, file survives
+    val badDir = s"$dir/bad"
+    Files.createDirectories(Paths.get(badDir))
+    Files.write(Paths.get(s"$badDir/x.csv"),
+      "id,payload,v\n3,ok,2.0\nnot_a_long,oops,xyz\n".getBytes)
+    // corrupt-only projections are disallowed straight off a raw CSV
+    // scan (Spark prunes to just the internal column and refuses);
+    // persist the parsed result first — the documented quarantine shape
+    val mixed = Csv.read(spark, badDir, df.schema).cache()
+    val good = mixed.filter(col("_corrupt_record").isNull)
+    val bad = mixed.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() == 1 && bad.count() == 1)
+    assert(bad.select("_corrupt_record").head.getString(0)
+      .startsWith("not_a_long"))
   }
 
   test("json extraction: fields promoted, corrupt payloads null out") {
