@@ -1,0 +1,157 @@
+package graft
+
+import graft.core.IntervalSpec
+import graft.joins.SweepJoin
+import org.apache.spark.sql.functions._
+
+/** Specs for the custom-SparkPlan interval sweep join:
+  * [[org.apache.spark.sql.graft.IntervalSweepJoinExec]] via the
+  * [[graft.joins.SweepJoin]] wrapper.
+  */
+class SweepJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ivals = Seq(
+    // (grp, id, s, e)
+    (1L, 10L, 0.0, 5.0),
+    (1L, 11L, 3.0, 4.0),
+    (1L, 12L, 6.0, 6.0),   // point interval
+    (2L, 20L, 0.0, 100.0),
+    (3L, 30L, 1.0, 2.0)
+  ).toDF("grp", "iid", "s", "e")
+
+  private def points = Seq(
+    // (grp, id, p)
+    (1L, 100L, 3.0),  // in 10 and 11
+    (1L, 101L, 5.0),  // in 10 only (end-inclusive)
+    (1L, 102L, 6.0),  // point-interval hit
+    (1L, 103L, 9.0),  // no hit
+    (2L, 200L, 50.0), // in 20
+    (4L, 400L, 1.0)   // group absent on interval side
+  ).toDF("grp", "pid", "p")
+
+  test("sweep: hand fixture, closed endpoints, point intervals, key isolation") {
+    val out = SweepJoin(ivals,
+      points.select(col("grp").as("g2"), col("pid"), col("p")),
+      Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("s", "e"), IntervalSpec.point("p"))
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    assert(out == Set((10L, 100L), (11L, 100L), (10L, 101L),
+      (12L, 102L), (20L, 200L)))
+  }
+
+  test("sweep: open endpoints drop boundary matches") {
+    val l = Seq((1L, 1L, 0.0, 5.0)).toDF("grp", "iid", "s", "e")
+    val r = Seq((1L, 1L, 5.0), (1L, 2L, 0.0), (1L, 3L, 2.0))
+      .toDF("g2", "pid", "p")
+    def run(incS: Boolean, incE: Boolean) =
+      SweepJoin(l, r, Seq("grp"), Seq("g2"),
+        IntervalSpec(Some("s"), Some("e"), incS, incE),
+        IntervalSpec.point("p"))
+        .select("pid").as[Long].collect().toSet
+    assert(run(true, true) == Set(1L, 2L, 3L))
+    assert(run(true, false) == Set(2L, 3L))
+    assert(run(false, true) == Set(1L, 3L))
+    assert(run(false, false) == Set(3L))
+  }
+
+  test("sweep ≡ naive range join (randomized, overlap + containment)") {
+    for (seed <- Seq(1, 2)) {
+      val rnd = new scala.util.Random(seed)
+      val li = (0 until 300).map { i =>
+        val s = rnd.nextInt(100).toDouble
+        (rnd.nextInt(5).toLong, i.toLong, s, s + rnd.nextInt(20))
+      }
+      val ri = (0 until 300).map { i =>
+        val s = rnd.nextInt(100).toDouble
+        (rnd.nextInt(5).toLong, i.toLong, s, s + rnd.nextInt(10))
+      }
+      val l = li.toDF("grp", "lid", "ls", "le")
+      val r = ri.toDF("g2", "rid", "rs", "re")
+      val got = SweepJoin(l, r, Seq("grp"), Seq("g2"),
+        IntervalSpec.closed("ls", "le"), IntervalSpec.closed("rs", "re"))
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (lg, lid, ls, le) <- li
+        (rg, rid, rs, re) <- ri
+        if lg == rg && rs <= le && re >= ls
+      } yield (lid, rid)).toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("sweep: partitioning-independent and keyless form") {
+    val l = (0 until 200).map { i =>
+      (i % 7L, i.toLong, (i % 13).toDouble, (i % 13 + 3).toDouble)
+    }.toDF("grp", "lid", "ls", "le")
+    val r = (0 until 150).map { i =>
+      (i % 7L, i.toLong, (i % 11).toDouble)
+    }.toDF("g2", "rid", "p")
+    val base = SweepJoin(l, r, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.point("p"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val shuffled = SweepJoin(
+      l.repartition(13, col("lid")), r.repartition(3),
+      Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.point("p"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(shuffled == base)
+    // keyless: single-partition sweep, same pairs as an explicit
+    // constant-key run
+    val keyless = SweepJoin(l, r, Nil, Nil,
+      IntervalSpec.closed("ls", "le"), IntervalSpec.point("p"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val constKey = (for {
+      (_, lid, ls, le) <- l.select("grp", "lid", "ls", "le")
+        .as[(Long, Long, Double, Double)].collect()
+      (_, rid, p) <- r.select("g2", "rid", "p")
+        .as[(Long, Long, Double)].collect()
+      if ls <= p && p <= le
+    } yield (lid, rid)).toSet
+    assert(keyless == constKey)
+  }
+
+  test("sweep: null keys and null/NaN endpoints never match; empty intervals dropped") {
+    val l = Seq(
+      (Some(1L), 1L, Some(0.0), Some(5.0)),
+      (None,     2L, Some(0.0), Some(5.0)),   // null key
+      (Some(1L), 3L, None,      Some(5.0)),   // null start
+      (Some(1L), 4L, Some(Double.NaN), Some(5.0)), // NaN start
+      (Some(1L), 5L, Some(9.0), Some(1.0))    // empty (s > e)
+    ).toDF("grp", "lid", "ls", "le")
+    val r = Seq((Some(1L), 1L, Some(3.0)), (None, 2L, Some(3.0)))
+      .toDF("g2", "rid", "p")
+    val got = SweepJoin(l, r, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.point("p"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L)))
+  }
+
+  test("sweep plan: custom exec node, one exchange + one sort per side") {
+    val l = ivals
+    val r = points.select(col("grp").as("g2"), col("pid"), col("p"))
+    val df = SweepJoin(l, r, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("s", "e"), IntervalSpec.point("p"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("IntervalSweepJoin"), plan)
+    val nExchange = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val nSort = "Sort \\[".r.findAllIn(plan).length
+    assert(nExchange == 2, s"expected 2 exchanges:\n$plan")
+    assert(nSort == 2, s"expected 2 sorts:\n$plan")
+  }
+
+  test("sweep: timestamp endpoints") {
+    val l = Seq(
+      (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 01:00:00")))
+      .toDF("grp", "lid", "ls", "le")
+    val r = Seq(
+      (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00")),
+      (1L, 2L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00")))
+      .toDF("g2", "rid", "p")
+    val got = SweepJoin(l, r, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.point("p"))
+      .select("rid").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+}
