@@ -1375,6 +1375,29 @@ object SparkEntry {
         graft.text.UrlOps.registrableDomain(h).as("domain"))
     }
 
+  /** Unicode-script detection over deterministically mixed-script text
+    * (the corpus is ASCII word soup, so script snippets are appended by
+    * doc_id residue). Counts + main_script, string-exact DuckDB oracle.
+    */
+  private val q_script_id: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val id = col("doc_id")
+      val mixed = docs(s, dir).select(id, concat(col("text"),
+        when(id % 4 === 1, lit(" Привет мир")).otherwise(lit("")),
+        when(id % 4 === 2, lit(" 你好 世界 こんにちは 안녕")).otherwise(lit("")),
+        when(id % 4 === 3, lit(" مرحبا بالعالم")).otherwise(lit("")),
+        when(id % 5 === 0, lit(" αβγδ 42")).otherwise(lit(""))).as("t"))
+      graft.text.ScriptId(mixed, "t")
+        .select(col("doc_id"),
+          col("n_latin").cast("long").as("n_latin"),
+          col("n_cyrillic").cast("long").as("n_cyrillic"),
+          col("n_greek").cast("long").as("n_greek"),
+          col("n_arabic").cast("long").as("n_arabic"),
+          col("n_cjk").cast("long").as("n_cjk"),
+          col("n_digit").cast("long").as("n_digit"),
+          col("main_script"))
+    }
+
   private val q_text_fingerprint: (SparkSession, String) => DataFrame =
     (s, dir) =>
       Fingerprint(docs(s, dir), "text",
@@ -1830,6 +1853,7 @@ object SparkEntry {
     "q_sessionize"          -> q_sessionize,
     "q_text_scrub"          -> q_text_scrub,
     "q_url_normalize"       -> q_url_normalize,
+    "q_script_id"           -> q_script_id,
     "q_packing"             -> q_packing,
     "q_langid"              -> q_langid,
     "q_text_fingerprint"    -> q_text_fingerprint,
@@ -3059,6 +3083,30 @@ object SparkEntry {
         |       THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
         |       ELSE host END AS domain
         |FROM h""".stripMargin,
+    "q_script_id" ->
+      """WITH d AS (SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 4 = 1 THEN ' Привет мир' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 2 THEN ' 你好 世界 こんにちは 안녕' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 3 THEN ' مرحبا بالعالم' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' αβγδ 42' ELSE '' END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  length(t) - length(regexp_replace(t, '[A-Za-zÀ-ɏ]', '', 'g')) AS n_latin,
+        |  length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')) AS n_cyrillic,
+        |  length(t) - length(regexp_replace(t, '[Ͱ-Ͽ]', '', 'g')) AS n_greek,
+        |  length(t) - length(regexp_replace(t, '[؀-ۿ]', '', 'g')) AS n_arabic,
+        |  length(t) - length(regexp_replace(t, '[一-鿿぀-ヿ가-힯]', '', 'g')) AS n_cjk,
+        |  length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS n_digit
+        |FROM d)
+        |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk, n_digit,
+        |  CASE WHEN GREATEST(n_latin, n_cyrillic, n_greek, n_arabic, n_cjk) = 0 THEN 'none'
+        |       WHEN n_latin = GREATEST(n_latin, n_cyrillic, n_greek, n_arabic, n_cjk) THEN 'latin'
+        |       WHEN n_cyrillic = GREATEST(n_latin, n_cyrillic, n_greek, n_arabic, n_cjk) THEN 'cyrillic'
+        |       WHEN n_greek = GREATEST(n_latin, n_cyrillic, n_greek, n_arabic, n_cjk) THEN 'greek'
+        |       WHEN n_arabic = GREATEST(n_latin, n_cyrillic, n_greek, n_arabic, n_cjk) THEN 'arabic'
+        |       ELSE 'cjk' END AS main_script
+        |FROM c""".stripMargin,
     "q_langid" ->
       s"""WITH d AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
         |s AS (SELECT doc_id,

@@ -1146,6 +1146,32 @@ class PipelineSpecs extends SparkSuite {
     assert(guarded.count() == 0)
   }
 
+  test("script id: block counts, main script, ties and none") {
+    import graft.text.ScriptId
+    val rows = Seq(
+      (1L, "hello world"),            // latin only
+      (2L, "Привет hello"),           // cyrillic 6 > latin 5
+      (3L, "你好 world 123"),          // latin 5 = cjk 2 → latin wins? no: latin 5 > cjk 2
+      (4L, "漢字文章テスト 한글"),        // cjk only
+      (5L, "مرحبا"),                  // arabic
+      (6L, "42 ... !!"),              // digits only → main none
+      (7L, "αβ ab")                   // greek 2 = latin 2 → tie → latin (Scripts order)
+    ).toDF("id", "t")
+    val out = ScriptId(rows, "t").select("id", "main_script")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "latin")
+    assert(out(2L) == "cyrillic")
+    assert(out(3L) == "latin")
+    assert(out(4L) == "cjk")
+    assert(out(5L) == "arabic")
+    assert(out(6L) == "none")
+    assert(out(7L) == "latin")
+    val counts = ScriptId(rows, "t")
+      .filter(col("id") === 2L)
+      .select("n_cyrillic", "n_latin", "n_digit").head
+    assert((counts.getInt(0), counts.getInt(1), counts.getInt(2)) == ((6, 5, 0)))
+  }
+
   test("url ops: normalize cases, host and registrable domain") {
     import graft.text.UrlOps
     val rows = Seq(
