@@ -87,6 +87,19 @@ object IntervalJoin {
     *                   sides, [[BinnedIntervalJoin.autoWidth]]) — the
     *                   no-knob spelling of `binWidth`; mutually
     *                   exclusive with it
+    * @param sweep      route the matching phase through the custom
+    *                   sweep SparkPlan
+    *                   ([[org.apache.spark.sql.graft.IntervalSweepJoinExec]]:
+    *                   one shuffle + one sort per side, partition-local
+    *                   sweep, no candidate blowup). `None` (default) =
+    *                   automatic: used for keyed inner joins with
+    *                   bounded endpoints when NEITHER side is small
+    *                   enough to broadcast (if one is, Catalyst's
+    *                   broadcast hash join avoids shuffling the big
+    *                   side at all — better than any shuffled plan) and
+    *                   no explicit binWidth was requested.
+    *                   `Some(true)` forces it (throws if the shape is
+    *                   ineligible); `Some(false)` disables.
     */
   def apply(
       left: DataFrame,
@@ -105,7 +118,8 @@ object IntervalJoin {
       returnIndexers: Boolean = false,
       nullSafeKeys: Boolean = true,
       binWidth: Option[Double] = None,
-      autoBinWidth: Boolean = false): DataFrame = {
+      autoBinWidth: Boolean = false,
+      sweep: Option[Boolean] = None): DataFrame = {
 
     require(Seq("inner", "left", "right", "outer").contains(how), s"how=$how")
     require(!(autoBinWidth && binWidth.isDefined),
@@ -198,7 +212,46 @@ object IntervalJoin {
           right, rightSpec.start.get, rightSpec.stop.get))
       } else binWidth
 
+    // ── sweep routing (custom SparkPlan) ────────────────────────────────
+    // Eligible shape: keyed inner join, bounded endpoints on both sides,
+    // a genuine range (not the two-point equality fast path), batch
+    // frames, no explicit binning. Auto mode additionally requires that
+    // neither side is broadcast-small under the session threshold —
+    // when one is, Catalyst's BHJ (no shuffle of the big side) beats
+    // any shuffled plan, sweep included.
+    val sweepEligible =
+      how == "inner" && effBinWidth.isEmpty && lKeys.nonEmpty &&
+        leftSpec.start.isDefined && leftSpec.stop.isDefined &&
+        rightSpec.start.isDefined && rightSpec.stop.isDefined &&
+        !(leftSpec.isPoint && rightSpec.isPoint) &&
+        !left.isStreaming && !right.isStreaming
+    require(!sweep.contains(true) || sweepEligible,
+      "sweep = Some(true) requires a keyed INNER join of batch frames " +
+        "with bounded endpoints (and not the two-point equality shape)")
+    val useSweep = sweep match {
+      case Some(b) => b && sweepEligible
+      case None =>
+        sweepEligible && {
+          val confVal = left.sparkSession.conf
+            .get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
+          // threshold < 0 disables broadcasting: Catalyst must shuffle
+          // either way, so the sweep is strictly better for this shape
+          if (confVal.startsWith("-")) true
+          else {
+            val thresh = org.apache.spark.network.util.JavaUtils
+              .byteStringAsBytes(confVal)
+            val lSize = lValid.queryExecution.optimizedPlan.stats.sizeInBytes
+            val rSize = rJoinSide.queryExecution.optimizedPlan.stats.sizeInBytes
+            lSize.min(rSize) > BigInt(thresh)
+          }
+        }
+    }
+
     val joined = effBinWidth match {
+      case None if useSweep =>
+        SweepJoin(lValid, rJoinSide,
+          lKeys, rKeys.map(rPrefix + _),
+          leftSpec, rSpecRenamed, nullSafeKeys = nullSafeKeys)
       case None => lValid.join(rJoinSide, cond, joinType)
       case Some(w) =>
         require(w > 0, "binWidth must be positive")

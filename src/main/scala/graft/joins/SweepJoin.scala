@@ -35,9 +35,14 @@ object SweepJoin {
     * correct semantics but not a scale path; use keys (or the binned
     * join) for large keyless workloads.
     */
+  /** @param nullSafeKeys true = `<=>` key semantics (null keys match
+    *                     each other); false = `===` (null-keyed rows
+    *                     never match)
+    */
   def apply(left: DataFrame, right: DataFrame,
             leftOn: Seq[String], rightOn: Seq[String],
-            leftSpec: IntervalSpec, rightSpec: IntervalSpec): DataFrame = {
+            leftSpec: IntervalSpec, rightSpec: IntervalSpec,
+            nullSafeKeys: Boolean = false): DataFrame = {
     require(leftOn.length == rightOn.length,
       s"key lists must align: $leftOn vs $rightOn")
     require(leftSpec.start.isDefined && leftSpec.stop.isDefined &&
@@ -68,7 +73,8 @@ object SweepJoin {
       attr(lPlan, leftSpec.start.get), attr(lPlan, leftSpec.stop.get),
       attr(rPlan, rightSpec.start.get), attr(rPlan, rightSpec.stop.get),
       leftSpec.includeStart, leftSpec.includeStop,
-      rightSpec.includeStart, rightSpec.includeStop)
+      rightSpec.includeStart, rightSpec.includeStop,
+      matchNullKeys = nullSafeKeys)
     org.apache.spark.sql.graft.SweepPlanBuilder.ofRows(spark, node)
   }
 }

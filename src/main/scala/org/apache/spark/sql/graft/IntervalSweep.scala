@@ -33,7 +33,8 @@ case class IntervalSweepJoin(
     lStart: Expression, lEnd: Expression,
     rStart: Expression, rEnd: Expression,
     lClosedStart: Boolean, lClosedEnd: Boolean,
-    rClosedStart: Boolean, rClosedEnd: Boolean) extends BinaryNode {
+    rClosedStart: Boolean, rClosedEnd: Boolean,
+    matchNullKeys: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalSweepJoin =
@@ -59,7 +60,8 @@ object IntervalSweepStrategy extends SparkStrategy {
     case j: IntervalSweepJoin =>
       IntervalSweepJoinExec(planLater(j.left), planLater(j.right),
         j.leftKeys, j.rightKeys, j.lStart, j.lEnd, j.rStart, j.rEnd,
-        j.lClosedStart, j.lClosedEnd, j.rClosedStart, j.rClosedEnd) :: Nil
+        j.lClosedStart, j.lClosedEnd, j.rClosedStart, j.rClosedEnd,
+        j.matchNullKeys) :: Nil
     case _ => Nil
   }
 }
@@ -83,8 +85,12 @@ object IntervalSweepStrategy extends SparkStrategy {
   * (every interval × every touched bin) cost this operator nothing
   * extra. No broadcast, no bin tuning, no candidate materialization.
   *
-  * Rows with a null key or null endpoints never match (SQL inner-join
-  * semantics) and are dropped on entry.
+  * Rows with null endpoints never match and are dropped on entry. Null
+  * keys follow `matchNullKeys`: false = SQL `===` inner-join semantics
+  * (null-keyed rows dropped); true = null-safe `<=>` semantics (null
+  * keys match each other — hash partitioning routes all null keys to
+  * one partition and the sort groups them, so the sweep handles them
+  * like any other key value).
   */
 case class IntervalSweepJoinExec(
     left: SparkPlan,
@@ -94,7 +100,8 @@ case class IntervalSweepJoinExec(
     lStart: Expression, lEnd: Expression,
     rStart: Expression, rEnd: Expression,
     lClosedStart: Boolean, lClosedEnd: Boolean,
-    rClosedStart: Boolean, rClosedEnd: Boolean) extends BinaryExecNode {
+    rClosedStart: Boolean, rClosedEnd: Boolean,
+    matchNullKeys: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -124,6 +131,7 @@ case class IntervalSweepJoinExec(
     val rKeyExprs = rightKeys
     val (lsE, leE, rsE, reE) = (lStart, lEnd, rStart, rEnd)
     val (lcS, lcE, rcS, rcE) = (lClosedStart, lClosedEnd, rClosedStart, rClosedEnd)
+    val nullSafe = matchNullKeys
     val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -151,7 +159,7 @@ case class IntervalSweepJoinExec(
           val rs = rsB.eval(r)
           val re = reB.eval(r)
           val k = rKeyProj(r)
-          if (rs != null && re != null && !k.anyNull) {
+          if (rs != null && re != null && (nullSafe || !k.anyNull)) {
             rLook = new REntry(k.copy(), rs, re, r.copy())
           }
         }
@@ -173,7 +181,7 @@ case class IntervalSweepJoinExec(
         val ls = lsB.eval(l)
         val le = leB.eval(l)
         val lk = lKeyProj(l)
-        if (ls == null || le == null || lk.anyNull) Iterator.empty
+        if (ls == null || le == null || (!nullSafe && lk.anyNull)) Iterator.empty
         else {
           if (curKey == null || keyOrd.compare(curKey, lk) != 0) {
             active.clear()

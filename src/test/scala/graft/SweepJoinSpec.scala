@@ -140,6 +140,62 @@ class SweepJoinSpec extends SparkSuite {
     assert(nSort == 2, s"expected 2 sorts:\n$plan")
   }
 
+  test("IntervalJoin sweep routing ≡ plain path (keep × nullSafe × closedness)") {
+    import graft.joins.IntervalJoin
+    val rnd = new scala.util.Random(5)
+    val li = (0 until 200).map { i =>
+      val s = rnd.nextInt(50).toDouble
+      (if (i % 17 == 0) null else (i % 4).toLong.asInstanceOf[Any],
+        s, s + rnd.nextInt(10))
+    }
+    val ri = (0 until 200).map { i =>
+      val s = rnd.nextInt(50).toDouble
+      (if (i % 13 == 0) null else (i % 4).toLong.asInstanceOf[Any],
+        s, s + rnd.nextInt(6))
+    }
+    val l = li.map { case (g, s, e) => (g.asInstanceOf[java.lang.Long], s, e) }
+      .toDF("g", "s", "e")
+    val r = ri.map { case (g, s, e) => (g.asInstanceOf[java.lang.Long], s, e) }
+      .toDF("g", "rs", "re")
+    for {
+      keep <- Seq("all", "first", "last", "both")
+      nullSafe <- Seq(true, false)
+      (incS, incE) <- Seq((true, true), (true, false), (false, true))
+    } {
+      def run(sw: Boolean) = IntervalJoin(l, r,
+        IntervalSpec(Some("s"), Some("e"), incS, incE),
+        IntervalSpec.closed("rs", "re"),
+        leftOn = Seq("g"), rightOn = Seq("g"),
+        keep = keep, keepOrder = false, nullSafeKeys = nullSafe,
+        sweep = Some(sw))
+        .collect().map(_.toSeq.map(Option(_))).toSet
+      assert(run(true) == run(false),
+        s"keep=$keep nullSafe=$nullSafe inc=($incS,$incE)")
+    }
+  }
+
+  test("IntervalJoin sweep routing: forced on ineligible shape throws; auto skips small sides") {
+    import graft.joins.IntervalJoin
+    val l = Seq((1L, 0.0, 5.0)).toDF("g", "s", "e")
+    val r = Seq((1L, 1.0, 2.0)).toDF("g", "rs", "re")
+    intercept[IllegalArgumentException] {
+      IntervalJoin(l, r, IntervalSpec.closed("s", "e"),
+        IntervalSpec.closed("rs", "re"), leftOn = Seq("g"), rightOn = Seq("g"),
+        how = "left", sweep = Some(true))
+    }
+    // auto mode on broadcast-small sides: plain join plan (no sweep node)
+    val auto = IntervalJoin(l, r, IntervalSpec.closed("s", "e"),
+      IntervalSpec.closed("rs", "re"), leftOn = Seq("g"), rightOn = Seq("g"),
+      keepOrder = false)
+    assert(!auto.queryExecution.executedPlan.toString.contains("IntervalSweepJoin"))
+    // forced: the sweep node appears and the result is identical
+    val forced = IntervalJoin(l, r, IntervalSpec.closed("s", "e"),
+      IntervalSpec.closed("rs", "re"), leftOn = Seq("g"), rightOn = Seq("g"),
+      keepOrder = false, sweep = Some(true))
+    assert(forced.queryExecution.executedPlan.toString.contains("IntervalSweepJoin"))
+    assert(forced.collect().toSeq.map(_.toSeq) == auto.collect().toSeq.map(_.toSeq))
+  }
+
   test("sweep: timestamp endpoints") {
     val l = Seq(
       (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
