@@ -947,6 +947,54 @@ object SparkEntry {
             coalesce(col("kmv_1"), empty), k), k)).as("n_distinct_est"))
     }
 
+  /** Bottom-k-by-hash quantile sketch: bounded-state per-group
+    * percentiles (the exact `percentile` aggregate buffers every value —
+    * the object-hash memory cliff). md5 ranks make the sample — and so
+    * every estimate — deterministic; the oracle reproduces it exactly.
+    */
+  private val q_quantile_sketch: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      import graft.agg.QuantileSketch._
+      val li = t(s, dir, "lineitem")
+        .withColumn("rid", concat_ws("|", col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+      sketch(li, Seq("l_returnflag"), "l_extendedprice", col("rid"), k = 64)
+        .select(col("l_returnflag"),
+          size(col("qsk")).cast("long").as("n_sample"),
+          r6m(quantile(col("qsk"), 0.25)).as("p25"),
+          r6m(quantile(col("qsk"), 0.5)).as("p50"),
+          r6m(quantile(col("qsk"), 0.75)).as("p75"),
+          r6m(quantile(col("qsk"), 0.9)).as("p90"))
+    }
+
+  /** Quantile-sketch mergeability under the oracle: two supplier-parity
+    * slice sketches unioned; the oracle is the single-pass sketch —
+    * the green row proves the bottom-k sample rolls up losslessly.
+    */
+  private val q_quantile_sketch_merge: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      import graft.agg.QuantileSketch._
+      val li = t(s, dir, "lineitem")
+        .withColumn("rid", concat_ws("|", col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+      val k = 64
+      def half(p: Int) =
+        sketch(li.filter(col("l_suppkey") % 2 === p),
+          Seq("l_returnflag"), "l_extendedprice", col("rid"), k)
+          .withColumnRenamed("qsk", s"qsk_$p")
+      val empty = array().cast("array<struct<rank:bigint,value:double>>")
+      val merged = half(0).join(half(1), Seq("l_returnflag"), "full")
+        .select(col("l_returnflag"),
+          unionSketch(coalesce(col("qsk_0"), empty),
+            coalesce(col("qsk_1"), empty), k).as("qsk"))
+      merged.select(col("l_returnflag"),
+        size(col("qsk")).cast("long").as("n_sample"),
+        r6m(quantile(col("qsk"), 0.25)).as("p25"),
+        r6m(quantile(col("qsk"), 0.5)).as("p50"),
+        r6m(quantile(col("qsk"), 0.75)).as("p75"),
+        r6m(quantile(col("qsk"), 0.9)).as("p90"))
+    }
+
   /** Count-min sketch: token frequencies summarized into a fixed 4×2048
     * grid, then point-estimated for the 20 most frequent tokens next to
     * their exact counts. Deterministic md5 row-hashes → the oracle
@@ -1821,6 +1869,8 @@ object SparkEntry {
     "q_ann_q8"              -> q_ann_q8,
     "q_ann_topk"            -> q_ann_topk,
     "q_distinct_sketch"     -> q_distinct_sketch,
+    "q_quantile_sketch"     -> q_quantile_sketch,
+    "q_quantile_sketch_merge" -> q_quantile_sketch_merge,
     "q_distinct_sketch_merge" -> q_distinct_sketch_merge,
     "q_cms_tokens"          -> q_cms_tokens,
     "q_rand_proj"           -> q_rand_proj,
@@ -2524,6 +2574,51 @@ object SparkEntry {
         |      (MAX(CASE WHEN rn = 256 THEN hv END)::DOUBLE) END, 6) + 0.0
         |    AS n_distinct_est
         |FROM r GROUP BY l_returnflag""".stripMargin,
+    // bottom-k-by-hash sample: same md5 ranks in SQL, k smallest per
+    // group, then the identical linear interpolation — the merge query's
+    // oracle is the SAME single-pass sketch (lossless rollup)
+    "q_quantile_sketch" ->
+      """WITH rk AS (SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS v,
+        |    ('0x' || substring(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR || '|' || l_partkey::VARCHAR || '|' || l_suppkey::VARCHAR), 1, 15))::BIGINT AS r
+        |  FROM lineitem),
+        |s AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY r, v) AS rn FROM rk),
+        |kk AS (SELECT g, list_sort(list(v)) AS vals, COUNT(*) AS n
+        |       FROM s WHERE rn <= 64 GROUP BY g)
+        |SELECT g AS l_returnflag, n::BIGINT AS n_sample,
+        |  ROUND(CASE WHEN n = 1 THEN vals[1] ELSE
+        |    vals[CAST(FLOOR(0.25::DOUBLE*(n-1)) AS INT)+1] * (1 - (0.25::DOUBLE*(n-1) - FLOOR(0.25::DOUBLE*(n-1))))
+        |    + vals[LEAST(CAST(FLOOR(0.25::DOUBLE*(n-1)) AS INT)+2, n::INT)] * (0.25::DOUBLE*(n-1) - FLOOR(0.25::DOUBLE*(n-1))) END + 1e-9, 6) + 0.0 AS p25,
+        |  ROUND(CASE WHEN n = 1 THEN vals[1] ELSE
+        |    vals[CAST(FLOOR(0.5::DOUBLE*(n-1)) AS INT)+1] * (1 - (0.5::DOUBLE*(n-1) - FLOOR(0.5::DOUBLE*(n-1))))
+        |    + vals[LEAST(CAST(FLOOR(0.5::DOUBLE*(n-1)) AS INT)+2, n::INT)] * (0.5::DOUBLE*(n-1) - FLOOR(0.5::DOUBLE*(n-1))) END + 1e-9, 6) + 0.0 AS p50,
+        |  ROUND(CASE WHEN n = 1 THEN vals[1] ELSE
+        |    vals[CAST(FLOOR(0.75::DOUBLE*(n-1)) AS INT)+1] * (1 - (0.75::DOUBLE*(n-1) - FLOOR(0.75::DOUBLE*(n-1))))
+        |    + vals[LEAST(CAST(FLOOR(0.75::DOUBLE*(n-1)) AS INT)+2, n::INT)] * (0.75::DOUBLE*(n-1) - FLOOR(0.75::DOUBLE*(n-1))) END + 1e-9, 6) + 0.0 AS p75,
+        |  ROUND(CASE WHEN n = 1 THEN vals[1] ELSE
+        |    vals[CAST(FLOOR(0.9::DOUBLE*(n-1)) AS INT)+1] * (1 - (0.9::DOUBLE*(n-1) - FLOOR(0.9::DOUBLE*(n-1))))
+        |    + vals[LEAST(CAST(FLOOR(0.9::DOUBLE*(n-1)) AS INT)+2, n::INT)] * (0.9::DOUBLE*(n-1) - FLOOR(0.9::DOUBLE*(n-1))) END + 1e-9, 6) + 0.0 AS p90
+        |FROM kk""".stripMargin,
+    "q_quantile_sketch_merge" ->
+      """WITH rk AS (SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS v,
+        |    ('0x' || substring(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR || '|' || l_partkey::VARCHAR || '|' || l_suppkey::VARCHAR), 1, 15))::BIGINT AS r
+        |  FROM lineitem),
+        |s AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY r, v) AS rn FROM rk),
+        |kk AS (SELECT g, list_sort(list(v)) AS vals, COUNT(*) AS n
+        |       FROM s WHERE rn <= 64 GROUP BY g)
+        |SELECT g AS l_returnflag, n::BIGINT AS n_sample,
+        |  ROUND(CASE WHEN n = 1 THEN vals[1] ELSE
+        |    vals[CAST(FLOOR(0.25::DOUBLE*(n-1)) AS INT)+1] * (1 - (0.25::DOUBLE*(n-1) - FLOOR(0.25::DOUBLE*(n-1))))
+        |    + vals[LEAST(CAST(FLOOR(0.25::DOUBLE*(n-1)) AS INT)+2, n::INT)] * (0.25::DOUBLE*(n-1) - FLOOR(0.25::DOUBLE*(n-1))) END + 1e-9, 6) + 0.0 AS p25,
+        |  ROUND(CASE WHEN n = 1 THEN vals[1] ELSE
+        |    vals[CAST(FLOOR(0.5::DOUBLE*(n-1)) AS INT)+1] * (1 - (0.5::DOUBLE*(n-1) - FLOOR(0.5::DOUBLE*(n-1))))
+        |    + vals[LEAST(CAST(FLOOR(0.5::DOUBLE*(n-1)) AS INT)+2, n::INT)] * (0.5::DOUBLE*(n-1) - FLOOR(0.5::DOUBLE*(n-1))) END + 1e-9, 6) + 0.0 AS p50,
+        |  ROUND(CASE WHEN n = 1 THEN vals[1] ELSE
+        |    vals[CAST(FLOOR(0.75::DOUBLE*(n-1)) AS INT)+1] * (1 - (0.75::DOUBLE*(n-1) - FLOOR(0.75::DOUBLE*(n-1))))
+        |    + vals[LEAST(CAST(FLOOR(0.75::DOUBLE*(n-1)) AS INT)+2, n::INT)] * (0.75::DOUBLE*(n-1) - FLOOR(0.75::DOUBLE*(n-1))) END + 1e-9, 6) + 0.0 AS p75,
+        |  ROUND(CASE WHEN n = 1 THEN vals[1] ELSE
+        |    vals[CAST(FLOOR(0.9::DOUBLE*(n-1)) AS INT)+1] * (1 - (0.9::DOUBLE*(n-1) - FLOOR(0.9::DOUBLE*(n-1))))
+        |    + vals[LEAST(CAST(FLOOR(0.9::DOUBLE*(n-1)) AS INT)+2, n::INT)] * (0.9::DOUBLE*(n-1) - FLOOR(0.9::DOUBLE*(n-1))) END + 1e-9, 6) + 0.0 AS p90
+        |FROM kk""".stripMargin,
     "q_cms_tokens" ->
       s"""WITH tok AS (SELECT unnest($ToksExpr) AS token FROM documents),
         |c AS (SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY 1),

@@ -116,9 +116,128 @@ case class MinKLongs(
     copy(child = newChild)
 }
 
+/** Bounded buffer of the `k` (rank, value) pairs with the smallest
+  * DISTINCT ranks — the state of the bottom-k-by-hash VALUE sample
+  * behind [[graft.agg.QuantileSketch]]. With a uniform random rank per
+  * row, the k lowest-ranked rows are a simple random sample without
+  * replacement, and keeping the k smallest ranks of a UNION of buffers
+  * reproduces exactly the single-pass sample — the property that makes
+  * the sketch losslessly mergeable across partitions/frames/days.
+  * Rank collisions (negligible at 60-bit ranks) keep the smaller value
+  * so merge order can never change the result.
+  */
+final class MinKPairBuffer(val k: Int) {
+  val map = new java.util.TreeMap[java.lang.Long, java.lang.Double]()
+  def add(rank: Long, value: Double): Unit = {
+    val existing = map.get(rank)
+    if (existing != null) {
+      if (value < existing) map.put(rank, value)
+    } else if (map.size() >= k) {
+      if (rank < map.lastKey()) { map.put(rank, value); map.pollLastEntry() }
+    } else map.put(rank, value)
+  }
+  def mergeIn(o: MinKPairBuffer): Unit = {
+    val it = o.map.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); add(e.getKey, e.getValue) }
+  }
+}
+
+/** Aggregate `min_k_pairs(rank, value, k)` → array of
+  * `struct<rank: long, value: double>` holding the k pairs with the
+  * smallest distinct ranks, sorted by rank. Null ranks or values are
+  * ignored. Partial state ≤ k pairs per group per task at any input
+  * size — the same bounded-shuffle argument as [[MinKLongs]].
+  */
+case class MinKPairs(
+    rank: Expression,
+    value: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MinKPairBuffer]
+    with ExpectsInputTypes {
+
+  require(k >= 1, s"min_k_pairs needs k >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(rank, value)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(LongType, org.apache.spark.sql.types.DoubleType)
+  override def dataType: DataType = ArrayType(
+    new org.apache.spark.sql.types.StructType()
+      .add("rank", LongType, nullable = false)
+      .add("value", org.apache.spark.sql.types.DoubleType, nullable = false),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "min_k_pairs"
+
+  override def createAggregationBuffer(): MinKPairBuffer = new MinKPairBuffer(k)
+
+  override def update(buffer: MinKPairBuffer, input: InternalRow): MinKPairBuffer = {
+    val r = rank.eval(input)
+    val v = value.eval(input)
+    if (r != null && v != null) {
+      buffer.add(r.asInstanceOf[Long], v.asInstanceOf[Double])
+    }
+    buffer
+  }
+
+  override def merge(buffer: MinKPairBuffer, other: MinKPairBuffer): MinKPairBuffer = {
+    buffer.mergeIn(other)
+    buffer
+  }
+
+  override def eval(buffer: MinKPairBuffer): Any = {
+    val out = new Array[Any](buffer.map.size())
+    val it = buffer.map.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = InternalRow(e.getKey.longValue(), e.getValue.doubleValue())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: MinKPairBuffer): Array[Byte] = {
+    val n = buffer.map.size()
+    val bb = ByteBuffer.allocate(4 + 16 * n)
+    bb.putInt(n)
+    val it = buffer.map.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey)
+      bb.putDouble(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MinKPairBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new MinKPairBuffer(k)
+    var i = 0
+    while (i < n) { buf.add(bb.getLong, bb.getDouble); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinKPairs =
+    copy(rank = newChildren(0), value = newChildren(1))
+}
+
 object SketchFunctions {
   /** `min_k_longs` as a Column aggregate. */
   def min_k_longs(c: Column, k: Int): Column =
     ExpressionUtils.column(
       MinKLongs(ExpressionUtils.expression(c), k).toAggregateExpression())
+
+  /** `min_k_pairs` as a Column aggregate. */
+  def min_k_pairs(rank: Column, value: Column, k: Int): Column =
+    ExpressionUtils.column(
+      MinKPairs(ExpressionUtils.expression(rank),
+        ExpressionUtils.expression(value), k).toAggregateExpression())
 }

@@ -53,6 +53,51 @@ class SketchSpecs extends SparkSuite {
     assert(a == b)
   }
 
+  // --- bottom-k quantile sketch --------------------------------------
+
+  test("quantile sketch: groups at or below k are exact percentile_cont") {
+    import graft.agg.QuantileSketch
+    val df = (1 to 50).map(v => ("a", s"id$v", v.toDouble)).toDF("grp", "id", "v")
+    val sk = QuantileSketch.sketch(df, Seq("grp"), "v", col("id"), k = 64)
+    val got = sk.select(
+      QuantileSketch.quantile(col("qsk"), 0.5).as("p50"),
+      QuantileSketch.quantile(col("qsk"), 0.25).as("p25")).head
+    val want = df.agg(
+      expr("percentile(v, 0.5)"), expr("percentile(v, 0.25)")).head
+    assert(got.getDouble(0) == want.getDouble(0))
+    assert(got.getDouble(1) == want.getDouble(1))
+  }
+
+  test("quantile sketch: slice sketches union to exactly the whole-frame sketch") {
+    import graft.agg.QuantileSketch
+    val k = 16
+    val df = (0 until 2000).map(v => ("a", s"id$v", (v % 97).toDouble, v % 2))
+      .toDF("grp", "id", "v", "half")
+    val whole = QuantileSketch.sketch(df, Seq("grp"), "v", col("id"), k)
+      .select(QuantileSketch.quantile(col("qsk"), 0.5)).head.getDouble(0)
+    val halves = QuantileSketch.sketch(df, Seq("grp", "half"), "v", col("id"), k)
+    val merged = halves.groupBy("grp")
+      .agg(collect_list("qsk").as("parts"))
+      .select(QuantileSketch.quantile(QuantileSketch.unionSketch(
+        element_at(col("parts"), 1), element_at(col("parts"), 2), k), 0.5))
+      .head.getDouble(0)
+    assert(merged == whole)
+  }
+
+  test("quantile sketch: deterministic across repartitionings; ~sample accuracy") {
+    import graft.agg.QuantileSketch
+    val n = 4000
+    val df = (0 until n).map(v => ("a", s"id$v", v.toDouble)).toDF("grp", "id", "v")
+    def p50(d: org.apache.spark.sql.DataFrame) =
+      QuantileSketch.sketch(d, Seq("grp"), "v", col("id"), k = 256)
+        .select(QuantileSketch.quantile(col("qsk"), 0.5)).head.getDouble(0)
+    val a = p50(df.repartition(17))
+    val b = p50(df.coalesce(1))
+    assert(a == b)
+    // true median is ~n/2; sample error ~ n/(2*sqrt(k)) — allow 4x
+    assert(math.abs(a - n / 2.0) < 4 * n / (2 * math.sqrt(256)), s"p50=$a")
+  }
+
   // --- count-min sketch ----------------------------------------------
 
   private def tokenRows = Seq(
