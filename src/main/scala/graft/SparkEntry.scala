@@ -1446,6 +1446,64 @@ object SparkEntry {
           col("main_script"))
     }
 
+  /** HTML → visible-text extraction over deterministically synthesized
+    * markup (the corpus is plain text, so pages are built around it by
+    * doc_id residue: script/style blocks, comments, entities, anchors).
+    * String-exact DuckDB oracle; ratio is one division — bit-exact.
+    */
+  private val q_html_extract: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val id = col("doc_id")
+      val page = concat(
+        lit("<!DOCTYPE html><html><head>"),
+        when(id % 3 =!= 0,
+          concat(lit("<title> Doc "), id.cast("string"),
+            lit(" &amp; more </title>"))).otherwise(lit("")),
+        when(id % 4 === 0,
+          lit("<style> body { color: red; } </style>")).otherwise(lit("")),
+        lit("</head><body>"),
+        when(id % 5 === 0,
+          lit("<script type=\"text/javascript\">var x = 1 < 2 && y > 3;</script>"))
+          .otherwise(lit("")),
+        lit("<!-- nav\nboilerplate --><div class=\"main\"><p>"),
+        substring(col("text"), 1, 120),
+        lit("</p><br>"),
+        when(id % 2 === 0,
+          lit("<a href=\"/x\">Link</a> &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"))
+          .otherwise(lit("")),
+        when(id % 7 === 0,
+          lit("<a href=\"/y\">More</a><A HREF=\"/z\">CAPS</A>"))
+          .otherwise(lit("")),
+        lit("</div></body></html>"))
+      docs(s, dir).select(id, page.as("html"))
+        .select(col("doc_id"),
+          graft.text.HtmlExtract.title(col("html")).as("title"),
+          graft.text.HtmlExtract.text(col("html")).as("body_text"),
+          graft.text.HtmlExtract.linkCount(col("html")).as("n_links"),
+          graft.text.HtmlExtract.textRatio(col("html")).as("text_ratio"))
+    }
+
+  /** Link-graph authority over a deterministic synthetic multigraph on
+    * the document ids (the corpus has no link column): each doc links to
+    * (2·id+1) mod N unless id%7=0 and to (3·id+7) mod N unless id%3=0,
+    * so hubs, dangling nodes (id%21=0) and self-loops all occur. Ranks
+    * are integer fixed-point — the oracle reproduces every division
+    * exactly with `//`, no float tolerance anywhere. */
+  private val q_pagerank: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val n = d.count() // driver scalar: the synthetic graph's modulus
+      val e1 = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 2 + 1) % n).as("dst"))
+      val e2 = d.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 3 + 7) % n).as("dst"))
+      graft.graph.PageRank(e1.unionByName(e2), "src", "dst",
+        iterations = 5, nodes = Some(d))
+        .select(col("node"), col("rank").as("rank_fp"))
+    }
+
   private val q_text_fingerprint: (SparkSession, String) => DataFrame =
     (s, dir) =>
       Fingerprint(docs(s, dir), "text",
@@ -1903,6 +1961,8 @@ object SparkEntry {
     "q_sessionize"          -> q_sessionize,
     "q_text_scrub"          -> q_text_scrub,
     "q_url_normalize"       -> q_url_normalize,
+    "q_html_extract"        -> q_html_extract,
+    "q_pagerank"            -> q_pagerank,
     "q_script_id"           -> q_script_id,
     "q_packing"             -> q_packing,
     "q_langid"              -> q_langid,
@@ -3178,6 +3238,72 @@ object SparkEntry {
         |       THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
         |       ELSE host END AS domain
         |FROM h""".stripMargin,
+    "q_html_extract" ->
+      """WITH syn AS (SELECT doc_id,
+        |    '<!DOCTYPE html><html><head>'
+        |    || CASE WHEN doc_id % 3 <> 0 THEN '<title> Doc ' || doc_id::VARCHAR || ' &amp; more </title>' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN '<style> body { color: red; } </style>' ELSE '' END
+        |    || '</head><body>'
+        |    || CASE WHEN doc_id % 5 = 0 THEN '<script type="text/javascript">var x = 1 < 2 && y > 3;</script>' ELSE '' END
+        |    || '<!-- nav' || chr(10) || 'boilerplate --><div class="main"><p>'
+        |    || substring(text, 1, 120)
+        |    || '</p><br>'
+        |    || CASE WHEN doc_id % 2 = 0 THEN '<a href="/x">Link</a> &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN '<a href="/y">More</a><A HREF="/z">CAPS</A>' ELSE '' END
+        |    || '</div></body></html>' AS html
+        |  FROM documents),
+        |st AS (SELECT doc_id, html,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g') AS raw
+        |  FROM syn),
+        |dec AS (SELECT doc_id, html,
+        |    replace(replace(replace(replace(replace(replace(raw,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS d
+        |  FROM st)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_extract(html,
+        |    '(?is)<title\b[^>]*>(.*?)</title>', 1), '\s+', ' ', 'g')) AS title,
+        |  trim(regexp_replace(d, '\s+', ' ', 'g')) AS body_text,
+        |  len(regexp_extract_all(html, '(?i)<a[\s>]'))::BIGINT AS n_links,
+        |  CASE WHEN length(html) = 0 THEN 0.0
+        |       ELSE length(trim(regexp_replace(d, '\s+', ' ', 'g')))::DOUBLE
+        |            / length(html)::DOUBLE END AS text_ratio
+        |FROM dec""".stripMargin,
+    "q_pagerank" -> {
+      // 5 unrolled PageRank iterations in integer fixed-point: every
+      // contribution is `85·rank // (100·outdeg)` and every combine an
+      // integer sum, so the oracle matches the Spark result bit-exactly
+      // with no float tolerance (see graft.graph.PageRank's scaladoc).
+      val iters = (1 to 5).map { k =>
+        val p = s"p${k - 1}"
+        s"""c$k AS (SELECT ed.dst, sum(85 * $p.rank // (100 * ed.outdeg))::BIGINT AS contrib
+           |  FROM $p JOIN ed ON $p.node = ed.src GROUP BY 1),
+           |d$k AS (SELECT coalesce(sum($p.rank), 0)::BIGINT AS dm
+           |  FROM $p LEFT JOIN sdeg ON $p.node = sdeg.src WHERE sdeg.src IS NULL),
+           |p$k AS (SELECT u.node,
+           |    ((SELECT t FROM consts) + 85 * (SELECT dm FROM d$k) // (100 * (SELECT n FROM consts))
+           |     + coalesce(c$k.contrib, 0))::BIGINT AS rank
+           |  FROM uni u LEFT JOIN c$k ON u.node = c$k.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH uni AS (SELECT doc_id AS node FROM documents),
+         |consts0 AS (SELECT count(*)::BIGINT AS n FROM uni),
+         |consts AS (SELECT n, (1000000000000 // n) AS b,
+         |    (15 * (1000000000000 // n)) // 100 AS t FROM consts0),
+         |e AS (SELECT doc_id AS src, (2*doc_id + 1) % (SELECT n FROM consts) AS dst
+         |      FROM documents WHERE doc_id % 7 <> 0
+         |      UNION ALL
+         |      SELECT doc_id, (3*doc_id + 7) % (SELECT n FROM consts)
+         |      FROM documents WHERE doc_id % 3 <> 0),
+         |sdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, sdeg.outdeg FROM e JOIN sdeg ON e.src = sdeg.src),
+         |p0 AS (SELECT node, (SELECT b FROM consts) AS rank FROM uni),
+         |$iters
+         |SELECT node, rank::BIGINT AS rank_fp FROM p5""".stripMargin
+    },
     "q_script_id" ->
       """WITH d AS (SELECT doc_id,
         |    text

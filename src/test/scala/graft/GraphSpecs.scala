@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.PageRank
+
+/** PageRank: differential vs a sequential fixed-point oracle, structure
+  * sanity (hubs, rings, dangling mass), and the determinism contract
+  * that motivates the integer formulation.
+  */
+class GraphSpecs extends SparkSuite {
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  /** Sequential reference with IDENTICAL integer arithmetic. */
+  private def refRank(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                      iters: Int, damping: Int = 85): Map[Long, Long] = {
+    val n = nodes.size
+    val base = Scale / n
+    val tele = (100L - damping) * base / 100L
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nodeSet = nodes.toSet
+    var rank = nodes.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(outdeg.contains).map(rank).sum
+      val dshare = damping * dm / (100L * n)
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((u, v) <- edges if nodeSet.contains(u))
+        contrib(v) += damping * rank(u) / (100L * outdeg(u))
+      rank = nodes.map(v => v -> (tele + dshare + contrib(v))).toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                  iters: Int): Map[Long, Long] =
+    PageRank(edges.toDF("s", "d"), "s", "d", iterations = iters,
+      nodes = Some(nodes.toDF("node")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pagerank matches the sequential integer oracle on a random multigraph") {
+    val rnd = new scala.util.Random(7)
+    val nodes = (0L until 60L).toSeq
+    // multigraph: duplicates and self-loops on purpose; ~1/5 of nodes
+    // end up dangling (no out-edges)
+    val edges = (0 until 150).map { _ =>
+      (rnd.nextInt(48).toLong, rnd.nextInt(60).toLong)
+    }
+    assert(run(edges, nodes, 6) == refRank(edges, nodes, 6))
+  }
+
+  test("pagerank on a symmetric ring is uniform every iteration") {
+    val n = 12L
+    val nodes = (0L until n).toSeq
+    val edges = nodes.map(i => (i, (i + 1) % n))
+    val got = run(edges, nodes, 5)
+    assert(got.values.toSet.size == 1)
+    assert(got == refRank(edges, nodes, 5))
+  }
+
+  test("pagerank is bit-identical under input repartitioning") {
+    val rnd = new scala.util.Random(11)
+    val nodes = (0L until 40L).toSeq
+    val edges = (0 until 90).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val base = run(edges, nodes, 4)
+    val shuffled = PageRank(
+      edges.toDF("s", "d").repartition(7), "s", "d", iterations = 4,
+      nodes = Some(nodes.toDF("node").repartition(3)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base == shuffled)
+  }
+
+  test("pagerank: hub outranks leaves; dangling mass is redistributed") {
+    // star into node 0 (a pure sink: dangling), leaves 1..9
+    val nodes = (0L to 9L).toSeq
+    val edges = (1L to 9L).map(i => (i, 0L))
+    val got = run(edges, nodes, 8)
+    assert(got(0L) > got(1L))
+    assert(got == refRank(edges, nodes, 8))
+    // dangling redistribution keeps total mass near scale: without it
+    // the sink would absorb and drain ~85% of everything each round
+    val total = got.values.sum
+    assert(total > Scale * 95L / 100L && total <= Scale)
+  }
+
+  test("pagerank: default universe = edge endpoints; isolated node via nodes=") {
+    val edges = Seq((1L, 2L), (2L, 1L))
+    val noIso = PageRank(edges.toDF("s", "d"), "s", "d", iterations = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(noIso == Set(1L, 2L))
+    val withIso = run(edges, Seq(1L, 2L, 3L), 3)
+    assert(withIso.keySet == Set(1L, 2L, 3L))
+    // the isolated node is dangling: it holds teleport + dangling share
+    assert(withIso(3L) < withIso(1L))
+    assert(withIso == refRank(edges, Seq(1L, 2L, 3L), 3))
+  }
+
+  test("pagerank rejects invalid arguments") {
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    intercept[IllegalArgumentException](PageRank(e, "s", "d", iterations = 0))
+    intercept[IllegalArgumentException](PageRank(e, "s", "d", dampingPct = 101))
+    intercept[IllegalArgumentException](PageRank(e, "s", "d", scale = 10L))
+  }
+}

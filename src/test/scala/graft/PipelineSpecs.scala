@@ -1233,6 +1233,44 @@ class PipelineSpecs extends SparkSuite {
       .startsWith("not_a_long"))
   }
 
+  test("html extraction: blocks dropped, tags spaced, entities decoded in order") {
+    import graft.text.HtmlExtract
+    val html = "<html><head><title>\n  My   Page </title>" +
+      "<style>p { color: red; }</style></head><body>" +
+      "<SCRIPT lang=\"js\">if (a < b && c > d) alert('x');</SCRIPT>" +
+      "<!-- hidden\ncomment --><p>one<br>two</p> &amp;lt; &lt;b&gt;" +
+      " <a href=\"/1\">x</a><A HREF=\"/2\">y</A><a\nhref=\"/3\">z</a></body></html>"
+    val df = Seq((1L, html)).toDF("id", "h")
+    val r = df.select(
+      HtmlExtract.title(col("h")).as("t"),
+      HtmlExtract.text(col("h")).as("x"),
+      HtmlExtract.linkCount(col("h")).as("n"),
+      HtmlExtract.textRatio(col("h")).as("ratio")).head
+    assert(r.getString(0) == "My Page")
+    // script/style/comment content gone; <br> kept the word boundary;
+    // &amp;lt; decodes to the literal text "&lt;" (amp decoded LAST),
+    // while the real &lt;b&gt; becomes <b>
+    assert(r.getString(1) == "My Page one two &lt; <b> x y z")
+    assert(r.getLong(2) == 3L)
+    assert(r.getDouble(3) ==
+      r.getString(1).length.toDouble / html.length.toDouble)
+  }
+
+  test("html extraction: pages without title/links, empty markup") {
+    import graft.text.HtmlExtract
+    val df = Seq((0L, "<p>just text</p>"), (1L, "")).toDF("id", "h")
+    val rows = df.select(col("id"),
+      HtmlExtract.title(col("h")).as("t"),
+      HtmlExtract.text(col("h")).as("x"),
+      HtmlExtract.linkCount(col("h")).as("n"),
+      HtmlExtract.textRatio(col("h")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows(0L) == (("", "just text", 0L,
+      "just text".length.toDouble / "<p>just text</p>".length)))
+    assert(rows(1L) == (("", "", 0L, 0.0)))
+  }
+
   test("json extraction: fields promoted, corrupt payloads null out") {
     import graft.sources.SemiStructured
     import org.apache.spark.sql.types._
