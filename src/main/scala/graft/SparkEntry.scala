@@ -1791,6 +1791,23 @@ object SparkEntry {
           col("event_type"), col("value"), col("props"))
     }
 
+  /** ORC sink/source round-trip on the events table: write zstd ORC
+    * with a bloom filter on user_id, read it back through the native
+    * vectorized reader, compare against the original parquet via the
+    * oracle — equality proves the cross-format round-trip is lossless
+    * (timestamps, doubles, free text). A selective predicate keeps the
+    * scan honest: OrcSpec audits PushedFilters on this exact shape. */
+  private val q_orc_roundtrip: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${math.abs(dir.hashCode)}"
+      val ev = t(s, dir, "events")
+      graft.sources.Orc.write(ev, path, bloomFor = Seq("user_id"))
+      graft.sources.Orc.read(s, path)
+        .filter(col("event_type") =!= "click")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+    }
+
   /** Interval anti-join: events outside every same-user error blackout
     * hour (time-range decontamination). Spark alone would plan the
     * NOT-EXISTS range condition as a nested-loop anti join. */
@@ -1979,6 +1996,7 @@ object SparkEntry {
     "q_sample_hash"         -> q_sample_hash,
     "q_layout_scan"         -> q_layout_scan,
     "q_csv_roundtrip"       -> q_csv_roundtrip,
+    "q_orc_roundtrip"       -> q_orc_roundtrip,
     "q_rolling"             -> q_rolling,
     "q_rolling_rows"        -> q_rolling_rows,
     "q_json_extract"        -> q_json_extract,
@@ -3619,6 +3637,9 @@ object SparkEntry {
         |FROM s ORDER BY key DESC, doc_id LIMIT 50""".stripMargin,
     "q_csv_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    "q_orc_roundtrip" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events WHERE event_type <> 'click'""".stripMargin,
     "q_layout_scan" ->
       """SELECT date_trunc('month', l_shipdate) AS m,
         |       COUNT(*) AS n, SUM(l_quantity) AS q

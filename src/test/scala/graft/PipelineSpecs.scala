@@ -1233,6 +1233,29 @@ class PipelineSpecs extends SparkSuite {
       .startsWith("not_a_long"))
   }
 
+  test("orc source: lossless round-trip, predicate pushed to the scan") {
+    import graft.sources.Orc
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = Seq(
+      (1L, "a", 1.5, java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456")),
+      (2L, "b,with\"quote", -2.0, java.sql.Timestamp.valueOf("2024-06-07 08:09:10.0")),
+      (3L, "c", 0.0, java.sql.Timestamp.valueOf("2024-12-31 23:59:59.999999")))
+      .toDF("id", "s", "v", "ts")
+    Orc.write(df, dir, bloomFor = Seq("id"))
+    val back = Orc.read(spark, dir)
+    // lossless: schema + every value, microsecond timestamps included
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+    // scale contract: a selective predicate must reach the ORC scan
+    // (stripe/row-group skipping), not run as a post-scan filter only
+    val plan = back.filter(col("id") === 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(id)"),
+      s"expected pushed filters in ORC scan:\n$plan")
+  }
+
   test("html extraction: blocks dropped, tags spaced, entities decoded in order") {
     import graft.text.HtmlExtract
     val html = "<html><head><title>\n  My   Page </title>" +
