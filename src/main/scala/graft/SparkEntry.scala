@@ -1504,6 +1504,36 @@ object SparkEntry {
         .select(col("node"), col("rank").as("rank_fp"))
     }
 
+  /** WordPiece vocabulary for q_wordpiece — hand-built against the
+    * corpus word pool to exercise every algorithm branch: whole-word
+    * hits, 2- and 3-piece splits, greedy-longest ("custom" must beat
+    * "cust"), and greedy DEAD ENDS ("grou"+X where only "gro"+"##up"
+    * would complete → whole word [UNK], the no-backtracking contract).
+    * The oracle consumes the same Seq, so the two can never drift. */
+  private val WpVocab: Seq[String] = Seq(
+    "a", "the", "data", "key", "row", "join", "hash", "scan", "sort",
+    "agg", "big", "slow", "fast", "line", "part", "merge", "spark", "sp",
+    "custom", "cust", "##er", "col", "##umn", "f", "##il", "##ter",
+    "vec", "##tor", "win", "##dow", "str", "##eam", "tab", "##le",
+    "val", "##ue", "bat", "##ch", "sm", "##all", "que", "##ry",
+    "or", "##der", "grou", "gro", "##up")
+
+  /** Subword tokenization of the corpus under the fixed vocabulary:
+    * the native greedy longest-match expression vs a recursive-CTE
+    * DuckDB oracle that replays the same greedy walk piece by piece —
+    * string-exact, data-independent (any word tokenizes or UNKs
+    * identically on both engines). */
+  private val q_wordpiece: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val toks = graft.text.WordPiece.tokens(col("text"), WpVocab)
+      docs(s, dir).select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          array_join(col("toks"), " ").as("tokens_str"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(filter(col("toks"), t => t === "[UNK]"))
+            .cast("long").as("n_unk"))
+    }
+
   private val q_text_fingerprint: (SparkSession, String) => DataFrame =
     (s, dir) =>
       Fingerprint(docs(s, dir), "text",
@@ -1980,6 +2010,7 @@ object SparkEntry {
     "q_url_normalize"       -> q_url_normalize,
     "q_html_extract"        -> q_html_extract,
     "q_pagerank"            -> q_pagerank,
+    "q_wordpiece"           -> q_wordpiece,
     "q_script_id"           -> q_script_id,
     "q_packing"             -> q_packing,
     "q_langid"              -> q_langid,
@@ -3291,6 +3322,43 @@ object SparkEntry {
         |       ELSE length(trim(regexp_replace(d, '\s+', ' ', 'g')))::DOUBLE
         |            / length(html)::DOUBLE END AS text_ratio
         |FROM dec""".stripMargin,
+    "q_wordpiece" -> {
+      // the vocab VALUES come from the same WpVocab Seq the query uses;
+      // the recursive CTE replays the greedy longest-match walk: one
+      // step per emitted piece, LATERAL picks the longest matching body
+      val vals = WpVocab.map { p =>
+        val cont = p.startsWith("##")
+        val body = if (cont) p.substring(2) else p
+        s"('$p','$body',$cont)"
+      }.mkString(",")
+      s"""WITH RECURSIVE
+         |v(piece, body, cont) AS (VALUES $vals),
+         |w AS (SELECT doc_id, pos, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         |           generate_subscripts(string_split(text, ' '), 1) AS pos
+         |    FROM documents) WHERE word <> ''),
+         |step(doc_id, pos, word, at, toks, failed) AS (
+         |  SELECT doc_id, pos, word, 0, []::VARCHAR[], false FROM w
+         |  UNION ALL
+         |  SELECT s.doc_id, s.pos, s.word,
+         |    CASE WHEN m.mlen IS NULL THEN length(s.word) ELSE s.at + m.mlen END,
+         |    CASE WHEN m.mlen IS NULL THEN ['[UNK]'] ELSE list_append(s.toks, m.mpiece) END,
+         |    m.mlen IS NULL
+         |  FROM step s LEFT JOIN LATERAL (
+         |    SELECT length(body) AS mlen, piece AS mpiece FROM v
+         |    WHERE v.cont = (s.at > 0)
+         |      AND substr(s.word, s.at + 1, length(body)) = body
+         |    ORDER BY length(body) DESC LIMIT 1) m ON true
+         |  WHERE s.at < length(s.word) AND NOT s.failed),
+         |tok AS (SELECT doc_id, pos, toks FROM step WHERE at >= length(word)),
+         |agg AS (SELECT doc_id, flatten(list(toks ORDER BY pos)) AS ft
+         |        FROM tok GROUP BY 1)
+         |SELECT d.doc_id,
+         |  array_to_string(coalesce(a.ft, []::VARCHAR[]), ' ') AS tokens_str,
+         |  coalesce(len(a.ft), 0)::BIGINT AS n_tokens,
+         |  coalesce(len(list_filter(a.ft, x -> x = '[UNK]')), 0)::BIGINT AS n_unk
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+    },
     "q_pagerank" -> {
       // 5 unrolled PageRank iterations in integer fixed-point: every
       // contribution is `85·rank // (100·outdeg)` and every combine an
