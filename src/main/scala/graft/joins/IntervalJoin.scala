@@ -247,11 +247,19 @@ object IntervalJoin {
         }
     }
 
+    // keep=first/last/both on the sweep path is decided INSIDE the sweep
+    // (extremes by right row id per left row): output shrinks from the
+    // full pair set to ≤ 2·|left| and the min_by/max_by aggregation
+    // below — a full-output shuffle — disappears. Only valid when the
+    // primary side is the left (how = inner ⊆ sweepEligible).
+    val sweepKeep = useSweep && keep != "all" && effBinWidth.isEmpty
     val joined = effBinWidth match {
       case None if useSweep =>
         SweepJoin(lValid, rJoinSide,
           lKeys, rKeys.map(rPrefix + _),
-          leftSpec, rSpecRenamed, nullSafeKeys = nullSafeKeys)
+          leftSpec, rSpecRenamed, nullSafeKeys = nullSafeKeys,
+          keep = if (sweepKeep) keep else "all",
+          rightOrderCol = if (sweepKeep) Some(RightId) else None)
       case None => lValid.join(rJoinSide, cond, joinType)
       case Some(w) =>
         require(w > 0, "binWidth must be positive")
@@ -324,6 +332,7 @@ object IntervalJoin {
     // when nothing matched. Null-primary rows (missing-side rows of outer
     // joins) pass through ungrouped.
     val kept = keep match {
+      case _ if sweepKeep => joined // fused sweep-side
       case "all" => joined
       case _ =>
         val s = struct(joined.columns.map(col): _*)

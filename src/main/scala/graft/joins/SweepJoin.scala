@@ -38,13 +38,23 @@ object SweepJoin {
   /** @param nullSafeKeys true = `<=>` key semantics (null keys match
     *                     each other); false = `===` (null-keyed rows
     *                     never match)
+    * @param keep         all | first | last | both: per LEFT row keep all
+    *                     matches or only the extremes by `rightOrderCol`,
+    *                     decided sweep-side (output ≤ 2·|left| — no
+    *                     post-join aggregation shuffle)
+    * @param rightOrderCol right column defining "first"/"last" (required
+    *                     for non-`all` keep; typically a unique row id)
     */
   def apply(left: DataFrame, right: DataFrame,
             leftOn: Seq[String], rightOn: Seq[String],
             leftSpec: IntervalSpec, rightSpec: IntervalSpec,
-            nullSafeKeys: Boolean = false): DataFrame = {
+            nullSafeKeys: Boolean = false,
+            keep: String = "all",
+            rightOrderCol: Option[String] = None): DataFrame = {
     require(leftOn.length == rightOn.length,
       s"key lists must align: $leftOn vs $rightOn")
+    require(keep == "all" || rightOrderCol.isDefined,
+      "keep=first/last/both requires rightOrderCol")
     require(leftSpec.start.isDefined && leftSpec.stop.isDefined &&
       rightSpec.start.isDefined && rightSpec.stop.isDefined,
       "SweepJoin needs bounded intervals on both sides (use IntervalJoin " +
@@ -74,7 +84,9 @@ object SweepJoin {
       attr(rPlan, rightSpec.start.get), attr(rPlan, rightSpec.stop.get),
       leftSpec.includeStart, leftSpec.includeStop,
       rightSpec.includeStart, rightSpec.includeStop,
-      matchNullKeys = nullSafeKeys)
+      matchNullKeys = nullSafeKeys,
+      keep = keep,
+      rightOrder = rightOrderCol.map(attr(rPlan, _)))
     org.apache.spark.sql.graft.SweepPlanBuilder.ofRows(spark, node)
   }
 }

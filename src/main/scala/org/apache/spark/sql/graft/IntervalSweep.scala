@@ -16,7 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindRefe
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, ExternalAppendOnlyUnsafeRowArray, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 
 /** Logical interval-overlap join: rows of `left` carrying interval
@@ -24,6 +24,15 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   * when their equality keys match and the intervals overlap under the
   * given endpoint closedness. Points are degenerate intervals
   * (`lStart == lEnd`). Inner join; `output = left.output ++ right.output`.
+  *
+  * `keep` ∈ all/first/last/both (reference semantics `merging.py:92-98`):
+  * per LEFT row, emit all matching right rows, or only the first / last /
+  * both extremes by `rightOrder` (an expression over `right.output`,
+  * required for non-`all`; typically the right row-id column). Fusing
+  * keep into the sweep shrinks the operator's output from |pairs| to
+  * ≤ 2·|left| — at scale that removes the post-join `min_by`/`max_by`
+  * shuffle over the full pair set that a compose-then-aggregate plan
+  * pays.
   */
 case class IntervalSweepJoin(
     left: LogicalPlan,
@@ -34,7 +43,12 @@ case class IntervalSweepJoin(
     rStart: Expression, rEnd: Expression,
     lClosedStart: Boolean, lClosedEnd: Boolean,
     rClosedStart: Boolean, rClosedEnd: Boolean,
-    matchNullKeys: Boolean = false) extends BinaryNode {
+    matchNullKeys: Boolean = false,
+    keep: String = "all",
+    rightOrder: Option[Expression] = None) extends BinaryNode {
+  require(Seq("all", "first", "last", "both").contains(keep), s"keep=$keep")
+  require(keep == "all" || rightOrder.isDefined,
+    "keep=first/last/both requires a rightOrder expression")
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalSweepJoin =
@@ -61,7 +75,7 @@ object IntervalSweepStrategy extends SparkStrategy {
       IntervalSweepJoinExec(planLater(j.left), planLater(j.right),
         j.leftKeys, j.rightKeys, j.lStart, j.lEnd, j.rStart, j.rEnd,
         j.lClosedStart, j.lClosedEnd, j.rClosedStart, j.rClosedEnd,
-        j.matchNullKeys) :: Nil
+        j.matchNullKeys, j.keep, j.rightOrder) :: Nil
     case _ => Nil
   }
 }
@@ -85,6 +99,27 @@ object IntervalSweepStrategy extends SparkStrategy {
   * (every interval × every touched bin) cost this operator nothing
   * extra. No broadcast, no bin tuning, no candidate materialization.
   *
+  * '''Memory bound.''' The active set is bounded by overlap density —
+  * exactly the quantity a hostile key violates (one key whose right
+  * intervals all span the key's whole range would otherwise buffer that
+  * key's entire right side on one task). Past
+  * `spark.graft.sweep.maxActive` in-memory entries (default 2^17) the
+  * key DEGRADES to a spill-backed scan: all its surviving + subsequent
+  * right rows move into an [[ExternalAppendOnlyUnsafeRowArray]] — the
+  * same UnsafeExternalSorter-backed structure SortMergeJoinExec buffers
+  * same-key matches in, spilling to disk under memory pressure — and
+  * each left row of that key scans the full buffer with the overlap
+  * predicate applied row-by-row. That is SMJ's exact cost model for the
+  * same degenerate shape (per-key quadratic, memory-safe), so the sweep
+  * is never worse than the operator Catalyst would otherwise pick, and
+  * on non-hostile keys never pays the fallback. Degradations are
+  * surfaced in the `degradedKeys` metric; eviction resumes at the next
+  * key.
+  *
+  * `keep=first/last/both` is evaluated sweep-side (per left row, extremes
+  * by `rightOrder` over the matching right rows): output shrinks from
+  * the full pair set to ≤ 2·|left| with no downstream aggregation.
+  *
   * Rows with null endpoints never match and are dropped on entry. Null
   * keys follow `matchNullKeys`: false = SQL `===` inner-join semantics
   * (null-keyed rows dropped); true = null-safe `<=>` semantics (null
@@ -101,12 +136,16 @@ case class IntervalSweepJoinExec(
     rStart: Expression, rEnd: Expression,
     lClosedStart: Boolean, lClosedEnd: Boolean,
     rClosedStart: Boolean, rClosedEnd: Boolean,
-    matchNullKeys: Boolean = false) extends BinaryExecNode {
+    matchNullKeys: Boolean = false,
+    keep: String = "all",
+    rightOrder: Option[Expression] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
   override lazy val metrics = Map(
-    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "degradedKeys" -> SQLMetrics.createMetric(sparkContext,
+      "keys degraded to spillable scan"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (leftKeys.isEmpty) AllTuples :: AllTuples :: Nil
@@ -125,6 +164,7 @@ case class IntervalSweepJoinExec(
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
+    val degradedKeys = longMetric("degradedKeys")
     val lOut = left.output
     val rOut = right.output
     val lKeyExprs = leftKeys
@@ -133,6 +173,14 @@ case class IntervalSweepJoinExec(
     val (lcS, lcE, rcS, rcE) = (lClosedStart, lClosedEnd, rClosedStart, rClosedEnd)
     val nullSafe = matchNullKeys
     val outAttrs = output
+    val keepMode = keep
+    val rOrderExpr = rightOrder
+    // driver-side conf capture; the closure below runs on executors
+    val maxActive = conf.getConfString("spark.graft.sweep.maxActive",
+      (1 << 17).toString).toInt
+    require(maxActive > 0, "spark.graft.sweep.maxActive must be positive")
+    val spillRowsThreshold = conf.sortMergeJoinExecBufferSpillThreshold
+    val spillSizeThreshold = conf.sortMergeJoinExecBufferSpillSizeThreshold
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -144,6 +192,10 @@ case class IntervalSweepJoinExec(
       val leB = BindReferences.bindReference(leE, lOut)
       val rsB = BindReferences.bindReference(rsE, rOut)
       val reB = BindReferences.bindReference(reE, rOut)
+      val rOrdB = rOrderExpr.map(BindReferences.bindReference(_, rOut)).orNull
+      val ordOrd = rOrderExpr.map(e => TypeUtils
+        .getInterpretedOrdering(e.dataType).asInstanceOf[Ordering[Any]]).orNull
+      val rUnsafeProj = UnsafeProjection.create(rOut, rOut)
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
 
@@ -168,12 +220,39 @@ case class IntervalSweepJoinExec(
 
       val active = new ArrayBuffer[REntry]
       var curKey: UnsafeRow = null
+      // degraded mode: the current key's right rows live in a spillable
+      // array instead of the evicting in-memory buffer (see scaladoc)
+      var degraded = false
+      var spillBuf: ExternalAppendOnlyUnsafeRowArray = null
 
-      def overlaps(ls: Any, le: Any, e: REntry): Boolean = {
-        val c1 = tOrd.compare(e.rs.asInstanceOf[Any], le)
+      def toUnsafe(r: InternalRow): UnsafeRow = r match {
+        case u: UnsafeRow => u
+        case other => rUnsafeProj(other)
+      }
+      def ingest(e: REntry): Unit = {
+        if (degraded) {
+          spillBuf.add(toUnsafe(e.row)) // add() copies
+        } else {
+          active += e
+          if (active.length > maxActive) {
+            degradedKeys += 1
+            if (spillBuf == null) {
+              spillBuf = new ExternalAppendOnlyUnsafeRowArray(
+                maxActive, 64L * 1024 * 1024,
+                spillRowsThreshold, spillSizeThreshold)
+            }
+            active.foreach(a => spillBuf.add(toUnsafe(a.row)))
+            active.clear()
+            degraded = true
+          }
+        }
+      }
+
+      def overlapsRaw(ls: Any, le: Any, rs: Any, re: Any): Boolean = {
+        val c1 = tOrd.compare(rs, le)
         val startOk = c1 < 0 || (c1 == 0 && lcE && rcS)
         if (!startOk) return false
-        val c2 = tOrd.compare(ls, e.re.asInstanceOf[Any])
+        val c2 = tOrd.compare(ls, re)
         c2 < 0 || (c2 == 0 && lcS && rcE)
       }
 
@@ -185,6 +264,7 @@ case class IntervalSweepJoinExec(
         else {
           if (curKey == null || keyOrd.compare(curKey, lk) != 0) {
             active.clear()
+            if (degraded) { spillBuf.clear(); degraded = false }
             curKey = lk.copy()
           }
           while (rLook != null && keyOrd.compare(rLook.key, curKey) < 0) {
@@ -192,17 +272,65 @@ case class IntervalSweepJoinExec(
           }
           while (rLook != null && keyOrd.compare(rLook.key, curKey) == 0 &&
               tOrd.compare(rLook.rs, le) <= 0) {
-            active += rLook
+            ingest(rLook)
             advanceRight()
           }
           // monotone eviction: left starts ascend within the key, so an
           // entry whose end precedes this start can never match again
-          if (active.nonEmpty) {
+          // (degraded mode is append-only: expired rows are filtered by
+          // the overlap predicate instead)
+          if (!degraded && active.nonEmpty) {
             active.filterInPlace(e => tOrd.compare(e.re, ls) >= 0)
           }
-          active.iterator.filter(e => overlaps(ls, le, e)).map { e =>
-            numOutputRows += 1
-            resultProj(joined(l, e.row))
+          // matching right rows for this left row (rows may be reused
+          // buffers in degraded mode — keep-extremes copy on update)
+          def matches: Iterator[InternalRow] =
+            if (degraded) {
+              spillBuf.generateIterator().filter { r =>
+                overlapsRaw(ls, le, rsB.eval(r), reB.eval(r))
+              }
+            } else {
+              active.iterator
+                .filter(e => overlapsRaw(ls, le, e.rs, e.re)).map(_.row)
+            }
+          if (keepMode == "all") {
+            matches.map { r =>
+              numOutputRows += 1
+              resultProj(joined(l, r))
+            }
+          } else {
+            // first/last by rightOrder, evaluated sweep-side: one pass
+            // over the matches, ≤ 2 output rows per left row
+            var firstRow: InternalRow = null; var firstOrd: Any = null
+            var lastRow: InternalRow = null; var lastOrd: Any = null
+            val needFirst = keepMode != "last"
+            val needLast = keepMode != "first"
+            matches.foreach { r0 =>
+              var r = r0
+              var ov = rOrdB.eval(r)
+              if (needFirst && (firstRow == null || ordOrd.compare(ov, firstOrd) < 0)) {
+                if (degraded) { r = r0.copy(); ov = rOrdB.eval(r) }
+                firstRow = r; firstOrd = ov
+              }
+              if (needLast && (lastRow == null || ordOrd.compare(ov, lastOrd) > 0)) {
+                if (degraded && (r eq r0)) { r = r0.copy(); ov = rOrdB.eval(r) }
+                lastRow = r; lastOrd = ov
+              }
+            }
+            val out = keepMode match {
+              case "first" =>
+                if (firstRow == null) Iterator.empty else Iterator(firstRow)
+              case "last" =>
+                if (lastRow == null) Iterator.empty else Iterator(lastRow)
+              case _ => // both: dedup when first == last (merging.py:736-739)
+                if (firstRow == null) Iterator.empty
+                else if (ordOrd.compare(firstOrd, lastOrd) == 0) Iterator(firstRow)
+                else Iterator(firstRow, lastRow)
+            }
+            out.map { r =>
+              numOutputRows += 1
+              resultProj(joined(l, r))
+            }
           }
         }
       }

@@ -196,6 +196,62 @@ class SweepJoinSpec extends SparkSuite {
     assert(forced.collect().toSeq.map(_.toSeq) == auto.collect().toSeq.map(_.toSeq))
   }
 
+  test("sweep: adversarial key degrades to spillable scan, results exact") {
+    // one hostile key: every right interval spans the key's whole range,
+    // so nothing is ever evicted — the unbounded buffer this guards
+    // against. maxActive=4 forces the degraded (ExternalAppendOnlyUnsafe-
+    // RowArray-backed) path for the key; a benign second key stays on the
+    // in-memory sweep in the same run, proving per-key reset.
+    val li = (0 until 40).map(i => (1L, i.toLong, i.toDouble, i + 0.5)) ++
+      (0 until 10).map(i => (2L, 100L + i, i.toDouble, i + 2.0))
+    val ri = (0 until 60).map(i => (1L, i.toLong, 0.0, 100.0)) ++ // hostile
+      (0 until 10).map(i => (2L, 100L + i, i.toDouble, i + 1.0))
+    val l = li.toDF("grp", "lid", "ls", "le")
+    val r = ri.toDF("g2", "rid", "rs", "re")
+    val want = (for {
+      (lg, lid, ls, le) <- li
+      (rg, rid, rs, re) <- ri
+      if lg == rg && rs <= le && re >= ls
+    } yield (lid, rid)).toSet
+    spark.conf.set("spark.graft.sweep.maxActive", "4")
+    try {
+      for (keep <- Seq("all", "first", "last", "both")) {
+        val got = SweepJoin(l, r, Seq("grp"), Seq("g2"),
+          IntervalSpec.closed("ls", "le"), IntervalSpec.closed("rs", "re"),
+          keep = keep, rightOrderCol = if (keep == "all") None else Some("rid"))
+          .select("lid", "rid").as[(Long, Long)].collect().toSet
+        val wantK = keep match {
+          case "all" => want
+          case "first" => want.groupBy(_._1).map { case (k, v) => (k, v.map(_._2).min) }.toSet
+          case "last" => want.groupBy(_._1).map { case (k, v) => (k, v.map(_._2).max) }.toSet
+          case "both" => want.groupBy(_._1).toSeq.flatMap { case (k, v) =>
+            Seq((k, v.map(_._2).min), (k, v.map(_._2).max)) }.toSet
+        }
+        assert(got == wantK, s"keep=$keep")
+      }
+    } finally spark.conf.unset("spark.graft.sweep.maxActive")
+  }
+
+  test("sweep keep fusion: no post-join aggregation in the plan") {
+    import graft.joins.IntervalJoin
+    val l = (0 until 500).map(i => (i % 5L, i.toDouble % 40, i % 40 + 5.0))
+      .toDF("g", "s", "e")
+    val r = (0 until 500).map(i => (i % 5L, i.toDouble % 40, i % 40 + 3.0))
+      .toDF("g", "rs", "re")
+    val df = IntervalJoin(l, r, IntervalSpec.closed("s", "e"),
+      IntervalSpec.closed("rs", "re"), leftOn = Seq("g"), rightOn = Seq("g"),
+      keep = "first", keepOrder = false, sweep = Some(true))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("IntervalSweepJoin"), plan)
+    assert(!plan.contains("HashAggregate"),
+      s"keep should be fused into the sweep, not aggregated after:\n$plan")
+    // and the fused result still matches the aggregation path
+    val agg = IntervalJoin(l, r, IntervalSpec.closed("s", "e"),
+      IntervalSpec.closed("rs", "re"), leftOn = Seq("g"), rightOn = Seq("g"),
+      keep = "first", keepOrder = false, sweep = Some(false))
+    assert(df.collect().map(_.toSeq).toSet == agg.collect().map(_.toSeq).toSet)
+  }
+
   test("sweep: timestamp endpoints") {
     val l = Seq(
       (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
