@@ -1,9 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def loadAvg1(): Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // ── load gate (round-6 lesson: a bench pass on a load-7 host read
+    // 3.9× its quiet-host cost and the artifact could not distinguish
+    // contention from regression). Before any timed work, wait — up to
+    // SPARK_GRAFT_LOAD_WAIT seconds (default 300; 0 disables) — for the
+    // 1-min load average to drop under SPARK_GRAFT_MAX_LOAD (default
+    // 2.0). The measured start load and wait are RECORDED in the output
+    // either way, so a run that had to proceed loaded says so instead of
+    // poisoning round-over-round comparisons silently. Only the START
+    // load is gated: mid-run load is dominated by this JVM's own 32
+    // worker threads and gating on it would deadlock.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "2.0").toDouble
+    val loadWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "300").toInt
+    var loadWaited = 0
+    while (loadAvg1() > maxLoad && loadWaited < loadWaitSec) {
+      System.err.println(f"[bench] host load ${loadAvg1()}%.2f > $maxLoad%.2f" +
+        s" — waiting (${loadWaitSec - loadWaited}s budget left)")
+      Thread.sleep(10000)
+      loadWaited += 10
+    }
+    val loadAtStart = loadAvg1()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -99,8 +122,12 @@ object Bench {
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    val probePassLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     val probeTimings = (1 to probeRuns).map { pass =>
       System.gc()
+      // per-pass load snapshot (self-load included — it contextualizes a
+      // stray slow pass without pretending to measure external load only)
+      probePassLoads += loadAvg1()
       headline.filter(names.contains).map(time(_, s"probe-$pass")).toMap
     }
     val timings = (1 to runs).map { pass =>
@@ -127,10 +154,14 @@ object Bench {
     // by uniform slowdowns from a loaded bench host (r4→r5 was ~18%
     // across the board); recording the 1-min load average alongside the
     // numbers lets regression attribution separate code from host
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadAvg = loadAvg1()
     val nproc = Runtime.getRuntime.availableProcessors
-    val hostJson = s""""load_avg":${fmt(loadAvg)},"nproc":$nproc"""
+    val hostJson = s""""load_avg":${fmt(loadAvg)},""" +
+      s""""load_avg_start":${fmt(loadAtStart)},""" +
+      s""""load_gate_waited_sec":$loadWaited,""" +
+      s""""load_gate_max":${fmt(maxLoad)},""" +
+      s""""probe_pass_loads":${probePassLoads.map(fmt).mkString("[", ",", "]")},""" +
+      s""""nproc":$nproc"""
     // full pass list + median per probe (all base passes + probe passes)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

@@ -1693,6 +1693,36 @@ object SparkEntry {
       l.join(r, col("s") <= col("re") && col("rs") <= col("e"))
     }
 
+  /** The [[graft.plans.SweepJoinRewrite]] optimizer rule end-to-end: a
+    * PLAIN keyed DataFrame range join — no graft operator call — on a
+    * session with the rule + planner strategy installed. Spark alone
+    * would plan the coarse-keyed shape as a shuffled join with the range
+    * as post-filter (per-key candidate cartesian); the rule plans it as
+    * the custom sweep exec, and the oracle checks the rows are
+    * untouched. `newSession` isolates the conf/optimizer state.
+    */
+  private val q_rule_sweep: (SparkSession, String) => DataFrame =
+    (s0, dir) => {
+      val s = s0.newSession()
+      s.experimental.extraOptimizations = Seq(graft.plans.SweepJoinRewrite)
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .experimental.extraStrategies =
+          Seq(org.apache.spark.sql.graft.IntervalSweepStrategy)
+      s.conf.set(graft.plans.SweepJoinRewrite.enabledKey, "true")
+      val o = t(s, dir, "orders")
+      val l = o.filter(col("o_orderkey") % 20 === 0).select(
+        (col("o_custkey") % 40).as("g"),
+        (col("o_orderkey") * 13 % 100000).as("s"),
+        (col("o_orderkey") * 13 % 100000 + col("o_custkey") % 300).as("e"))
+      val r = o.filter(col("o_orderkey") % 7 === 0).select(
+        (col("o_custkey") % 40).as("g2"),
+        (col("o_orderkey") * 31 % 100000).as("rs"),
+        (col("o_orderkey") * 31 % 100000 + col("o_custkey") % 500).as("re"))
+      l.join(r, col("g") === col("g2") &&
+          col("s") <= col("re") && col("rs") <= col("e"))
+        .select(col("g"), col("s"), col("rs"))
+    }
+
   /** C4-style corpus line-dedup: drop "lines" occurring in ≥ 78% of
     * documents, reassemble survivors in order. This corpus has no
     * newlines, so the demo delimiter is the token separator; real
@@ -2037,6 +2067,7 @@ object SparkEntry {
     "q_binned_overlap"      -> q_binned_overlap,
     "q_bench_overlap"       -> q_bench_overlap,
     "q_rule_binned"         -> q_rule_binned,
+    "q_rule_sweep"          -> q_rule_sweep,
   )
 
   /** DuckDB tokenization matching [[graft.text.Shingles.tokens]]. */
@@ -3497,6 +3528,17 @@ object SparkEntry {
         |      FROM orders WHERE o_orderkey % 97 = 0)
         |SELECT l.s, l.e, r.rs, r.re
         |FROM l JOIN r ON l.s <= r.re AND r.rs <= l.e""".stripMargin,
+    "q_rule_sweep" ->
+      """WITH l AS (SELECT o_custkey % 40 AS g,
+        |             (o_orderkey * 13) % 100000 AS s,
+        |             (o_orderkey * 13) % 100000 + (o_custkey % 300) AS e
+        |           FROM orders WHERE o_orderkey % 20 = 0),
+        |r AS (SELECT o_custkey % 40 AS g2,
+        |        (o_orderkey * 31) % 100000 AS rs,
+        |        (o_orderkey * 31) % 100000 + (o_custkey % 500) AS re
+        |      FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT l.g, l.s, r.rs
+        |FROM l JOIN r ON l.g = r.g2 AND l.s <= r.re AND r.rs <= l.e""".stripMargin,
     // the decode is real (PNG via ImageIO, s16le PCM, framed PNG video);
     // the oracle recomputes feature 0 from the pixel/sample FORMULAS the
     // payloads were encoded from (Media.scala pxR/pxG/pxB/pcmSample):

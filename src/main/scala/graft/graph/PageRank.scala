@@ -51,17 +51,42 @@ object PageRank {
   /** `(node: long, rank: long)` — rank in `scale`-fixed-point, one row
     * per node of the universe (`nodes` when given, else every distinct
     * edge endpoint).
+    *
+    * @param tolerance when > 0, stop once the L1 rank change of a round
+    *                  (Σ|rank' − rank|, an exact integer in fixed-point)
+    *                  drops to ≤ tolerance — fixed-point corpora (e.g. a
+    *                  regular graph, whose ranks are stationary from
+    *                  round 1) skip the remaining rounds. Deterministic:
+    *                  the delta is an integer sum, identical under any
+    *                  partitioning, so every run stops at the same round
+    *                  with bit-identical ranks. Costs one extra count-
+    *                  style job per round; 0 (default) disables it and
+    *                  always runs exactly `iterations` rounds.
     */
   def apply(edges: DataFrame, srcCol: String, dstCol: String,
             iterations: Int = 10,
             dampingPct: Int = 85,
             scale: Long = 1000000000000L,
-            nodes: Option[DataFrame] = None): DataFrame = {
+            nodes: Option[DataFrame] = None,
+            tolerance: Long = 0L): DataFrame =
+    run(edges, srcCol, dstCol, iterations, dampingPct, scale, nodes,
+      tolerance)._1
+
+  /** Like `apply`, additionally returning the number of rounds actually
+    * executed (< `iterations` only when `tolerance` stopped early).
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+            iterations: Int = 10,
+            dampingPct: Int = 85,
+            scale: Long = 1000000000000L,
+            nodes: Option[DataFrame] = None,
+            tolerance: Long = 0L): (DataFrame, Int) = {
     require(iterations >= 1, "iterations must be at least 1")
     require(dampingPct >= 0 && dampingPct <= 100,
       "dampingPct must be in [0, 100]")
     require(scale >= 1000000L,
       "scale under 1e6 quantizes ranks to noise")
+    require(tolerance >= 0L, "tolerance must be non-negative")
 
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
@@ -90,40 +115,57 @@ object PageRank {
     // pipeline runs inside this one checkpoint), reused every round
     val eCk = e.join(deg, "src").localCheckpoint()
     val edgeCk = CheckpointStats.withRowCount(eCk, eCk.count(), 24L)
-    // dangling set, checkpointed too — deriving it lazily would re-run
-    // its anti-join every round
-    val dCk = nodeDf.join(edgeCk.select(col("src")).distinct(),
-      nodeDf("node") === col("src"), "left_anti").localCheckpoint()
-    val danglers = CheckpointStats.withRowCount(dCk, dCk.count(), 8L)
+    // dangling flag folded into the node universe (and carried by every
+    // rank frame below): the per-round dangling-mass aggregate is then a
+    // filter + sum over the frame already in hand — one join per round
+    // cheaper than keeping a separate danglers frame to join against
+    val nCk = nodeDf.join(edgeCk.select(col("src")).distinct(),
+        nodeDf("node") === col("src"), "left_outer")
+      .select(col("node"), col("src").isNotNull.as("__dangles_not"))
+      .select(col("node"), (!col("__dangles_not")).as("__dangling"))
+      .localCheckpoint()
+    val nodeFlag = CheckpointStats.withRowCount(nCk, n, 9L)
 
     val base = scale / n
     val tele = (100L - dampingPct) * base / 100L
 
     var pr = CheckpointStats.withRowCount(
-      nodeDf.select(col("node"), lit(base).as("rank")).localCheckpoint(),
-      n, 16L)
+      nodeFlag.select(col("node"), col("__dangling"),
+        lit(base).as("rank")).localCheckpoint(),
+      n, 17L)
     var iter = 0
-    while (iter < iterations) {
+    var stopped = false
+    while (iter < iterations && !stopped) {
       val contrib = pr.join(edgeCk, pr("node") === edgeCk("src"))
         .select(col("dst"),
           expr(s"$dampingPct * rank DIV (100 * outdeg)").as("__c"))
         .groupBy("dst")
         .agg(sum(col("__c")).as("__contrib"))
-      // dangling mass: 1-row aggregate, broadcast back to every node
-      val dmass = pr.join(danglers, Seq("node"))
+      // dangling mass: 1-row aggregate over the flag already in the rank
+      // frame, broadcast back to every node
+      val dmass = pr.filter(col("__dangling"))
         .agg(coalesce(sum(col("rank")), lit(0L)).as("__dm"))
-      val next = nodeDf
-        .join(contrib, nodeDf("node") === contrib("dst"), "left")
+      val next = pr
+        .join(contrib, pr("node") === contrib("dst"), "left")
         .crossJoin(broadcast(dmass))
-        .select(col("node"),
+        .select(col("node"), col("__dangling"),
           (lit(tele) +
             expr(s"$dampingPct * __dm DIV (100 * ${n}L)") +
             coalesce(col("__contrib"), lit(0L))).as("rank"))
       val old = pr
-      pr = CheckpointStats.withRowCount(next.localCheckpoint(), n, 16L)
+      pr = CheckpointStats.withRowCount(next.localCheckpoint(), n, 17L)
+      if (tolerance > 0L) {
+        // exact integer L1 delta — bit-identical under any partitioning,
+        // so the stopping round is deterministic
+        val delta = old.select(col("node"), col("rank").as("__r0"))
+          .join(pr.select(col("node"), col("rank").as("__r1")), "node")
+          .agg(coalesce(sum(abs(col("__r1") - col("__r0"))), lit(0L)))
+          .head().getLong(0)
+        if (delta <= tolerance) stopped = true
+      }
       old.unpersist(blocking = false)
       iter += 1
     }
-    pr
+    (pr.select(col("node"), col("rank")), iter)
   }
 }

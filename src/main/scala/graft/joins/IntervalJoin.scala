@@ -219,6 +219,18 @@ object IntervalJoin {
     // neither side is broadcast-small under the session threshold —
     // when one is, Catalyst's BHJ (no shuffle of the big side) beats
     // any shuffled plan, sweep included.
+    //
+    // Failure mode of this probe, documented deliberately: the size
+    // check reads `optimizedPlan.stats.sizeInBytes`, which (a) costs one
+    // extra driver-side analyze+optimize pass per call, and (b) is an
+    // ESTIMATE — post-filter sizes in particular are guessed from filter
+    // selectivity heuristics. An under-estimate makes auto mode skip the
+    // sweep for a side that AQE would NOT actually broadcast (mild: the
+    // plain join still runs, possibly slower); an over-estimate picks
+    // the shuffle-sweep where a broadcast join was available (mild for
+    // the same reason in reverse). Callers who know their sizes should
+    // pin the decision with `sweep = Some(true/false)` — the estimate
+    // only steers the DEFAULT.
     val sweepEligible =
       how == "inner" && effBinWidth.isEmpty && lKeys.nonEmpty &&
         leftSpec.start.isDefined && leftSpec.stop.isDefined &&

@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.{graft => graft_sweep}
 
 /** Session extension installing [[BinnedJoinRewrite]] into the optimizer:
   *
@@ -27,6 +28,8 @@ import org.apache.spark.sql.types._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BinnedJoinRewrite)
+    ext.injectOptimizerRule(_ => SweepJoinRewrite)
+    ext.injectPlannerStrategy(_ => graft_sweep.IntervalSweepStrategy)
     GraftFunctions.all.foreach(ext.injectFunction)
   }
 }
@@ -261,6 +264,132 @@ object BinnedJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           binned(j.right, rLow, rHigh, rBin),
           Inner, Some(newCond), j.hint)
         Some(Project(j.output, newJoin))
+      case _ => None
+    }
+  }
+}
+
+/** Rewrites KEYED inner range joins — `l.join(r, keys && l.s <= r.re &&
+  * r.rs <= l.e)` written as a plain declarative DataFrame join — into the
+  * custom sweep operator
+  * ([[org.apache.spark.sql.graft.IntervalSweepJoin]]): one shuffle + one
+  * sort per side, partition-local interval sweep, no per-key candidate
+  * cartesian. Without this rule Catalyst plans the shape as a hash/sort-
+  * merge join on the keys with the range conjuncts as a post-filter,
+  * which degenerates to a per-key cartesian when keys are coarse.
+  *
+  * Users keep writing declarative joins; the optimizer owns the physical
+  * strategy — the same division of labor as [[BinnedJoinRewrite]], which
+  * handles the KEYLESS shape by re-expressing it through existing
+  * operators. Both rules install via [[GraftExtensions]] (which also
+  * registers the planner strategy the sweep node needs).
+  *
+  * Scope guards (rule fires only when ALL hold):
+  *   - `spark.graft.sweepJoin.enabled=true` (opt-in: an equi-key join
+  *     with FINE keys is often better served by Catalyst's own join —
+  *     few same-key candidates — and a broadcast-small side beats any
+  *     shuffled plan; flip the conf on when keys are coarse);
+  *   - inner join; at least one cross-side equality conjunct, all plain
+  *     `=` or all null-safe `<=>` (mixed key semantics are left alone);
+  *   - one opposing range-conjunct pair between the two sides, each
+  *     endpoint deterministic and single-side, all four of one orderable
+  *     atomic type (strict `<` maps to open endpoints, `<=` to closed);
+  *   - leftover conjuncts are preserved as a `Filter` on the sweep
+  *     output — semantics are row-identical to the original join.
+  */
+object SweepJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val enabledKey = "spark.graft.sweepJoin.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(enabledKey, "false") != "true") plan
+    else plan.transformUp {
+      case j @ Join(_, _, Inner, Some(cond), _) =>
+        rewrite(j, cond).getOrElse(j)
+    }
+  }
+
+  private def orderable(dt: DataType): Boolean = dt match {
+    case _: NumericType | TimestampType | TimestampNTZType | DateType |
+         StringType | BooleanType => true
+    case _ => false
+  }
+
+  private def rewrite(j: Join, cond: Expression): Option[LogicalPlan] = {
+    if (j.left.isStreaming || j.right.isStreaming) return None
+    val lSet = j.left.outputSet
+    val rSet = j.right.outputSet
+    def side(e: Expression): Option[Boolean] =
+      if (!e.deterministic || e.references.isEmpty) None
+      else if (e.references.subsetOf(lSet)) Some(true)
+      else if (e.references.subsetOf(rSet)) Some(false)
+      else None
+
+    var keys = List.empty[(Expression, Expression, Boolean)] // (l, r, nullSafe)
+    // (lExpr, rExpr, nonstrict): lExpr <(=) rExpr with lExpr on the left side
+    var uppers = List.empty[(Expression, Expression, Boolean)]
+    // (lExpr, rExpr, nonstrict): lExpr >(=) rExpr
+    var lowers = List.empty[(Expression, Expression, Boolean)]
+    var residual = List.empty[Expression]
+    splitConjunctivePredicates(cond).foreach {
+      case eq @ EqualTo(a, b) if side(a).isDefined && side(b).isDefined &&
+          side(a) != side(b) =>
+        if (side(a).contains(true)) keys ::= ((a, b, false))
+        else keys ::= ((b, a, false))
+      case eq @ EqualNullSafe(a, b) if side(a).isDefined &&
+          side(b).isDefined && side(a) != side(b) =>
+        if (side(a).contains(true)) keys ::= ((a, b, true))
+        else keys ::= ((b, a, true))
+      case cmp: BinaryComparison if (cmp match {
+            case _: LessThan | _: LessThanOrEqual |
+                 _: GreaterThan | _: GreaterThanOrEqual => true
+            case _ => false
+          }) =>
+        val (a, b, nonstrict) = cmp match {
+          case LessThan(x, y)           => (x, y, false)
+          case LessThanOrEqual(x, y)    => (x, y, true)
+          case GreaterThan(x, y)        => (y, x, false)
+          case GreaterThanOrEqual(x, y) => (y, x, true)
+        }
+        (side(a), side(b)) match {
+          case (Some(true), Some(false)) => uppers ::= ((a, b, nonstrict))
+          case (Some(false), Some(true)) => lowers ::= ((b, a, nonstrict))
+          case _                         => residual ::= cmp
+        }
+      case other => residual ::= other
+    }
+
+    if (keys.isEmpty) return None // keyless shape: BinnedJoinRewrite's job
+    val nullSafeFlags = keys.map(_._3).distinct
+    if (nullSafeFlags.length != 1) return None // mixed = / <=> semantics
+    (uppers.reverse, lowers.reverse) match {
+      case ((lLow, rHigh, upNonstrict) :: upRest,
+            (lHigh, rLow, loNonstrict) :: loRest) =>
+        val endpoints = Seq(lLow, lHigh, rLow, rHigh)
+        val dt = lLow.dataType
+        if (!endpoints.forall(_.dataType == dt) || !orderable(dt)) return None
+        // extra range conjuncts beyond the chosen pair stay as filters
+        val extra =
+          upRest.map { case (a, b, ns) =>
+            if (ns) LessThanOrEqual(a, b) else LessThan(a, b) } ++
+          loRest.map { case (a, b, ns) =>
+            if (ns) GreaterThanOrEqual(a, b) else GreaterThan(a, b) }
+        val node = graft_sweep.IntervalSweepJoin(
+          j.left, j.right,
+          keys.reverse.map(_._1), keys.reverse.map(_._2),
+          lStart = lLow, lEnd = lHigh, rStart = rLow, rEnd = rHigh,
+          // sweep matches iff (rs<le or (rs==le && lcE&&rcS)) and
+          // (ls<re or (ls==re && lcS&&rcE)); with lcS=lcE=true the two
+          // closedness products reduce to exactly the conjuncts'
+          // strictness flags
+          lClosedStart = true, lClosedEnd = true,
+          rClosedStart = loNonstrict, rClosedEnd = upNonstrict,
+          matchNullKeys = nullSafeFlags.head)
+        val filtered = (residual.reverse ++ extra) match {
+          case Nil => node
+          case fs  => Filter(fs.reduce(And), node)
+        }
+        Some(Project(j.output, filtered))
       case _ => None
     }
   }

@@ -59,6 +59,32 @@ class GraphSpecs extends SparkSuite {
     assert(got == refRank(edges, nodes, 5))
   }
 
+  test("pagerank early stop: converged ring stops early, deterministically") {
+    val n = 12L
+    val nodes = (0L until n).toSeq
+    val edges = nodes.map(i => (i, (i + 1) % n))
+    // the uniform ring drifts by ~1 fixed-point unit per node per round
+    // (integer division quantization) until the exact integer fixed
+    // point — well before 20 rounds; tolerance=1 stops there
+    val (dfEarly, rounds) = PageRank.run(
+      edges.toDF("s", "d"), "s", "d", iterations = 20,
+      nodes = Some(nodes.toDF("node")), tolerance = 1L)
+    assert(rounds < 20, s"expected early stop, ran all $rounds")
+    val early = dfEarly.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bit-identical to running exactly `rounds` iterations without the
+    // stop, and the stopping round is partitioning-independent
+    assert(early == run(edges, nodes, rounds))
+    val (dfAgain, roundsAgain) = PageRank.run(
+      edges.toDF("s", "d").repartition(5), "s", "d", iterations = 20,
+      nodes = Some(nodes.toDF("node")), tolerance = 1L)
+    assert(roundsAgain == rounds)
+    assert(dfAgain.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == early)
+    // tolerance=0 disables the stop: all rounds run
+    val (_, all) = PageRank.run(edges.toDF("s", "d"), "s", "d",
+      iterations = 3, nodes = Some(nodes.toDF("node")))
+    assert(all == 3)
+  }
+
   test("pagerank is bit-identical under input repartitioning") {
     val rnd = new scala.util.Random(11)
     val nodes = (0L until 40L).toSeq

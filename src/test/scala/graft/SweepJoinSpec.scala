@@ -196,6 +196,27 @@ class SweepJoinSpec extends SparkSuite {
     assert(forced.collect().toSeq.map(_.toSeq) == auto.collect().toSeq.map(_.toSeq))
   }
 
+  test("auto routing: BHJ when a side is broadcast-small, sweep when neither is") {
+    import graft.joins.IntervalJoin
+    val l = (0 until 2000).map(i => (i % 5L, i.toDouble % 40, i % 40 + 5.0))
+      .toDF("g", "s", "e")
+    val r = (0 until 2000).map(i => (i % 5L, i.toDouble % 40, i % 40 + 3.0))
+      .toDF("g", "rs", "re")
+    def plan() = IntervalJoin(l, r, IntervalSpec.closed("s", "e"),
+      IntervalSpec.closed("rs", "re"), leftOn = Seq("g"), rightOn = Seq("g"),
+      keepOrder = false).queryExecution.executedPlan.toString
+    // default 10m threshold: both sides are tiny -> Catalyst's broadcast
+    // hash join (no shuffle of the big side) must win over the sweep
+    val small = plan()
+    assert(!small.contains("IntervalSweepJoin") &&
+      small.contains("BroadcastHashJoin"), small)
+    // 1kb threshold: neither side is broadcast-small -> shuffled plans
+    // only, and the sweep is the shuffled plan of choice for this shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try assert(plan().contains("IntervalSweepJoin"), plan())
+    finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("sweep: adversarial key degrades to spillable scan, results exact") {
     // one hostile key: every right interval spans the key's whole range,
     // so nothing is ever evicted — the unbounded buffer this guards

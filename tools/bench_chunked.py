@@ -67,6 +67,8 @@ def main():
 
     merged = {}
     loads = []
+    start_loads = []
+    gate_waits = []
     for i, part in enumerate(parts):
         with tempfile.TemporaryDirectory() as td:
             d = run_bench(jar, sf, td,
@@ -75,6 +77,8 @@ def main():
                            "SPARK_GRAFT_ONLY": ",".join(part)})
         merged.update(d["queries"])
         loads.append(d.get("load_avg", -1))
+        start_loads.append(d.get("load_avg_start", -1))
+        gate_waits.append(d.get("load_gate_waited_sec", -1))
         print(f"[chunk {i+1}/{chunks}] {len(part)} queries, "
               f"{sum(v for v in d['queries'].values() if v > 0):.1f} s, "
               f"load {d.get('load_avg')}", flush=True)
@@ -86,6 +90,8 @@ def main():
                          "SPARK_GRAFT_ONLY": ",".join(probes)})
     merged.update(pd_["queries"])
     loads.append(pd_.get("load_avg", -1))
+    start_loads.append(pd_.get("load_avg_start", -1))
+    gate_waits.append(pd_.get("load_gate_waited_sec", -1))
     print(f"[probes] {pd_['probe_median']}, load {pd_.get('load_avg')}",
           flush=True)
 
@@ -98,6 +104,9 @@ def main():
         "probe_passes": pd_.get("probe_passes", {}),
         "probe_median": pd_.get("probe_median", {}),
         "n_queries": len(merged), "load_avg_per_jvm": loads,
+        "load_avg_start_per_jvm": start_loads,
+        "load_gate_waited_sec_per_jvm": gate_waits,
+        "probe_pass_loads": pd_.get("probe_pass_loads", []),
         "nproc": pd_.get("nproc"), "sf": sf,
     }
     with open(out, "w") as f:
