@@ -5,6 +5,12 @@ object Bench {
     .getOperatingSystemMXBean.getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
+    // enumeration mode for the chunked runner: the query registry is a
+    // static map, no Spark session needed
+    if (sys.env.contains("SPARK_GRAFT_LIST")) {
+      SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // ── load gate (round-6 lesson: a bench pass on a load-7 host read

@@ -1180,6 +1180,22 @@ object SparkEntry {
         "source", "doc_id", "n_chars",
         Map("src0" -> 5000L, "src1" -> 3000L), seed = 7L)
 
+  /** DSIR importance resampling: the `doc_id % 7 == 0` slice plays the
+    * in-domain target corpus, the rest is the raw pool; top 100 raw docs
+    * by Gumbel-perturbed hashed-bigram importance weight. ln sums are
+    * order-dependent floats → midpoint-nudge-rounded (cf. [[r6m]]); the
+    * Gumbel keys themselves separate by far more than an ulp. */
+  private val q_dsir: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val target = d.filter(col("doc_id") % 7 === 0)
+      val raw = d.filter(col("doc_id") % 7 =!= 0)
+      graft.sample.Dsir.resample(raw, target, "doc_id", "text",
+        n = 100, seed = 42L, buckets = 2048, k = 1.0)
+        .select(col("doc_id").as("did"), col("n_feats"),
+          r6m(col("log_weight")).as("log_weight"))
+    }
+
   /** Leakage-free split: bucket by CONTENT digest, not row id — exact
     * duplicates co-assign, so train and test can never share a text. */
   private val q_split_bykey: (SparkSession, String) => DataFrame =
@@ -2068,6 +2084,7 @@ object SparkEntry {
     "q_bench_overlap"       -> q_bench_overlap,
     "q_rule_binned"         -> q_rule_binned,
     "q_rule_sweep"          -> q_rule_sweep,
+    "q_dsir"                -> q_dsir,
   )
 
   /** DuckDB tokenization matching [[graft.text.Shingles.tokens]]. */
@@ -2979,6 +2996,35 @@ object SparkEntry {
         |  CAST(LEAST(FLOOR(50000 * wt), FLOOR(2.0 * tokens_available))
         |       AS BIGINT)::DOUBLE / tokens_available AS epochs
         |FROM a JOIN w ON a.source = w.source""".stripMargin,
+    "q_dsir" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
+        |uni AS (SELECT doc_id, unnest(tk) AS g FROM tk),
+        |bi AS (SELECT doc_id,
+        |         unnest(tk[1:len(tk)-1]) || ' ' || unnest(tk[2:len(tk)]) AS g
+        |       FROM tk WHERE len(tk) >= 2),
+        |gr AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        |f AS (SELECT doc_id,
+        |        ('0x' || substring(md5('dsir#' || g), 1, 15))::BIGINT % 2048 AS b,
+        |        COUNT(*) AS c
+        |      FROM gr GROUP BY 1, 2),
+        |tgt AS (SELECT b, SUM(c) AS tc FROM f WHERE doc_id % 7 = 0 GROUP BY 1),
+        |rw  AS (SELECT b, SUM(c) AS rc FROM f WHERE doc_id % 7 <> 0 GROUP BY 1),
+        |tt AS (SELECT COALESCE(SUM(c), 0) AS t FROM f WHERE doc_id % 7 = 0),
+        |rt AS (SELECT COALESCE(SUM(c), 0) AS r FROM f WHERE doc_id % 7 <> 0),
+        |w AS (SELECT f.doc_id, SUM(c) AS n_feats,
+        |        SUM(c * (ln((COALESCE(tc, 0) + 1.0) / (t + 1.0 * 2048))
+        |               - ln((COALESCE(rc, 0) + 1.0) / (r + 1.0 * 2048)))) AS lw
+        |      FROM f LEFT JOIN tgt USING (b) LEFT JOIN rw USING (b)
+        |        CROSS JOIN tt CROSS JOIN rt
+        |      WHERE f.doc_id % 7 <> 0 GROUP BY 1),
+        |sel AS (SELECT doc_id, n_feats, lw,
+        |          lw - ln(-ln(
+        |            (('0x' || substring(md5(CONCAT_WS('#', 42, doc_id)), 1, 15))::BIGINT
+        |              + 1.0) / 1152921504606846977.0)) AS key
+        |        FROM w)
+        |SELECT doc_id AS did, n_feats::BIGINT AS n_feats,
+        |       ROUND(lw + 1e-9, 6) + 0.0 AS log_weight
+        |FROM sel ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
     "q_token_sample" ->
       """WITH q(source, quota) AS (VALUES ('src0', 5000), ('src1', 3000)),
         |r AS (SELECT source, doc_id, n_chars, quota,
