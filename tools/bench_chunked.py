@@ -42,24 +42,17 @@ def main():
            "target/scala-2.13/catabrapandasspark_2.13-0.1.0.jar")
     jar = os.path.abspath(jar)
 
-    # discover query names from a -1-chunk listing run? cheaper: ask sbt?
-    # The jar's Verify/Bench know the names; simplest robust source is the
-    # oracle_sql.json a prior Verify wrote, but names == queries keys.
-    # Take them from the last full bench_details if present, else run a
-    # tiny sf0.001 pass to enumerate.
-    names = None
-    for cand in ("bench_details.json",):
-        if os.path.exists(cand):
-            with open(cand) as f:
-                d = json.load(f)
-            if d.get("queries"):
-                names = sorted(d["queries"].keys())
-    if not names:
-        with tempfile.TemporaryDirectory() as td:
-            d = run_bench(jar, "/root/testdata/sf0.001", td,
-                          {"SPARK_GRAFT_RUNS": "1",
-                           "SPARK_GRAFT_PROBE_RUNS": "0"})
-            names = sorted(d["queries"].keys())
+    # enumerate the query registry from the jar itself (SPARK_GRAFT_LIST
+    # short-circuits Bench before any Spark work): always current, never
+    # a stale committed artifact
+    list_env = dict(os.environ)
+    list_env["SPARK_GRAFT_LIST"] = "1"
+    listing = subprocess.run(
+        ["/opt/spark/bin/spark-submit", "--class", "graft.Bench", jar],
+        env=list_env, capture_output=True, text=True, check=True).stdout
+    names = sorted(l.strip() for l in listing.splitlines()
+                   if l.strip().startswith("q_"))
+    assert names, "query enumeration returned nothing"
 
     probes = [n for n in names if n.startswith("q_bench_")]
     rest = [n for n in names if not n.startswith("q_bench_")]
