@@ -3411,8 +3411,8 @@ object SparkEntry {
       s"""WITH RECURSIVE
          |v(piece, body, cont) AS (VALUES $vals),
          |w AS (SELECT doc_id, pos, word FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-         |           generate_subscripts(string_split(text, ' '), 1) AS pos
+         |    SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\r]+')) AS word,
+         |           generate_subscripts(string_split_regex(text, '[ \t\n\r]+'), 1) AS pos
          |    FROM documents) WHERE word <> ''),
          |step(doc_id, pos, word, at, toks, failed) AS (
          |  SELECT doc_id, pos, word, 0, []::VARCHAR[], false FROM w

@@ -170,7 +170,7 @@ object ConnectedComponents {
         .distinct()
       val old = canon
       val (c2, n2, h2) = checkpointWitnessed(ss0) // materializes from old
-      old.unpersist(blocking = false)
+      CheckpointStats.free(old)
       canon = c2
       converged = n2 == 0 || (n2 == prev._1 && h2.compareTo(prev._2) == 0)
       prev = (n2, h2)
@@ -210,7 +210,7 @@ object ConnectedComponents {
       import spark.implicits._
       System.err.println(
         s"[cc] rounds=$iter converged=local localEdges=$nEdges")
-      canon.unpersist(blocking = false)
+      CheckpointStats.free(canon)
       return out.toSeq.toDF("node", "comp")
     }
     // at the star fixpoint every edge is (componentMin, member); roots

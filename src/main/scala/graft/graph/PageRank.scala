@@ -86,6 +86,12 @@ object PageRank {
       "dampingPct must be in [0, 100]")
     require(scale >= 1000000L,
       "scale under 1e6 quantizes ranks to noise")
+    // per-node rank is bounded by the total mass ≈ scale, and the widest
+    // product in the iteration is `dampingPct * rank` ≤ 100 * scale — so
+    // scale needs 100× headroom under Long.MaxValue or the multiply
+    // overflows (throwing under ANSI mode, silently wrapping otherwise)
+    require(scale <= Long.MaxValue / 128L,
+      "scale above Long.MaxValue/128 overflows the dampingPct*rank product")
     require(tolerance >= 0L, "tolerance must be non-negative")
 
     val e = edges
@@ -95,6 +101,9 @@ object PageRank {
 
     val universe = nodes match {
       case Some(nd) =>
+        require(nd.columns.length == 1,
+          s"nodes must be a single-column frame of node ids; got " +
+            s"(${nd.columns.mkString(", ")})")
         nd.select(nd.columns.head).toDF("node")
           .select(col("node").cast("long").as("node"))
           .where(col("node").isNotNull).distinct()
@@ -163,7 +172,7 @@ object PageRank {
           .head().getLong(0)
         if (delta <= tolerance) stopped = true
       }
-      old.unpersist(blocking = false)
+      CheckpointStats.free(old)
       iter += 1
     }
     (pr.select(col("node"), col("rank")), iter)

@@ -48,4 +48,22 @@ object CheckpointStats {
       case _ => df
     }
   }
+
+  /** Free the persisted blocks behind a checkpointed frame NOW.
+    *
+    * `Dataset.unpersist` routes through the cache manager, which only
+    * knows `InMemoryRelation` caches — on a `localCheckpoint` frame
+    * (and doubly so on one re-wrapped by [[withRowCount]], whose plan
+    * identity changed) it is a no-op, and the checkpoint RDD blocks
+    * linger in executor storage until the ContextCleaner GCs the RDD.
+    * Iterative algorithms that checkpoint per round (PageRank, the
+    * closure) would accumulate one obsolete rank/edge snapshot per
+    * iteration. This unpersists the underlying RDD directly; frames
+    * whose plan is not a checkpoint leaf are left untouched.
+    */
+  def free(df: DataFrame): Unit =
+    df.asInstanceOf[Dataset[Row]].queryExecution.analyzed match {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

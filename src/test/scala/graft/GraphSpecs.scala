@@ -128,5 +128,13 @@ class GraphSpecs extends SparkSuite {
     intercept[IllegalArgumentException](PageRank(e, "s", "d", iterations = 0))
     intercept[IllegalArgumentException](PageRank(e, "s", "d", dampingPct = 101))
     intercept[IllegalArgumentException](PageRank(e, "s", "d", scale = 10L))
+    // scale needs 100x headroom under Long.MaxValue (dampingPct * rank)
+    intercept[IllegalArgumentException](
+      PageRank(e, "s", "d", scale = Long.MaxValue / 2L))
+    intercept[IllegalArgumentException](PageRank(e, "s", "d", tolerance = -1L))
+    // nodes must be a single-column frame — a multi-column frame would
+    // silently rank by its first column otherwise
+    intercept[IllegalArgumentException](
+      PageRank(e, "s", "d", nodes = Some(Seq((1L, "x")).toDF("n", "extra"))))
   }
 }

@@ -1311,4 +1311,43 @@ class PipelineSpecs extends SparkSuite {
       1L -> ((None, None)),
       2L -> ((None, None))))
   }
+
+  test("wordpiece: whole word, multi-piece, greedy dead end, null/empty") {
+    import graft.text.WordPiece
+    val vocab = Seq("data", "custom", "cust", "##er", "f", "##il", "##ter",
+      "col", "##umn", "grou", "gro", "##up")
+    def toks(s: String): Seq[String] = {
+      val df = Seq(Tuple1(Option(s))).toDF("text")
+      df.select(WordPiece.tokens(col("text"), vocab).as("t"))
+        .collect().head.getSeq[String](0)
+    }
+    // whole-word hit
+    assert(toks("data") == Seq("data"))
+    // multi-piece splits (word-initial plain, continuations ##-prefixed)
+    assert(toks("filter") == Seq("f", "##il", "##ter"))
+    assert(toks("column") == Seq("col", "##umn"))
+    // greedy longest-match: "custom" wins over "cust"; "customer" chains
+    assert(toks("custom") == Seq("custom"))
+    assert(toks("customer") == Seq("custom", "##er"))
+    // greedy DEAD END: longest-first takes "grou", strands "p" → whole
+    // word [UNK] even though the non-greedy "gro"+"##up" would complete
+    assert(toks("group") == Seq("[UNK]"))
+    // unknown characters likewise UNK the whole word
+    assert(toks("zzz") == Seq("[UNK]"))
+    // multi-word input splits on space AND tab/newline/CR (the isSpace
+    // contract the oracle mirrors with [ \t\n\r]+)
+    assert(toks("data\tfilter\ncustomer\r data") ==
+      Seq("data", "f", "##il", "##ter", "custom", "##er", "data"))
+    // empty string → empty token array; null → null
+    assert(toks("") == Seq.empty)
+    val nullOut = Seq(Tuple1(Option.empty[String])).toDF("text")
+      .select(WordPiece.tokens(col("text"), vocab).as("t"))
+      .collect().head
+    assert(nullOut.isNullAt(0))
+    // countTokens agrees with the token array
+    val cnt = Seq(Tuple1("data customer")).toDF("text")
+      .select(WordPiece.countTokens(col("text"), vocab).as("n"))
+      .collect().head.getLong(0)
+    assert(cnt == 3L)
+  }
 }
