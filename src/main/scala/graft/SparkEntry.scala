@@ -1901,6 +1901,44 @@ object SparkEntry {
         .select(col("event_id").as("eid"))
     }
 
+  /** Edit-distance join: each sampled part name against a deterministic
+    * one-char perturbation of the sample (position-4 'X' substitution) —
+    * every row gains a distance-1 partner; near-identical part names add
+    * cross matches. Exact output (q-gram prefix blocking + bounded
+    * levenshtein verify); oracle = brute-force levenshtein over the same
+    * subsets, so blocking completeness is checked, not assumed. */
+  private val q_fuzzy_join: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val base = t(s, dir, "part").filter(col("p_partkey") % 50 === 0)
+      val lefts = base.select(col("p_partkey").as("lid"),
+        col("p_name").as("lname"))
+      val rights = base.select(
+        (col("p_partkey") + 1000000000L).as("rid"),
+        concat(substring(col("p_name"), 1, 3), lit("X"),
+          substring(col("p_name"), 5, 1000000)).as("rname"))
+      graft.joins.FuzzyJoin(lefts, rights, "lid", "lname", "rid", "rname",
+        maxDistance = 1)
+    }
+
+  /** Two-frame interval subtraction: each order's 30-day window minus
+    * the 7-day blackout after every shipment of that order — per-key
+    * union of the rights, then maximal uncovered pieces of each left,
+    * half-open `[start, stop)`. Exercises merged touching rights, full
+    * deletions, and untouched windows on real referential keys. */
+  private val q_interval_subtract: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val wins = t(s, dir, "orders").select(
+        col("o_orderkey").as("okey"),
+        col("o_orderdate").as("start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("stop"))
+      val blackouts = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("okey"),
+        col("l_shipdate").as("start"),
+        (col("l_shipdate") + expr("INTERVAL 7 DAYS")).as("stop"))
+      graft.intervals.SubtractIntervals(
+        wins, blackouts, on = Seq("okey"), leftIdCol = Some("okey"))
+    }
+
   /** Normalization before dedup: the corpus text is already clean, so
     * the query DIRTIES it deterministically (case, tabs, a control
     * char, trailing runs) and checks the cleaner canonicalizes it. */
@@ -2069,6 +2107,8 @@ object SparkEntry {
     "q_inverted"            -> q_inverted,
     "q_text_clean"          -> q_text_clean,
     "q_interval_anti"       -> q_interval_anti,
+    "q_interval_subtract"   -> q_interval_subtract,
+    "q_fuzzy_join"          -> q_fuzzy_join,
     "q_pipeline2"           -> q_pipeline2,
     "q_sample_hash"         -> q_sample_hash,
     "q_layout_scan"         -> q_layout_scan,
@@ -3730,6 +3770,53 @@ object SparkEntry {
         |  SELECT 1 FROM events b
         |  WHERE b.event_type = 'error' AND b.user_id = e.user_id
         |    AND e.ts >= b.ts AND e.ts <= b.ts + INTERVAL 1 HOUR)""".stripMargin,
+    "q_interval_subtract" ->
+      // half-open [start, stop) subtraction: merge the per-order blackout
+      // union via gaps-and-islands (touching pieces merge: rs > prev_max
+      // strictly), then carve each order window with the same lag /
+      // row_number-tail walk the operator runs distributed
+      """WITH l AS (SELECT o_orderkey AS okey, o_orderdate AS ls,
+        |             o_orderdate + INTERVAL 30 DAY AS le FROM orders),
+        |r0 AS (SELECT l_orderkey AS okey, l_shipdate AS rs,
+        |         l_shipdate + INTERVAL 7 DAY AS re FROM lineitem),
+        |ev AS (SELECT okey, rs, re,
+        |         max(re) OVER (PARTITION BY okey ORDER BY rs, re
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |       FROM r0),
+        |isl AS (SELECT okey, rs, re,
+        |          sum(CASE WHEN prev_max IS NULL OR rs > prev_max THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY okey ORDER BY rs, re) AS grp
+        |        FROM ev),
+        |ru AS (SELECT okey, min(rs) AS rs, max(re) AS re FROM isl GROUP BY okey, grp),
+        |m AS (SELECT l.okey, l.ls, l.le, ru.rs, ru.re
+        |      FROM l LEFT JOIN ru ON l.okey = ru.okey
+        |        AND ru.rs < l.le AND ru.re > l.ls),
+        |w AS (SELECT okey, ls, le, rs, re,
+        |        lag(re) OVER (PARTITION BY okey ORDER BY rs) AS prev_re,
+        |        row_number() OVER (PARTITION BY okey ORDER BY rs)
+        |          = count(*) OVER (PARTITION BY okey) AS is_last
+        |      FROM m),
+        |seg AS (
+        |  SELECT okey, greatest(ls, coalesce(prev_re, ls)) AS s, least(le, rs) AS e
+        |  FROM w WHERE rs IS NOT NULL
+        |  UNION ALL
+        |  SELECT okey, greatest(ls, re) AS s, le AS e
+        |  FROM w WHERE rs IS NOT NULL AND is_last
+        |  UNION ALL
+        |  SELECT okey, ls AS s, le AS e FROM w WHERE rs IS NULL)
+        |SELECT okey, s AS start, e AS stop FROM seg WHERE s < e""".stripMargin,
+    "q_fuzzy_join" ->
+      // brute-force levenshtein over the same subsets: the oracle checks
+      // the q-gram blocking is COMPLETE, not just that verified pairs are
+      // correct
+      """WITH l AS (SELECT p_partkey AS lid, p_name AS lname
+        |           FROM part WHERE p_partkey % 50 = 0),
+        |r AS (SELECT p_partkey + 1000000000 AS rid,
+        |        substring(p_name, 1, 3) || 'X' || substring(p_name, 5) AS rname
+        |      FROM part WHERE p_partkey % 50 = 0)
+        |SELECT l.lid, l.lname, r.rid, r.rname,
+        |  levenshtein(l.lname, r.rname)::BIGINT AS distance
+        |FROM l JOIN r ON levenshtein(l.lname, r.rname) <= 1""".stripMargin,
     "q_text_clean" ->
       """WITH m AS (SELECT doc_id,
         |    upper(substring(text, 1, 30)) || chr(9) || ' ' || chr(1)

@@ -158,6 +158,55 @@ class OperatorSpecs extends SparkSuite {
     assert(out.toSeq == Seq((0.0, 3.0))) // [0,2] ∪ [1,3] = [0,3], length 3
   }
 
+  // ── subtract_intervals ────────────────────────────────────────────────
+
+  test("subtract_intervals: gaps, full deletion, touching rights, attrs kept") {
+    import graft.intervals.SubtractIntervals
+    val left = Seq(
+      ("u1", 0.0, 10.0, "sess_a"),   // pieces [0,3) [5,10) after [3,5)
+      ("u1", 20.0, 30.0, "sess_b"),  // rights [19,22) [24,26) [26,28) → [22,24) [28,30)
+      ("u2", 0.0, 10.0, "sess_c"),   // fully covered → deleted
+      ("u3", 0.0, 4.0, "sess_d"),    // no rights for key → untouched
+      ("u1", 50.0, 50.0, "sess_e"),  // empty left (half-open) → dropped
+      ("u1", 60.0, 70.0, "sess_f")   // right [60,65) trims the head
+    ).toDF("uid", "start", "stop", "sess")
+    val right = Seq(
+      ("u1", 3.0, 5.0), ("u1", 19.0, 22.0), ("u1", 24.0, 26.0),
+      ("u1", 26.0, 28.0),               // touches previous → union [24,28)
+      ("u2", -1.0, 11.0),
+      ("u1", 60.0, 65.0), ("u1", 64.0, 64.0) // empty right subtracts nothing
+    ).toDF("uid", "start", "stop")
+    val out = SubtractIntervals(left, right, on = Seq("uid"))
+      .orderBy("sess", "start")
+      .collect().map(r => (r.getAs[String]("sess"),
+        r.getDouble(r.fieldIndex("start")), r.getDouble(r.fieldIndex("stop"))))
+    assert(out.toSeq == Seq(
+      ("sess_a", 0.0, 3.0), ("sess_a", 5.0, 10.0),
+      ("sess_b", 22.0, 24.0), ("sess_b", 28.0, 30.0),
+      ("sess_d", 0.0, 4.0),
+      ("sess_f", 65.0, 70.0)))
+    // schema preserved: same columns, same order
+    assert(SubtractIntervals(left, right, on = Seq("uid")).columns.toSeq ==
+      left.columns.toSeq)
+  }
+
+  test("subtract_intervals: keyless, caller id, binned path equivalence") {
+    import graft.intervals.SubtractIntervals
+    val left = Seq((1L, 0.0, 100.0), (2L, 40.0, 60.0)).toDF("id", "start", "stop")
+    val right = Seq(Tuple2(10.0, 20.0), Tuple2(50.0, 55.0)).toDF("start", "stop")
+    val plain = SubtractIntervals(left, right, leftIdCol = Some("id"))
+      .orderBy("id", "start").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(plain == Seq(
+      (1L, 0.0, 10.0), (1L, 20.0, 50.0), (1L, 55.0, 100.0),
+      (2L, 40.0, 50.0), (2L, 55.0, 60.0)))
+    val binned = SubtractIntervals(left, right, leftIdCol = Some("id"),
+      binWidth = Some(7.0))
+      .orderBy("id", "start").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(binned == plain)
+  }
+
   // ── grouped_mode ──────────────────────────────────────────────────────
 
   test("grouped_mode: counts, ties to smallest value, all-null groups") {

@@ -1312,6 +1312,55 @@ class PipelineSpecs extends SparkSuite {
       2L -> ((None, None))))
   }
 
+  test("fuzzy join: typo fixture — sub/ins/del, short strings, nulls") {
+    import graft.joins.FuzzyJoin
+    val left = Seq((0L, "spark"), (1L, "flink"), (2L, "a"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("lid", "lname")
+    val right = Seq((10L, "spork"), (11L, "sparks"), (12L, "park"),
+      (13L, "spark"), (14L, "b"), (15L, "trino"),
+      (16L, null.asInstanceOf[String])).toDF("rid", "rname")
+    val out = FuzzyJoin(left, right, "lid", "lname", "rid", "rname",
+      maxDistance = 1)
+      .select("lid", "rid", "distance").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (0L, 10L, 1L),  // substitution
+      (0L, 11L, 1L),  // insertion
+      (0L, 12L, 1L),  // head deletion
+      (0L, 13L, 0L),  // exact
+      (2L, 14L, 1L),  // short-short substitution
+      (3L, 14L, 1L))) // empty vs single char
+  }
+
+  test("fuzzy join ≡ brute-force levenshtein (randomized, k × order modes)") {
+    import graft.joins.FuzzyJoin
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (seed <- Seq(5, 6); k <- Seq(1, 2); freqOrder <- Seq(false, true)) {
+      val rnd = new scala.util.Random(seed)
+      def word(): String =
+        (0 until rnd.nextInt(10)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val ls = (0 until 40).map(i => (i.toLong, word()))
+      val rs = (0 until 40).map(i => (i.toLong + 100, word()))
+      val got = FuzzyJoin(ls.toDF("lid", "ln"), rs.toDF("rid", "rn"),
+        "lid", "ln", "rid", "rn", maxDistance = k,
+        frequencyOrder = freqOrder)
+        .select("lid", "rid", "distance").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (li, lw) <- ls; (ri, rw) <- rs
+        d = lev(lw, rw) if d <= k
+      } yield (li, ri, d.toLong)).toSet
+      assert(got == want, s"seed=$seed k=$k freqOrder=$freqOrder")
+    }
+  }
+
   test("wordpiece: whole word, multi-piece, greedy dead end, null/empty") {
     import graft.text.WordPiece
     val vocab = Seq("data", "custom", "cust", "##er", "f", "##il", "##ter",

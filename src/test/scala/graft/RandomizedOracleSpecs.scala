@@ -95,6 +95,48 @@ class RandomizedOracleSpecs extends SparkSuite {
     }
   }
 
+  test("subtract_intervals ≡ per-left-row sequential sweep oracle") {
+    import graft.intervals.SubtractIntervals
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val lrows = (0 until 60).map { i =>
+        val s = rnd.nextInt(40).toDouble
+        (i.toLong, rnd.nextInt(3), s, s + rnd.nextInt(12))
+      }
+      val rrows = (0 until 80).map { _ =>
+        val s = rnd.nextInt(45).toDouble
+        (rnd.nextInt(3), s, s + rnd.nextInt(6))
+      }
+      val left = lrows.toDF("id", "g", "start", "stop")
+      val right = rrows.toDF("g", "start", "stop")
+      val got = SubtractIntervals(left, right, on = Seq("g"),
+        leftIdCol = Some("id"))
+        .select("id", "start", "stop").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+
+      // oracle: per left row, walk the key's sorted non-empty rights and
+      // carve [start, stop) sequentially
+      val want = lrows.flatMap { case (id, g, ls, le) =>
+        if (ls >= le) Nil
+        else {
+          val cover = rrows.filter(r => r._1 == g && r._2 < r._3)
+            .map(r => (r._2, r._3)).sortBy(_._1)
+          val segs = scala.collection.mutable.ListBuffer.empty[(Double, Double)]
+          var cur = ls
+          cover.foreach { case (rs, re) =>
+            if (re > cur && rs < le) {
+              if (rs > cur) segs += ((cur, math.min(rs, le)))
+              cur = math.max(cur, math.min(re, le))
+            }
+          }
+          if (cur < le) segs += ((cur, le))
+          segs.filter(s => s._1 < s._2).map(s => (id, s._1, s._2))
+        }
+      }.toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("group_intervals ≡ union-find single-linkage partition") {
     // the connection relation the reference IMPLEMENTS is the signed gap
     // (later.start − earlier.stop): overlapping intervals connect even
