@@ -1226,6 +1226,14 @@ object SparkEntry {
         .select(col("doc_id").as("did"), col("n_bigrams"),
           r6m(col("avg_logprob")).as("avg_logprob"))
 
+  /** Corpus collocations: top-50 adjacent-token pairs by PMI among
+    * pairs seen >= 3 times; deterministic (pmi, w1, w2) boundary. */
+  private val q_collocations: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.text.Collocations(docs(s, dir), "text", minCount = 3L, topK = 50)
+        .select(col("w1"), col("w2"), col("n_pair"),
+          r6m(col("pmi")).as("pmi"))
+
   /** RAG-style character chunking: 120-char windows advancing by 100
     * (20-char overlap), tail window included. */
   private val q_text_chunks: (SparkSession, String) => DataFrame =
@@ -2083,6 +2091,7 @@ object SparkEntry {
     "q_dedup_incr"          -> q_dedup_incr,
     "q_text_chunks"         -> q_text_chunks,
     "q_lm_score"            -> q_lm_score,
+    "q_collocations"        -> q_collocations,
     "q_text_stats"          -> q_text_stats,
     "q_quality_gate"        -> q_quality_gate,
     "q_sample_temperature"  -> q_sample_temperature,
@@ -3109,6 +3118,26 @@ object SparkEntry {
         |SELECT doc_id AS did, COUNT(*) AS n_bigrams,
         |       ROUND(AVG(lp) + 1e-9, 6) + 0.0 AS avg_logprob
         |FROM sc GROUP BY 1""".stripMargin,
+    "q_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
+        |pr AS (SELECT unnest(tk[1:len(tk)-1]) AS w1,
+        |              unnest(tk[2:len(tk)]) AS w2
+        |       FROM t WHERE len(tk) >= 2),
+        |bc AS (SELECT w1, w2, COUNT(*) AS np FROM pr GROUP BY 1, 2
+        |       HAVING COUNT(*) >= 3),
+        |uw AS (SELECT w, COUNT(*) AS nw
+        |       FROM (SELECT unnest(tk) AS w FROM t) u GROUP BY 1),
+        |tot AS (SELECT (SELECT COUNT(*) FROM pr) AS tp,
+        |               (SELECT COUNT(*)
+        |                FROM (SELECT unnest(tk) AS w FROM t) x) AS tu),
+        |sc AS (SELECT bc.w1, bc.w2, bc.np,
+        |         ln((bc.np::DOUBLE * tot.tu::DOUBLE * tot.tu::DOUBLE)
+        |            / (tot.tp::DOUBLE * u1.nw::DOUBLE * u2.nw::DOUBLE)) AS pmi0
+        |       FROM bc JOIN uw u1 ON bc.w1 = u1.w
+        |         JOIN uw u2 ON bc.w2 = u2.w CROSS JOIN tot)
+        |SELECT w1, w2, np::BIGINT AS n_pair,
+        |       ROUND(pmi0 + 1e-9, 6) + 0.0 AS pmi
+        |FROM sc ORDER BY pmi0 DESC, w1, w2 LIMIT 50""".stripMargin,
     "q_text_chunks" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len
         |           FROM documents WHERE length(text) > 0),

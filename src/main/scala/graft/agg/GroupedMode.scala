@@ -19,8 +19,14 @@ import org.apache.spark.sql.functions._
   *     deterministically.
   *
   * Plan: `groupBy(keys, value).count()` (map-side partial agg) then a
-  * window top-1 per key — two shuffles on the same keys; Catalyst reuses
-  * the partitioning for the window when the shuffle keys align.
+  * window top-1 per key — two shuffles total. Null values stay IN the
+  * count table under both dropna modes; `dropna = true` merely ranks
+  * them strictly last, so an all-null group's only candidate row (null)
+  * survives to the top and is rewritten to `(null, 0)` afterwards. The
+  * naive spelling — drop nulls, then `distinct` + left-join the group
+  * universe back to resurrect all-null groups — costs a third
+  * aggregation exchange plus a join for information the count table
+  * already holds.
   */
 object GroupedMode {
 
@@ -37,21 +43,30 @@ object GroupedMode {
     val keysNotNull = groupBy.map(col(_).isNotNull).reduce(_ && _)
     val base = df.filter(keysNotNull)
 
-    val counted = (if (dropna) base.filter(col(valueCol).isNotNull) else base)
+    val counted = base
       .groupBy((groupBy :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as(countCol))
 
-    val w = Window.partitionBy(groupBy.map(col): _*)
-      .orderBy(col(countCol).desc, col(valueCol).asc_nulls_last)
+    // dropna=true: non-null candidates strictly outrank null, so null
+    // wins only in an all-null group (rewritten to count 0 below, the
+    // reference's convention). dropna=false: null is a regular
+    // candidate that loses exact ties (asc_nulls_last), matching the
+    // reference's value-presorted stable sort.
+    val ordering =
+      if (dropna)
+        Seq(col(valueCol).isNull.asc, col(countCol).desc,
+          col(valueCol).asc_nulls_last)
+      else Seq(col(countCol).desc, col(valueCol).asc_nulls_last)
+    val w = Window.partitionBy(groupBy.map(col): _*).orderBy(ordering: _*)
     val best = counted
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")
       .withColumnRenamed(valueCol, modeCol)
 
-    // groups whose values were entirely dropped must still appear
-    val allGroups = base.select(groupBy.map(col): _*).distinct()
-    allGroups.join(best, groupBy, "left")
-      .withColumn(countCol, coalesce(col(countCol), lit(0L)))
+    if (dropna)
+      best.withColumn(countCol,
+        when(col(modeCol).isNull, lit(0L)).otherwise(col(countCol)))
+    else best
   }
 }

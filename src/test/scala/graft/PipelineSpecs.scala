@@ -1312,6 +1312,32 @@ class PipelineSpecs extends SparkSuite {
       2L -> ((None, None))))
   }
 
+  test("collocations: hand-computed PMI, minCount prune, deterministic ties") {
+    import graft.text.Collocations
+    val corpus = Seq(
+      (0L, "big data big data big data"),     // (big,data)×3, (data,big)×2
+      (1L, "fast lane fast lane fast lane"),  // (fast,lane)×3, (lane,fast)×2
+      (2L, "big fast big fast big fast")      // (big,fast)×3, (fast,big)×2
+    ).toDF("doc_id", "text")
+    // totals: T = 15 pairs, U = 18 tokens; big=6, data=3, fast=6, lane=3
+    val out = Collocations(corpus, "text", minCount = 3L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // minCount prunes the ×2 reversals
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq(("big", "data"), ("fast", "lane"), ("big", "fast")))
+    val pmi36 = math.log(3.0 * 18 * 18 / (15.0 * 6 * 3)) // = ln 3.6
+    val pmi18 = math.log(3.0 * 18 * 18 / (15.0 * 6 * 6)) // = ln 1.8
+    assert(math.abs(out(0)._4 - pmi36) < 1e-12)
+    assert(math.abs(out(1)._4 - pmi36) < 1e-12)
+    assert(math.abs(out(2)._4 - pmi18) < 1e-12)
+    assert(out.forall(_._3 == 3L))
+    // topK boundary on an exact PMI tie is deterministic: w1 breaks it
+    val top2 = Collocations(corpus, "text", minCount = 3L, topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(top2 == Seq(("big", "data"), ("fast", "lane")))
+  }
+
   test("fuzzy join: typo fixture — sub/ins/del, short strings, nulls") {
     import graft.joins.FuzzyJoin
     val left = Seq((0L, "spark"), (1L, "flink"), (2L, "a"), (3L, ""),

@@ -202,8 +202,15 @@ class PlanSpecs extends SparkSuite {
     // q_ann_q8 = q_ann_topk's plan on int8 codes (broadcast query loop)
     // q_tfidf / q_skew cross-join 1-row corpus-total frames, like q_bm25
     // q_sample_temperature cross-joins the 1-row pow-sum normalizer
+    // q_collocations cross-joins the 1-row (pair-total, token-total)
+    // frame, like q_bm25; q_fuzzy_join's short-string completion block
+    // is an explicit count-guarded cross of two length-bounded slivers
+    // (maxShortSide refusal) — the main candidate path is an equi-join
+    // q_dsir cross-joins the 1-row target/raw total-count frames (its
+    // bucket models broadcast by size; the totals are scalars)
     val intended = Set("q_cross_join", "q_ann_topk", "q_ann_q8",
-      "q_bm25", "q_lm_score", "q_tfidf", "q_skew", "q_sample_temperature")
+      "q_bm25", "q_lm_score", "q_tfidf", "q_skew", "q_sample_temperature",
+      "q_collocations", "q_fuzzy_join", "q_dsir")
     for (name <- SparkEntry.queries.keys if !intended(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian")
