@@ -1928,6 +1928,22 @@ object SparkEntry {
         maxDistance = 1)
     }
 
+  /** Same workload through the rarest-first frequency order (the
+    * Zipf-skew scale switch) — identical brute-force oracle, so both
+    * blocking orders are proven complete. */
+  private val q_fuzzy_freq: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val base = t(s, dir, "part").filter(col("p_partkey") % 50 === 0)
+      val lefts = base.select(col("p_partkey").as("lid"),
+        col("p_name").as("lname"))
+      val rights = base.select(
+        (col("p_partkey") + 1000000000L).as("rid"),
+        concat(substring(col("p_name"), 1, 3), lit("X"),
+          substring(col("p_name"), 5, 1000000)).as("rname"))
+      graft.joins.FuzzyJoin(lefts, rights, "lid", "lname", "rid", "rname",
+        maxDistance = 1, frequencyOrder = true)
+    }
+
   /** Two-frame interval subtraction: each order's 30-day window minus
     * the 7-day blackout after every shipment of that order — per-key
     * union of the rights, then maximal uncovered pieces of each left,
@@ -2118,6 +2134,7 @@ object SparkEntry {
     "q_interval_anti"       -> q_interval_anti,
     "q_interval_subtract"   -> q_interval_subtract,
     "q_fuzzy_join"          -> q_fuzzy_join,
+    "q_fuzzy_freq"          -> q_fuzzy_freq,
     "q_pipeline2"           -> q_pipeline2,
     "q_sample_hash"         -> q_sample_hash,
     "q_layout_scan"         -> q_layout_scan,
@@ -2137,6 +2154,19 @@ object SparkEntry {
   )
 
   /** DuckDB tokenization matching [[graft.text.Shingles.tokens]]. */
+  /** Brute-force levenshtein join over the q_fuzzy_* subsets: the oracle
+    * checks the q-gram blocking is COMPLETE (hash order and rarest-first
+    * order alike), not just that verified pairs are correct. */
+  private val FuzzyOracle =
+    """WITH l AS (SELECT p_partkey AS lid, p_name AS lname
+      |           FROM part WHERE p_partkey % 50 = 0),
+      |r AS (SELECT p_partkey + 1000000000 AS rid,
+      |        substring(p_name, 1, 3) || 'X' || substring(p_name, 5) AS rname
+      |      FROM part WHERE p_partkey % 50 = 0)
+      |SELECT l.lid, l.lname, r.rid, r.rname,
+      |  levenshtein(l.lname, r.rname)::BIGINT AS distance
+      |FROM l JOIN r ON levenshtein(l.lname, r.rname) <= 1""".stripMargin
+
   private val ToksExpr =
     "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
 
@@ -3834,18 +3864,8 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT okey, ls AS s, le AS e FROM w WHERE rs IS NULL)
         |SELECT okey, s AS start, e AS stop FROM seg WHERE s < e""".stripMargin,
-    "q_fuzzy_join" ->
-      // brute-force levenshtein over the same subsets: the oracle checks
-      // the q-gram blocking is COMPLETE, not just that verified pairs are
-      // correct
-      """WITH l AS (SELECT p_partkey AS lid, p_name AS lname
-        |           FROM part WHERE p_partkey % 50 = 0),
-        |r AS (SELECT p_partkey + 1000000000 AS rid,
-        |        substring(p_name, 1, 3) || 'X' || substring(p_name, 5) AS rname
-        |      FROM part WHERE p_partkey % 50 = 0)
-        |SELECT l.lid, l.lname, r.rid, r.rname,
-        |  levenshtein(l.lname, r.rname)::BIGINT AS distance
-        |FROM l JOIN r ON levenshtein(l.lname, r.rname) <= 1""".stripMargin,
+    "q_fuzzy_join" -> FuzzyOracle,
+    "q_fuzzy_freq" -> FuzzyOracle,
     "q_text_clean" ->
       """WITH m AS (SELECT doc_id,
         |    upper(substring(text, 1, 30)) || chr(9) || ' ' || chr(1)

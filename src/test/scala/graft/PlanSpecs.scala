@@ -210,7 +210,7 @@ class PlanSpecs extends SparkSuite {
     // bucket models broadcast by size; the totals are scalars)
     val intended = Set("q_cross_join", "q_ann_topk", "q_ann_q8",
       "q_bm25", "q_lm_score", "q_tfidf", "q_skew", "q_sample_temperature",
-      "q_collocations", "q_fuzzy_join", "q_dsir")
+      "q_collocations", "q_fuzzy_join", "q_fuzzy_freq", "q_dsir")
     for (name <- SparkEntry.queries.keys if !intended(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian")

@@ -37,7 +37,7 @@ def run_bench(jar, sf, workdir, env_extra):
 def main():
     sf = sys.argv[1]
     out = sys.argv[2]
-    chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 0  # 0 = auto
     jar = (sys.argv[4] if len(sys.argv) > 4 else
            "target/scala-2.13/catabrapandasspark_2.13-0.1.0.jar")
     jar = os.path.abspath(jar)
@@ -56,6 +56,12 @@ def main():
 
     probes = [n for n in names if n.startswith("q_bench_")]
     rest = [n for n in names if not n.startswith("q_bench_")]
+    # auto: ~16 queries per JVM. Isolated A/B showed 32-query chunks
+    # still read queries 2-5x their fresh-session cost late in the chunk
+    # (accumulated heap/GC + JIT state); 16 bounds the drift at ~1 extra
+    # minute of JVM startups per full run.
+    if chunks <= 0:
+        chunks = max(4, -(-len(rest) // 16))
     parts = [rest[i::chunks] for i in range(chunks)]
 
     merged = {}
@@ -64,8 +70,10 @@ def main():
     gate_waits = []
     for i, part in enumerate(parts):
         with tempfile.TemporaryDirectory() as td:
+            # min-of-2 warm passes: a single pass times first-execution
+            # janino/JIT compilation, not the operator
             d = run_bench(jar, sf, td,
-                          {"SPARK_GRAFT_RUNS": "1",
+                          {"SPARK_GRAFT_RUNS": "2",
                            "SPARK_GRAFT_PROBE_RUNS": "0",
                            "SPARK_GRAFT_ONLY": ",".join(part)})
         merged.update(d["queries"])
@@ -92,7 +100,7 @@ def main():
     total = sum(v for v in merged.values() if v >= 0)
     result = {
         "metric": "total", "value": round(total, 3), "unit": "sec",
-        "queries": merged, "failed": failed, "runs": 1,
+        "queries": merged, "failed": failed, "runs": 2,
         "agg": "min", "protocol": f"chunked x{chunks} + dedicated probe JVM",
         "probe_passes": pd_.get("probe_passes", {}),
         "probe_median": pd_.get("probe_median", {}),
