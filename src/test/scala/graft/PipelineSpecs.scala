@@ -1387,6 +1387,23 @@ class PipelineSpecs extends SparkSuite {
     }
   }
 
+  test("fuzzy join: hot-gram bucket refusal and frequency-order escape") {
+    import graft.joins.FuzzyJoin
+    // 60 identical strings concentrate every prefix gram in one bucket
+    val ls = (0 until 60).map(i => (i.toLong, "aaaaaa")).toDF("lid", "ln")
+    val rs = (0 until 60).map(i => (i.toLong + 100, "aaaaaa")).toDF("rid", "rn")
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin(ls, rs, "lid", "ln", "rid", "rn", maxDistance = 1,
+        maxBucket = 10).count()
+    }
+    assert(e.getMessage.contains("maxBucket"))
+    // frequency order has no hot-bucket failure mode (prefixes are
+    // rarest-first) — and here all pairs genuinely match at distance 0
+    val n = FuzzyJoin(ls, rs, "lid", "ln", "rid", "rn", maxDistance = 1,
+      frequencyOrder = true).count()
+    assert(n == 3600L)
+  }
+
   test("wordpiece: whole word, multi-piece, greedy dead end, null/empty") {
     import graft.text.WordPiece
     val vocab = Seq("data", "custom", "cust", "##er", "f", "##il", "##ter",
