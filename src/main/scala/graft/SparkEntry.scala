@@ -909,8 +909,15 @@ object SparkEntry {
   private val q_ann_topk: (SparkSession, String) => DataFrame =
     (s, dir) => {
       val e = emb(s, dir)
+      // rank is computed on RAW cosines (twin rows tie exactly within an
+      // engine, broken by neighbor id); the OUTPUT value gets the r6m
+      // nudge because the two engines' cosine formulas associate
+      // differently and diverge by 1 ulp on ~1.0 self-twin matches
+      // (surfaced by the 10x-replica corpus, where every query gains
+      // verbatim twins)
       CosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .select(col("query_id"), col("neighbor_id"),
+          r6m(col("cosine")).as("cosine"), col("rank"))
     }
 
   /** KMV distinct-count sketch: bounded-state approximate
@@ -1067,13 +1074,15 @@ object SparkEntry {
     (s, dir) =>
       LshAnn.nearDupPairs(emb(s, dir), "vec_id", "embedding",
         numBits = 6, numTables = 8, threshold = 0.3)
+        .select(col("id_l"), col("id_r"), r6m(col("cosine")).as("cosine"))
 
   private val q_ann_ivf: (SparkSession, String) => DataFrame =
     (s, dir) => {
       val e = emb(s, dir)
       IvfAnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nlist = 16, nprobe = 4)
-        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .select(col("query_id"), col("neighbor_id"),
+          r6m(col("cosine")).as("cosine"), col("rank"))
     }
 
   private val q_salted_join: (SparkSession, String) => DataFrame =
@@ -2960,7 +2969,8 @@ object SparkEntry {
         |        list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
         |      FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.qid),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
-        |SELECT qid AS query_id, nid AS neighbor_id, cos AS cosine, rn AS rank
+        |SELECT qid AS query_id, nid AS neighbor_id,
+        |  ROUND(cos + 1e-9, 6) + 0.0 AS cosine, rn AS rank
         |FROM r WHERE rn <= 5""".stripMargin,
     "q_ann_ivf" ->
       """WITH cent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
@@ -2984,7 +2994,8 @@ object SparkEntry {
         |      FROM pr JOIN corp ON pr.cell = corp.cell AND corp.vec_id <> pr.qid),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         |        ORDER BY cos DESC, nid) AS rn FROM s)
-        |SELECT qid AS query_id, nid AS neighbor_id, cos AS cosine, rn AS rank
+        |SELECT qid AS query_id, nid AS neighbor_id,
+        |  ROUND(cos + 1e-9, 6) + 0.0 AS cosine, rn AS rank
         |FROM r WHERE rn <= 5""".stripMargin,
     "q_topk" ->
       """WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
@@ -3777,7 +3788,8 @@ object SparkEntry {
         |      FROM sig a JOIN sig b
         |        ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id)
         |SELECT p.id_l, p.id_r,
-        |  list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) AS cosine
+        |  ROUND(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+        |        + 1e-9, 6) + 0.0 AS cosine
         |FROM p JOIN embeddings x ON x.vec_id = p.id_l
         |       JOIN embeddings y ON y.vec_id = p.id_r
         |WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.3""".stripMargin,

@@ -65,6 +65,59 @@ class BucketingSpecs extends SparkSuite {
     }
   }
 
+  test("bucketed+sorted tables: sweep join needs no Exchange AND no Sort") {
+    import graft.joins.SweepJoin
+    val rnd = new scala.util.Random(62)
+    val l = (0 until 400).map { i =>
+      val s = rnd.nextDouble() * 100
+      (i.toLong, rnd.nextInt(40), s, s + rnd.nextDouble() * 5)
+    }.toDF("lid", "g", "ls", "le")
+    val r = (0 until 300).map { i =>
+      val s = rnd.nextDouble() * 100
+      (i.toLong, rnd.nextInt(40), s, s + rnd.nextDouble() * 9)
+    }.toDF("rid", "g", "rs", "re")
+    try {
+      // repartition by the bucket column with the bucket count BEFORE the
+      // bucketed write: the writer's HashPartitioning then matches the
+      // bucket hash, each bucket lands in ONE file, and the scan can
+      // report the per-file sort order — multiple files per bucket make
+      // Spark drop outputOrdering and the Sort reappears
+      l.repartition(8, col("g")).write.mode("overwrite")
+        .bucketBy(8, "g").sortBy("g", "ls").saveAsTable("bk_sw_l")
+      r.repartition(8, col("g")).write.mode("overwrite")
+        .bucketBy(8, "g").sortBy("g", "rs").saveAsTable("bk_sw_r")
+      // since Spark 3.0 the bucketed scan reports its per-file sort
+      // order only under this opt-in conf (SPARK-28595: with >1 file
+      // per bucket the order claim would be wrong; our aligned
+      // repartition guarantees one file per bucket, making it sound)
+      val (joined, plan) = withConf(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true") {
+        val j = SweepJoin(
+          spark.table("bk_sw_l"), spark.table("bk_sw_r"),
+          Seq("g"), Seq("g"),
+          IntervalSpec.closed("ls", "le"), IntervalSpec.closed("rs", "re"))
+        (j, j.queryExecution.executedPlan.toString)
+      }
+      assert(plan.contains("IntervalSweepJoin"), plan)
+      // the on-disk layout satisfies BOTH physical requirements: the
+      // bucket hash is the required clustering, the per-bucket sort is
+      // the required ordering — the join reads the files and sweeps,
+      // zero shuffle, zero sort. At 100 TB this is the amortized
+      // posture: pay the layout once at write time, every subsequent
+      // interval join of the reference table is scan + sweep.
+      assert(!plan.contains("Exchange"), s"bucketed sweep shuffled:\n$plan")
+      assert(!plan.contains("+- Sort"), s"bucketed sweep re-sorted:\n$plan")
+      val got = joined.select("lid", "rid").as[(Long, Long)].collect().toSet
+      val want = SweepJoin(l, r, Seq("g"), Seq("g"),
+        IntervalSpec.closed("ls", "le"), IntervalSpec.closed("rs", "re"))
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_sw_l")
+      spark.sql("DROP TABLE IF EXISTS bk_sw_r")
+    }
+  }
+
   private def withConf[T](kv: (String, String))(body: => T): T = {
     val (k, v) = kv
     val old = spark.conf.getOption(k)
