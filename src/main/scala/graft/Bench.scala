@@ -72,6 +72,12 @@ object Bench {
       .filter(name => only.forall(_.contains(name)))
     def time(name: String, pass: String): (String, Double) = {
       val fn = SparkEntry.queries(name)
+      // untimed sweep: garbage accumulated by EARLIER queries must not
+      // be collected inside this query's timer window (the shared-JVM
+      // accumulation that motivated the chunked protocol; a full GC on
+      // the mostly-dead heap costs ~0.1-0.5 s untimed here vs multi-
+      // second pauses landing in later queries' timings)
+      System.gc()
       val t0 = System.nanoTime()
       // toRdd.count(): forces every output column to be computed —
       // df.count() would let Catalyst prune the projections entirely

@@ -95,20 +95,39 @@ object SubtractIntervals {
     // 2. stamp the left row id and join against the coverage. Empty left
     // intervals emit nothing (the half-open zero-length convention), so
     // they are dropped BEFORE the join rather than carried as unmatched.
+    // The match phase is an INNER IntervalJoin — which auto-routes to the
+    // custom sweep exec for keyed shapes at scale (and takes the binned
+    // path when binWidth is passed) — plus an anti-join completion that
+    // restores rows no coverage touches. Both subtrees re-read the
+    // stamped frame, so generated ids are pinned with a lazy
+    // localCheckpoint (same contract as IntervalJoin's own completion;
+    // caller-supplied ids skip the pin).
     val lid = leftIdCol.getOrElse(Lid)
     val lValid = left.filter(Intervals.nonEmpty(left, halfOpenL))
-    val lStamped =
+    val lStamped0 =
       if (leftIdCol.isDefined) lValid
       else lValid.withColumn(lid, monotonically_increasing_id())
-    val joined = IntervalJoin(
+    val lStamped =
+      if (leftIdCol.isDefined) lStamped0 else lStamped0.localCheckpoint(false)
+    val carried = left.columns.toSeq :+ lid
+    val matched = IntervalJoin(
       lStamped, rKeyed,
       leftSpec = halfOpenL,
       rightSpec = IntervalSpec(Some(Rs), Some(Re),
         includeStart = true, includeStop = false),
       leftOn = on, rightOn = on.indices.map(i => s"__graft_sub_k$i").toSeq,
-      how = "left", keep = "all", keepOrder = false,
+      how = "inner", keep = "all", keepOrder = false,
       leftIdCol = Some(lid),
       binWidth = binWidth, autoBinWidth = autoBinWidth)
+      .select((carried.distinct.map(col) :+ col(Rs)) :+ col(Re): _*)
+    val rsType = rValid.schema(Rs).dataType
+    val reType = rValid.schema(Re).dataType
+    val unmatched = lStamped
+      .join(matched.select(col(lid)).distinct(), Seq(lid), "left_anti")
+      .withColumn(Rs, lit(null).cast(rsType))
+      .withColumn(Re, lit(null).cast(reType))
+      .select((carried.distinct.map(col) :+ col(Rs)) :+ col(Re): _*)
+    val joined = matched.unionByName(unmatched)
 
     // 3. gap extraction per left row. The coverage pieces matched to one
     // left row are disjoint and sorted by Rs, so the complement inside

@@ -207,6 +207,29 @@ class OperatorSpecs extends SparkSuite {
     assert(binned == plain)
   }
 
+  test("subtract_intervals: keyed match phase auto-routes through the sweep") {
+    import graft.intervals.SubtractIntervals
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 200).map { i =>
+      val s = rnd.nextDouble() * 50
+      (i.toLong, i % 5, s, s + rnd.nextDouble() * 10)
+    }.toDF("id", "g", "start", "stop")
+    val right = (0 until 200).map { i =>
+      val s = rnd.nextDouble() * 60
+      (i % 5, s, s + rnd.nextDouble() * 4)
+    }.toDF("g", "start", "stop")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = SubtractIntervals(left, right, on = Seq("g"),
+        leftIdCol = Some("id"))
+      val plan = out.queryExecution.executedPlan.toString
+      // broadcasting disabled → the inner match phase is the custom exec
+      assert(plan.contains("IntervalSweepJoin"), plan)
+      assert(out.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   // ── grouped_mode ──────────────────────────────────────────────────────
 
   test("grouped_mode: counts, ties to smallest value, all-null groups") {
