@@ -418,4 +418,30 @@ object StreamingOps {
       col(pointCol) <= col(iPrefix + stopCol)
     points.join(broadcast(ivR), cond, "left")
   }
+
+  /** Streaming blackout filter: PASS only stream rows whose point falls
+    * inside NO static interval sharing the keys — the complement of
+    * [[pointsInStaticIntervals]] and the streaming face of
+    * [[graft.joins.IntervalAntiJoin]] (time-range decontamination of a
+    * live feed against a once-loaded embargo/outage table). Stateless:
+    * stream-static left_anti joins need no state store or watermark, so
+    * this is a pure broadcast-probe projection that scales with the
+    * stream, not with history.
+    */
+  def pointsNotInStaticIntervals(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      on: Seq[String],
+      startCol: String,
+      stopCol: String): DataFrame = {
+    val iPrefix = "__graft_i_"
+    val ivR = intervals.columns.foldLeft(intervals)(
+      (d, c) => d.withColumnRenamed(c, iPrefix + c))
+    val cond = on.map(k => col(k) === col(iPrefix + k))
+      .reduceOption(_ && _).getOrElse(lit(true)) &&
+      col(iPrefix + startCol) <= col(pointCol) &&
+      col(pointCol) <= col(iPrefix + stopCol)
+    points.join(broadcast(ivR), cond, "left_anti")
+  }
 }

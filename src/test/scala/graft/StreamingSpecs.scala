@@ -120,6 +120,39 @@ class StreamingSpecs extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming blackout filter ≡ batch interval anti-join") {
+    implicit val sqlCtx = spark.sqlContext
+    val intervals = Seq((1L, 0.0, 10.0), (1L, 20.0, 30.0), (2L, 12.0, 18.0))
+      .toDF("user", "lo", "hi")
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val stream = input.toDF().toDF("ts", "user", "p")
+    val out = StreamingOps.pointsNotInStaticIntervals(
+      stream, intervals, "p", Seq("user"), "lo", "hi")
+    val q = out.writeStream.format("memory").queryName("anti_stream")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (ts("2024-01-01 00:00:00"), 1L, 5.0),   // inside [0,10] → dropped
+        (ts("2024-01-01 00:00:01"), 1L, 15.0),  // gap → survives
+        (ts("2024-01-01 00:00:02"), 1L, 25.0),  // inside [20,30] → dropped
+        (ts("2024-01-01 00:00:03"), 2L, 15.0),  // user 2 blackout → dropped
+        (ts("2024-01-01 00:00:04"), 3L, 15.0))  // keyless user → survives
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("anti_stream").select("user", "p")
+        .as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 15.0), (3L, 15.0)))
+      // ≡ the batch anti-join on the same frames
+      val batch = graft.joins.IntervalAntiJoin(
+        rows.toDF("ts", "user", "p"), intervals.toDF("b_user", "lo", "hi"),
+        leftSpec = graft.core.IntervalSpec.point("p"),
+        rightSpec = graft.core.IntervalSpec.closed("lo", "hi"),
+        leftOn = Seq("user"), rightOn = Seq("b_user"))
+        .select("user", "p").as[(Long, Double)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval containment under watermarks") {
     implicit val sqlCtx = spark.sqlContext
     val pIn = MemoryStream[(Long, Int, Timestamp)]
