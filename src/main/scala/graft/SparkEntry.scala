@@ -1972,6 +1972,29 @@ object SparkEntry {
         wins, blackouts, on = Seq("okey"), leftIdCol = Some("okey"))
     }
 
+  /** End-to-end chain over the new subtraction op: each user's activity
+    * span minus the 1-hour blackout after every error event → per-user
+    * clean-uptime segment count and exact microsecond duration. The
+    * whole chain (grouped span build → union of blackouts → carving →
+    * re-aggregation) is oracle-checked as one unit. */
+  private val q_pipeline3: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val wins = ev.groupBy("user_id")
+        .agg(min(col("ts")).as("start"), max(col("ts")).as("stop"))
+      val blackouts = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("stop"))
+      graft.intervals.SubtractIntervals(
+        wins, blackouts, on = Seq("user_id"), leftIdCol = Some("user_id"))
+        .groupBy(col("user_id").as("uid"))
+        .agg(count(lit(1)).as("n_segments"),
+          // events.ts is TIMESTAMP_NTZ; the UTC session makes the cast
+          // agree with DuckDB's epoch_us over naive timestamps
+          sum(unix_micros(col("stop").cast("timestamp")) -
+              unix_micros(col("start").cast("timestamp"))).as("clean_us"))
+    }
+
   /** Normalization before dedup: the corpus text is already clean, so
     * the query DIRTIES it deterministically (case, tabs, a control
     * char, trailing runs) and checks the cleaner canonicalizes it. */
@@ -2142,6 +2165,7 @@ object SparkEntry {
     "q_text_clean"          -> q_text_clean,
     "q_interval_anti"       -> q_interval_anti,
     "q_interval_subtract"   -> q_interval_subtract,
+    "q_pipeline3"           -> q_pipeline3,
     "q_fuzzy_join"          -> q_fuzzy_join,
     "q_fuzzy_freq"          -> q_fuzzy_freq,
     "q_pipeline2"           -> q_pipeline2,
@@ -3876,6 +3900,44 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT okey, ls AS s, le AS e FROM w WHERE rs IS NULL)
         |SELECT okey, s AS start, e AS stop FROM seg WHERE s < e""".stripMargin,
+    "q_pipeline3" ->
+      // whole chain: per-user span − error blackout union → segment
+      // count + exact microsecond clean time (same carving walk as the
+      // q_interval_subtract oracle, keyed by user)
+      """WITH l AS (SELECT user_id, min(ts) AS ls, max(ts) AS le
+        |           FROM events GROUP BY 1),
+        |r0 AS (SELECT user_id, ts AS rs, ts + INTERVAL 1 HOUR AS re
+        |       FROM events WHERE event_type = 'error'),
+        |ev AS (SELECT user_id, rs, re,
+        |         max(re) OVER (PARTITION BY user_id ORDER BY rs, re
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |       FROM r0),
+        |isl AS (SELECT user_id, rs, re,
+        |          sum(CASE WHEN prev_max IS NULL OR rs > prev_max THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY rs, re) AS grp
+        |        FROM ev),
+        |ru AS (SELECT user_id, min(rs) AS rs, max(re) AS re
+        |       FROM isl GROUP BY user_id, grp),
+        |m AS (SELECT l.user_id, l.ls, l.le, ru.rs, ru.re
+        |      FROM l LEFT JOIN ru ON l.user_id = ru.user_id
+        |        AND ru.rs < l.le AND ru.re > l.ls),
+        |w AS (SELECT user_id, ls, le, rs, re,
+        |        lag(re) OVER (PARTITION BY user_id ORDER BY rs) AS prev_re,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY rs)
+        |          = count(*) OVER (PARTITION BY user_id) AS is_last
+        |      FROM m),
+        |seg AS (
+        |  SELECT user_id, greatest(ls, coalesce(prev_re, ls)) AS s,
+        |         least(le, rs) AS e
+        |  FROM w WHERE rs IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, greatest(ls, re) AS s, le AS e
+        |  FROM w WHERE rs IS NOT NULL AND is_last
+        |  UNION ALL
+        |  SELECT user_id, ls AS s, le AS e FROM w WHERE rs IS NULL)
+        |SELECT user_id AS uid, COUNT(*)::BIGINT AS n_segments,
+        |  SUM(epoch_us(e) - epoch_us(s))::BIGINT AS clean_us
+        |FROM seg WHERE s < e GROUP BY 1""".stripMargin,
     "q_fuzzy_join" -> FuzzyOracle,
     "q_fuzzy_freq" -> FuzzyOracle,
     "q_text_clean" ->
