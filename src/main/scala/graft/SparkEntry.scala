@@ -1972,6 +1972,26 @@ object SparkEntry {
         wins, blackouts, on = Seq("okey"), leftIdCol = Some("okey"))
     }
 
+  /** The dual of q_interval_subtract through [[graft.intervals
+    * .IntersectIntervals]]: each order's 30-day window CLIPPED to the
+    * union of the 7-day post-shipment windows — covered time instead of
+    * uncovered time. Exercises the clamp on both edges, merged touching
+    * rights, and inner semantics (orders with no shipments emit
+    * nothing). */
+  private val q_interval_intersect: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val wins = t(s, dir, "orders").select(
+        col("o_orderkey").as("okey"),
+        col("o_orderdate").as("start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("stop"))
+      val covered = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("okey"),
+        col("l_shipdate").as("start"),
+        (col("l_shipdate") + expr("INTERVAL 7 DAYS")).as("stop"))
+      graft.intervals.IntersectIntervals(
+        wins, covered, on = Seq("okey"))
+    }
+
   /** End-to-end chain over the new subtraction op: each user's activity
     * span minus the 1-hour blackout after every error event → per-user
     * clean-uptime segment count and exact microsecond duration. The
@@ -2165,6 +2185,7 @@ object SparkEntry {
     "q_text_clean"          -> q_text_clean,
     "q_interval_anti"       -> q_interval_anti,
     "q_interval_subtract"   -> q_interval_subtract,
+    "q_interval_intersect"  -> q_interval_intersect,
     "q_pipeline3"           -> q_pipeline3,
     "q_fuzzy_join"          -> q_fuzzy_join,
     "q_fuzzy_freq"          -> q_fuzzy_freq,
@@ -3900,6 +3921,28 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT okey, ls AS s, le AS e FROM w WHERE rs IS NULL)
         |SELECT okey, s AS start, e AS stop FROM seg WHERE s < e""".stripMargin,
+    "q_interval_intersect" ->
+      // half-open [start, stop) intersection: merge the per-order
+      // coverage union via gaps-and-islands (identical CTE to the
+      // subtract oracle), then one inner overlap join + clamp
+      """WITH l AS (SELECT o_orderkey AS okey, o_orderdate AS ls,
+        |             o_orderdate + INTERVAL 30 DAY AS le FROM orders),
+        |r0 AS (SELECT l_orderkey AS okey, l_shipdate AS rs,
+        |         l_shipdate + INTERVAL 7 DAY AS re FROM lineitem),
+        |ev AS (SELECT okey, rs, re,
+        |         max(re) OVER (PARTITION BY okey ORDER BY rs, re
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |       FROM r0),
+        |isl AS (SELECT okey, rs, re,
+        |          sum(CASE WHEN prev_max IS NULL OR rs > prev_max THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY okey ORDER BY rs, re) AS grp
+        |        FROM ev),
+        |ru AS (SELECT okey, min(rs) AS rs, max(re) AS re FROM isl GROUP BY okey, grp)
+        |SELECT l.okey, greatest(l.ls, ru.rs) AS start,
+        |       least(l.le, ru.re) AS stop
+        |FROM l JOIN ru ON l.okey = ru.okey
+        |  AND ru.rs < l.le AND ru.re > l.ls
+        |WHERE greatest(l.ls, ru.rs) < least(l.le, ru.re)""".stripMargin,
     "q_pipeline3" ->
       // whole chain: per-user span − error blackout union → segment
       // count + exact microsecond clean time (same carving walk as the

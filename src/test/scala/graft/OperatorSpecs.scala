@@ -230,6 +230,83 @@ class OperatorSpecs extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  // ── intersect_intervals ───────────────────────────────────────────────
+
+  test("intersect_intervals: clamping, touching rights, no-coverage drop, attrs") {
+    import graft.intervals.IntersectIntervals
+    val left = Seq(
+      ("u1", 0.0, 10.0, "sess_a"),   // rights [3,5) → piece [3,5)
+      ("u1", 20.0, 30.0, "sess_b"),  // rights [19,22) [24,26) [26,28) → [20,22) [24,28)
+      ("u2", 0.0, 10.0, "sess_c"),   // right covers all → whole row back
+      ("u3", 0.0, 4.0, "sess_d"),    // no rights for key → dropped (inner)
+      ("u1", 50.0, 50.0, "sess_e"),  // empty left → dropped
+      ("u1", 60.0, 70.0, "sess_f")   // right [60,65) keeps the head
+    ).toDF("uid", "start", "stop", "sess")
+    val right = Seq(
+      ("u1", 3.0, 5.0), ("u1", 19.0, 22.0), ("u1", 24.0, 26.0),
+      ("u1", 26.0, 28.0),               // touches previous → union [24,28)
+      ("u2", -1.0, 11.0),
+      ("u1", 60.0, 65.0), ("u1", 64.0, 64.0) // empty right adds nothing
+    ).toDF("uid", "start", "stop")
+    val out = IntersectIntervals(left, right, on = Seq("uid"))
+      .orderBy("sess", "start")
+      .collect().map(r => (r.getAs[String]("sess"),
+        r.getDouble(r.fieldIndex("start")), r.getDouble(r.fieldIndex("stop"))))
+    assert(out.toSeq == Seq(
+      ("sess_a", 3.0, 5.0),
+      ("sess_b", 20.0, 22.0), ("sess_b", 24.0, 28.0),
+      ("sess_c", 0.0, 10.0),
+      ("sess_f", 60.0, 65.0)))
+    assert(IntersectIntervals(left, right, on = Seq("uid")).columns.toSeq ==
+      left.columns.toSeq)
+  }
+
+  test("intersect_intervals: intersect ⊎ subtract tiles every left row") {
+    import graft.intervals.{IntersectIntervals, SubtractIntervals}
+    val rnd = new scala.util.Random(11)
+    val left = (0 until 300).map { i =>
+      val s = rnd.nextDouble() * 80
+      (i.toLong, i % 7, s, s + rnd.nextDouble() * 15)
+    }.toDF("id", "g", "start", "stop")
+    val right = (0 until 250).map { i =>
+      val s = rnd.nextDouble() * 90
+      (i % 7, s, s + rnd.nextDouble() * 6)
+    }.toDF("g", "start", "stop")
+    val pieces = IntersectIntervals(left, right, on = Seq("g"))
+      .unionByName(SubtractIntervals(left, right, on = Seq("g"),
+        leftIdCol = Some("id")))
+    // exact tiling: per left row the pieces are disjoint and their union
+    // is [start, stop) — so lengths sum back and bounds are respected
+    val sums = pieces.groupBy("id")
+      .agg(sum(col("stop") - col("start")).as("len"),
+        min("start").as("lo"), max("stop").as("hi"),
+        count(lit(1)).as("n"))
+      .join(left, Seq("id"))
+      .collect()
+    assert(sums.length == 300)
+    sums.foreach { r =>
+      val total = r.getAs[Double]("stop") - r.getAs[Double]("start")
+      assert(math.abs(r.getAs[Double]("len") - total) < 1e-9, r.toString)
+      assert(r.getAs[Double]("lo") >= r.getAs[Double]("start") - 1e-12)
+      assert(r.getAs[Double]("hi") <= r.getAs[Double]("stop") + 1e-12)
+    }
+  }
+
+  test("intersect_intervals: binned path equivalence") {
+    import graft.intervals.IntersectIntervals
+    val left = Seq((1L, 0.0, 100.0), (2L, 40.0, 60.0)).toDF("id", "start", "stop")
+    val right = Seq(Tuple2(10.0, 20.0), Tuple2(50.0, 55.0)).toDF("start", "stop")
+    val plain = IntersectIntervals(left, right)
+      .orderBy("id", "start").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(plain == Seq(
+      (1L, 10.0, 20.0), (1L, 50.0, 55.0), (2L, 50.0, 55.0)))
+    val binned = IntersectIntervals(left, right, binWidth = Some(7.0))
+      .orderBy("id", "start").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(binned == plain)
+  }
+
   // ── grouped_mode ──────────────────────────────────────────────────────
 
   test("grouped_mode: counts, ties to smallest value, all-null groups") {
