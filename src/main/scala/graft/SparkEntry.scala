@@ -1326,6 +1326,24 @@ object SparkEntry {
     * always-pass here — no newlines or punctuation in the corpus — and
     * are exercised by the PipelineSpecs fixture instead.
     */
+  /** Deterministic 64-bucket linear model for q_lin_score: weights from
+    * a Knuth-multiplicative ramp (pure integer arithmetic — identical
+    * numbers inlined into the oracle SQL), fasttext-style token+bigram
+    * features, fixed-point 1e-6. */
+  private val LinModel = graft.text.LinearScorer.Model(
+    (0 until 64).map(i => (i * 2654435761L) % 2001 - 1000),
+    bias = 500L, seed = 11L)
+
+  /** Hashed linear classifier inference over the corpus: exact integer
+    * score per document + the keep gate — bit-identical to the oracle's
+    * inlined-weight evaluation (zero float tolerance). */
+  private val q_lin_score: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.text.LinearScorer.score(
+        docs(s, dir).select(col("doc_id"), col("text")), "text", LinModel)
+        .select(col("doc_id").as("did"), col("n_feats"), col("score_fp"),
+          (col("score_fp") > 0).as("keep"))
+
   private val q_quality_gate: (SparkSession, String) => DataFrame =
     (s, dir) => {
       val t = QualityFilter.GopherThresholds(
@@ -2171,6 +2189,7 @@ object SparkEntry {
     "q_dedup_incr"          -> q_dedup_incr,
     "q_text_chunks"         -> q_text_chunks,
     "q_lm_score"            -> q_lm_score,
+    "q_lin_score"           -> q_lin_score,
     "q_collocations"        -> q_collocations,
     "q_text_stats"          -> q_text_stats,
     "q_quality_gate"        -> q_quality_gate,
@@ -3216,6 +3235,26 @@ object SparkEntry {
         |SELECT doc_id AS did, COUNT(*) AS n_bigrams,
         |       ROUND(AVG(lp) + 1e-9, 6) + 0.0 AS avg_logprob
         |FROM sc GROUP BY 1""".stripMargin,
+    "q_lin_score" -> {
+      // the model's 64 fixed-point weights inlined verbatim — feature
+      // hash is the md5Rank construction, bigrams built 1-indexed, all
+      // arithmetic 64-bit integer (zero float tolerance)
+      val wlit = LinModel.weights.mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT $wlit::BIGINT[] AS wt),
+        |d AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
+        |f AS (SELECT doc_id,
+        |        tk || [tk[i] || ' ' || tk[i + 1] FOR i IN range(1, len(tk))]
+        |          AS feats
+        |      FROM d),
+        |s AS (SELECT doc_id, len(feats)::BIGINT AS n_feats,
+        |        500 + coalesce(list_sum(
+        |          [wt[1 + ('0x' || substring(md5(CONCAT_WS('#', 11, f)), 1, 15))::BIGINT % 64]
+        |           FOR f IN feats]), 0) AS score_fp
+        |      FROM f, w)
+        |SELECT doc_id AS did, n_feats, score_fp::BIGINT AS score_fp,
+        |       score_fp > 0 AS keep
+        |FROM s""".stripMargin
+    },
     "q_collocations" ->
       s"""WITH t AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
         |pr AS (SELECT unnest(tk[1:len(tk)-1]) AS w1,

@@ -1442,4 +1442,44 @@ class PipelineSpecs extends SparkSuite {
       .collect().head.getLong(0)
     assert(cnt == 3L)
   }
+
+  test("linear scorer: exact integer scores vs a driver-side md5 replica") {
+    import graft.text.LinearScorer
+    val model = LinearScorer.Model(
+      weights = IndexedSeq(10L, -5L, 7L, 100L, -1L), bias = 3L, seed = 11L)
+    // driver-side replica of the 60-bit md5 bucket hash
+    def bucket(f: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${model.seed}#$f".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % model.buckets).toInt
+    }
+    def expected(text: String): (Long, Long) = {
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val feats = toks ++ toks.zip(toks.drop(1)).map { case (a, b) => s"$a $b" }
+      (feats.size.toLong,
+        model.bias + feats.map(f => model.weights(bucket(f))).sum)
+    }
+    val texts = Seq("the quick brown fox", "single",
+      "a a a repeated a a", "  spaced\tout\ntext  ", "")
+    val out = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = LinearScorer.score(out, "text", model)
+      .select("id", "n_feats", "score_fp")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == expected(t), s"text=$t")
+    }
+    // empty text: zero features, score = bias exactly
+    assert(got(4L) == (0L, model.bias))
+    // null text scores null and never clears the filter gate
+    val withNull = Seq((0L, Some("good good good")), (1L, None))
+      .toDF("id", "text")
+    val nullRow = LinearScorer.score(withNull, "text", model)
+      .filter(col("id") === 1).collect().head
+    assert(nullRow.isNullAt(nullRow.fieldIndex("score_fp")))
+    val kept = LinearScorer.filter(withNull, "text", model,
+      minScore = Long.MinValue).select("id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(0L))
+  }
 }
