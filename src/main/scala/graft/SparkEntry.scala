@@ -1344,6 +1344,19 @@ object SparkEntry {
         .select(col("doc_id").as("did"), col("n_feats"), col("score_fp"),
           (col("score_fp") > 0).as("keep"))
 
+  /** One-pass data-mixture report: (lang × source) cells, per-lang
+    * subtotals, and the grand total via ROLLUP (single Expand plan, no
+    * per-level re-scan), with share-of-corpus from a 1-row broadcast.
+    * grouping_id bit-compatibility with ANSI GROUPING is part of what
+    * the oracle checks. */
+  private val q_mixture: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.agg.MixtureReport(docs(s, dir), Seq("lang", "source"), "n_chars")
+        .select(col("lang"), col("source"), col("level").cast("long").as("level"),
+          col("n_docs"), col("weight").cast("long").as("weight"),
+          r6m(col("doc_share")).as("doc_share"),
+          r6m(col("weight_share")).as("weight_share"))
+
   private val q_quality_gate: (SparkSession, String) => DataFrame =
     (s, dir) => {
       val t = QualityFilter.GopherThresholds(
@@ -2190,6 +2203,7 @@ object SparkEntry {
     "q_text_chunks"         -> q_text_chunks,
     "q_lm_score"            -> q_lm_score,
     "q_lin_score"           -> q_lin_score,
+    "q_mixture"             -> q_mixture,
     "q_collocations"        -> q_collocations,
     "q_text_stats"          -> q_text_stats,
     "q_quality_gate"        -> q_quality_gate,
@@ -3235,6 +3249,20 @@ object SparkEntry {
         |SELECT doc_id AS did, COUNT(*) AS n_bigrams,
         |       ROUND(AVG(lp) + 1e-9, 6) + 0.0 AS avg_logprob
         |FROM sc GROUP BY 1""".stripMargin,
+    "q_mixture" ->
+      // ROLLUP with ANSI GROUPING bitmask (Spark grouping_id is
+      // bit-compatible: first dim = most significant bit); shares are a
+      // single long/long double division, r6m-rounded on both sides
+      """WITH t AS (SELECT count(*)::BIGINT AS td,
+        |             sum(n_chars)::BIGINT AS tw FROM documents)
+        |SELECT lang, source, GROUPING(lang, source)::BIGINT AS level,
+        |  count(*)::BIGINT AS n_docs,
+        |  coalesce(sum(n_chars), 0)::BIGINT AS weight,
+        |  ROUND(count(*)::DOUBLE / (SELECT td FROM t) + 1e-9, 6) + 0.0
+        |    AS doc_share,
+        |  ROUND(coalesce(sum(n_chars), 0)::DOUBLE / (SELECT tw FROM t)
+        |        + 1e-9, 6) + 0.0 AS weight_share
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
     "q_lin_score" -> {
       // the model's 64 fixed-point weights inlined verbatim — feature
       // hash is the md5Rank construction, bigrams built 1-indexed, all

@@ -307,6 +307,34 @@ class OperatorSpecs extends SparkSuite {
     assert(binned == plain)
   }
 
+  // ── mixture_report ────────────────────────────────────────────────────
+
+  test("mixture_report: rollup levels, shares, null weights, cube margins") {
+    import graft.agg.MixtureReport
+    val df = Seq(
+      ("en", "web", Some(100L)), ("en", "web", Some(300L)),
+      ("en", "code", Some(600L)), ("de", "web", None)
+    ).toDF("lang", "source", "w")
+    val out = MixtureReport(df, Seq("lang", "source"), "w")
+      .collect().map(r => (Option(r.getAs[String]("lang")),
+        Option(r.getAs[String]("source")), r.getAs[Int]("level"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("weight"),
+        r.getAs[Double]("doc_share"))).toSet
+    assert(out == Set(
+      (Some("en"), Some("web"), 0, 2L, 400L, 0.5),
+      (Some("en"), Some("code"), 0, 1L, 600L, 0.25),
+      (Some("de"), Some("web"), 0, 1L, 0L, 0.25),     // null weight → 0
+      (Some("en"), None, 1, 3L, 1000L, 0.75),          // lang subtotal
+      (Some("de"), None, 1, 1L, 0L, 0.25),
+      (None, None, 3, 4L, 1000L, 1.0)))                // grand total
+    // cube adds the source-only margins (level 2)
+    val cube = MixtureReport(df, Seq("lang", "source"), "w", cube = true)
+    assert(cube.filter(col("level") === 2).count() == 2) // web, code
+    // one Expand node, one scan — subtotals don't re-read the input
+    val plan = cube.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+  }
+
   // ── grouped_mode ──────────────────────────────────────────────────────
 
   test("grouped_mode: counts, ties to smallest value, all-null groups") {
