@@ -36,4 +36,30 @@ object Layout {
     * groups via parquet statistics. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed + sorted table layout: the SHUFFLE-AMORTIZING sink for
+    * tables that are repeatedly joined or interval-swept on the same
+    * key. A table written `bucketBy(n, key).sortBy(key, sortBy…)` with
+    * ONE file per bucket satisfies a join/sweep's required distribution
+    * AND ordering straight off the scan — `BucketingSpecs` proves the
+    * custom `IntervalSweepJoinExec` then plans with ZERO Exchange and
+    * ZERO Sort over two such tables (the write pays the shuffle once;
+    * every subsequent join of any two co-bucketed tables skips both).
+    *
+    * The `repartition(n, key)` below is what guarantees one file per
+    * bucket — without it every task writes into every bucket, and
+    * multi-file buckets both explode the file count and (SPARK-28595)
+    * forfeit the scan's sort order. Reading the order back requires the
+    * session conf `spark.sql.legacy.bucketedTableScan.outputOrdering =
+    * true`; the distribution (Exchange elimination) needs no conf.
+    */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+                    bucketKey: String, sortBy: Seq[String]): Unit = {
+    require(numBuckets > 0, "numBuckets > 0")
+    df.repartition(numBuckets, col(bucketKey))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, bucketKey)
+      .sortBy(bucketKey, sortBy: _*)
+      .saveAsTable(table)
+  }
 }

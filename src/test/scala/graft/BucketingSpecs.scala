@@ -82,10 +82,8 @@ class BucketingSpecs extends SparkSuite {
       // bucket hash, each bucket lands in ONE file, and the scan can
       // report the per-file sort order — multiple files per bucket make
       // Spark drop outputOrdering and the Sort reappears
-      l.repartition(8, col("g")).write.mode("overwrite")
-        .bucketBy(8, "g").sortBy("g", "ls").saveAsTable("bk_sw_l")
-      r.repartition(8, col("g")).write.mode("overwrite")
-        .bucketBy(8, "g").sortBy("g", "rs").saveAsTable("bk_sw_r")
+      graft.sources.Layout.writeBucketed(l, "bk_sw_l", 8, "g", Seq("ls"))
+      graft.sources.Layout.writeBucketed(r, "bk_sw_r", 8, "g", Seq("rs"))
       // since Spark 3.0 the bucketed scan reports its per-file sort
       // order only under this opt-in conf (SPARK-28595: with >1 file
       // per bucket the order claim would be wrong; our aligned

@@ -303,6 +303,28 @@ class StreamingSpecs extends SparkSuite {
     } finally q.stop()
   }
 
+  test("linear scorer gates a stream (stateless classifier projection)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String)]
+    val model = graft.text.LinearScorer.Model(
+      weights = IndexedSeq.fill(16)(0L), bias = 7L, seed = 1L)
+    // zero weights ⇒ every doc scores exactly bias: the spec pins that
+    // the fold + md5 bucket hash run verbatim in a streaming plan (no
+    // state store, no watermark), not the numeric surface
+    val out = graft.text.LinearScorer.score(
+      input.toDF().toDF("id", "text"), "text", model)
+    val q = out.writeStream.format("memory").queryName("lin_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "keep me"), (2L, "also kept"))
+      q.processAllAvailable()
+      val rows = spark.table("lin_stream").orderBy("id").collect()
+      assert(rows.map(_.getAs[Long]("score_fp")).toSeq == Seq(7L, 7L))
+      assert(rows.map(_.getAs[Long]("n_feats")).toSeq == Seq(3L, 3L))
+    } finally q.stop()
+  }
+
   test("bloom prefilter runs unchanged on streams (stateless probe)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
