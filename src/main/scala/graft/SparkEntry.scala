@@ -1344,6 +1344,21 @@ object SparkEntry {
         .select(col("doc_id").as("did"), col("n_feats"), col("score_fp"),
           (col("score_fp") > 0).as("keep"))
 
+  /** Deterministic contrastive negative sampling: queries are every
+    * 17th document, each paired with its xor-1 sibling as the positive;
+    * 4 negatives per query drawn through the bucketed md5 rank-space
+    * probe (16 slices, 12 probes) — exact engine-portable selection,
+    * positives excluded, duplicate draws collapsed. */
+  private val q_negatives: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = d.filter(col("doc_id") % 17 === 3)
+        .select(col("doc_id").as("qid"),
+          expr("doc_id ^ CAST(1 AS BIGINT)").as("pos_id"))
+      graft.sample.Negatives(pairs, d, "qid", "pos_id", "doc_id",
+        k = 4, seed = 7L, buckets = 16, oversample = 8)
+    }
+
   /** One-pass data-mixture report: (lang × source) cells, per-lang
     * subtotals, and the grand total via ROLLUP (single Expand plan, no
     * per-level re-scan), with share-of-corpus from a 1-row broadcast.
@@ -2204,6 +2219,7 @@ object SparkEntry {
     "q_lm_score"            -> q_lm_score,
     "q_lin_score"           -> q_lin_score,
     "q_mixture"             -> q_mixture,
+    "q_negatives"           -> q_negatives,
     "q_collocations"        -> q_collocations,
     "q_text_stats"          -> q_text_stats,
     "q_quality_gate"        -> q_quality_gate,
@@ -3249,6 +3265,38 @@ object SparkEntry {
         |SELECT doc_id AS did, COUNT(*) AS n_bigrams,
         |       ROUND(AVG(lp) + 1e-9, 6) + 0.0 AS avg_logprob
         |FROM sc GROUP BY 1""".stripMargin,
+    "q_negatives" ->
+      // same md5 rank space, 16 slices (shift 56), 12 probes per query:
+      // candidate = slice-local nearest-below with wrap to slice max,
+      // positives anti-joined, duplicate draws to smallest probe, first
+      // 4 survivors in probe order
+      """WITH cr AS (SELECT doc_id AS id,
+        |    ('0x' || substring(md5(CONCAT_WS('#', 7, doc_id)), 1, 15))::BIGINT AS r
+        |  FROM (SELECT DISTINCT doc_id FROM documents)),
+        |crb AS (SELECT id, r, r >> 56 AS b FROM cr),
+        |q AS (SELECT doc_id AS qid, xor(doc_id, 1) AS pos
+        |      FROM documents WHERE doc_id % 17 = 3),
+        |p AS (SELECT q.qid, t.j,
+        |    ('0x' || substring(md5(CONCAT_WS('#', 7, q.qid, t.j)), 1, 15))::BIGINT AS p
+        |  FROM (SELECT DISTINCT qid FROM q) q
+        |  CROSS JOIN generate_series(0, 11) t(j)),
+        |pb AS (SELECT qid, j, p, p >> 56 AS b FROM p),
+        |cand AS (SELECT qid, j, id,
+        |    row_number() OVER (PARTITION BY qid, j
+        |      ORDER BY (r <= p) DESC, r DESC) AS rn
+        |  FROM pb JOIN crb USING (b)),
+        |c1 AS (SELECT qid, j, id FROM cand WHERE rn = 1),
+        |nopos AS (SELECT c1.qid, c1.j, c1.id FROM c1
+        |  WHERE NOT EXISTS (SELECT 1 FROM q
+        |    WHERE q.qid = c1.qid AND q.pos = c1.id)),
+        |dd AS (SELECT qid, j, id,
+        |    row_number() OVER (PARTITION BY qid, id ORDER BY j) AS dn
+        |  FROM nopos),
+        |sl AS (SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY j) AS slot
+        |  FROM dd WHERE dn = 1)
+        |SELECT qid, id AS neg_id, slot::BIGINT AS slot
+        |FROM sl WHERE slot <= 4""".stripMargin,
     "q_mixture" ->
       // ROLLUP with ANSI GROUPING bitmask (Spark grouping_id is
       // bit-compatible: first dim = most significant bit); shares are a

@@ -1443,6 +1443,35 @@ class PipelineSpecs extends SparkSuite {
     assert(cnt == 3L)
   }
 
+  test("negative sampling: k per query, positives excluded, deterministic") {
+    import graft.sample.Negatives
+    val corpus = (0L until 300L).toDF("id")
+    val pairs = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+      .toDF("qid", "pos")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Negatives(pairs, df, "qid", "pos", "id", k = 5, buckets = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val out = run(corpus)
+    // exactly k slots 1..k per query
+    assert(out.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).sorted == Seq(1L, 2L, 3L, 4L, 5L) })
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+    // never a positive of the SAME query (multi-positive respected)
+    val pos = Map(1L -> Set(10L, 11L), 2L -> Set(20L), 3L -> Set(30L))
+    out.foreach { case (q, n, _) => assert(!pos(q).contains(n), s"$q -> $n") }
+    // no duplicate negatives within a query
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).distinct.size == rows.size) }
+    // bit-identical under repartitioning
+    assert(run(corpus.repartition(7)) == out)
+    // degenerate corpus: everything is a positive → zero negatives, no crash
+    val tiny = Seq(10L, 11L).toDF("id")
+    val only1 = pairs.filter(col("qid") === 1L)
+    assert(Negatives(only1, tiny, "qid", "pos", "id", k = 3,
+      buckets = 8).count() == 0)
+  }
+
   test("linear scorer: exact integer scores vs a driver-side md5 replica") {
     import graft.text.LinearScorer
     val model = LinearScorer.Model(
