@@ -1344,6 +1344,18 @@ object SparkEntry {
         .select(col("doc_id").as("did"), col("n_feats"), col("score_fp"),
           (col("score_fp") > 0).as("keep"))
 
+  /** Changelog → SCD2 validity intervals over the event log: each
+    * user's events become half-open `[ts, next_ts)` validity windows,
+    * event_id breaking timestamp ties, last event open-ended. */
+  private val q_changelog: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.intervals.ChangelogIntervals(
+        t(s, dir, "events").select(col("user_id"), col("event_id"),
+          col("ts"), col("event_type")),
+        on = Seq("user_id"), tsCol = "ts", tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("ts").as("start"),
+          col("stop"), col("event_type"))
+
   /** Deterministic contrastive negative sampling: queries are every
     * 17th document, each paired with its xor-1 sibling as the positive;
     * 4 negatives per query drawn through the bucketed md5 rank-space
@@ -2220,6 +2232,7 @@ object SparkEntry {
     "q_lin_score"           -> q_lin_score,
     "q_mixture"             -> q_mixture,
     "q_negatives"           -> q_negatives,
+    "q_changelog"           -> q_changelog,
     "q_collocations"        -> q_collocations,
     "q_text_stats"          -> q_text_stats,
     "q_quality_gate"        -> q_quality_gate,
@@ -3265,6 +3278,11 @@ object SparkEntry {
         |SELECT doc_id AS did, COUNT(*) AS n_bigrams,
         |       ROUND(AVG(lp) + 1e-9, 6) + 0.0 AS avg_logprob
         |FROM sc GROUP BY 1""".stripMargin,
+    "q_changelog" ->
+      """SELECT user_id, event_id, ts AS start,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS stop,
+        |  event_type
+        |FROM events WHERE ts IS NOT NULL""".stripMargin,
     "q_negatives" ->
       // same md5 rank space, 16 slices (shift 56), 12 probes per query:
       // candidate = slice-local nearest-below with wrap to slice max,

@@ -307,6 +307,47 @@ class OperatorSpecs extends SparkSuite {
     assert(binned == plain)
   }
 
+  // ── changelog_intervals ───────────────────────────────────────────────
+
+  test("changelog_intervals: SCD2 build — chaining, ties, horizon, null ts") {
+    import graft.intervals.ChangelogIntervals
+    val log = Seq(
+      (1L, 1L, Some(10.0), "a"),
+      (1L, 2L, Some(20.0), "b"),
+      (1L, 3L, Some(20.0), "c"),   // tie with event 2 → event 2 zero-length
+      (1L, 4L, Some(35.0), "d"),
+      (2L, 5L, Some(5.0), "x"),    // key isolation
+      (2L, 6L, None, "y")          // null ts dropped
+    ).toDF("k", "eid", "ts", "v")
+    val out = ChangelogIntervals(log, Seq("k"), "ts", tieBreak = Seq("eid"))
+      .orderBy("eid")
+      .collect().map(r => (r.getLong(1), r.getDouble(2),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      (1L, 10.0, Some(20.0)),
+      (2L, 20.0, Some(20.0)),      // zero-length audit row kept
+      (3L, 20.0, Some(35.0)),
+      (4L, 35.0, None),            // open-ended tail
+      (5L, 5.0, None)))
+    // dropEmpty removes the zero-length tie rows only
+    val dropped = ChangelogIntervals(log, Seq("k"), "ts",
+      tieBreak = Seq("eid"), dropEmpty = true)
+      .select("eid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(dropped == Seq(1L, 3L, 4L, 5L))
+    // horizon closes the tails instead of null
+    val horizon = ChangelogIntervals(log, Seq("k"), "ts",
+      tieBreak = Seq("eid"), horizon = Some(lit(99.0)))
+      .filter(col("eid").isin(4L, 5L))
+      .select("stop").collect().map(_.getDouble(0)).toSeq
+    assert(horizon == Seq(99.0, 99.0))
+    // the built intervals feed the interval algebra directly: stop > start
+    // everywhere after dropEmpty (half-open validity)
+    assert(ChangelogIntervals(log, Seq("k"), "ts", tieBreak = Seq("eid"),
+      dropEmpty = true)
+      .filter(col("stop").isNotNull && col("stop") <= col("ts"))
+      .count() == 0)
+  }
+
   // ── mixture_report ────────────────────────────────────────────────────
 
   test("mixture_report: rollup levels, shares, null weights, cube margins") {
