@@ -1606,6 +1606,27 @@ object SparkEntry {
         .select(col("node"), col("rank").as("rank_fp"))
     }
 
+  /** Synchronous label propagation over the q_pagerank synthetic graph:
+    * seed labels doc_id % 50, 3 rounds of in-neighbor majority with
+    * ties to the smallest label — bit-exact vs 3 unrolled rounds in
+    * SQL (the graph-family determinism contract: components = hard
+    * clusters, PageRank = authority, LPA = communities). */
+  private val q_labelprop: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val n = d.count()
+      val e1 = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 2 + 1) % n).as("dst"))
+      val e2 = d.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 3 + 7) % n).as("dst"))
+      graft.graph.LabelPropagation(
+        d.select(col("doc_id").as("node"),
+          (col("doc_id") % 50).as("label")),
+        e1.unionByName(e2), iters = 3)
+    }
+
   /** WordPiece vocabulary for q_wordpiece — hand-built against the
     * corpus word pool to exercise every algorithm branch: whole-word
     * hits, 2- and 3-piece splits, greedy-longest ("custom" must beat
@@ -2233,6 +2254,7 @@ object SparkEntry {
     "q_mixture"             -> q_mixture,
     "q_negatives"           -> q_negatives,
     "q_changelog"           -> q_changelog,
+    "q_labelprop"           -> q_labelprop,
     "q_collocations"        -> q_collocations,
     "q_text_stats"          -> q_text_stats,
     "q_quality_gate"        -> q_quality_gate,
@@ -3278,6 +3300,31 @@ object SparkEntry {
         |SELECT doc_id AS did, COUNT(*) AS n_bigrams,
         |       ROUND(AVG(lp) + 1e-9, 6) + 0.0 AS avg_logprob
         |FROM sc GROUP BY 1""".stripMargin,
+    "q_labelprop" -> {
+      // 3 unrolled synchronous LPA rounds: in-neighbor label counts,
+      // winner by (count DESC, label ASC) — GroupedMode's deterministic
+      // tie rule — no-in-edge nodes keep their label. Zero tolerance.
+      val rounds = (1 to 3).map { k =>
+        val p = s"l${k - 1}"
+        s"""c$k AS (SELECT e.dst, l.label, count(*) AS c
+           |  FROM e JOIN $p l ON e.src = l.node GROUP BY 1, 2),
+           |w$k AS (SELECT dst, label,
+           |    row_number() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+           |  FROM c$k),
+           |l$k AS (SELECT l.node, coalesce(w.label, l.label) AS label
+           |  FROM $p l LEFT JOIN (SELECT dst, label FROM w$k WHERE rn = 1) w
+           |    ON l.node = w.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH consts AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |e AS (SELECT doc_id AS src, (2*doc_id + 1) % (SELECT n FROM consts) AS dst
+         |      FROM documents WHERE doc_id % 7 <> 0
+         |      UNION ALL
+         |      SELECT doc_id, (3*doc_id + 7) % (SELECT n FROM consts)
+         |      FROM documents WHERE doc_id % 3 <> 0),
+         |l0 AS (SELECT doc_id AS node, doc_id % 50 AS label FROM documents),
+         |$rounds
+         |SELECT node, label::BIGINT AS label FROM l3""".stripMargin
+    },
     "q_changelog" ->
       """SELECT user_id, event_id, ts AS start,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS stop,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.graph.PageRank
+import graft.graph.{LabelPropagation, PageRank}
 
 /** PageRank: differential vs a sequential fixed-point oracle, structure
   * sanity (hubs, rings, dangling mass), and the determinism contract
@@ -136,5 +136,59 @@ class GraphSpecs extends SparkSuite {
     // silently rank by its first column otherwise
     intercept[IllegalArgumentException](
       PageRank(e, "s", "d", nodes = Some(Seq((1L, "x")).toDF("n", "extra"))))
+  }
+
+  // ── label propagation ─────────────────────────────────────────────────
+
+  private def refLpa(edges: Seq[(Long, Long)], seed: Map[Long, Long],
+                     iters: Int): Map[Long, Long] = {
+    var labels = seed
+    for (_ <- 1 to iters) {
+      val next = edges.groupBy(_._2).map { case (dst, in) =>
+        val counts = in.map(e => labels(e._1))
+          .groupBy(identity).map { case (l, xs) => l -> xs.size }
+        // majority, ties to the smallest label
+        dst -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+      labels = labels.map { case (n, l) => n -> next.getOrElse(n, l) }
+    }
+    labels
+  }
+
+  test("label propagation matches the sequential rule on a random graph") {
+    val rnd = new scala.util.Random(13)
+    val nodes = (0L until 50L).toSeq
+    val edges = Seq.fill(220)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val seed = nodes.map(n => n -> (n % 7)).toMap
+    val want = refLpa(edges, seed, 4)
+    val got = LabelPropagation(
+      seed.toSeq.toDF("node", "label"), edges.toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("label propagation: two cliques converge to one label each") {
+    // two 4-cliques joined by a single weak edge
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val edges = clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((3L, 10L))
+    val nodes = Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L)
+    val out = LabelPropagation(nodes.toDF("node"), edges.toDF("src", "dst"),
+      iters = 6).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique agrees internally; the cliques stay distinct
+    assert(Seq(0L, 1L, 2L, 3L).map(out).toSet.size == 1)
+    assert(Seq(11L, 12L, 13L).map(out).toSet.size == 1)
+    assert(out(0L) != out(11L))
+  }
+
+  test("label propagation is bit-identical under repartitioning") {
+    val rnd = new scala.util.Random(5)
+    val edges = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+    def run(parts: Int) = LabelPropagation(
+      (0L until 80L).toDF("node").repartition(parts),
+      edges.toDF("src", "dst").repartition(parts), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == run(11))
   }
 }
