@@ -1070,6 +1070,64 @@ object SparkEntry {
         qz, qz.filter(col("vec_id") < 10), "vec_id", "q8", k = 5)
     }
 
+  /** Shared oracle CTE chain for q_kmeans / q_pipeline4: 3 unrolled
+    * integer Lloyd iterations (see graft.similarity.KMeans): quantize
+    * floor(x·2^20), argmin exact integer distance (ties → smallest
+    * cluster), centroid update = truncating integer division (DuckDB
+    * `//` ≡ Scala Long `/`, HUGEINT included — verified -7//2 = -3),
+    * empty clusters keep their centroid. Ends with `fr` = per-vector
+    * (cluster, dist, rn) where rn=1 is the winning assignment. Zero
+    * float tolerance. */
+  private val KMeansCte: String = {
+    val iters = (1 to 3).map { i =>
+      val p = s"c${i - 1}"
+      s"""dist$i AS (SELECT p.vec_id, c.cluster,
+         |    sum((p.q - c.v) * (p.q - c.v)) AS dist
+         |  FROM pts p JOIN $p c ON p.d = c.d GROUP BY 1, 2),
+         |a$i AS (SELECT vec_id, cluster,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |  FROM dist$i),
+         |agg$i AS (SELECT a.cluster, p.d, sum(p.q) AS s, count(*) AS n
+         |  FROM pts p JOIN (SELECT vec_id, cluster FROM a$i WHERE rn = 1) a
+         |    USING (vec_id)
+         |  GROUP BY 1, 2),
+         |c$i AS (SELECT c.cluster, c.d, coalesce(g.s // g.n, c.v) AS v
+         |  FROM $p c LEFT JOIN agg$i g ON c.cluster = g.cluster AND c.d = g.d)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pts0 AS (SELECT vec_id,
+       |    unnest(range(0, len(embedding))) AS d,
+       |    unnest(embedding) AS x
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |pts AS (SELECT vec_id, d,
+       |    CAST(floor(x::DOUBLE * 1048576) AS BIGINT) AS q FROM pts0),
+       |seeds AS (SELECT vec_id,
+       |    row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+       |  FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
+       |        ORDER BY vec_id LIMIT 8)),
+       |c0 AS (SELECT s.cluster, p.d, p.q AS v
+       |  FROM seeds s JOIN pts p USING (vec_id)),
+       |$iters,
+       |fd AS (SELECT p.vec_id, c.cluster,
+       |    sum((p.q - c.v) * (p.q - c.v)) AS dist
+       |  FROM pts p JOIN c3 c ON p.d = c.d GROUP BY 1, 2),
+       |fr AS (SELECT vec_id, cluster, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |  FROM fd)""".stripMargin
+  }
+
+  /** Cluster-balanced subset: Lloyd assignment → exact per-cluster
+    * quota via the md5-rank stratified rule — the "diverse subset"
+    * curation recipe, oracle-checked as one chain. */
+  private val q_pipeline4: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val assigned = graft.similarity.KMeans.fit(emb(s, dir), "vec_id",
+        "embedding", k = 8, iters = 3)._2
+      graft.sample.Sampling.stratified(
+        assigned.select(col("vec_id"), col("cluster")),
+        Seq("cluster"), "vec_id", n = 20, seed = 7L)
+    }
+
   /** Deterministic fixed-point Lloyd k-means (k=8, 3 iterations,
     * scale 2^20) over the embedding corpus — assignment AND exact
     * integer distance per vector, bit-identical in any engine (the
@@ -2255,6 +2313,7 @@ object SparkEntry {
     "q_negatives"           -> q_negatives,
     "q_changelog"           -> q_changelog,
     "q_labelprop"           -> q_labelprop,
+    "q_pipeline4"           -> q_pipeline4,
     "q_collocations"        -> q_collocations,
     "q_text_stats"          -> q_text_stats,
     "q_quality_gate"        -> q_quality_gate,
@@ -4006,52 +4065,24 @@ object SparkEntry {
         |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
-    "q_kmeans" -> {
-      // 3 unrolled integer Lloyd iterations (see graft.similarity
-      // .KMeans): quantize floor(x·2^20), argmin exact integer distance
-      // (ties → smallest cluster), centroid update = truncating integer
-      // division (DuckDB `//` ≡ Scala Long `/`, HUGEINT included —
-      // verified -7//2 = -3), empty clusters keep their centroid. Zero
-      // float tolerance.
-      val iters = (1 to 3).map { i =>
-        val p = s"c${i - 1}"
-        s"""dist$i AS (SELECT p.vec_id, c.cluster,
-           |    sum((p.q - c.v) * (p.q - c.v)) AS dist
-           |  FROM pts p JOIN $p c ON p.d = c.d GROUP BY 1, 2),
-           |a$i AS (SELECT vec_id, cluster,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-           |  FROM dist$i),
-           |agg$i AS (SELECT a.cluster, p.d, sum(p.q) AS s, count(*) AS n
-           |  FROM pts p JOIN (SELECT vec_id, cluster FROM a$i WHERE rn = 1) a
-           |    USING (vec_id)
-           |  GROUP BY 1, 2),
-           |c$i AS (SELECT c.cluster, c.d, coalesce(g.s // g.n, c.v) AS v
-           |  FROM $p c LEFT JOIN agg$i g ON c.cluster = g.cluster AND c.d = g.d)"""
-          .stripMargin
-      }.mkString(",\n")
-      s"""WITH pts0 AS (SELECT vec_id,
-         |    unnest(range(0, len(embedding))) AS d,
-         |    unnest(embedding) AS x
-         |  FROM embeddings WHERE embedding IS NOT NULL),
-         |pts AS (SELECT vec_id, d,
-         |    CAST(floor(x::DOUBLE * 1048576) AS BIGINT) AS q FROM pts0),
-         |seeds AS (SELECT vec_id,
-         |    row_number() OVER (ORDER BY vec_id) - 1 AS cluster
-         |  FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
-         |        ORDER BY vec_id LIMIT 8)),
-         |c0 AS (SELECT s.cluster, p.d, p.q AS v
-         |  FROM seeds s JOIN pts p USING (vec_id)),
-         |$iters,
-         |fd AS (SELECT p.vec_id, c.cluster,
-         |    sum((p.q - c.v) * (p.q - c.v)) AS dist
-         |  FROM pts p JOIN c3 c ON p.d = c.d GROUP BY 1, 2),
-         |fr AS (SELECT vec_id, cluster, dist,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-         |  FROM fd)
+    "q_kmeans" ->
+      s"""$KMeansCte
          |SELECT vec_id, CAST(cluster AS INT) AS cluster,
          |       CAST(dist AS BIGINT) AS dist
-         |FROM fr WHERE rn = 1""".stripMargin
-    },
+         |FROM fr WHERE rn = 1""".stripMargin,
+    "q_pipeline4" ->
+      // whole chain: fixed-point Lloyd assignment → per-cluster md5-rank
+      // stratified quota — the cluster-balanced subset recipe checked as
+      // one unit (same kmeans CTE, then the q_sample_stratified rule)
+      s"""$KMeansCte,
+         |asg AS (SELECT vec_id, CAST(cluster AS INT) AS cluster
+         |        FROM fr WHERE rn = 1),
+         |r AS (SELECT vec_id, cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY
+         |      ('0x' || substring(md5(CONCAT_WS('#', 7, vec_id)), 1, 15))::BIGINT,
+         |      vec_id) AS srn
+         |  FROM asg)
+         |SELECT vec_id, cluster FROM r WHERE srn <= 20""".stripMargin,
     // random-hyperplane LSH with integer-modular plane components (exact
     // in every engine); candidates = pairs sharing a 6-bit signature in
     // any of the 8 tables, kept when exact cosine >= 0.3
