@@ -208,9 +208,12 @@ class PlanSpecs extends SparkSuite {
     // (maxShortSide refusal) — the main candidate path is an equi-join
     // q_dsir cross-joins the 1-row target/raw total-count frames (its
     // bucket models broadcast by size; the totals are scalars)
+    // q_mixture cross-joins the 1-row grand-total frame for
+    // share-of-corpus, like q_bm25
     val intended = Set("q_cross_join", "q_ann_topk", "q_ann_q8",
       "q_bm25", "q_lm_score", "q_tfidf", "q_skew", "q_sample_temperature",
-      "q_collocations", "q_fuzzy_join", "q_fuzzy_freq", "q_dsir")
+      "q_collocations", "q_fuzzy_join", "q_fuzzy_freq", "q_dsir",
+      "q_mixture")
     for (name <- SparkEntry.queries.keys if !intended(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian")
