@@ -199,9 +199,12 @@ object Bench {
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // best-effort side file — an unwritable CWD must never cost the
-    // stdout line the driver actually parses
+    // stdout line the driver actually parses. SPARK_GRAFT_DETAILS_OUT
+    // redirects it so ad-hoc smoke runs from the repo root cannot
+    // clobber the committed sf0.1 artifact (it happened twice).
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_details.json"),
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_DETAILS_OUT", "bench_details.json")),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failedJson,"runs":$runs,"agg":"min","probe_passes":$probePassesJson,"probe_median":$probeMedianJson,"n_queries":${names.size},$hostJson,"sf":"$sfDir"}""")
     catch { case e: Exception =>
       System.err.println(s"[bench] bench_details.json not written: $e")
