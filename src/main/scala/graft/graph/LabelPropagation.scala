@@ -1,6 +1,6 @@
 package graft.graph
 
-import graft.agg.GroupedMode
+
 import org.apache.spark.sql.graft.CheckpointStats
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * stratified mixing and leakage-free splits.
   *
   * Each round every node adopts the most frequent label among its
-  * IN-neighBors (ties → smallest label, via [[GroupedMode]]'s
+  * IN-neighbors (ties → smallest label, [[graft.agg.GroupedMode]]'s
   * deterministic tie rule); nodes with no in-edges keep their label.
   * Classic async LPA is order-dependent — the synchronous variant is
   * the one with a well-defined distributed semantics, at the known cost
@@ -27,10 +27,11 @@ import org.apache.spark.sql.functions._
   * bounds that.
   *
   * Scale: the edge list is checkpointed once with pinned stats; each
-  * round is one equi-join (labels → edges) + the GroupedMode count
-  * aggregation (map-side combined — a Zipf-degree hub partial-
-  * aggregates before the shuffle) + a left join back to the node
-  * frame; per-round state is 2 longs per node, freed via
+  * round is one equi-join (labels → edges) + TWO pure hash
+  * aggregations (count, then lexicographic max over (count, −label) —
+  * both map-side combined, so a Zipf-degree hub partial-aggregates
+  * before the shuffle and nothing sorts) + a left join back to the
+  * node frame; per-round state is 2 longs per node, freed via
   * [[CheckpointStats.free]] (localCheckpoint unpersist is a cache-
   * manager no-op).
   */
@@ -73,12 +74,20 @@ object LabelPropagation {
     var labels = CheckpointStats.withRowCount(sCk, n, 16L)
 
     for (_ <- 1 to iters) {
-      // in-neighbor label stream; GroupedMode = count + top-1 with ties
-      // to the smallest label (its documented deterministic rule)
+      // in-neighbor label stream → majority with ties to the SMALLEST
+      // label ([[GroupedMode]]'s rule), but as two pure hash
+      // aggregations instead of its count+rank-window plan: the argmax
+      // is a lexicographic max over (count, -label) — no sort, no
+      // window, both stages partial-aggregate map-side (the negation is
+      // safe: labels are node ids / seeds, never Long.MinValue)
       val msgs = labels.join(edgeCk, labels("node") === edgeCk("src"))
         .select(col("dst"), col("label"))
-      val winner = GroupedMode(msgs, Seq("dst"), "label")
-        .select(col("dst"), col("mode").as("__new"))
+      val winner = msgs
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("__c").as("c"), (-col("label")).as("nl")))
+          .as("__w"))
+        .select(col("dst"), (-col("__w").getField("nl")).as("__new"))
       val next = labels
         .join(winner, labels("node") === winner("dst"), "left")
         .select(col("node"),

@@ -92,6 +92,9 @@ object KMeans {
     require(k > 0 && iters >= 0, "k > 0, iters >= 0")
     require(scale > 0 && java.lang.Long.bitCount(scale) == 1,
       "scale must be a power of two (exact double multiplication)")
+    // 2^28 keeps 4·scale² itself inside Long so the dim guard below is
+    // computed without overflowing (and leaves ≥ 2^5 dims of headroom)
+    require(scale <= (1L << 28), s"scale=$scale leaves no distance headroom")
 
     val seed = Model(IndexedSeq.empty, scale) // for quantize only
     val pts0 = df.filter(col(vecCol).isNotNull)
