@@ -1664,6 +1664,81 @@ object SparkEntry {
         .select(col("node"), col("rank").as("rank_fp"))
     }
 
+  /** Shared oracle CTE chain for q_bpe / q_bpe_merges: 3 unrolled BPE
+    * rounds (see graft.text.Bpe). Round r: weighted adjacent-pair
+    * counts over v{r-1}, winner by (count DESC, a, b) — then the greedy
+    * left-to-right merge replayed EXACTLY via the parity-window rule:
+    * candidate positions grouped into consecutive runs, even offsets
+    * from each run start merge (equivalent to the operator's fold —
+    * overlaps only arise for a==b runs). Ends with v3 (word, freq,
+    * syms) and top1..top3. Zero tolerance: strings + integers only. */
+  // lazy: references ToksExpr, which is declared later in the file
+  private lazy val BpeCte: String = {
+    val rounds = (1 to 3).map { r =>
+      val p = s"v${r - 1}"
+      s"""px$r AS (SELECT word, freq, syms,
+         |    unnest(range(1, len(syms))) AS i FROM $p),
+         |pc$r AS (SELECT syms[i] AS a, syms[i + 1] AS b, sum(freq) AS c
+         |  FROM px$r GROUP BY 1, 2),
+         |top$r AS (SELECT a, b FROM pc$r ORDER BY c DESC, a, b LIMIT 1),
+         |cand$r AS (SELECT px.word, px.i FROM px$r px JOIN top$r t
+         |  ON px.syms[px.i] = t.a AND px.syms[px.i + 1] = t.b),
+         |runs$r AS (SELECT word, i,
+         |    i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+         |  FROM cand$r),
+         |keep$r AS (SELECT word, i FROM (
+         |    SELECT word, i, min(i) OVER (PARTITION BY word, g) AS g0
+         |    FROM runs$r) WHERE (i - g0) % 2 = 0),
+         |pos$r AS (SELECT word, freq, syms,
+         |    unnest(range(1, len(syms) + 1)) AS j FROM $p),
+         |v$r AS (SELECT p.word, p.freq,
+         |    list(CASE WHEN k1.i IS NOT NULL
+         |           THEN p.syms[p.j] || p.syms[p.j + 1]
+         |           ELSE p.syms[p.j] END ORDER BY p.j) AS syms
+         |  FROM pos$r p
+         |  LEFT JOIN keep$r k1 ON k1.word = p.word AND k1.i = p.j
+         |  LEFT JOIN keep$r k2 ON k2.word = p.word AND k2.i = p.j - 1
+         |  WHERE k2.i IS NULL
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wd AS (SELECT unnest($ToksExpr) AS word FROM documents),
+       |wc AS (SELECT word, count(*)::BIGINT AS freq FROM wd GROUP BY 1),
+       |v0 AS (SELECT word, freq,
+       |    [word[i] FOR i IN range(1, len(word) + 1)] || ['</w>'] AS syms
+       |  FROM wc),
+       |$rounds""".stripMargin
+  }
+
+  /** Corpus word-frequency table for the BPE trainer — ToksExpr's exact
+    * Spark mirror (lowercased whitespace tokens). */
+  private def bpeWords(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(graft.text.Shingles.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** BPE merge training, 3 rounds: the final symbolized vocab — every
+    * word's symbol sequence after the 3 learned merges, bit-exact vs
+    * the oracle's unrolled parity-window replay of the same greedy
+    * left-to-right rule. */
+  private val q_bpe: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val (_, vocab) = graft.text.Bpe.fit(bpeWords(s, dir), "word", "freq",
+        k = 3)
+      vocab.select(col("word"), col("freq").as("n"),
+        array_join(col("symbols"), " ").as("syms"))
+    }
+
+  /** The learned merge table itself (rank-ordered, deterministic ties
+    * → lexicographic pair). */
+  private val q_bpe_merges: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      import s.implicits._
+      val (merges, _) = graft.text.Bpe.fit(bpeWords(s, dir), "word", "freq",
+        k = 3)
+      merges.map(m => (m.rank.toLong, m.left, m.right))
+        .toDF("merge_rank", "sym_a", "sym_b")
+    }
+
   /** Synchronous label propagation over the q_pagerank synthetic graph:
     * seed labels doc_id % 50, 3 rounds of in-neighbor majority with
     * ties to the smallest label — bit-exact vs 3 unrolled rounds in
@@ -2314,6 +2389,8 @@ object SparkEntry {
     "q_changelog"           -> q_changelog,
     "q_labelprop"           -> q_labelprop,
     "q_pipeline4"           -> q_pipeline4,
+    "q_bpe"                 -> q_bpe,
+    "q_bpe_merges"          -> q_bpe_merges,
     "q_collocations"        -> q_collocations,
     "q_text_stats"          -> q_text_stats,
     "q_quality_gate"        -> q_quality_gate,
@@ -3359,6 +3436,15 @@ object SparkEntry {
         |SELECT doc_id AS did, COUNT(*) AS n_bigrams,
         |       ROUND(AVG(lp) + 1e-9, 6) + 0.0 AS avg_logprob
         |FROM sc GROUP BY 1""".stripMargin,
+    "q_bpe" ->
+      s"""$BpeCte
+         |SELECT word, freq AS n, array_to_string(syms, ' ') AS syms
+         |FROM v3""".stripMargin,
+    "q_bpe_merges" ->
+      s"""$BpeCte
+         |SELECT 1::BIGINT AS merge_rank, a AS sym_a, b AS sym_b FROM top1
+         |UNION ALL SELECT 2::BIGINT, a, b FROM top2
+         |UNION ALL SELECT 3::BIGINT, a, b FROM top3""".stripMargin,
     "q_labelprop" -> {
       // 3 unrolled synchronous LPA rounds: in-neighbor label counts,
       // winner by (count DESC, label ASC) — GroupedMode's deterministic

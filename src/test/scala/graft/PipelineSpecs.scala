@@ -1443,6 +1443,72 @@ class PipelineSpecs extends SparkSuite {
     assert(cnt == 3L)
   }
 
+  test("bpe: merges and vocab match the sequential reference; greedy runs; ties") {
+    import graft.text.Bpe
+
+    // sequential reference: exact greedy left-to-right scan
+    def refMerge(s: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toList
+    }
+    def refFit(words: Map[String, Long], k: Int)
+        : (List[(String, String)], Map[String, List[String]]) = {
+      var vocab = words.map { case (w, f) =>
+        (w, f, w.split("").filter(_.nonEmpty).toList :+ "</w>") }.toList
+      var merges = List.empty[(String, String)]
+      for (_ <- 1 to k) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((_, f, s) <- vocab; p <- s.zip(s.drop(1)))
+          counts(p) = counts.getOrElse(p, 0L) + f
+        if (counts.nonEmpty) {
+          val (a, b) = counts.toSeq
+            .minBy { case ((x, y), c) => (-c, x, y) }._1
+          merges :+= ((a, b))
+          vocab = vocab.map { case (w, f, s) => (w, f, refMerge(s, a, b)) }
+        }
+      }
+      (merges, vocab.map { case (w, _, s) => w -> s }.toMap)
+    }
+
+    // the Sennrich fixture + a greedy-run word + a tie pair
+    val freq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "aaaa" -> 1L)
+    val words = freq.toSeq.toDF("word", "freq")
+    val (gotMerges, gotVocab) = Bpe.fit(words, "word", "freq", k = 6)
+    val (wantMerges, wantVocab) = refFit(freq, 6)
+    assert(gotMerges.map(m => (m.left, m.right)) == wantMerges)
+    val vocabMap = gotVocab.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    assert(vocabMap == wantVocab)
+
+    // greedy run directly: "aaaa" under (a,a) → [aa, aa, </w>]
+    val run = Seq(Tuple1("aaaa")).toDF("w")
+      .select(Bpe.applyMerge(Bpe.initSymbols(col("w")), "a", "a").as("s"))
+      .collect().head.getSeq[String](0).toList
+    assert(run == List("aa", "aa", "</w>"))
+
+    // encode applies the learned merges to unseen text word-by-word
+    val enc = Bpe.encode(Seq(Tuple1("low lowest")).toDF("text"), "text",
+      gotMerges).select("bpe_symbols")
+      .collect().head.getSeq[String](0).toList
+    val encWant = List("low", "lowest").flatMap { w =>
+      gotMerges.foldLeft(w.split("").filter(_.nonEmpty).toList :+ "</w>") {
+        (s, m) => refMerge(s, m.left, m.right) }
+    }
+    assert(enc == encWant)
+
+    // k larger than possible merges: stops cleanly when words exhaust
+    val (m2, v2) = Bpe.fit(Seq(("ab", 1L)).toDF("word", "freq"),
+      "word", "freq", k = 10)
+    assert(m2.size <= 3 && v2.count() == 1)
+  }
+
   test("negative sampling: k per query, positives excluded, deterministic") {
     import graft.sample.Negatives
     val corpus = (0L until 300L).toDF("id")
