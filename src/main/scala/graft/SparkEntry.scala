@@ -1709,6 +1709,18 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
+  /** Morton z-values over (user_id, event time µs) at 16 bits/dim —
+    * the multi-dimensional layout key, exact integer construction
+    * (bucket-width normalization + shift/or interleave) replayed
+    * bit-for-bit by the oracle. */
+  private val q_zorder: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      graft.sources.ZOrder.withZValue(ev, Seq("user_id", "us"), bits = 16)
+        .select(col("event_id"), col("z"))
+    }
+
   /** Corpus word-frequency table for the BPE trainer — ToksExpr's exact
     * Spark mirror (lowercased whitespace tokens). */
   private def bpeWords(s: SparkSession, dir: String): DataFrame =
@@ -2391,6 +2403,7 @@ object SparkEntry {
     "q_pipeline4"           -> q_pipeline4,
     "q_bpe"                 -> q_bpe,
     "q_bpe_merges"          -> q_bpe_merges,
+    "q_zorder"              -> q_zorder,
     "q_collocations"        -> q_collocations,
     "q_text_stats"          -> q_text_stats,
     "q_quality_gate"        -> q_quality_gate,
@@ -3436,6 +3449,25 @@ object SparkEntry {
         |SELECT doc_id AS did, COUNT(*) AS n_bigrams,
         |       ROUND(AVG(lp) + 1e-9, 6) + 0.0 AS avg_logprob
         |FROM sc GROUP BY 1""".stripMargin,
+    "q_zorder" ->
+      // same bucket-width normalization (Long floor division) + bit
+      // interleave: bit i of dim j lands at i*2 + j. Exact integers.
+      """WITH b AS (SELECT min(user_id) AS mn0, max(user_id) AS mx0,
+        |             min(epoch_us(ts)) AS mn1, max(epoch_us(ts)) AS mx1
+        |           FROM events),
+        |c AS (SELECT e.event_id,
+        |    CASE WHEN b.mx0 - b.mn0 <= 0 THEN 0
+        |         ELSE (e.user_id - b.mn0) // ((b.mx0 - b.mn0) // 65536 + 1)
+        |    END AS c0,
+        |    CASE WHEN b.mx1 - b.mn1 <= 0 THEN 0
+        |         ELSE (epoch_us(e.ts) - b.mn1) // ((b.mx1 - b.mn1) // 65536 + 1)
+        |    END AS c1
+        |  FROM events e, b)
+        |SELECT event_id,
+        |  list_sum([(((c0 >> i) & 1) << (2 * i)) +
+        |            (((c1 >> i) & 1) << (2 * i + 1))
+        |            FOR i IN range(0, 16)])::BIGINT AS z
+        |FROM c""".stripMargin,
     "q_bpe" ->
       s"""$BpeCte
          |SELECT word, freq AS n, array_to_string(syms, ' ') AS syms

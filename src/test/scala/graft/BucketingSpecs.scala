@@ -126,4 +126,54 @@ class BucketingSpecs extends SparkSuite {
       case None    => spark.conf.unset(k)
     }
   }
+
+  // ── z-order layout ────────────────────────────────────────────────────
+
+  test("zorder: interleave bit positions match the reference math") {
+    import graft.sources.ZOrder
+    // codes (0b101, 0b011), 3 bits: c0 bits land at 0,2,4; c1 at 1,3,5
+    // → positions {0, 1, 3, 4} set → 1 + 2 + 8 + 16 = 27
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(ZOrder.interleave(Seq(col("a"), col("b")), 3).as("z"))
+      .collect().head.getLong(0)
+    assert(z == 27L)
+    // single dim = identity on the masked bits
+    val z1 = Seq(Tuple1(13L)).toDF("a")
+      .select(ZOrder.interleave(Seq(col("a")), 4).as("z"))
+      .collect().head.getLong(0)
+    assert(z1 == 13L)
+    intercept[IllegalArgumentException](
+      ZOrder.interleave(Seq(col("a"), col("b")), 32)) // 64 bits > 63
+  }
+
+  test("zorder: normalization is monotone; constant dims code to zero") {
+    import graft.sources.ZOrder
+    val df = Seq((0L, 7L), (100L, 7L), (550L, 7L), (1000L, 7L))
+      .toDF("v", "k")
+    val out = ZOrder.withZValue(df, Seq("v", "k"), bits = 8)
+      .orderBy("v").select("z").collect().map(_.getLong(0)).toSeq
+    // constant k codes to 0 ⇒ z is the spread-out v code alone; order
+    // preserved and distinct endpoints distinct
+    assert(out == out.sorted && out.head < out.last)
+  }
+
+  test("zorder write: per-file ranges tighten on BOTH dimensions") {
+    import graft.sources.ZOrder
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 4096).map { _ =>
+      (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong) }
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    ZOrder.write(df, dir, Seq("x", "y"), bits = 10, numFiles = 16)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .agg(avg("sx").as("ax"), avg("sy").as("ay"))
+      .collect().head
+    // a z-layout over 16 files splits the square into ~16 tiles: both
+    // dims' average per-file span must be well under the global ~1024
+    // (a single-column sort would leave the other dim at full span)
+    assert(perFile.getDouble(0) < 700.0, perFile.toString)
+    assert(perFile.getDouble(1) < 700.0, perFile.toString)
+  }
 }
