@@ -3525,7 +3525,7 @@ object SparkEntry {
         |pb AS (SELECT qid, j, p, p >> 56 AS b FROM p),
         |cand AS (SELECT qid, j, id,
         |    row_number() OVER (PARTITION BY qid, j
-        |      ORDER BY (r <= p) DESC, r DESC) AS rn
+        |      ORDER BY (r <= p) DESC, r DESC, id DESC) AS rn
         |  FROM pb JOIN crb USING (b)),
         |c1 AS (SELECT qid, j, id FROM cand WHERE rn = 1),
         |nopos AS (SELECT c1.qid, c1.j, c1.id FROM c1

@@ -75,18 +75,26 @@ object Negatives {
           col("__neg_j")).cast("binary")), 1, 15), 16, 10).cast("long"))
       .withColumn("__neg_b", shiftright(col("__neg_p"), shift))
 
-    // candidate per probe: slice-local nearest-below, wrap to slice max.
-    // The order (hit desc, r desc) puts the largest rank <= p first and
-    // falls back to the slice's largest rank — one window over the
-    // probe's single-slice matches (bounded by slice occupancy).
-    val wProbe = Window.partitionBy(col("__neg_q"), col("__neg_j"))
-      .orderBy(col("__neg_hit").desc, col("__neg_r").desc)
+    // candidate per probe: slice-local nearest-below, wrap to slice
+    // max — as ONE `max_by` over the packed key `hit·2^62 + r` (prefer
+    // ranks <= p, then the largest rank; ranks are md5-unique per
+    // distinct id, so a key tie is a 60-bit collision — vanishing, and
+    // the only case where the pick is not bit-pinned). Primitive
+    // buffers keep this a HashAggregate with map-side partial combine:
+    // the probe×slice join output reduces to one row per probe per
+    // task BEFORE any shuffle. Both a rank window and a max-over-
+    // struct aggregation (SortAggregate — struct buffers don't hash-
+    // aggregate) SORTED the entire join output and took the sf1 bench
+    // from seconds to minutes. The probe side is broadcast-small by
+    // construction, so the slice join streams the corpus with full
+    // scan parallelism.
+    val packedKey =
+      (col("__neg_r") <= col("__neg_p")).cast("long") * lit(1L << 62) +
+        col("__neg_r")
     val candidates = probes
       .join(ranked, Seq("__neg_b"))
-      .withColumn("__neg_hit", (col("__neg_r") <= col("__neg_p")).cast("int"))
-      .withColumn("__neg_rn", row_number().over(wProbe))
-      .filter(col("__neg_rn") === 1)
-      .select(col("__neg_q"), col("__neg_j"), col("__neg_id"))
+      .groupBy(col("__neg_q"), col("__neg_j"))
+      .agg(max_by(col("__neg_id"), packedKey).as("__neg_id"))
 
     // drop the query's own positives, collapse duplicate draws to the
     // smallest probe index, emit the first k survivors in probe order
