@@ -1709,6 +1709,33 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
+  /** Blocklist gate over the synthesized crawl URLs (q_url_normalize's
+    * generator): "site.co.uk" blocks every blog.site.co.uk subdomain
+    * via the registrable domain, "cdn.media.org" blocks that exact
+    * host, "news.com" takes the www. family — survivors keep their
+    * doc_id + host. */
+  private val q_url_blocklist: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 3 === 0, lit("HTTP://")).when(id % 3 === 1, lit("https://"))
+          .otherwise(lit("http://")),
+        when(id % 4 === 0, lit("WWW.News")).when(id % 4 === 1, lit("blog.Site"))
+          .when(id % 4 === 2, lit("cdn.media")).otherwise(lit("Docs.Portal")),
+        when(id % 5 === 0, lit(".com")).when(id % 5 === 1, lit(".co.uk"))
+          .when(id % 5 === 2, lit(".org")).when(id % 5 === 3, lit(".com.au"))
+          .otherwise(lit(".io")),
+        when(id % 11 === 0, lit("/"))
+          .otherwise(concat(lit("/p/"), id.cast("string"))))
+      val d = docs(s, dir).select(id, url.as("url"))
+      val blocked = Seq("site.co.uk", "cdn.media.org", "news.com")
+        .toDF("entry")
+      graft.text.UrlFilter(d, "url", blocked, "entry")
+        .select(col("doc_id"),
+          graft.text.UrlOps.host(col("url")).as("host"))
+    }
+
   /** Morton z-values over (user_id, event time µs) at 16 bits/dim —
     * the multi-dimensional layout key, exact integer construction
     * (bucket-width normalization + shift/or interleave) replayed
@@ -2404,6 +2431,7 @@ object SparkEntry {
     "q_bpe"                 -> q_bpe,
     "q_bpe_merges"          -> q_bpe_merges,
     "q_zorder"              -> q_zorder,
+    "q_url_blocklist"       -> q_url_blocklist,
     "q_collocations"        -> q_collocations,
     "q_text_stats"          -> q_text_stats,
     "q_quality_gate"        -> q_quality_gate,
@@ -3449,6 +3477,31 @@ object SparkEntry {
         |SELECT doc_id AS did, COUNT(*) AS n_bigrams,
         |       ROUND(AVG(lp) + 1e-9, 6) + 0.0 AS avg_logprob
         |FROM sc GROUP BY 1""".stripMargin,
+    "q_url_blocklist" ->
+      // same synthesized urls, same host/registrable-domain extraction
+      // as the q_url_normalize oracle; survivors = hosts whose host AND
+      // registrable domain miss the 3-entry blocklist
+      """WITH syn AS (SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 'HTTP://' WHEN 1 THEN 'https://' ELSE 'http://' END)
+        |    || (CASE doc_id % 4 WHEN 0 THEN 'WWW.News' WHEN 1 THEN 'blog.Site' WHEN 2 THEN 'cdn.media' ELSE 'Docs.Portal' END)
+        |    || (CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' WHEN 2 THEN '.org' WHEN 3 THEN '.com.au' ELSE '.io' END)
+        |    || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '/p/' || doc_id::VARCHAR END) AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+        |  FROM syn),
+        |hd AS (SELECT doc_id, host,
+        |    CASE WHEN regexp_matches(host, '\.(co|com|net|org|ac|gov|edu)\.[a-z][a-z]$')
+        |              AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+        |         THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+        |         WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+        |         THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |         ELSE host END AS dom
+        |  FROM h),
+        |bl(entry) AS (VALUES ('site.co.uk'), ('cdn.media.org'), ('news.com'))
+        |SELECT doc_id, host FROM hd
+        |WHERE NOT EXISTS (SELECT 1 FROM bl WHERE bl.entry = hd.host)
+        |  AND NOT EXISTS (SELECT 1 FROM bl WHERE bl.entry = hd.dom)""".stripMargin,
     "q_zorder" ->
       // same bucket-width normalization (Long floor division) + bit
       // interleave: bit i of dim j lands at i*2 + j. Exact integers.

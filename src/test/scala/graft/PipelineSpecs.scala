@@ -1443,6 +1443,29 @@ class PipelineSpecs extends SparkSuite {
     assert(cnt == 3L)
   }
 
+  test("url blocklist: domain takes subdomains, exact host, case, nulls") {
+    import graft.text.UrlFilter
+    val df = Seq(
+      (1L, "https://blog.Example.co.uk/a"),   // domain example.co.uk → out
+      (2L, "https://example.co.uk/b"),        // apex of blocked domain → out
+      (3L, "http://CDN.ads.net/x"),           // exact host (case-folded) → out
+      (4L, "http://video.ads.net/y"),         // sibling subdomain, domain ads.net
+                                              // NOT blocked → kept
+      (5L, "https://safe.org/z"),             // untouched → kept
+      (6L, "not a url at all"),               // host '' → kept
+      (7L, null.asInstanceOf[String])         // null url → kept
+    ).toDF("id", "url")
+    val blocked = Seq("Example.co.uk", "cdn.ads.net", " ", null)
+      .toDF("entry")
+    val kept = UrlFilter(df, "url", blocked, "entry")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(4L, 5L, 6L, 7L))
+    // plan: two broadcast anti equi-joins, never a nested loop
+    val plan = UrlFilter(df, "url", blocked, "entry")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("bpe: merges and vocab match the sequential reference; greedy runs; ties") {
     import graft.text.Bpe
 
