@@ -134,7 +134,12 @@ object MinHashDedup {
     *                    is 1−(1−J^r)^b
     * @param shingleN    word n-gram size
     * @param threshold   true-Jaccard acceptance threshold for candidates
-    * @param maxBucket   drop LSH buckets with more members (skew guard)
+    * @param maxBucket   drop LSH buckets with more members (skew guard,
+    *                    enforced count-first — see [[Buckets.boundedPairs]];
+    *                    [[droppedBuckets]] reports what it refused)
+    * @param pairing     "all" (every in-bucket pair, exact pair list) or
+    *                    "anchor" (member↔bucket-min only, O(m) per bucket
+    *                    — feed the result to transitive closure)
     * @return pairs `(id_l, id_r, jaccard)` with `id_l < id_r`
     */
   def apply(
@@ -145,7 +150,8 @@ object MinHashDedup {
       numBands: Int = 8,
       shingleN: Int = 3,
       threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      pairing: String = "all"): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val r = numHashes / numBands
 
@@ -154,15 +160,14 @@ object MinHashDedup {
     val shingled = hashedShingles(df, textCol, idCol, shingleN).cache()
     val exploded = bandBuckets(shingled, numBands, r)
 
-    // Candidate pairs by grouping each bucket (one aggregation — no
-    // self-join, so the banding pipeline is evaluated once, and the
-    // size filter doubles as the skew guard: a bucket of m rows emits
-    // m(m-1)/2 pairs, so degenerate buckets are dropped outright and
-    // should be handled by ExactDedup first).
-    val pairs = Buckets.pairsFromGroups(
-      exploded.groupBy(col("band"), col("bucket"))
-        .agg(collect_list(col("id")).as("ids")),
-      "ids", maxBucket)
+    // Candidate pairs per bucket, skew-guarded COUNT-FIRST: bucket sizes
+    // are counted before any member array is built, so a degenerate
+    // bucket (100k identical boilerplate docs — handle those with
+    // ExactDedup first) never materializes in a single aggregation
+    // buffer. A bucket of m rows emits m(m-1)/2 pairs ("all") or m-1
+    // ("anchor").
+    val pairs = Buckets.boundedPairs(exploded, Seq("band", "bucket"), "id",
+      maxBucket, pairing)
 
     // verification re-attaches the (cached) hashed shingles; Jaccard via
     // the codegen'd sorted-merge intersection
@@ -173,6 +178,24 @@ object MinHashDedup {
     Buckets.hashedJaccard(verified, "hs_l", "hs_r", "jaccard")
       .filter(col("jaccard") >= threshold)
       .select(col("id_l"), col("id_r"), col("jaccard"))
+  }
+
+  /** The LSH buckets [[apply]] would refuse at this `maxBucket` —
+    * `(band, bucket, members)`. Run (or log) alongside a production
+    * dedup so dropped recall is a surfaced number, not a silent hole.
+    */
+  def droppedBuckets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 32,
+      numBands: Int = 8,
+      shingleN: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val exploded = bandBuckets(
+      hashedShingles(df, textCol, idCol, shingleN), numBands, numHashes / numBands)
+    Buckets.hotKeys(exploded, Seq("band", "bucket"), maxBucket)
   }
 
   /** Incremental near-dup: each `batch` document's corpus near-duplicates
@@ -249,9 +272,56 @@ object MinHashDedup {
   */
 object Buckets {
 
+  /** Bucket keys of `exploded` (one row per member) with more than
+    * `maxBucket` members — the buckets [[boundedPairs]] refuses.
+    * Exposed so callers can SURFACE what a skew guard dropped (count
+    * it, log it, route it to [[ExactDedup]]) instead of silently
+    * losing recall.
+    */
+  def hotKeys(exploded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame =
+    exploded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("members"))
+      .filter(col("members") > maxBucket)
+
+  /** Candidate pairs from a `(keyCols…, idCol)` membership stream with
+    * the skew guard applied BEFORE any per-bucket materialization:
+    * bucket sizes are pre-counted (hash agg, bounded state), keys over
+    * `maxBucket` are anti-joined away, and only surviving buckets are
+    * `collect_list`ed. The naive order — collect first, size-filter
+    * after — builds a degenerate bucket's full member array inside one
+    * aggregation buffer row before dropping it, which is exactly the
+    * single-task OOM a 10M-member boilerplate bucket causes at corpus
+    * scale. Costs one extra count-only pass over the (cached upstream)
+    * membership stream.
+    *
+    * @param pairing "all" = every in-bucket pair, m(m−1)/2 per bucket
+    *                (exact candidate semantics); "anchor" = each member
+    *                paired with the bucket minimum only, m−1 per bucket
+    *                — O(m), the scale shape for dup-heavy corpora where
+    *                transitive closure over anchor pairs recovers the
+    *                cliques (Lee et al.-style dedup pipelines).
+    */
+  def boundedPairs(exploded: DataFrame, keyCols: Seq[String], idCol: String,
+                   maxBucket: Int, pairing: String = "all"): DataFrame = {
+    val bounded =
+      if (maxBucket == Int.MaxValue) exploded
+      else exploded.join(
+        hotKeys(exploded, keyCols, maxBucket).select(keyCols.map(col): _*),
+        keyCols, "left_anti")
+    val grouped = bounded.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("__graft_bids"))
+    pairing match {
+      case "all"    => pairsFromGroups(grouped, "__graft_bids", maxBucket)
+      case "anchor" => anchorPairsFromGroups(grouped, "__graft_bids", maxBucket)
+      case other => throw new IllegalArgumentException(
+        s"pairing=$other (expected all | anchor)")
+    }
+  }
+
   /** `grouped` must have an array column `idsCol`; emits distinct
     * `(id_l, id_r)` pairs (`id_l < id_r`) from every group of size in
-    * `[2, maxBucket]`.
+    * `[2, maxBucket]`. Prefer [[boundedPairs]], which enforces
+    * `maxBucket` before the group arrays are built.
     */
   def pairsFromGroups(grouped: DataFrame, idsCol: String, maxBucket: Int): DataFrame = {
     val ids = col("__graft_ids")
@@ -265,6 +335,23 @@ object Buckets {
           j => struct(element_at(ids, i + 1).as("id_l"),
             element_at(ids, j + 1).as("id_r")))))).as("p"))
       .select(col("p.id_l").as("id_l"), col("p.id_r").as("id_r"))
+      .distinct()
+  }
+
+  /** Anchor pairing: `(bucket_min, member)` for every non-minimal
+    * member — m−1 pairs per bucket instead of m(m−1)/2. The pair LIST
+    * is a subset of [[pairsFromGroups]]'s, but its transitive closure
+    * over all buckets equals the closure of the full pair set whenever
+    * in-bucket members are mutually matching (the dup-heavy regime the
+    * mode exists for); verification then runs on O(m) pairs per bucket.
+    */
+  def anchorPairsFromGroups(grouped: DataFrame, idsCol: String, maxBucket: Int): DataFrame = {
+    val ids = col("__graft_ids")
+    grouped
+      .withColumn("__graft_ids", array_sort(col(idsCol)))
+      .filter(size(ids) >= 2 && size(ids) <= maxBucket)
+      .select(element_at(ids, 1).as("id_l"),
+        explode(slice(ids, lit(2), size(ids) - 1)).as("id_r"))
       .distinct()
   }
 
@@ -334,32 +421,23 @@ object SimHashDedup {
 
   private def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** @return pairs `(id_l, id_r, hamming)` with `id_l < id_r` and
-    *         Hamming distance ≤ `maxHamming`.
+  /** `(id, sh64)` fingerprints: tokens → hashes → one native codegen'd
+    * 64×n vote/fold loop (org.apache.spark.sql.graft.SimHash64).
     */
-  /** @param tokenHash token → 64-bit hash column; default `xxhash64`.
-    *                  Swappable so a differential oracle can use a hash
-    *                  both engines implement identically (e.g. an
-    *                  md5-prefix hash — md5 is bit-identical everywhere,
-    *                  xxhash64's seed-42 variant is Spark-specific).
-    */
-  def apply(
-      df: DataFrame,
-      textCol: String,
-      idCol: String,
-      maxHamming: Int = 3,
-      tokenHash: Column => Column = (t: Column) => xxhash64(t)): DataFrame = {
-    val blocks = maxHamming + 1
-    val bits = 64 / blocks
-
-    // tokens → hashes → one native codegen'd 64×n vote/fold loop
-    // (org.apache.spark.sql.graft.SimHash64)
-    val hashed = df
-      .select(col(idCol).as("id"),
+  private def fingerprints(df: DataFrame, textCol: String, idCol: String,
+                           tokenHash: Column => Column): DataFrame =
+    df.select(col(idCol).as("id"),
         transform(Shingles.tokens(col(textCol)), tokenHash).as("th"))
       .select(col("id"),
         org.apache.spark.sql.graft.VecFunctions.simhash64(col("th")).as("sh64"))
 
+  /** Pigeonhole block memberships `(id, blk, key)` of a fingerprint
+    * frame — the blocking stream [[apply]] pairs up and
+    * [[droppedBlocks]] audits.
+    */
+  private def blockStream(fp: DataFrame, maxHamming: Int): DataFrame = {
+    val blocks = maxHamming + 1
+    val bits = 64 / blocks
     // pigeonhole: explode each fingerprint into its blocks
     val blockCol = explode(
       transform(sequence(lit(0), lit(blocks - 1)), b =>
@@ -368,14 +446,39 @@ object SimHashDedup {
           when(b === blocks - 1, shru(col("sh64"), b * bits))
             .otherwise(shru(col("sh64"), b * bits)
               .bitwiseAND((1L << bits) - 1)).as("key"))))
-    val cached = hashed.cache() // fingerprints reused by blocking + verify
-    val exploded = cached.select(col("id"), blockCol.as("bb"))
+    fp.select(col("id"), blockCol.as("bb"))
       .select(col("id"), col("bb.blk").as("blk"), col("bb.key").as("key"))
+  }
 
-    val pairs = Buckets.pairsFromGroups(
-      exploded.groupBy(col("blk"), col("key"))
-        .agg(collect_list(col("id")).as("ids")),
-      "ids", maxBucket = Int.MaxValue)
+  /** @param maxBucket drop pigeonhole blocks with more members (skew
+    *                  guard, count-first — a hot block otherwise emits
+    *                  m(m−1)/2 candidates with no ceiling; blocks past
+    *                  the cap are boilerplate-duplicate mass for
+    *                  [[ExactDedup]], and [[droppedBlocks]] surfaces
+    *                  them)
+    * @param pairing   "all" or "anchor" (see [[Buckets.boundedPairs]])
+    * @param tokenHash token → 64-bit hash column; default `xxhash64`.
+    *                  Swappable so a differential oracle can use a hash
+    *                  both engines implement identically (e.g. an
+    *                  md5-prefix hash — md5 is bit-identical everywhere,
+    *                  xxhash64's seed-42 variant is Spark-specific).
+    * @return pairs `(id_l, id_r, hamming)` with `id_l < id_r` and
+    *         Hamming distance ≤ `maxHamming`.
+    */
+  def apply(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      tokenHash: Column => Column = (t: Column) => xxhash64(t),
+      maxBucket: Int = 1000,
+      pairing: String = "all"): DataFrame = {
+    // fingerprints reused by blocking + verify
+    val cached = fingerprints(df, textCol, idCol, tokenHash).cache()
+    val exploded = blockStream(cached, maxHamming)
+
+    val pairs = Buckets.boundedPairs(exploded, Seq("blk", "key"), "id",
+      maxBucket, pairing)
 
     pairs
       .join(cached.select(col("id").as("id_l"), col("sh64").as("h_l")), Seq("id_l"))
@@ -383,6 +486,20 @@ object SimHashDedup {
       .select(col("id_l"), col("id_r"), hamming(col("h_l"), col("h_r")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** The pigeonhole blocks [[apply]] would refuse at this `maxBucket` —
+    * `(blk, key, members)`. The dropped-recall audit.
+    */
+  def droppedBlocks(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      tokenHash: Column => Column = (t: Column) => xxhash64(t),
+      maxBucket: Int = 1000): DataFrame =
+    Buckets.hotKeys(
+      blockStream(fingerprints(df, textCol, idCol, tokenHash), maxHamming),
+      Seq("blk", "key"), maxBucket)
 }
 
 /** Exact n-gram (or token-set) Jaccard near-dup join with equality

@@ -62,9 +62,10 @@ object FuzzyJoin {
     *                        frequency (rarest first) instead of hash —
     *                        one extra aggregation, far fewer candidates
     *                        on skewed data
-    * @param maxBucket       refuse candidate gram buckets larger than
-    *                        this (hash order only — frequency order
-    *                        cannot concentrate a hot gram in prefixes)
+    * @param maxBucket       refuse candidate gram buckets whose combined
+    *                        left + right prefix count exceeds this (hash
+    *                        order only — frequency order cannot
+    *                        concentrate a hot gram in prefixes)
     * @param maxShortSide    refuse the short-string completion block
     *                        when either side exceeds this count
     */
@@ -144,9 +145,13 @@ object FuzzyJoin {
     val rp = prefix(rOrd)
 
     // skew guard on the hash order: a hot gram bucket would explode the
-    // candidate join quadratically
+    // candidate join quadratically. Counted over BOTH prefix streams —
+    // a hot gram concentrated on the right side alone explodes the
+    // candidate join just the same (candidates per gram = |lp|·|rp|).
     if (!frequencyOrder) {
-      val hot = lp.groupBy("__fz_gram", "__fz_occ")
+      val hot = lp.select(col("__fz_gram"), col("__fz_occ"))
+        .unionByName(rp.select(col("__fz_gram"), col("__fz_occ")))
+        .groupBy("__fz_gram", "__fz_occ")
         .agg(count(lit(1)).as("c")).filter(col("c") > maxBucket)
         .limit(1).collect()
       require(hot.isEmpty,

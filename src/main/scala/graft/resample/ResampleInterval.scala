@@ -161,8 +161,22 @@ object ResampleInterval {
     val interDur = interStop - interStart  // ≥ 0 on joined rows
     val v = o(valueCol).cast(DoubleType)
 
-    val iInf     = iStart === negInf || iStop === posInf
-    val interInf = interStart === negInf || interStop === posInf
+    // Infinity tests with absent endpoint columns folded at PLAN time:
+    // when startCol is absent, iStart IS the −∞ literal and building
+    // `iStart === negInf` would construct a trivially-true
+    // `Infinity == Infinity` equals predicate (Spark warns, and the
+    // dead `when` branches survive into codegen). The intersection
+    // endpoint is infinite only when BOTH of its greatest/least inputs
+    // are unbounded columns-absent; with at least one real column the
+    // runtime comparison stays (double data can carry literal ±inf).
+    def infTest(absent: Boolean, endpoint: Column, inf: Column): Column =
+      if (absent) lit(true) else endpoint === inf
+    val iInf =
+      infTest(startCol.isEmpty, iStart, negInf) ||
+        infTest(stopCol.isEmpty, iStop, posInf)
+    val interInf =
+      infTest(startCol.isEmpty && wStartCol.isEmpty, interStart, negInf) ||
+        infTest(stopCol.isEmpty && wStopCol.isEmpty, interStop, posInf)
 
     val contribution =
       when(iInf && interInf, v)                       // fraction 1

@@ -103,8 +103,22 @@ object KMeans {
     // one materialization reused by every iteration + the final
     // assignment; honest stats so downstream joins plan sanely
     val cp = pts0.localCheckpoint(true)
-    val dim = cp.select(size(col("__kmq"))).head().getInt(0)
-    val pts = CheckpointStats.withRowCount(cp, cp.count(), 8L + 12L * dim)
+    // one stats pass: row count + min/max dimension. Ragged vectors
+    // would make the zip_with distance pad with nulls and array_min's
+    // nulls-first struct order silently assign those rows to an
+    // arbitrary cluster — reject them loudly instead; this also guards
+    // the empty-input head() the seed step would otherwise die on.
+    val st = cp.agg(count(lit(1)).as("n"),
+      min(size(col("__kmq"))).as("mnd"), max(size(col("__kmq"))).as("mxd"))
+      .head()
+    val n = st.getLong(0)
+    require(n >= k, s"need >= $k non-null vectors, got $n")
+    val dim = st.getInt(1)
+    require(dim == st.getInt(2),
+      s"ragged vector dimensions: min $dim, max ${st.getInt(2)} — " +
+        "k-means requires a fixed embedding dimension")
+    require(dim >= 1, "vectors must be non-empty")
+    val pts = CheckpointStats.withRowCount(cp, n, 8L + 12L * dim)
     require(dim.toLong * 4L * scale * scale > 0 &&
         dim.toLong <= Long.MaxValue / (4L * scale * scale),
       s"dim=$dim at scale=$scale can overflow 64-bit distances")

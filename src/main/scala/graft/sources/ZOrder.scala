@@ -63,15 +63,26 @@ object ZOrder {
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       val mx = Option(st.get(st.fieldIndex(s"__mx$i")))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      val span = mx - mn
+      // a span that itself overflows Long (mx huge positive, mn huge
+      // negative) cannot be bucketed exactly — fail loudly instead of
+      // silently coding the dimension to a constant
+      val span =
+        try Math.subtractExact(mx, mn)
+        catch {
+          case _: ArithmeticException => throw new IllegalArgumentException(
+            s"z-order column '${cols(i)}' span [$mn, $mx] overflows Long; " +
+              "pre-scale the column (e.g. coarser time unit) first")
+        }
       // equal-width buckets WITHOUT the (v-min)·maxCode product (which
       // overflows for wide spans like epoch-µs × 2^20): width is the
       // smallest bucket size that maps the span under 2^bits, and
-      // (v-min)/width is plain Long division — exact, monotone,
-      // portable, ≤ maxCode by construction
+      // (v-min) div width is INTEGRAL Long division (`div`, matching
+      // DuckDB's `//` — plain `/` would be double division and lose
+      // exactness past 2^53) — exact, monotone, portable, ≤ maxCode by
+      // construction
       val width = span / (maxCode + 1) + 1
       if (span <= 0) lit(0L)
-      else coalesce((c - lit(mn)) / lit(width), lit(0L)).cast("long")
+      else coalesce(call_function("div", c - lit(mn), lit(width)), lit(0L))
     }
     df.withColumn(zCol, interleave(codes, bits))
   }

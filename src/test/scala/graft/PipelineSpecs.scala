@@ -64,6 +64,77 @@ class PipelineSpecs extends SparkSuite {
     assert(!out.contains((0L, 2L)))
   }
 
+  test("hot-bucket guard: one degenerate block holds the corpus, job " +
+      "bounded, drop surfaced, planted pair survives") {
+    // adversarial corpus: one boilerplate text duplicated 60×, so every
+    // one of its simhash blocks / minhash band buckets holds 60 members
+    // — plus a small planted dup pair whose buckets stay tiny
+    val fat = (0 until 60).map(i =>
+      (i.toLong, "same boilerplate legal footer text repeated everywhere"))
+    val planted = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "the quick brown fox jumps over the lazy dog tonight"),
+      (102L, "entirely different content about catalyst plan rewrites"))
+    val df = (fat ++ planted).toDF("doc_id", "text")
+
+    val sh = SimHashDedup(df, "text", "doc_id", maxHamming = 3, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.contains((100L, 101L)), s"planted pair lost: $sh")
+    assert(!sh.exists(p => p._1 < 60L && p._2 < 60L),
+      "fat-block pairs must be dropped by the guard")
+    // the refusal is a surfaced number, not a silent recall hole:
+    // all 4 pigeonhole blocks of the boilerplate doc are over the cap
+    val dropped = SimHashDedup.droppedBlocks(df, "text", "doc_id",
+      maxHamming = 3, maxBucket = 10).collect()
+    assert(dropped.length == 4 &&
+      dropped.forall(_.getAs[Long]("members") == 60L), dropped.mkString(","))
+
+    val mh = MinHashDedup(df, "text", "doc_id", numHashes = 32,
+      numBands = 16, shingleN = 3, threshold = 0.8, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((100L, 101L)))
+    assert(!mh.exists(p => p._1 < 60L && p._2 < 60L))
+    val mhDropped = MinHashDedup.droppedBuckets(df, "text", "doc_id",
+      numHashes = 32, numBands = 16, shingleN = 3, maxBucket = 10)
+    assert(mhDropped.count() == 16) // all 16 band buckets of the fat doc
+  }
+
+  test("anchor pairing: O(m) pairs per bucket, closure equals all-pairs closure") {
+    import graft.dedup.DuplicateClusters
+    def clique(g: Long, m: Int, text: String) =
+      (0 until m).map(i => (g * 100 + i, text))
+    val df = (clique(1, 5, "alpha beta gamma delta epsilon zeta eta theta") ++
+      clique(2, 3, "one two three four five six seven eight nine") ++
+      clique(3, 2, "spark catalyst tungsten codegen shuffle exchange sort") ++
+      Seq((999L, "unrelated singleton content entirely on its own here")))
+      .toDF("doc_id", "text")
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_l", "id_r").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = MinHashDedup(df, "text", "doc_id", numHashes = 32,
+      numBands = 16, shingleN = 3, threshold = 0.8)
+    val anchor = MinHashDedup(df, "text", "doc_id", numHashes = 32,
+      numBands = 16, shingleN = 3, threshold = 0.8, pairing = "anchor")
+    val aPairs = pairSet(anchor)
+    val fPairs = pairSet(all)
+    // anchor pairs: subset of the full list, linear in clique size
+    // (m−1 per clique: 4 + 2 + 1), vs quadratic (10 + 3 + 1) for all
+    assert(aPairs.subsetOf(fPairs))
+    assert(aPairs.size == 7, s"$aPairs")
+    assert(fPairs.size == 14, s"$fPairs")
+    // transitive closure recovers identical clusters from either list
+    def clusters(p: org.apache.spark.sql.DataFrame) =
+      DuplicateClusters(df, "doc_id", p, "id_l", "id_r")
+        .select("doc_id", "cluster_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clusters(anchor) == clusters(all))
+    // simhash takes the same mode
+    val shAnchor = pairSet(SimHashDedup(df, "text", "doc_id",
+      maxHamming = 3, pairing = "anchor"))
+    val shAll = pairSet(SimHashDedup(df, "text", "doc_id", maxHamming = 3))
+    assert(shAnchor.subsetOf(shAll) && shAnchor.size < shAll.size)
+  }
+
   test("vector ops + brute-force cosine top-k") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
