@@ -874,6 +874,42 @@ object SparkEntry {
       SimHashDedup(docs(s, dir), "text", "doc_id", maxHamming = 3,
         tokenHash = md5Hash60)
 
+  /** Anchor-paired near-dup clustering — the O(m)-per-bucket scale
+    * shape for dup-heavy corpora: LSH buckets emit (member, bucket-min)
+    * pairs only, verification runs on those m−1 pairs, and transitive
+    * closure recovers the cliques. Oracle: closure of the EXACT 3-gram
+    * Jaccard pair set (complete at these LSH params whp, same argument
+    * as q_dedup_minhash) — equality proves the anchor pair list loses
+    * no cluster structure on a genuinely near-dup corpus. */
+  private val q_dedup_anchor: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = MinHashDedup(d, "text", "doc_id",
+        numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.8,
+        pairing = "anchor")
+      DuplicateClusters(d, "doc_id", pairs, "id_l", "id_r")
+        .select(col("doc_id").as("did"), col("cluster_id").as("cid"),
+          col("cluster_size").as("sz"), col("is_canonical").as("canon"))
+    }
+
+  /** The streaming near-dup gate executed in batch:
+    * [[graft.streaming.StreamingOps.streamingMinHashDedup]] is a
+    * stream-static equi-join plus stateless in-row banding, so the
+    * identical plan runs bounded here under the bipartite exact-Jaccard
+    * oracle (the MemoryStream spec drives it incrementally). Same split
+    * and LSH params as q_dedup_minhash_incr — the two must agree. */
+  private val q_dedup_minhash_stream: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val d = docs(s, dir)
+      graft.streaming.StreamingOps.streamingMinHashDedup(
+        d.filter(col("doc_id") % 10 === 0)
+          .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp")),
+        d.filter(col("doc_id") % 10 =!= 0),
+        "text", "doc_id", "ts", watermark = "1 hour",
+        numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.8)
+        .select(col("doc_id").as("id_b"), col("id_c"), col("jaccard"))
+    }
+
   private val q_dedup_embcos: (SparkSession, String) => DataFrame =
     (s, dir) =>
       EmbeddingDedup(emb(s, dir), "vec_id", "embedding",
@@ -1778,6 +1814,43 @@ object SparkEntry {
         .toDF("merge_rank", "sym_a", "sym_b")
     }
 
+  /** BPE ENCODE over the corpus with the 3 learned merges — the step a
+    * 100 TB pipeline actually runs hot (training is once per tokenizer;
+    * encoding touches every byte). Oracle: every word's final symbol
+    * sequence is the trained vocab's v3 row, so encoding = tokens
+    * joined to v3 and re-concatenated in position order. */
+  private val q_bpe_encode: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val (merges, _) = graft.text.Bpe.fit(bpeWords(s, dir), "word", "freq",
+        k = 3)
+      graft.text.Bpe.encode(docs(s, dir), "text", merges)
+        .select(col("doc_id"), array_join(col("bpe_symbols"), " ").as("syms"))
+    }
+
+  /** The salted sweep on a deliberately skewed shape: one key holds
+    * half of BOTH sides (the mega-entity), the rest spread over ~1000
+    * keys; the hot key is time-sliced 8 ways so its sweep runs on 8
+    * tasks instead of 1 (keep=first bounds output to one row per
+    * matched left row at every scale). Oracle: plain range join +
+    * min-by — the slicing must be invisible in the result. */
+  private val q_salted_sweep: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val skew = (k: Column) => when(k % 2 === 0, 0L).otherwise(k % 997)
+      val l = t(s, dir, "orders").select(
+        col("o_orderkey").as("okey"), skew(col("o_orderkey")).as("grp"),
+        ((col("o_orderkey") * 13 % 100000).cast("double") / 10.0).as("s"),
+        ((col("o_orderkey") * 13 % 100000).cast("double") / 10.0 +
+          (col("o_custkey") % 40).cast("double") / 10.0).as("e"))
+      val r = t(s, dir, "orders").select(
+        col("o_orderkey").as("rid"), skew(col("o_orderkey")).as("grp_r"),
+        ((col("o_orderkey") * 31 % 100000).cast("double") / 10.0).as("p"))
+      graft.joins.SaltedSweepJoin(l, r, Seq("grp"), Seq("grp_r"),
+        IntervalSpec.closed("s", "e"), IntervalSpec.point("p"),
+        slices = 8, hotKeyThreshold = 300,
+        keep = "first", rightOrderCol = Some("rid"))
+        .select(col("okey"), col("rid"))
+    }
+
   /** Synchronous label propagation over the q_pagerank synthetic graph:
     * seed labels doc_id % 50, 3 rounds of in-neighbor majority with
     * ties to the smallest label — bit-exact vs 3 unrolled rounds in
@@ -2384,6 +2457,8 @@ object SparkEntry {
     "q_dedup_ngram"         -> q_dedup_ngram,
     "q_dedup_minhash"       -> q_dedup_minhash,
     "q_dedup_minhash_incr"  -> q_dedup_minhash_incr,
+    "q_dedup_minhash_stream" -> q_dedup_minhash_stream,
+    "q_dedup_anchor"        -> q_dedup_anchor,
     "q_dedup_cluster"       -> q_dedup_cluster,
     "q_pipeline"            -> q_pipeline,
     "q_dedup_simhash"       -> q_dedup_simhash,
@@ -2430,6 +2505,8 @@ object SparkEntry {
     "q_pipeline4"           -> q_pipeline4,
     "q_bpe"                 -> q_bpe,
     "q_bpe_merges"          -> q_bpe_merges,
+    "q_bpe_encode"          -> q_bpe_encode,
+    "q_salted_sweep"        -> q_salted_sweep,
     "q_zorder"              -> q_zorder,
     "q_url_blocklist"       -> q_url_blocklist,
     "q_collocations"        -> q_collocations,
@@ -3023,6 +3100,42 @@ object SparkEntry {
         |FROM bt JOIN cp ON true
         |WHERE len(list_intersect(bt.sh, cp.sh))::DOUBLE
         |    / (len(bt.sh) + len(cp.sh) - len(list_intersect(bt.sh, cp.sh))) >= 0.8""".stripMargin,
+    // same bipartite exact-Jaccard oracle as q_dedup_minhash_incr: the
+    // streaming gate in batch mode must produce the identical pair set
+    "q_dedup_minhash_stream" ->
+      s"""WITH dd AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
+        |g AS (SELECT doc_id, list_distinct(
+        |        [list_aggregate(tk[i:i+2], 'string_agg', ' ')
+        |         FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS sh FROM dd),
+        |bt AS (SELECT * FROM g WHERE doc_id % 10 = 0),
+        |cp AS (SELECT * FROM g WHERE doc_id % 10 <> 0)
+        |SELECT bt.doc_id AS id_b, cp.doc_id AS id_c,
+        |  len(list_intersect(bt.sh, cp.sh))::DOUBLE
+        |    / (len(bt.sh) + len(cp.sh) - len(list_intersect(bt.sh, cp.sh))) AS jaccard
+        |FROM bt JOIN cp ON true
+        |WHERE len(list_intersect(bt.sh, cp.sh))::DOUBLE
+        |    / (len(bt.sh) + len(cp.sh) - len(list_intersect(bt.sh, cp.sh))) >= 0.8""".stripMargin,
+    // closure of the EXACT 3-gram-Jaccard pairs (complete at 16x2 bands
+    // whp): anchor pairing must lose no cluster structure
+    "q_dedup_anchor" ->
+      s"""WITH RECURSIVE
+        |dd AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
+        |g AS (SELECT doc_id, list_distinct(
+        |        [list_aggregate(tk[i:i+2], 'string_agg', ' ')
+        |         FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS sh FROM dd),
+        |p AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+        |                UNION SELECT r.u, ed.v FROM reach r JOIN e ed ON r.v = ed.u),
+        |comp AS (SELECT u AS node, MIN(v) AS comp FROM reach GROUP BY u),
+        |lab AS (SELECT doc.doc_id AS did, COALESCE(c.comp, doc.doc_id) AS cid
+        |        FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node)
+        |SELECT did, cid, COUNT(*) OVER (PARTITION BY cid) AS sz,
+        |       CAST(did = cid AS INT) AS canon
+        |FROM lab""".stripMargin,
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE
         |d AS (SELECT doc_id, lang, list_distinct($ToksExpr) AS tk FROM documents),
@@ -3525,6 +3638,36 @@ object SparkEntry {
       s"""$BpeCte
          |SELECT word, freq AS n, array_to_string(syms, ' ') AS syms
          |FROM v3""".stripMargin,
+    // encode = each doc's tokens joined to the trained vocab's final
+    // symbol rows, re-concatenated in token order (greedy merge order
+    // is per-word, so word → v3.syms IS the encode function)
+    "q_bpe_encode" ->
+      s"""$BpeCte,
+         |dt AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
+         |dx AS (SELECT doc_id, unnest(tk) AS word,
+         |         generate_subscripts(tk, 1) AS pos FROM dt),
+         |enc AS (SELECT dx.doc_id,
+         |          string_agg(array_to_string(v.syms, ' '), ' '
+         |            ORDER BY dx.pos) AS syms
+         |        FROM dx JOIN v3 v ON dx.word = v.word GROUP BY dx.doc_id)
+         |SELECT d.doc_id, COALESCE(e.syms, '') AS syms
+         |FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id""".stripMargin,
+    "q_salted_sweep" ->
+      """WITH l AS (SELECT o_orderkey AS okey,
+        |             CASE WHEN o_orderkey % 2 = 0 THEN 0
+        |                  ELSE o_orderkey % 997 END AS grp,
+        |             (o_orderkey * 13 % 100000) / 10.0 AS s,
+        |             (o_orderkey * 13 % 100000) / 10.0
+        |               + (o_custkey % 40) / 10.0 AS e
+        |           FROM orders),
+        |r AS (SELECT o_orderkey AS rid,
+        |        CASE WHEN o_orderkey % 2 = 0 THEN 0
+        |             ELSE o_orderkey % 997 END AS grp,
+        |        (o_orderkey * 31 % 100000) / 10.0 AS p
+        |      FROM orders)
+        |SELECT l.okey, MIN(r.rid) AS rid
+        |FROM l JOIN r ON l.grp = r.grp AND r.p >= l.s AND r.p <= l.e
+        |GROUP BY l.okey""".stripMargin,
     "q_bpe_merges" ->
       s"""$BpeCte
          |SELECT 1::BIGINT AS merge_rank, a AS sym_a, b AS sym_b FROM top1

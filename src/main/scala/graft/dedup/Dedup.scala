@@ -109,7 +109,7 @@ object MinHashDedup {
     * hashing would overflow-error under Spark 4's default ANSI mode).
     * Docs with no shingles drop out (nothing to compare).
     */
-  private def hashedShingles(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def hashedShingles(df: DataFrame, textCol: String, idCol: String,
                              shingleN: Int): DataFrame =
     df.select(col(idCol).as("id"), Shingles.tokens(col(textCol)).as("tk"))
       .withColumn("th", transform(col("tk"), t => xxhash64(t)))
@@ -121,7 +121,7 @@ object MinHashDedup {
   /** `(id, band, bucket)` — all k minhashes + band bucketing in ONE
     * native codegen'd loop (see org.apache.spark.sql.graft.MinHashBands).
     */
-  private def bandBuckets(shingled: DataFrame, numBands: Int, r: Int): DataFrame =
+  private[graft] def bandBuckets(shingled: DataFrame, numBands: Int, r: Int): DataFrame =
     shingled
       .select(col("id"),
         posexplode(org.apache.spark.sql.graft.VecFunctions

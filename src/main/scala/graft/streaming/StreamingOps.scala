@@ -231,6 +231,95 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("__graft_sh64"))
       .withColumnRenamed("__graft_sh64", "simhash")
 
+  /** Streaming incremental MinHash near-dup gate: each arriving
+    * document's near-duplicates (true Jaccard ≥ `threshold`) in a
+    * STATIC banded corpus — [[graft.dedup.MinHashDedup.incremental]]'s
+    * batch-vs-corpus shape as a stream-static join, so a continuously
+    * ingesting pipeline can tag (or drop) near-dups of the existing
+    * lake without any corpus-internal pair work.
+    *
+    * Plan shape (all stream-legal):
+    *   - the stream side computes shingle hashes + band buckets IN-ROW
+    *     (stateless codegen'd expressions / HOFs — no aggregation);
+    *   - the corpus side is banded once per (micro-batch-reused) static
+    *     plan: `(band, bucket, id_c, hs_c)` with the count-first hot-
+    *     bucket guard of the batch operator — CACHE the returned static
+    *     side upstream (or persist the banded signatures, which are
+    *     deterministic and append-only at lake scale);
+    *   - candidates = stream-static inner equi-join on (band, bucket);
+    *     multi-band duplicate hits collapse via
+    *     `dropDuplicatesWithinWatermark` keyed on (stream id, corpus
+    *     id) — the ONLY stateful step, evicted by the watermark;
+    *   - verification = the codegen'd sorted-merge Jaccard on the pair.
+    *
+    * On a BATCH frame the identical plan runs with the watermark a
+    * no-op — that is how the driver query puts this code path under the
+    * DuckDB oracle, alongside the MemoryStream spec.
+    *
+    * @return stream columns `idCol`, `timeCol` + `(id_c, jaccard)` —
+    *         one row per (stream doc, matching corpus doc)
+    */
+  def streamingMinHashDedup(
+      stream: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      timeCol: String,
+      watermark: String,
+      numHashes: Int = 32,
+      numBands: Int = 8,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val r = numHashes / numBands
+    import graft.dedup.{Buckets, MinHashDedup}
+
+    // static side: banded corpus signatures + sorted shingle sets,
+    // hot buckets refused count-first (same contract as the batch op)
+    val cSh = MinHashDedup.hashedShingles(corpus, textCol, idCol, shingleN)
+    val cEx = MinHashDedup.bandBuckets(cSh, numBands, r)
+      .select(col("id").as("__mh_idc"), col("band"), col("bucket"))
+    val cBounded =
+      if (maxBucket == Int.MaxValue) cEx
+      else cEx.join(
+        Buckets.hotKeys(cEx, Seq("band", "bucket"), maxBucket)
+          .select(col("band"), col("bucket")),
+        Seq("band", "bucket"), "left_anti")
+    val cSide = cBounded.join(
+      cSh.select(col("id").as("__mh_idc"), sort_array(col("h0")).as("__mh_hsc")),
+      Seq("__mh_idc"))
+
+    // stream side: in-row shingle hashes + bands, watermark attached
+    // before the stateful dedup downstream
+    val sSh = stream
+      .withColumn("__mh_tk", graft.text.Shingles.tokens(col(textCol)))
+      .withColumn("__mh_th", transform(col("__mh_tk"), t => xxhash64(t)))
+      .withColumn("__mh_h0", array_distinct(
+        org.apache.spark.sql.graft.VecFunctions.gram_hash(col("__mh_th"), shingleN)))
+      .filter(size(col("__mh_h0")) > 0)
+      .withColumn("__mh_hsb", sort_array(col("__mh_h0")))
+      .select(col(idCol), col(timeCol), col("__mh_hsb"),
+        posexplode(org.apache.spark.sql.graft.VecFunctions
+          .minhash_bands(col("__mh_h0"), numBands, r)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+      .withWatermark(timeCol, watermark)
+
+    val verified = Buckets.hashedJaccard(
+      sSh.join(cSide, Seq("band", "bucket")), "__mh_hsb", "__mh_hsc", "jaccard")
+      .filter(col("jaccard") >= threshold)
+      .select(col(idCol), col(timeCol), col("__mh_idc").as("id_c"),
+        col("jaccard"))
+    // collapse multi-band hits of the same pair; watermark bounds the
+    // state (batch frames take plain dropDuplicates — Spark rejects the
+    // watermarked variant outside streaming, and on bounded input the
+    // two are equivalent because every "batch" is the whole input)
+    if (verified.isStreaming)
+      verified.dropDuplicatesWithinWatermark(Seq(idCol, "id_c"))
+    else verified.dropDuplicates(Seq(idCol, "id_c"))
+  }
+
   /** Streaming as-of join against a STATIC right side — the incremental
     * analog of [[graft.joins.AsOfJoin]] for slowly-changing reference
     * data (latest price, config version, model checkpoint at event time).

@@ -249,6 +249,64 @@ class StreamingSpecs extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash vs static corpus: matches across micro-batches, " +
+      "band hits collapsed, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today ok"),
+      (11L, "the quick brown fox jumps over the lazy dog today ok"), // corpus dup of 10
+      (12L, "entirely unrelated corpus text about query optimizers")
+    ).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val out = StreamingOps.streamingMinHashDedup(
+      stream, corpus, "text", "doc_id", "ts", watermark = "1 hour",
+      numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.8)
+    val q = out.writeStream.format("memory").queryName("mh_stream")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: the dup arrives in the first, a novel doc and
+      // a second dup in the second
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00"),
+          "the quick brown fox jumps over the lazy dog today ok"))
+      q.processAllAvailable()
+      input.addData(
+        (2L, ts("2024-01-01 00:05:00"), "novel content matching nothing at all in the corpus"),
+        (3L, ts("2024-01-01 00:06:00"),
+          "the quick brown fox jumps over the lazy dog today ok"))
+      q.processAllAvailable()
+      val got = spark.table("mh_stream").select("doc_id", "id_c").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // docs 1 and 3 each match corpus docs 10 AND 11; doc 2 matches
+      // nothing; identical docs share all 16 band buckets, so without
+      // the pair-collapse each match would appear up to 16×
+      assert(got == Set((1L, 10L), (1L, 11L), (3L, 10L), (3L, 11L)))
+      val n = spark.table("mh_stream").count()
+      assert(n == 4L, s"band hits not collapsed: $n rows")
+      // batch parity: the same function on a bounded frame equals the
+      // batch incremental operator's pair set
+      val batchDf = Seq(
+        (1L, ts("2024-01-01 00:00:00"),
+          "the quick brown fox jumps over the lazy dog today ok"),
+        (2L, ts("2024-01-01 00:05:00"), "novel content matching nothing at all in the corpus"),
+        (3L, ts("2024-01-01 00:06:00"),
+          "the quick brown fox jumps over the lazy dog today ok"))
+        .toDF("doc_id", "ts", "text")
+      val viaStream = StreamingOps.streamingMinHashDedup(
+        batchDf, corpus, "text", "doc_id", "ts", watermark = "1 hour",
+        numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.8)
+        .select("doc_id", "id_c").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaBatch = graft.dedup.MinHashDedup.incremental(
+        batchDf, corpus, "text", "doc_id",
+        numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.8)
+        .select("id_b", "id_c").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaStream == got && viaBatch == got)
+    } finally q.stop()
+  }
+
   test("streaming as-of against a static side ≡ batch AsOfJoin") {
     implicit val sqlCtx = spark.sqlContext
     // static reference data: per-key (time, value) ticks

@@ -273,6 +273,93 @@ class SweepJoinSpec extends SparkSuite {
     assert(df.collect().map(_.toSeq).toSet == agg.collect().map(_.toSeq).toSet)
   }
 
+  test("salted sweep: hot key sliced across >1 slice, results ≡ plain sweep") {
+    import graft.joins.SaltedSweepJoin
+    // one key (0) holds 50% of the left rows — the mega-entity shape;
+    // the rest spread over 50 keys
+    val rnd = new scala.util.Random(42)
+    val li = (0 until 2000).map { i =>
+      val g = if (i % 2 == 0) 0L else 1L + rnd.nextInt(50)
+      val s = rnd.nextInt(1000).toDouble
+      (g, i.toLong, s, s + rnd.nextInt(30))
+    }
+    val ri = (0 until 2000).map { i =>
+      val g = if (i % 2 == 0) 0L else 1L + rnd.nextInt(50)
+      val s = rnd.nextInt(1000).toDouble
+      (g, i.toLong, s, s + rnd.nextInt(15))
+    }
+    val l = li.toDF("grp", "lid", "ls", "le")
+    val r = ri.toDF("g2", "rid", "rs", "re")
+    val plain = SweepJoin(l, r, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.closed("rs", "re"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    for (slices <- Seq(2, 8)) {
+      val salted = SaltedSweepJoin(l, r, Seq("grp"), Seq("g2"),
+        IntervalSpec.closed("ls", "le"), IntervalSpec.closed("rs", "re"),
+        slices = slices, hotKeyThreshold = 400)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(salted == plain, s"slices=$slices")
+    }
+    // keep=first survives slicing (a left row's matches all meet it in
+    // its one slice)
+    val keepPlain = SweepJoin(l, r, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.closed("rs", "re"),
+      keep = "first", rightOrderCol = Some("rid"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val keepSalted = SaltedSweepJoin(l, r, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.closed("rs", "re"),
+      slices = 8, hotKeyThreshold = 400,
+      keep = "first", rightOrderCol = Some("rid"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(keepSalted == keepPlain)
+    // the hot key genuinely fans out: the sweep's shuffle key is
+    // (grp, salt), so key 0 must occupy >1 (grp,salt) group — count
+    // distinct salts the left assignment produces. Replicate the
+    // assignment: boundaries are uniform over the hot key's start span.
+    val hotStarts = li.filter(_._1 == 0L).map(_._3)
+    val (mn, mx) = (hotStarts.min, hotStarts.max)
+    val w = (mx - mn) / 8
+    val saltsUsed = hotStarts.map(s =>
+      math.min(7, math.max(0, math.floor((s - mn) / w).toInt))).distinct
+    assert(saltsUsed.size > 1, "hot key should split across slices")
+    // no hot keys → the wrapper returns the plain sweep unchanged
+    val none = SaltedSweepJoin(l, r, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.closed("rs", "re"),
+      slices = 8, hotKeyThreshold = 100000)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(none == plain)
+  }
+
+  test("salted sweep: timestamp endpoints and zero-span hot key") {
+    import graft.joins.SaltedSweepJoin
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val l = ((0 until 300).map(i => (1L, i.toLong, ts(i % 50), ts(i % 50 + 5))) ++
+      Seq((2L, 900L, ts(10), ts(20)))).toDF("grp", "lid", "ls", "le")
+    val r = ((0 until 100).map(i => (1L, i.toLong, ts(i % 55))) ++
+      Seq((2L, 901L, ts(15)))).toDF("g2", "rid", "p")
+    val plain = SweepJoin(l, r, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.point("p"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val salted = SaltedSweepJoin(l, r, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.point("p"),
+      slices = 4, hotKeyThreshold = 100)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(salted == plain)
+    // zero-span hot key (every left start identical) degenerates cleanly
+    val l0 = (0 until 500).map(i => (7L, i.toLong, 100.0, 100.0 + i % 10))
+      .toDF("grp", "lid", "ls", "le")
+    val r0 = (0 until 50).map(i => (7L, i.toLong, i.toDouble * 3))
+      .toDF("g2", "rid", "p")
+    val p0 = SweepJoin(l0, r0, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.point("p"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val s0 = SaltedSweepJoin(l0, r0, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.point("p"),
+      slices = 4, hotKeyThreshold = 100)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(s0 == p0)
+  }
+
   test("sweep: timestamp endpoints") {
     val l = Seq(
       (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
