@@ -10,7 +10,15 @@ verbatim, preserving per-replica distributions; text duplication makes
 the dedup family work 10x harder (every doc gains 9 exact twins across
 replicas), which is the interesting stress.
 
-Usage: python3 tools/scale10.py /root/testdata/sf0.1 /tmp/sf1 [factor]
+With --perturb, replica copies of documents.text are NEAR-duplicates
+instead of verbatim twins: replica i > 0 drops the leading token and
+appends one replica-unique token (2 token edits on a ~100-token doc,
+Jaccard ~0.95+). Verbatim twins measure the quadratic-in-duplication
+pair blowup of the generator, not the engine; the perturbed corpus is
+the realistic crawl shape (boilerplate + near-copies), so dedup-family
+scale ratios against it are interpretable.
+
+Usage: python3 tools/scale10.py /root/testdata/sf0.1 /tmp/sf1 [factor] [--perturb]
 """
 import glob
 import os
@@ -18,7 +26,7 @@ import sys
 
 import duckdb
 
-def main(src: str, dst: str, factor: int = 10) -> None:
+def main(src: str, dst: str, factor: int = 10, perturb: bool = False) -> None:
     os.makedirs(dst, exist_ok=True)
     off = 100_000_000
     for path in sorted(glob.glob(f"{src}/*.parquet")):
@@ -28,6 +36,14 @@ def main(src: str, dst: str, factor: int = 10) -> None:
         for c, _typ, *_ in cols:
             if c.endswith("key") or c.endswith("_id"):
                 sel.append(f'("{c}" + i * {off})::BIGINT AS "{c}"')
+            elif perturb and name == "documents" and c == "text":
+                sel.append(
+                    'CASE WHEN i = 0 THEN "text" ELSE '
+                    "CASE WHEN position(' ' IN \"text\") > 0 "
+                    "THEN substr(\"text\", position(' ' IN \"text\") + 1) "
+                    'ELSE "text" END '
+                    "|| ' zz' || i::VARCHAR || 'q' || "
+                    '("doc_id" % 1000)::VARCHAR END AS "text"')
             else:
                 sel.append(f'"{c}"')
         duckdb.sql(
@@ -39,5 +55,7 @@ def main(src: str, dst: str, factor: int = 10) -> None:
         print(f"[scale10] {name}: {n} rows")
 
 if __name__ == "__main__":
-    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    main(sys.argv[1], sys.argv[2], factor)
+    args = [a for a in sys.argv[1:] if a != "--perturb"]
+    perturb = "--perturb" in sys.argv
+    factor = int(args[2]) if len(args) > 2 else 10
+    main(args[0], args[1], factor, perturb)
