@@ -284,15 +284,22 @@ object Buckets {
       .filter(col("members") > maxBucket)
 
   /** Candidate pairs from a `(keyCols…, idCol)` membership stream with
-    * the skew guard applied BEFORE any per-bucket materialization:
-    * bucket sizes are pre-counted (hash agg, bounded state), keys over
-    * `maxBucket` are anti-joined away, and only surviving buckets are
-    * `collect_list`ed. The naive order — collect first, size-filter
-    * after — builds a degenerate bucket's full member array inside one
-    * aggregation buffer row before dropping it, which is exactly the
-    * single-task OOM a 10M-member boilerplate bucket causes at corpus
-    * scale. Costs one extra count-only pass over the (cached upstream)
-    * membership stream.
+    * the skew guard applied BEFORE any per-bucket materialization. The
+    * naive order — `collect_list` first, size-filter after — builds a
+    * degenerate bucket's full member array inside one aggregation
+    * buffer row before dropping it, which is exactly the single-task
+    * OOM a 10M-member boilerplate bucket causes at corpus scale.
+    *
+    * Long ids (every graft dedup op) take the ONE-PASS bounded path:
+    * `min_k_longs(id, maxBucket+1)` collects at most maxBucket+1 ids
+    * per bucket — ids are distinct within a bucket, so an over-cap
+    * bucket surfaces as exactly maxBucket+1 collected ids and is
+    * filtered whole, while its aggregation state never exceeds
+    * maxBucket+1 longs on any task (TypedImperativeAggregate with
+    * map-side combine). Other id types fall back to a count-first
+    * pass: bucket sizes pre-counted (hash agg, bounded state), hot
+    * keys anti-joined away, THEN `collect_list` — one extra pass over
+    * the (cached upstream) membership stream.
     *
     * @param pairing "all" = every in-bucket pair, m(m−1)/2 per bucket
     *                (exact candidate semantics); "anchor" = each member
@@ -303,19 +310,27 @@ object Buckets {
     */
   def boundedPairs(exploded: DataFrame, keyCols: Seq[String], idCol: String,
                    maxBucket: Int, pairing: String = "all"): DataFrame = {
-    val bounded =
-      if (maxBucket == Int.MaxValue) exploded
-      else exploded.join(
-        hotKeys(exploded, keyCols, maxBucket).select(keyCols.map(col): _*),
-        keyCols, "left_anti")
-    val grouped = bounded.groupBy(keyCols.map(col): _*)
-      .agg(collect_list(col(idCol)).as("__graft_bids"))
-    pairing match {
-      case "all"    => pairsFromGroups(grouped, "__graft_bids", maxBucket)
-      case "anchor" => anchorPairsFromGroups(grouped, "__graft_bids", maxBucket)
-      case other => throw new IllegalArgumentException(
-        s"pairing=$other (expected all | anchor)")
-    }
+    require(maxBucket >= 1, "maxBucket >= 1")
+    require(pairing == "all" || pairing == "anchor",
+      s"pairing=$pairing (expected all | anchor)")
+    val longIds = exploded.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    val grouped =
+      if (longIds && maxBucket < Int.MaxValue)
+        exploded.groupBy(keyCols.map(col): _*)
+          .agg(org.apache.spark.sql.graft.SketchFunctions
+            .min_k_longs(col(idCol), maxBucket + 1).as("__graft_bids"))
+      else {
+        val bounded =
+          if (maxBucket == Int.MaxValue) exploded
+          else exploded.join(
+            hotKeys(exploded, keyCols, maxBucket).select(keyCols.map(col): _*),
+            keyCols, "left_anti")
+        bounded.groupBy(keyCols.map(col): _*)
+          .agg(collect_list(col(idCol)).as("__graft_bids"))
+      }
+    if (pairing == "all") pairsFromGroups(grouped, "__graft_bids", maxBucket)
+    else anchorPairsFromGroups(grouped, "__graft_bids", maxBucket)
   }
 
   /** `grouped` must have an array column `idsCol`; emits distinct
