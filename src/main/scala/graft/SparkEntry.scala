@@ -1851,6 +1851,37 @@ object SparkEntry {
         .select(col("okey"), col("rid"))
     }
 
+  /** Stats-driven skew routing: [[graft.joins.SaltedSweepJoin.auto]]
+    * with NO manual threshold/slices/side — one both-sides stats pass
+    * detects the hot keys, derives the slice count from the hottest
+    * key, and (the shape here) picks RIGHT-side slicing because the
+    * mega-key is lineitem-heavy (4 line items per order: the right
+    * side carries ~4× the hot rows). `targetRowsPerTask` is pinned to
+    * test-scale task sizing only because sf0.01 is far below the
+    * production floor (`minHotRows` = 64 Ki rows/key) — the derivation
+    * itself (2 · total/parallelism) is what `graft.SkewProbe`
+    * exercises at probe scale. Shares the plain range-join oracle:
+    * salting must be row-invisible. */
+  private val q_auto_sweep: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val skew = (k: Column) => when(k % 2 === 0, 0L).otherwise(k % 997)
+      val l = t(s, dir, "orders").select(
+        col("o_orderkey").as("okey"), skew(col("o_orderkey")).as("grp"),
+        ((col("o_orderkey") * 13 % 100000).cast("double") / 10.0).as("s"),
+        ((col("o_orderkey") * 13 % 100000).cast("double") / 10.0 +
+          (col("o_custkey") % 40).cast("double") / 10.0).as("e"))
+      val r = t(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        skew(col("l_orderkey")).as("grp_r"),
+        ((col("l_orderkey") * 31 % 100000).cast("double") / 10.0 +
+          col("l_linenumber").cast("double")).as("p"))
+      graft.joins.SaltedSweepJoin.auto(l, r, Seq("grp"), Seq("grp_r"),
+        IntervalSpec.closed("s", "e"), IntervalSpec.point("p"),
+        targetRowsPerTask = 300)
+        .groupBy(col("okey"))
+        .agg(count(lit(1)).as("n_matches"), min(col("rid")).as("min_rid"))
+    }
+
   /** Synchronous label propagation over the q_pagerank synthetic graph:
     * seed labels doc_id % 50, 3 rounds of in-neighbor majority with
     * ties to the smallest label — bit-exact vs 3 unrolled rounds in
@@ -2507,6 +2538,7 @@ object SparkEntry {
     "q_bpe_merges"          -> q_bpe_merges,
     "q_bpe_encode"          -> q_bpe_encode,
     "q_salted_sweep"        -> q_salted_sweep,
+    "q_auto_sweep"          -> q_auto_sweep,
     "q_zorder"              -> q_zorder,
     "q_url_blocklist"       -> q_url_blocklist,
     "q_collocations"        -> q_collocations,
@@ -3666,6 +3698,22 @@ object SparkEntry {
         |        (o_orderkey * 31 % 100000) / 10.0 AS p
         |      FROM orders)
         |SELECT l.okey, MIN(r.rid) AS rid
+        |FROM l JOIN r ON l.grp = r.grp AND r.p >= l.s AND r.p <= l.e
+        |GROUP BY l.okey""".stripMargin,
+    "q_auto_sweep" ->
+      """WITH l AS (SELECT o_orderkey AS okey,
+        |             CASE WHEN o_orderkey % 2 = 0 THEN 0
+        |                  ELSE o_orderkey % 997 END AS grp,
+        |             (o_orderkey * 13 % 100000) / 10.0 AS s,
+        |             (o_orderkey * 13 % 100000) / 10.0
+        |               + (o_custkey % 40) / 10.0 AS e
+        |           FROM orders),
+        |r AS (SELECT l_orderkey * 10 + l_linenumber AS rid,
+        |        CASE WHEN l_orderkey % 2 = 0 THEN 0
+        |             ELSE l_orderkey % 997 END AS grp,
+        |        (l_orderkey * 31 % 100000) / 10.0 + l_linenumber AS p
+        |      FROM lineitem)
+        |SELECT l.okey, COUNT(*) AS n_matches, MIN(r.rid) AS min_rid
         |FROM l JOIN r ON l.grp = r.grp AND r.p >= l.s AND r.p <= l.e
         |GROUP BY l.okey""".stripMargin,
     "q_bpe_merges" ->

@@ -34,18 +34,36 @@ import graft.core.IntervalSpec
   *     short right intervals land in O(1 + span/W) of them;
   *   - non-hot keys take slice 0 on both sides — their plan is the
   *     plain sweep's (same shuffle keys modulo the constant salt).
+  *   - hot keys whose start/duration stats are not finite (±∞ or NaN
+  *     double endpoints — legal interval data elsewhere in graft) are
+  *     left UNSLICED: slice arithmetic over an infinite span is
+  *     meaningless (`w = ∞` makes every boundary NaN and would silently
+  *     drop that key's right rows), so such keys stay on slice 0 on
+  *     both sides and keep the plain sweep's single-task semantics.
   *
   * The sweep then runs on keys ⧺ slice. Everything is driven by one
   * driver-collected stats frame bounded by `maxHotKeys` rows, and the
   * result is bit-identical to [[SweepJoin]] (specced; the driver query
   * shares the plain range-join oracle).
+  *
+  * [[auto]] is the no-knob entry point: one stats pass over BOTH sides
+  * derives the hot threshold from the data and the session parallelism,
+  * picks the slicing SIDE (the footgun the manual API documents as
+  * "swap sides" — a right-side-heavy key wants the roles reversed,
+  * which interval-overlap symmetry allows for `keep = all`), and picks
+  * the slice count from the hottest key. A plain optimizer rule cannot
+  * own this decision — Catalyst rules must not launch jobs, and the
+  * sweep's custom exec is outside AQE's skew-join scope — so the
+  * runtime-stats dispatch lives here, at the operator API, the same
+  * division of labor as Spark's own broadcast-threshold-vs-AQE split.
   */
 object SaltedSweepJoin {
 
   /** @param slices          time slices per hot key (the parallelism a
     *                        hot key's sweep recovers)
     * @param hotKeyThreshold left rows per key above which the key is
-    *                        sliced; pick ~rows-per-healthy-task
+    *                        sliced; pick ~rows-per-healthy-task (or use
+    *                        [[auto]], which derives it)
     * @param maxHotKeys      refuse (loudly) if more keys than this are
     *                        hot — that is not skew, that is a
     *                        mis-sized threshold
@@ -58,35 +76,12 @@ object SaltedSweepJoin {
             maxHotKeys: Int = 10000,
             keep: String = "all",
             rightOrderCol: Option[String] = None): DataFrame = {
-    require(slices >= 2, "slices >= 2 (1 would be the plain sweep)")
-    require(leftOn.nonEmpty, "salting needs equality keys")
-    require(leftOn.length == rightOn.length,
-      s"key lists must align: $leftOn vs $rightOn")
+    checkArgs(leftOn, rightOn, leftSpec, rightSpec, slices)
 
-    val lS = leftSpec.start.get; val lE = leftSpec.stop.get
-    val rS = rightSpec.start.get; val rE = rightSpec.stop.get
-
-    // endpoint → double metric for slice arithmetic only (the join
-    // itself compares the ORIGINAL columns; rounding here only shifts
-    // slice boundaries, which the ±1 widening absorbs)
-    def metric(df: DataFrame, c: String): Column = df.schema(c).dataType match {
-      case TimestampType    => unix_micros(col(c)).cast("double")
-      case TimestampNTZType => unix_micros(col(c).cast(TimestampType)).cast("double")
-      case DateType         => unix_date(col(c)).cast("double")
-      case _                => col(c).cast("double")
-    }
-
-    // same ingress filter as the sweep, so the stats see the rows the
-    // sweep will see
     val lValid = left.filter(graft.core.Intervals.nonEmpty(left, leftSpec))
-    val rValid = right.filter(graft.core.Intervals.nonEmpty(right, rightSpec))
 
     // ── one count-only stats pass over the left side ──────────────────
-    val hot = lValid.groupBy(leftOn.map(col): _*)
-      .agg(count(lit(1)).as("__ss_n"),
-        min(metric(left, lS)).as("__ss_mn"),
-        max(metric(left, lS)).as("__ss_mx"),
-        max(metric(left, lE) - metric(left, lS)).as("__ss_d"))
+    val hot = sideStats(lValid, left, leftOn, leftSpec)
       .filter(col("__ss_n") > hotKeyThreshold)
       .drop("__ss_n")
     val nHot = hot.limit(maxHotKeys + 1).count()
@@ -99,6 +94,194 @@ object SaltedSweepJoin {
       return SweepJoin(left, right, leftOn, rightOn, leftSpec, rightSpec,
         keep = keep, rightOrderCol = rightOrderCol)
     }
+    salted(left, right, leftOn, rightOn, leftSpec, rightSpec, hot, slices,
+      keep, rightOrderCol)
+  }
+
+  /** Stats-driven sweep with automatic skew routing — the connection of
+    * `Profile.keySkew`-style detection to the salted sweep the manual
+    * API leaves to the caller. No tuning surface:
+    *
+    *   - ONE map-side-combined aggregation over the union of both
+    *     (validity-filtered) sides computes per-key row counts and
+    *     endpoint stats for both sides at once;
+    *   - a key is hot when either side's count exceeds the derived
+    *     threshold `max(minHotRows, 2 · totalRows / parallelism)` —
+    *     i.e. it alone would more than double a balanced task's share;
+    *   - the slicing side is whichever carries more hot-key rows
+    *     (right-side slicing swaps the operands — interval overlap is
+    *     symmetric — and re-projects to the left⧺right column order;
+    *     `keep != all` is per-LEFT-row semantics, so those joins always
+    *     slice left);
+    *   - `slices = clamp(⌈maxHotCount / threshold⌉, 2, slicesCap)`.
+    *
+    * With no hot keys this returns the plain sweep's exact plan; the
+    * only overhead is the single stats aggregation, the price of the
+    * detection (Spark's own AQE pays the same shape of cost from
+    * runtime shuffle statistics — which cannot see inside this custom
+    * exec, hence the operator-level dispatch).
+    *
+    * @param minHotRows       floor under which no key is ever "hot"
+    *                         (slicing a small key is pure overhead)
+    * @param targetRowsPerTask overrides the derived threshold when > 0
+    *                         (testing / known cluster task sizing)
+    */
+  def auto(left: DataFrame, right: DataFrame,
+           leftOn: Seq[String], rightOn: Seq[String],
+           leftSpec: IntervalSpec, rightSpec: IntervalSpec,
+           keep: String = "all",
+           rightOrderCol: Option[String] = None,
+           minHotRows: Long = 65536L,
+           targetRowsPerTask: Long = 0L,
+           slicesCap: Int = 32,
+           maxHotKeys: Int = 10000): DataFrame = {
+    checkArgs(leftOn, rightOn, leftSpec, rightSpec, slices = 2)
+    require(left.columns.map(_.toLowerCase).toSet
+        .intersect(right.columns.map(_.toLowerCase).toSet).isEmpty,
+      "auto needs disjoint column names across sides (the sweep requires " +
+        "it anyway; right-side slicing re-projects by name)")
+
+    val lValid = left.filter(graft.core.Intervals.nonEmpty(left, leftSpec))
+    val rValid = right.filter(graft.core.Intervals.nonEmpty(right, rightSpec))
+
+    // one pass, both sides: per-key counts + slicing stats per side
+    val lTagged = lValid.select(
+      (leftOn.map(col) :+ lit(0).as("__ss_side") :+
+        metric(left, leftSpec.start.get).as("__ss_s") :+
+        (metric(left, leftSpec.stop.get) -
+          metric(left, leftSpec.start.get)).as("__ss_dur")): _*)
+    val rTagged = rValid.select(
+      (rightOn.zip(leftOn).map { case (rc, lc) => col(rc).as(lc) } :+
+        lit(1).as("__ss_side") :+
+        metric(right, rightSpec.start.get).as("__ss_s") :+
+        (metric(right, rightSpec.stop.get) -
+          metric(right, rightSpec.start.get)).as("__ss_dur")): _*)
+    def sideAgg(side: Int, c: Column => Column): Column =
+      c(when(col("__ss_side") === side, col("__ss_s")))
+    val stats = lTagged.unionByName(rTagged)
+      .groupBy(leftOn.map(col): _*)
+      .agg(
+        sum(when(col("__ss_side") === 0, 1L).otherwise(0L)).as("__ss_nl"),
+        sum(when(col("__ss_side") === 1, 1L).otherwise(0L)).as("__ss_nr"),
+        sideAgg(0, min).as("__ss_lmn"), sideAgg(0, max).as("__ss_lmx"),
+        max(when(col("__ss_side") === 0, col("__ss_dur"))).as("__ss_ld"),
+        sideAgg(1, min).as("__ss_rmn"), sideAgg(1, max).as("__ss_rmx"),
+        max(when(col("__ss_side") === 1, col("__ss_dur"))).as("__ss_rd"))
+
+    val parallelism = math.max(1, left.sparkSession.sparkContext.defaultParallelism)
+    // derived threshold needs the totals — fold them into the same
+    // collected (bounded) result via a grand-total accumulator row? No:
+    // totals are two cheap selects on the SAME shuffled stats frame
+    // (reused scan, no extra pass over the data)
+    val statsCk = stats.localCheckpoint()
+    val totals = statsCk.agg(sum("__ss_nl"), sum("__ss_nr")).head()
+    val (totL, totR) =
+      (if (totals.isNullAt(0)) 0L else totals.getLong(0),
+        if (totals.isNullAt(1)) 0L else totals.getLong(1))
+    val threshold =
+      if (targetRowsPerTask > 0) targetRowsPerTask
+      else math.max(minHotRows, 2L * math.max(totL, totR) / parallelism)
+
+    val hotAll = statsCk
+      .filter(col("__ss_nl") > threshold || col("__ss_nr") > threshold)
+    val hotRows = hotAll.limit(maxHotKeys + 1).collect()
+    require(hotRows.length <= maxHotKeys,
+      s"more than $maxHotKeys keys exceed the derived hot threshold " +
+        s"$threshold — that is not skew; repartition or raise minHotRows")
+    if (hotRows.isEmpty)
+      return SweepJoin(left, right, leftOn, rightOn, leftSpec, rightSpec,
+        keep = keep, rightOrderCol = rightOrderCol)
+
+    val hotL = hotRows.map(_.getLong(hotRows.head.fieldIndex("__ss_nl"))).sum
+    val hotR = hotRows.map(_.getLong(hotRows.head.fieldIndex("__ss_nr"))).sum
+    val sliceRight = keep == "all" && hotR > hotL
+    val maxHot = hotRows.map { r =>
+      math.max(r.getLong(r.fieldIndex("__ss_nl")),
+        r.getLong(r.fieldIndex("__ss_nr")))
+    }.max
+    val slices = math.min(slicesCap.toLong,
+      math.max(2L, (maxHot + threshold - 1) / threshold)).toInt
+
+    if (sliceRight) {
+      val hot = hotAll
+        .filter(finite(col("__ss_rmn")) && finite(col("__ss_rmx")) &&
+          finite(col("__ss_rd")))
+        .select(
+        (leftOn.zip(rightOn).map { case (lc, rc) => col(lc).as(rc) } :+
+          col("__ss_rmn").as("__ss_mn") :+ col("__ss_rmx").as("__ss_mx") :+
+          col("__ss_rd").as("__ss_d")): _*)
+      salted(right, left, rightOn, leftOn, rightSpec, leftSpec, hot, slices,
+        keep = "all", rightOrderCol = None)
+        .select((left.columns ++ right.columns).map(col): _*)
+    } else {
+      val hot = hotAll
+        .filter(finite(col("__ss_lmn")) && finite(col("__ss_lmx")) &&
+          finite(col("__ss_ld")))
+        .select(
+        (leftOn.map(col) :+
+          col("__ss_lmn").as("__ss_mn") :+ col("__ss_lmx").as("__ss_mx") :+
+          col("__ss_ld").as("__ss_d")): _*)
+      salted(left, right, leftOn, rightOn, leftSpec, rightSpec, hot, slices,
+        keep, rightOrderCol)
+    }
+  }
+
+  private def checkArgs(leftOn: Seq[String], rightOn: Seq[String],
+                        leftSpec: IntervalSpec, rightSpec: IntervalSpec,
+                        slices: Int): Unit = {
+    require(slices >= 2, "slices >= 2 (1 would be the plain sweep)")
+    require(leftOn.nonEmpty, "salting needs equality keys")
+    require(leftOn.length == rightOn.length,
+      s"key lists must align: $leftOn vs $rightOn")
+    require(leftSpec.start.isDefined && leftSpec.stop.isDefined &&
+      rightSpec.start.isDefined && rightSpec.stop.isDefined,
+      "SaltedSweepJoin needs bounded intervals on both sides, like the " +
+        "sweep it wraps (use IntervalJoin for one-sided/±∞ specs)")
+  }
+
+  // endpoint → double metric for slice arithmetic only (the join
+  // itself compares the ORIGINAL columns; rounding here only shifts
+  // slice boundaries, which the ±1 widening absorbs)
+  private def metric(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case TimestampType    => unix_micros(col(c)).cast("double")
+    case TimestampNTZType => unix_micros(col(c).cast(TimestampType)).cast("double")
+    case DateType         => unix_date(col(c)).cast("double")
+    case _                => col(c).cast("double")
+  }
+
+  /** ±∞ and NaN never pass (Spark orders NaN above +∞, so the two
+    * strict comparisons exclude all three). */
+  private def finite(c: Column): Column =
+    c > lit(Double.NegativeInfinity) && c < lit(Double.PositiveInfinity)
+
+  /** Per-key `(count, min start, max start, max duration)` of one side,
+    * with non-finite-stats keys dropped (left unsliced — see scaladoc). */
+  private def sideStats(valid: DataFrame, orig: DataFrame, on: Seq[String],
+                        spec: IntervalSpec): DataFrame =
+    valid.groupBy(on.map(col): _*)
+      .agg(count(lit(1)).as("__ss_n"),
+        min(metric(orig, spec.start.get)).as("__ss_mn"),
+        max(metric(orig, spec.start.get)).as("__ss_mx"),
+        max(metric(orig, spec.stop.get) - metric(orig, spec.start.get))
+          .as("__ss_d"))
+      .filter(finite(col("__ss_mn")) && finite(col("__ss_mx")) &&
+        finite(col("__ss_d")))
+
+  /** The slicing core: `hot` is keyed by `leftOn` with finite
+    * `__ss_mn/__ss_mx/__ss_d` stats of the LEFT side (callers that
+    * slice the other side swap operands before calling). */
+  private def salted(left: DataFrame, right: DataFrame,
+                     leftOn: Seq[String], rightOn: Seq[String],
+                     leftSpec: IntervalSpec, rightSpec: IntervalSpec,
+                     hot: DataFrame, slices: Int,
+                     keep: String, rightOrderCol: Option[String]): DataFrame = {
+    val lS = leftSpec.start.get
+    val rS = rightSpec.start.get; val rE = rightSpec.stop.get
+    val lValid = left.filter(graft.core.Intervals.nonEmpty(left, leftSpec))
+    val rValid = right.filter(graft.core.Intervals.nonEmpty(right, rightSpec))
+
+    // non-finite keys were filtered out of `hot` upstream: they join
+    // null below and stay on slice 0 — plain-sweep semantics
 
     // slice width: span/slices (fractional domains slice exactly as
     // well as integral ones — the assignment below clamps the top
@@ -108,9 +291,11 @@ object SaltedSweepJoin {
     val hotL = broadcast(hot.withColumn("__ss_w", w)
       .select((leftOn.map(col) :+ col("__ss_mn") :+ col("__ss_d") :+
         col("__ss_w")): _*))
-    val hotR = leftOn.zip(rightOn).foldLeft(hotL) { case (d, (lc, rc)) =>
-      if (lc == rc) d else d.withColumnRenamed(lc, rc)
-    }
+    // single projection, not sequential renames: crossed key orders
+    // (leftOn=[a,b], rightOn=[b,a]) would make rename-chains collide
+    val hotR = hotL.select(
+      (leftOn.zip(rightOn).map { case (lc, rc) => col(lc).as(rc) } :+
+        col("__ss_mn") :+ col("__ss_d") :+ col("__ss_w")): _*)
 
     // ── left: exactly one slice per row ────────────────────────────────
     val lSalted = lValid.join(hotL, leftOn, "left")
@@ -122,10 +307,20 @@ object SaltedSweepJoin {
       .select((left.columns.map(col) :+ col("__ss_salt")): _*)
 
     // ── right: replicate hot-key rows to reachable slices only ────────
-    val lo = greatest(lit(0),
-      floor((metric(right, rS) - col("__ss_d") - col("__ss_mn")) / col("__ss_w")) - 1)
-    val hi = least(lit(slices - 1),
-      floor((metric(right, rE) - col("__ss_mn")) / col("__ss_w")) + 1)
+    // A hot key's stats are finite, but an individual RIGHT endpoint may
+    // still be ±∞ (the ingress filter only drops EMPTY intervals):
+    // floor(±∞) saturates at Long.Min/MaxValue and the ±1 widening would
+    // WRAP, emptying the slice range and dropping the row. Clamping the
+    // raw floor into [-2, slices+1] first makes ±∞ resolve to full /
+    // empty replication exactly as the predicate demands (an −∞ start
+    // reaches every earlier slice; a +∞ start reaches none — no finite
+    // left stop can cover it).
+    def clamped(c: Column): Column =
+      greatest(lit(-2L), least(lit(slices + 1L), c))
+    val lo = greatest(lit(0), clamped(
+      floor((metric(right, rS) - col("__ss_d") - col("__ss_mn")) / col("__ss_w"))) - 1)
+    val hi = least(lit(slices - 1), clamped(
+      floor((metric(right, rE) - col("__ss_mn")) / col("__ss_w"))) + 1)
     val saltArr = when(col("__ss_mn").isNull, array(lit(0)))
       .otherwise(when(lo <= hi, sequence(lo.cast("int"), hi.cast("int")))
         .otherwise(array().cast("array<int>")))

@@ -374,4 +374,122 @@ class SweepJoinSpec extends SparkSuite {
       .select("rid").as[Long].collect().toSet
     assert(got == Set(1L))
   }
+
+  test("salted sweep: non-finite endpoint stats leave the key unsliced, rows kept") {
+    import graft.joins.SaltedSweepJoin
+    // hot key 0 has one -inf start — its stats are non-finite, so the
+    // key must stay on slice 0 (pre-fix: w became ∞, every right row of
+    // the key was silently dropped)
+    val li = ((0 until 600).map(i => (0L, i.toLong, (i % 50).toDouble, i % 50 + 5.0)) :+
+      ((0L, 999L, Double.NegativeInfinity, 3.0))) ++
+      (0 until 100).map(i => (1L + i % 5, 1000L + i, (i % 20).toDouble, i % 20 + 4.0))
+    val l = li.toDF("grp", "lid", "ls", "le")
+    val r = ((0 until 200).map(i => (0L, i.toLong, (i % 60).toDouble)) ++
+      (0 until 50).map(i => (1L + i % 5, 500L + i, (i % 25).toDouble)))
+      .toDF("g2", "rid", "p")
+    val plain = SweepJoin(l, r, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.point("p"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val salted = SaltedSweepJoin(l, r, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.point("p"),
+      slices = 4, hotKeyThreshold = 200)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(salted == plain)
+    assert(plain.exists(_._1 == 999L), "the -inf-start row itself matches")
+  }
+
+  test("salted sweep: infinite RIGHT endpoints on a hot key replicate correctly") {
+    import graft.joins.SaltedSweepJoin
+    // key 0 is hot with finite left stats; right rows include [-inf, x],
+    // [x, +inf] and [-inf, +inf] intervals — floor(±∞) saturation must
+    // not wrap the slice range empty
+    val l = (0 until 600).map(i => (0L, i.toLong, (i % 50).toDouble, i % 50 + 5.0))
+      .toDF("grp", "lid", "ls", "le")
+    val r = ((0 until 100).map(i => (0L, i.toLong, (i % 60).toDouble, i % 60 + 3.0)) ++
+      Seq((0L, 900L, Double.NegativeInfinity, 10.0),
+          (0L, 901L, 40.0, Double.PositiveInfinity),
+          (0L, 902L, Double.NegativeInfinity, Double.PositiveInfinity),
+          (0L, 903L, Double.PositiveInfinity, Double.PositiveInfinity),
+          (0L, 904L, Double.NegativeInfinity, Double.NegativeInfinity)))
+      .toDF("g2", "rid", "rs", "re")
+    val plain = SweepJoin(l, r, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.closed("rs", "re"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val salted = SaltedSweepJoin(l, r, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.closed("rs", "re"),
+      slices = 4, hotKeyThreshold = 200)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(salted == plain)
+    assert(plain.exists(_._2 == 900L) && plain.exists(_._2 == 901L) &&
+      plain.exists(_._2 == 902L))
+  }
+
+  test("salted sweep: crossed key order with colliding names, and half-open refusal") {
+    import graft.joins.SaltedSweepJoin
+    // leftOn=[a,b] vs rightOn=[b,a]: the RIGHT's column literally named
+    // "b" pairs with the left "a" — sequential renames would collide
+    val l = (0 until 500).map(i => (0L, 7L, i.toLong, (i % 40).toDouble, i % 40 + 6.0))
+      .toDF("a", "b", "lid", "ls", "le")
+    val r = (0 until 300).map(i => (7L, 0L, 1000L + i, (i % 55).toDouble))
+      .toDF("b2", "a2", "rid", "p")
+    val plain = SweepJoin(l, r, Seq("a", "b"), Seq("a2", "b2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.point("p"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val salted = SaltedSweepJoin(l, r, Seq("a", "b"), Seq("a2", "b2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.point("p"),
+      slices = 4, hotKeyThreshold = 100)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(salted == plain)
+    val ex = intercept[IllegalArgumentException] {
+      SaltedSweepJoin(l, r, Seq("a", "b"), Seq("a2", "b2"),
+        IntervalSpec.unboundedAbove("ls"), IntervalSpec.point("p"))
+    }
+    assert(ex.getMessage.contains("bounded intervals"), ex.getMessage)
+  }
+
+  test("auto salted sweep: detects skew with no knobs, picks the heavy side") {
+    import graft.joins.SaltedSweepJoin
+    val rnd = new scala.util.Random(7)
+    // RIGHT-heavy skew: key 0 holds 60% of the right rows, left is flat
+    val l = (0 until 800).map { i =>
+      (1L + i % 40, i.toLong, rnd.nextInt(500).toDouble,
+        rnd.nextInt(500) + 20.0)
+    }.union((0 until 200).map(i =>
+      (0L, 10000L + i, rnd.nextInt(500).toDouble, rnd.nextInt(500) + 20.0)))
+      .toDF("grp", "lid", "ls", "le")
+    val r = (0 until 3000).map { i =>
+      val g = if (i % 10 < 6) 0L else 1L + rnd.nextInt(40)
+      val s = rnd.nextInt(500).toDouble
+      (g, i.toLong, s, s + rnd.nextInt(25))
+    }.toDF("g2", "rid", "rs", "re")
+    val plain = SweepJoin(l, r, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.closed("rs", "re"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val auto = SaltedSweepJoin.auto(l, r, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.closed("rs", "re"),
+      targetRowsPerTask = 300)
+    assert(auto.columns.toSeq ==
+      Seq("grp", "lid", "ls", "le", "g2", "rid", "rs", "re"),
+      "right-side slicing must re-project to left ++ right column order")
+    assert(auto.queryExecution.executedPlan.toString.contains("__ss_salt"),
+      "skew detected -> salted plan")
+    assert(auto.select("lid", "rid").as[(Long, Long)].collect().toSet == plain)
+    // keep != all forces LEFT slicing (per-left-row semantics) and still
+    // matches the plain sweep
+    val keepPlain = SweepJoin(l, r, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.closed("rs", "re"),
+      keep = "first", rightOrderCol = Some("rid"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val keepAuto = SaltedSweepJoin.auto(l, r, Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.closed("rs", "re"),
+      keep = "first", rightOrderCol = Some("rid"), targetRowsPerTask = 140)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(keepAuto == keepPlain)
+    // balanced data: derived threshold finds nothing hot -> plain plan
+    val flat = SaltedSweepJoin.auto(l.filter(col("grp") =!= 0L), r.filter(col("g2") =!= 0L),
+      Seq("grp"), Seq("g2"),
+      IntervalSpec.closed("ls", "le"), IntervalSpec.closed("rs", "re"))
+    assert(!flat.queryExecution.executedPlan.toString.contains("__ss_salt"),
+      "no skew -> the plain sweep plan, zero salting overhead")
+  }
 }
