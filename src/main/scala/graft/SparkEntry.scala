@@ -892,6 +892,23 @@ object SparkEntry {
           col("cluster_size").as("sz"), col("is_canonical").as("canon"))
     }
 
+  /** Two-anchor pairing ("anchor2", 2m−3 pairs per bucket — still
+    * O(m)): robust to ONE false-positive anchor per bucket, because the
+    * second-smallest member's pairs survive when verification rejects
+    * every pair of a collided minimum. Same closure oracle as
+    * q_dedup_anchor — on this corpus the anchor, anchor2 and all-pairs
+    * closures must coincide. */
+  private val q_dedup_anchor2: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = MinHashDedup(d, "text", "doc_id",
+        numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.8,
+        pairing = "anchor2")
+      DuplicateClusters(d, "doc_id", pairs, "id_l", "id_r")
+        .select(col("doc_id").as("did"), col("cluster_id").as("cid"),
+          col("cluster_size").as("sz"), col("is_canonical").as("canon"))
+    }
+
   /** The streaming near-dup gate executed in batch:
     * [[graft.streaming.StreamingOps.streamingMinHashDedup]] is a
     * stream-static equi-join plus stateless in-row banding, so the
@@ -1708,6 +1725,31 @@ object SparkEntry {
     * from each run start merge (equivalent to the operator's fold —
     * overlaps only arise for a==b runs). Ends with v3 (word, freq,
     * syms) and top1..top3. Zero tolerance: strings + integers only. */
+  /** Shared closure oracle for q_dedup_anchor / q_dedup_anchor2: the
+    * transitive closure of the EXACT 3-gram Jaccard pair set — both
+    * pairing modes must reproduce the same clusters (anchor2's pair
+    * list is a superset of anchor's, a subset of all-pairs, and all
+    * three closures coincide on a mutually-matching corpus). */
+  private lazy val AnchorClosureSql: String =
+    s"""WITH RECURSIVE
+      |dd AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
+      |g AS (SELECT doc_id, list_distinct(
+      |        [list_aggregate(tk[i:i+2], 'string_agg', ' ')
+      |         FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS sh FROM dd),
+      |p AS (SELECT a.doc_id AS u, b.doc_id AS v
+      |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+      |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+      |                UNION SELECT r.u, ed.v FROM reach r JOIN e ed ON r.v = ed.u),
+      |comp AS (SELECT u AS node, MIN(v) AS comp FROM reach GROUP BY u),
+      |lab AS (SELECT doc.doc_id AS did, COALESCE(c.comp, doc.doc_id) AS cid
+      |        FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node)
+      |SELECT did, cid, COUNT(*) OVER (PARTITION BY cid) AS sz,
+      |       CAST(did = cid AS INT) AS canon
+      |FROM lab""".stripMargin
+
   // lazy: references ToksExpr, which is declared later in the file
   private lazy val BpeCte: String = {
     val rounds = (1 to 3).map { r =>
@@ -1825,6 +1867,29 @@ object SparkEntry {
         k = 3)
       graft.text.Bpe.encode(docs(s, dir), "text", merges)
         .select(col("doc_id"), array_join(col("bpe_symbols"), " ").as("syms"))
+    }
+
+  /** The PRODUCTION tokenize path end-to-end: BPE training (3 rounds,
+    * driver-side merge table — once per tokenizer) → trained symbols
+    * baked into a WordPiece piece vocabulary
+    * ([[graft.text.Bpe.toWordPieceVocab]]) → the native codegen'd
+    * greedy longest-match expression encodes the corpus — the route
+    * that scales to a 30k-merge vocabulary where `Bpe.encode`'s
+    * per-merge fold chain (capped at 64) cannot. Oracle: the same
+    * trained-piece derivation on DuckDB's unrolled BPE CTE, then the
+    * q_wordpiece recursive greedy walk over those pieces. */
+  private val q_bpe_wordpiece: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val (_, vocab) = graft.text.Bpe.fit(bpeWords(s, dir), "word", "freq",
+        k = 3)
+      val pieces = graft.text.Bpe.toWordPieceVocab(vocab)
+      val toks = graft.text.WordPiece.tokens(col("text"), pieces)
+      docs(s, dir).select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          array_join(col("toks"), " ").as("tokens_str"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(filter(col("toks"), t => t === "[UNK]"))
+            .cast("long").as("n_unk"))
     }
 
   /** The salted sweep on a deliberately skewed shape: one key holds
@@ -2490,6 +2555,7 @@ object SparkEntry {
     "q_dedup_minhash_incr"  -> q_dedup_minhash_incr,
     "q_dedup_minhash_stream" -> q_dedup_minhash_stream,
     "q_dedup_anchor"        -> q_dedup_anchor,
+    "q_dedup_anchor2"       -> q_dedup_anchor2,
     "q_dedup_cluster"       -> q_dedup_cluster,
     "q_pipeline"            -> q_pipeline,
     "q_dedup_simhash"       -> q_dedup_simhash,
@@ -2537,6 +2603,7 @@ object SparkEntry {
     "q_bpe"                 -> q_bpe,
     "q_bpe_merges"          -> q_bpe_merges,
     "q_bpe_encode"          -> q_bpe_encode,
+    "q_bpe_wordpiece"       -> q_bpe_wordpiece,
     "q_salted_sweep"        -> q_salted_sweep,
     "q_auto_sweep"          -> q_auto_sweep,
     "q_zorder"              -> q_zorder,
@@ -3149,25 +3216,8 @@ object SparkEntry {
         |    / (len(bt.sh) + len(cp.sh) - len(list_intersect(bt.sh, cp.sh))) >= 0.8""".stripMargin,
     // closure of the EXACT 3-gram-Jaccard pairs (complete at 16x2 bands
     // whp): anchor pairing must lose no cluster structure
-    "q_dedup_anchor" ->
-      s"""WITH RECURSIVE
-        |dd AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
-        |g AS (SELECT doc_id, list_distinct(
-        |        [list_aggregate(tk[i:i+2], 'string_agg', ' ')
-        |         FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS sh FROM dd),
-        |p AS (SELECT a.doc_id AS u, b.doc_id AS v
-        |      FROM g a JOIN g b ON a.doc_id < b.doc_id
-        |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
-        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
-        |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) t
-        |                UNION SELECT r.u, ed.v FROM reach r JOIN e ed ON r.v = ed.u),
-        |comp AS (SELECT u AS node, MIN(v) AS comp FROM reach GROUP BY u),
-        |lab AS (SELECT doc.doc_id AS did, COALESCE(c.comp, doc.doc_id) AS cid
-        |        FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node)
-        |SELECT did, cid, COUNT(*) OVER (PARTITION BY cid) AS sz,
-        |       CAST(did = cid AS INT) AS canon
-        |FROM lab""".stripMargin,
+    "q_dedup_anchor" -> AnchorClosureSql,
+    "q_dedup_anchor2" -> AnchorClosureSql,
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE
         |d AS (SELECT doc_id, lang, list_distinct($ToksExpr) AS tk FROM documents),
@@ -3721,6 +3771,42 @@ object SparkEntry {
          |SELECT 1::BIGINT AS merge_rank, a AS sym_a, b AS sym_b FROM top1
          |UNION ALL SELECT 2::BIGINT, a, b FROM top2
          |UNION ALL SELECT 3::BIGINT, a, b FROM top3""".stripMargin,
+    "q_bpe_wordpiece" -> {
+      // trained pieces derived from the unrolled BPE rounds' v3, then
+      // the q_wordpiece recursive greedy longest-match walk over them
+      val bpe = "WITH RECURSIVE " + BpeCte.stripPrefix("WITH ")
+      s"""$bpe,
+         |pb AS (SELECT replace(syms[i], '</w>', '') AS body, (i > 1) AS cont
+         |  FROM (SELECT syms, unnest(range(1, len(syms) + 1)) AS i FROM v3)),
+         |pieces AS (SELECT DISTINCT body, cont FROM pb WHERE body <> ''),
+         |v AS (SELECT CASE WHEN cont THEN '##' || body ELSE body END AS piece,
+         |        body, cont FROM pieces),
+         |w AS (SELECT doc_id, pos, word FROM (
+         |    SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\r]+')) AS word,
+         |           generate_subscripts(string_split_regex(text, '[ \t\n\r]+'), 1) AS pos
+         |    FROM documents) WHERE word <> ''),
+         |step(doc_id, pos, word, at, toks, failed) AS (
+         |  SELECT doc_id, pos, word, 0, []::VARCHAR[], false FROM w
+         |  UNION ALL
+         |  SELECT s.doc_id, s.pos, s.word,
+         |    CASE WHEN m.mlen IS NULL THEN length(s.word) ELSE s.at + m.mlen END,
+         |    CASE WHEN m.mlen IS NULL THEN ['[UNK]'] ELSE list_append(s.toks, m.mpiece) END,
+         |    m.mlen IS NULL
+         |  FROM step s LEFT JOIN LATERAL (
+         |    SELECT length(body) AS mlen, piece AS mpiece FROM v
+         |    WHERE v.cont = (s.at > 0)
+         |      AND substr(s.word, s.at + 1, length(body)) = body
+         |    ORDER BY length(body) DESC LIMIT 1) m ON true
+         |  WHERE s.at < length(s.word) AND NOT s.failed),
+         |tok AS (SELECT doc_id, pos, toks FROM step WHERE at >= length(word)),
+         |agg AS (SELECT doc_id, flatten(list(toks ORDER BY pos)) AS ft
+         |        FROM tok GROUP BY 1)
+         |SELECT d.doc_id,
+         |  array_to_string(coalesce(a.ft, []::VARCHAR[]), ' ') AS tokens_str,
+         |  coalesce(len(a.ft), 0)::BIGINT AS n_tokens,
+         |  coalesce(len(list_filter(a.ft, x -> x = '[UNK]')), 0)::BIGINT AS n_unk
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+    },
     "q_labelprop" -> {
       // 3 unrolled synchronous LPA rounds: in-neighbor label counts,
       // winner by (count DESC, label ASC) — GroupedMode's deterministic

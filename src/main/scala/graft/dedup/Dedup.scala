@@ -137,9 +137,12 @@ object MinHashDedup {
     * @param maxBucket   drop LSH buckets with more members (skew guard,
     *                    enforced count-first — see [[Buckets.boundedPairs]];
     *                    [[droppedBuckets]] reports what it refused)
-    * @param pairing     "all" (every in-bucket pair, exact pair list) or
+    * @param pairing     "all" (every in-bucket pair, exact pair list),
     *                    "anchor" (member↔bucket-min only, O(m) per bucket
-    *                    — feed the result to transitive closure)
+    *                    — feed the result to transitive closure), or
+    *                    "anchor2" (two anchors, robust to one
+    *                    false-positive anchor per bucket — see
+    *                    [[Buckets.anchorPairsFromGroups]])
     * @return pairs `(id_l, id_r, jaccard)` with `id_l < id_r`
     */
   def apply(
@@ -306,13 +309,25 @@ object Buckets {
     *                paired with the bucket minimum only, m−1 per bucket
     *                — O(m), the scale shape for dup-heavy corpora where
     *                transitive closure over anchor pairs recovers the
-    *                cliques (Lee et al.-style dedup pipelines).
+    *                cliques (Lee et al.-style dedup pipelines);
+    *                "anchor2" = pairs against the two smallest ids,
+    *                2m−3 per bucket — survives one false-positive
+    *                anchor per bucket (see [[anchorPairsFromGroups]]).
+    *
+    * CONTRACT (long-id fast path): membership rows must be DISTINCT per
+    * `(keyCols…, idCol)` — `min_k_longs` keeps the k smallest DISTINCT
+    * ids, so duplicated membership rows would make the min-k path judge
+    * a bucket's size by distinct count while the count-first fallback
+    * judges it by raw count. Every graft caller emits one row per id
+    * per band/block (explode of per-row band structs), which satisfies
+    * this; a new caller that can repeat `(key, id)` rows must
+    * `.distinct()` its stream first.
     */
   def boundedPairs(exploded: DataFrame, keyCols: Seq[String], idCol: String,
                    maxBucket: Int, pairing: String = "all"): DataFrame = {
     require(maxBucket >= 1, "maxBucket >= 1")
-    require(pairing == "all" || pairing == "anchor",
-      s"pairing=$pairing (expected all | anchor)")
+    require(pairing == "all" || pairing == "anchor" || pairing == "anchor2",
+      s"pairing=$pairing (expected all | anchor | anchor2)")
     val longIds = exploded.schema(idCol).dataType ==
       org.apache.spark.sql.types.LongType
     val grouped =
@@ -329,8 +344,11 @@ object Buckets {
         bounded.groupBy(keyCols.map(col): _*)
           .agg(collect_list(col(idCol)).as("__graft_bids"))
       }
-    if (pairing == "all") pairsFromGroups(grouped, "__graft_bids", maxBucket)
-    else anchorPairsFromGroups(grouped, "__graft_bids", maxBucket)
+    pairing match {
+      case "all"    => pairsFromGroups(grouped, "__graft_bids", maxBucket)
+      case "anchor" => anchorPairsFromGroups(grouped, "__graft_bids", maxBucket)
+      case _        => anchor2PairsFromGroups(grouped, "__graft_bids", maxBucket)
+    }
   }
 
   /** `grouped` must have an array column `idsCol`; emits distinct
@@ -359,6 +377,17 @@ object Buckets {
     * over all buckets equals the closure of the full pair set whenever
     * in-bucket members are mutually matching (the dup-heavy regime the
     * mode exists for); verification then runs on O(m) pairs per bucket.
+    *
+    * CAVEAT — false-positive anchors: when the minimum-id member of a
+    * bucket is an LSH collision (NOT a true near-dup of the others),
+    * downstream Jaccard/Hamming verification rejects every anchor pair
+    * of that bucket, and a genuine dup pair among the remaining members
+    * is disconnected — the closure-equality contract only holds in the
+    * mutually-matching regime. Mitigations: the same pair usually
+    * reappears in another band's bucket with a different minimum (LSH
+    * gives each true pair b independent chances), and [[anchor2PairsFromGroups]]
+    * ("anchor2") pairs against the TWO smallest ids, surviving one
+    * false-positive anchor per bucket at still-O(m) cost.
     */
   def anchorPairsFromGroups(grouped: DataFrame, idsCol: String, maxBucket: Int): DataFrame = {
     val ids = col("__graft_ids")
@@ -367,6 +396,27 @@ object Buckets {
       .filter(size(ids) >= 2 && size(ids) <= maxBucket)
       .select(element_at(ids, 1).as("id_l"),
         explode(slice(ids, lit(2), size(ids) - 1)).as("id_r"))
+      .distinct()
+  }
+
+  /** Two-anchor pairing: `(min1, min2)` plus `(min1, m)` and `(min2, m)`
+    * for every other member — `2m−3` pairs per bucket, still O(m). Buys
+    * robustness to ONE false-positive anchor per bucket: if `min1` is an
+    * LSH collision that verification rejects, the `min2` pairs still
+    * connect the true dups (see the [[anchorPairsFromGroups]] caveat).
+    */
+  def anchor2PairsFromGroups(grouped: DataFrame, idsCol: String, maxBucket: Int): DataFrame = {
+    val ids = col("__graft_ids")
+    grouped
+      .withColumn("__graft_ids", array_sort(col(idsCol)))
+      .filter(size(ids) >= 2 && size(ids) <= maxBucket)
+      .select(explode(concat(
+        array(struct(element_at(ids, 1).as("id_l"),
+          element_at(ids, 2).as("id_r"))),
+        flatten(transform(slice(ids, lit(3), size(ids) - 2), m =>
+          array(struct(element_at(ids, 1).as("id_l"), m.as("id_r")),
+            struct(element_at(ids, 2).as("id_l"), m.as("id_r"))))))).as("p"))
+      .select(col("p.id_l"), col("p.id_r"))
       .distinct()
   }
 
@@ -465,13 +515,24 @@ object SimHashDedup {
       .select(col("id"), col("bb.blk").as("blk"), col("bb.key").as("key"))
   }
 
-  /** @param maxBucket drop pigeonhole blocks with more members (skew
+  /** RECALL NOTE — `maxBucket` defaults to 1000, NOT unbounded (changed
+    * from `Int.MaxValue`): a pigeonhole block with more members is
+    * refused WHOLE, so a dup-heavy corpus (>1000 docs sharing a block —
+    * boilerplate mass that belongs to [[ExactDedup]] first) silently
+    * loses those pairs unless the caller audits [[droppedBlocks]] or
+    * raises the cap explicitly. The default trades that surfaced,
+    * auditable recall loss for a hard ceiling on per-bucket state — the
+    * 100 TB posture; pass `maxBucket = Int.MaxValue` to opt back into
+    * unbounded buckets.
+    *
+    * @param maxBucket drop pigeonhole blocks with more members (skew
     *                  guard, count-first — a hot block otherwise emits
     *                  m(m−1)/2 candidates with no ceiling; blocks past
     *                  the cap are boilerplate-duplicate mass for
     *                  [[ExactDedup]], and [[droppedBlocks]] surfaces
     *                  them)
-    * @param pairing   "all" or "anchor" (see [[Buckets.boundedPairs]])
+    * @param pairing   "all", "anchor" or "anchor2" (see
+    *                  [[Buckets.boundedPairs]])
     * @param tokenHash token → 64-bit hash column; default `xxhash64`.
     *                  Swappable so a differential oracle can use a hash
     *                  both engines implement identically (e.g. an

@@ -116,6 +116,13 @@ object Bpe {
     */
   def encode(df: DataFrame, textCol: String, merges: Seq[Merge],
              outCol: String = "bpe_symbols"): DataFrame = {
+    require(merges.size <= 64,
+      s"Bpe.encode chains one interpreted fold PER MERGE (${merges.size} " +
+        "given): a real vocabulary (30k merges) blows up analysis and " +
+        "codegen, not just runtime. For production encoding, bake the " +
+        "trained symbols into a WordPiece vocabulary and use the native " +
+        "longest-match expression: graft.text.WordPiece.tokens " +
+        "(see Bpe.toWordPieceVocab).")
     def encodeWord(w: Column): Column =
       merges.sortBy(_.rank).foldLeft(initSymbols(w)) { (syms, m) =>
         applyMerge(syms, m.left, m.right)
@@ -124,5 +131,45 @@ object Bpe {
       .withColumn(outCol,
         flatten(transform(col("__bpe_toks"), encodeWord(_))))
       .drop("__bpe_toks")
+  }
+
+  /** Bake a trained symbolized vocab (the second return of [[fit]]) into
+    * a WordPiece piece vocabulary — THE production encoding route: BPE
+    * TRAINING is once-per-tokenizer driver-side work, but ENCODING
+    * touches all 100 TB, and [[encode]]'s per-merge fold chain caps out
+    * at 64 merges by construction. This bridge extracts every symbol the
+    * trained vocab actually uses (word-initial symbols plain,
+    * non-initial ones as `##` continuations, the `</w>` end-of-word
+    * marker stripped) and the result feeds
+    * [[WordPiece.tokens]] — the codegen'd greedy longest-match
+    * expression, a stateless per-row projection that runs unchanged on
+    * batch and streams.
+    *
+    * Greedy longest-match over the piece set is WordPiece's rule, not
+    * BPE's merge-order replay — the standard trained-BPE serving
+    * trade-off (fast-tokenizer style): segmentations agree on text
+    * drawn from the training distribution whenever no shorter piece
+    * shadows a longer one mid-walk, and every token emitted is a
+    * trained subword either way.
+    *
+    * The piece set is Heaps'-law bounded (≤ alphabet + one new symbol
+    * per merge), enforced by `maxPieces` before the driver collect.
+    */
+  def toWordPieceVocab(vocab: DataFrame, symbolsCol: String = "symbols",
+                       endMark: String = "</w>",
+                       maxPieces: Int = 1 << 20): Seq[String] = {
+    val pieces = vocab
+      .select(posexplode(col(symbolsCol)).as(Seq("pos", "sym")))
+      .select(replace(col("sym"), lit(endMark), lit("")).as("body"),
+        (col("pos") > 0).as("cont"))
+      .filter(col("body") =!= "")
+      .distinct()
+    val n = pieces.limit(maxPieces + 1).count()
+    require(n <= maxPieces,
+      s"piece vocabulary exceeds maxPieces=$maxPieces — not a trained " +
+        "BPE vocab shape (expected ≤ alphabet + k merges symbols)")
+    pieces.collect()
+      .map(r => (if (r.getBoolean(1)) "##" else "") + r.getString(0))
+      .sorted.toSeq
   }
 }

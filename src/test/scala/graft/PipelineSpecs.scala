@@ -133,6 +133,70 @@ class PipelineSpecs extends SparkSuite {
       maxHamming = 3, pairing = "anchor"))
     val shAll = pairSet(SimHashDedup(df, "text", "doc_id", maxHamming = 3))
     assert(shAnchor.subsetOf(shAll) && shAnchor.size < shAll.size)
+    // anchor2: between the two (2m−3 per clique: 7 + 3 + 1), same closure
+    val anchor2 = MinHashDedup(df, "text", "doc_id", numHashes = 32,
+      numBands = 16, shingleN = 3, threshold = 0.8, pairing = "anchor2")
+    val a2Pairs = pairSet(anchor2)
+    assert(aPairs.subsetOf(a2Pairs) && a2Pairs.subsetOf(fPairs), s"$a2Pairs")
+    assert(a2Pairs.size == 11, s"$a2Pairs")
+    assert(clusters(anchor2) == clusters(all))
+  }
+
+  test("anchor2 pairing survives a false-positive anchor; anchor mode loses the cluster") {
+    import graft.dedup.Buckets
+    // one LSH bucket where the MINIMUM id (1) is a collision that fails
+    // verification against everyone, while 2,3,4 are true mutual dups
+    val membership = Seq((7L, 1L), (7L, 2L), (7L, 3L), (7L, 4L))
+      .toDF("bucket", "id")
+    def verifiedClosure(pairing: String): Set[Set[Long]] = {
+      val pairs = Buckets.boundedPairs(membership, Seq("bucket"), "id",
+        maxBucket = 100, pairing = pairing)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet[(Long, Long)]
+        // verification: every pair touching the false-positive 1 fails
+        .filter { case (a, b) => a != 1L && b != 1L }
+      // tiny driver-side closure over the verified pairs
+      var comp = pairs.flatMap(p => Seq(p._1, p._2)).map(x => x -> x).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        pairs.foreach { case (a, b) =>
+          val m = math.min(comp(a), comp(b))
+          if (comp(a) != m || comp(b) != m) {
+            comp += a -> m; comp += b -> m; changed = true
+          }
+        }
+      }
+      comp.groupBy(_._2).values.map(_.keySet.toSet).toSet
+    }
+    // anchor: all pairs were (1, x) -> everything rejected -> no cluster
+    assert(verifiedClosure("anchor") == Set.empty[Set[Long]])
+    // anchor2: the min2=2 pairs survive and connect the true clique
+    assert(verifiedClosure("anchor2") == Set(Set(2L, 3L, 4L)))
+  }
+
+  test("Bpe.encode refuses vocabulary-scale merge lists; toWordPieceVocab is the route") {
+    import graft.text.{Bpe, WordPiece}
+    val words = Seq(("low", 5L), ("lower", 2L), ("lowest", 1L))
+      .toDF("word", "freq")
+    val (merges, vocab) = Bpe.fit(words, "word", "freq", k = 2)
+    // merges learned on 'low'-family mass: (l,o) then (lo,w)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("l", "o"), ("lo", "w")))
+    val pieces = Bpe.toWordPieceVocab(vocab)
+    // 'low' fully merged -> initial piece "low" (the </w> fold), and the
+    // unmerged tails surface as ## continuations
+    assert(pieces.contains("low"), pieces.mkString(","))
+    assert(pieces.exists(_.startsWith("##")), pieces.mkString(","))
+    val enc = Seq((1L, "low lower")).toDF("id", "text")
+    val toks = WordPiece.tokens(col("text"), pieces)
+    val got = enc.select(toks).head().getSeq[String](0)
+    assert(got.head == "low", got.mkString(","))
+    assert(!got.contains(WordPiece.DefaultUnk), got.mkString(","))
+    // the fold-chain encoder refuses untractable merge lists loudly
+    val big = (1 to 65).map(i => Bpe.Merge(i, s"a$i", s"b$i"))
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.encode(enc, "text", big)
+    }
+    assert(ex.getMessage.contains("WordPiece"), ex.getMessage)
   }
 
   test("vector ops + brute-force cosine top-k") {
