@@ -52,15 +52,50 @@ object SkewProbe {
       IntervalSpec.closed("s", "e"), IntervalSpec.point("p"),
       slices = slices, hotKeyThreshold = 300)
 
-    // warm both paths once (janino/JIT), then best-of-2 timed
-    time(plain); time(salted)
+    // the no-knob dispatcher: threshold/slices/side all derived
+    def auto = SaltedSweepJoin.auto(l, r, Seq("grp"), Seq("grp_r"),
+      IntervalSpec.closed("s", "e"), IntervalSpec.point("p"))
+
+    // warm all paths once (janino/JIT), then best-of-2 timed
+    time(plain); time(salted); time(auto)
     val (tp1, np) = time(plain); val (ts1, ns) = time(salted)
+    val (ta1, na) = time(auto)
     val (tp2, np2) = time(plain); val (ts2, ns2) = time(salted)
-    require(np == ns && np == np2 && np == ns2,
-      s"row mismatch: plain=$np salted=$ns")
+    val (ta2, na2) = time(auto)
+    require(np == ns && np == np2 && np == ns2 && np == na && np == na2,
+      s"row mismatch: plain=$np salted=$ns auto=$na")
     println(s"""{"probe":"skewed_sweep","sf":"$sfDir","rows":$np,""" +
       s""""slices":$slices,"plain_sec":${math.min(tp1, tp2)},""" +
-      s""""salted_sec":${math.min(ts1, ts2)}}""")
+      s""""salted_sec":${math.min(ts1, ts2)},""" +
+      s""""auto_sec":${math.min(ta1, ta2)}}""")
+
+    // ── RIGHT-heavy variant: the hot key's right side is 4× its left ──
+    // side (mega-entity with a fat fact stream). Manual left-slicing is
+    // the documented footgun (slices the thin side); auto must pick
+    // right-side slicing on its own and beat it.
+    val r4 = r.withColumn("__rep", explode(
+        when(col("grp_r") === 0L, sequence(lit(1), lit(4)))
+          .otherwise(array(lit(1)))))
+      .select((col("rid") * 10 + col("__rep")).as("rid"),
+        col("grp_r"), col("p"))
+    def plainR = SweepJoin(l, r4, Seq("grp"), Seq("grp_r"),
+      IntervalSpec.closed("s", "e"), IntervalSpec.point("p"))
+    def manualLeft = SaltedSweepJoin(l, r4, Seq("grp"), Seq("grp_r"),
+      IntervalSpec.closed("s", "e"), IntervalSpec.point("p"),
+      slices = slices, hotKeyThreshold = 300)
+    def autoR = SaltedSweepJoin.auto(l, r4, Seq("grp"), Seq("grp_r"),
+      IntervalSpec.closed("s", "e"), IntervalSpec.point("p"))
+    time(plainR); time(manualLeft); time(autoR)
+    val (tpr1, npr) = time(plainR); val (tml1, nml) = time(manualLeft)
+    val (tar1, nar) = time(autoR)
+    val (tpr2, npr2) = time(plainR); val (tml2, _) = time(manualLeft)
+    val (tar2, _) = time(autoR)
+    require(npr == nml && npr == nar && npr == npr2,
+      s"row mismatch (right-heavy): plain=$npr manualLeft=$nml auto=$nar")
+    println(s"""{"probe":"skewed_sweep_rheavy","sf":"$sfDir","rows":$npr,""" +
+      s""""plain_sec":${math.min(tpr1, tpr2)},""" +
+      s""""manual_left_sec":${math.min(tml1, tml2)},""" +
+      s""""auto_sec":${math.min(tar1, tar2)}}""")
     spark.stop()
   }
 }

@@ -100,6 +100,16 @@ object IntervalJoin {
     *                   no explicit binWidth was requested.
     *                   `Some(true)` forces it (throws if the shape is
     *                   ineligible); `Some(false)` disables.
+    * @param skewGuard  when the sweep path engages, route it through
+    *                   [[SaltedSweepJoin.auto]]: one both-sides stats
+    *                   pass detects hot equality keys (threshold derived
+    *                   from data volume and session parallelism, or the
+    *                   `spark.graft.skew.targetRowsPerTask` conf) and
+    *                   time-slices them across tasks; with no hot keys
+    *                   the plan is the plain sweep's. Off by default
+    *                   because the stats pass is one extra aggregation
+    *                   over both sides — turn it on when keys can be
+    *                   mega-entities (the `Profile.keySkew` shape).
     */
   def apply(
       left: DataFrame,
@@ -119,7 +129,8 @@ object IntervalJoin {
       nullSafeKeys: Boolean = true,
       binWidth: Option[Double] = None,
       autoBinWidth: Boolean = false,
-      sweep: Option[Boolean] = None): DataFrame = {
+      sweep: Option[Boolean] = None,
+      skewGuard: Boolean = false): DataFrame = {
 
     require(Seq("inner", "left", "right", "outer").contains(how), s"how=$how")
     require(!(autoBinWidth && binWidth.isDefined),
@@ -266,6 +277,12 @@ object IntervalJoin {
     // primary side is the left (how = inner ⊆ sweepEligible).
     val sweepKeep = useSweep && keep != "all" && effBinWidth.isEmpty
     val joined = effBinWidth match {
+      case None if useSweep && skewGuard =>
+        SaltedSweepJoin.auto(lValid, rJoinSide,
+          lKeys, rKeys.map(rPrefix + _),
+          leftSpec, rSpecRenamed, nullSafeKeys = nullSafeKeys,
+          keep = if (sweepKeep) keep else "all",
+          rightOrderCol = if (sweepKeep) Some(RightId) else None)
       case None if useSweep =>
         SweepJoin(lValid, rJoinSide,
           lKeys, rKeys.map(rPrefix + _),

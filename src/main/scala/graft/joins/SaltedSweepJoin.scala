@@ -75,7 +75,8 @@ object SaltedSweepJoin {
             hotKeyThreshold: Long = 2000000L,
             maxHotKeys: Int = 10000,
             keep: String = "all",
-            rightOrderCol: Option[String] = None): DataFrame = {
+            rightOrderCol: Option[String] = None,
+            nullSafeKeys: Boolean = false): DataFrame = {
     checkArgs(leftOn, rightOn, leftSpec, rightSpec, slices)
 
     val lValid = left.filter(graft.core.Intervals.nonEmpty(left, leftSpec))
@@ -92,10 +93,11 @@ object SaltedSweepJoin {
     if (nHot == 0) {
       // nothing hot: identical plan to the plain sweep, zero overhead
       return SweepJoin(left, right, leftOn, rightOn, leftSpec, rightSpec,
-        keep = keep, rightOrderCol = rightOrderCol)
+        nullSafeKeys = nullSafeKeys, keep = keep,
+        rightOrderCol = rightOrderCol)
     }
     salted(left, right, leftOn, rightOn, leftSpec, rightSpec, hot, slices,
-      keep, rightOrderCol)
+      keep, rightOrderCol, nullSafeKeys)
   }
 
   /** Stats-driven sweep with automatic skew routing — the connection of
@@ -121,10 +123,17 @@ object SaltedSweepJoin {
     * runtime shuffle statistics — which cannot see inside this custom
     * exec, hence the operator-level dispatch).
     *
+    * Null equality keys are never sliced (they stay on slice 0 with
+    * plain-sweep semantics) — under `nullSafeKeys` a hot all-null key
+    * therefore keeps its single-task cost; genuinely hot null keys are
+    * a data-quality smell the stats pass would surface anyway.
+    *
     * @param minHotRows       floor under which no key is ever "hot"
     *                         (slicing a small key is pure overhead)
-    * @param targetRowsPerTask overrides the derived threshold when > 0
-    *                         (testing / known cluster task sizing)
+    * @param targetRowsPerTask overrides the derived threshold when > 0;
+    *                         falls back to the session conf
+    *                         `spark.graft.skew.targetRowsPerTask`, then
+    *                         to the parallelism-derived value
     */
   def auto(left: DataFrame, right: DataFrame,
            leftOn: Seq[String], rightOn: Seq[String],
@@ -134,7 +143,8 @@ object SaltedSweepJoin {
            minHotRows: Long = 65536L,
            targetRowsPerTask: Long = 0L,
            slicesCap: Int = 32,
-           maxHotKeys: Int = 10000): DataFrame = {
+           maxHotKeys: Int = 10000,
+           nullSafeKeys: Boolean = false): DataFrame = {
     checkArgs(leftOn, rightOn, leftSpec, rightSpec, slices = 2)
     require(left.columns.map(_.toLowerCase).toSet
         .intersect(right.columns.map(_.toLowerCase).toSet).isEmpty,
@@ -178,8 +188,11 @@ object SaltedSweepJoin {
     val (totL, totR) =
       (if (totals.isNullAt(0)) 0L else totals.getLong(0),
         if (totals.isNullAt(1)) 0L else totals.getLong(1))
+    val confTarget = left.sparkSession.conf
+      .get("spark.graft.skew.targetRowsPerTask", "0").trim.toLong
     val threshold =
       if (targetRowsPerTask > 0) targetRowsPerTask
+      else if (confTarget > 0) confTarget
       else math.max(minHotRows, 2L * math.max(totL, totR) / parallelism)
 
     val hotAll = statsCk
@@ -190,7 +203,8 @@ object SaltedSweepJoin {
         s"$threshold — that is not skew; repartition or raise minHotRows")
     if (hotRows.isEmpty)
       return SweepJoin(left, right, leftOn, rightOn, leftSpec, rightSpec,
-        keep = keep, rightOrderCol = rightOrderCol)
+        nullSafeKeys = nullSafeKeys, keep = keep,
+        rightOrderCol = rightOrderCol)
 
     val hotL = hotRows.map(_.getLong(hotRows.head.fieldIndex("__ss_nl"))).sum
     val hotR = hotRows.map(_.getLong(hotRows.head.fieldIndex("__ss_nr"))).sum
@@ -211,7 +225,7 @@ object SaltedSweepJoin {
           col("__ss_rmn").as("__ss_mn") :+ col("__ss_rmx").as("__ss_mx") :+
           col("__ss_rd").as("__ss_d")): _*)
       salted(right, left, rightOn, leftOn, rightSpec, leftSpec, hot, slices,
-        keep = "all", rightOrderCol = None)
+        keep = "all", rightOrderCol = None, nullSafeKeys = nullSafeKeys)
         .select((left.columns ++ right.columns).map(col): _*)
     } else {
       val hot = hotAll
@@ -222,7 +236,7 @@ object SaltedSweepJoin {
           col("__ss_lmn").as("__ss_mn") :+ col("__ss_lmx").as("__ss_mx") :+
           col("__ss_ld").as("__ss_d")): _*)
       salted(left, right, leftOn, rightOn, leftSpec, rightSpec, hot, slices,
-        keep, rightOrderCol)
+        keep, rightOrderCol, nullSafeKeys)
     }
   }
 
@@ -274,7 +288,8 @@ object SaltedSweepJoin {
                      leftOn: Seq[String], rightOn: Seq[String],
                      leftSpec: IntervalSpec, rightSpec: IntervalSpec,
                      hot: DataFrame, slices: Int,
-                     keep: String, rightOrderCol: Option[String]): DataFrame = {
+                     keep: String, rightOrderCol: Option[String],
+                     nullSafeKeys: Boolean = false): DataFrame = {
     val lS = leftSpec.start.get
     val rS = rightSpec.start.get; val rE = rightSpec.stop.get
     val lValid = left.filter(graft.core.Intervals.nonEmpty(left, leftSpec))
@@ -328,9 +343,13 @@ object SaltedSweepJoin {
       .withColumn("__ss_salt", explode(saltArr))
       .select((right.columns.map(col) :+ col("__ss_salt")): _*)
 
+    // the appended salt key is never null, so null-safe semantics of the
+    // ORIGINAL keys pass through unchanged (null keys joined hotL/hotR
+    // as unmatched -> slice 0 on both sides, preserving their pairing)
     SweepJoin(lSalted, rSalted.withColumnRenamed("__ss_salt", "__ss_salt_r"),
       leftOn :+ "__ss_salt", rightOn :+ "__ss_salt_r",
-      leftSpec, rightSpec, keep = keep, rightOrderCol = rightOrderCol)
+      leftSpec, rightSpec, nullSafeKeys = nullSafeKeys,
+      keep = keep, rightOrderCol = rightOrderCol)
       .drop("__ss_salt", "__ss_salt_r")
   }
 }

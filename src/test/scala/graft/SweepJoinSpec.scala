@@ -492,4 +492,42 @@ class SweepJoinSpec extends SparkSuite {
     assert(!flat.queryExecution.executedPlan.toString.contains("__ss_salt"),
       "no skew -> the plain sweep plan, zero salting overhead")
   }
+
+  test("IntervalJoin skewGuard: auto-salted sweep behind the high-level API") {
+    import graft.joins.IntervalJoin
+    val rnd = new scala.util.Random(11)
+    val l = (0 until 2000).map { i =>
+      val g = if (i % 2 == 0) 0L else 1L + rnd.nextInt(50)
+      val st = rnd.nextInt(1000).toDouble
+      (g, i.toLong, st, st + rnd.nextInt(30))
+    }.toDF("grp", "lid", "ls", "le")
+    val r = (0 until 2000).map { i =>
+      val g = if (i % 2 == 0) 0L else 1L + rnd.nextInt(50)
+      val st = rnd.nextInt(1000).toDouble
+      (g, 5000L + i, st, st + rnd.nextInt(15))
+    }.toDF("grp", "rid", "rs", "re")
+    spark.conf.set("spark.graft.skew.targetRowsPerTask", "300")
+    try {
+      val guarded = IntervalJoin(l, r, IntervalSpec.closed("ls", "le"),
+        IntervalSpec.closed("rs", "re"), on = Seq("grp"),
+        sweep = Some(true), skewGuard = true)
+      assert(guarded.queryExecution.executedPlan.toString.contains("__ss_salt"),
+        "hot key must be sliced under the guard")
+      val plain = IntervalJoin(l, r, IntervalSpec.closed("ls", "le"),
+        IntervalSpec.closed("rs", "re"), on = Seq("grp"),
+        sweep = Some(true))
+      def key(d: org.apache.spark.sql.DataFrame) =
+        d.select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(key(guarded) == key(plain))
+      // keep=first through the guard: fused keep + left slicing
+      val gKeep = IntervalJoin(l, r, IntervalSpec.closed("ls", "le"),
+        IntervalSpec.closed("rs", "re"), on = Seq("grp"),
+        keep = "first", keepOrder = false, sweep = Some(true),
+        skewGuard = true)
+      val pKeep = IntervalJoin(l, r, IntervalSpec.closed("ls", "le"),
+        IntervalSpec.closed("rs", "re"), on = Seq("grp"),
+        keep = "first", keepOrder = false, sweep = Some(true))
+      assert(key(gKeep) == key(pKeep))
+    } finally spark.conf.unset("spark.graft.skew.targetRowsPerTask")
+  }
 }
