@@ -804,7 +804,16 @@ object SparkEntry {
   /** End-to-end curation pipeline: length filter → exact-dedup survivors
     * → near-dup transitive-closure canonicals → per-(lang, source) corpus
     * stats. Every stage is an oracle-proven operator; the composition is
-    * oracle-checked as a whole. */
+    * oracle-checked as a whole.
+    *
+    * The near-dup stage runs the SCALE shape a 100 TB curation pass
+    * actually uses: MinHash+LSH candidates with ANCHOR2 pairing (O(m)
+    * pairs per bucket instead of m(m−1)/2 — cluster assignment only
+    * needs the closure, never the full pair list) and the refused-bucket
+    * recall audit attached as an `observe` metric, so every run reports
+    * its silent-recall loss for free. Oracle: transitive closure of the
+    * EXACT 3-gram-Jaccard pair set over the survivors (complete at 16×2
+    * bands whp — same argument as q_dedup_minhash/q_dedup_anchor). */
   private val q_pipeline: (SparkSession, String) => DataFrame =
     (s, dir) => {
       val d1 = docs(s, dir)
@@ -815,8 +824,9 @@ object SparkEntry {
       // where a pipeline writes its intermediate back to storage)
       val d3 = ExactDedup.survivors(d1, Seq("text"), "doc_id")
         .localCheckpoint(false)
-      val pairs = NgramJaccardDedup(d3, "text", "doc_id",
-        n = 1, threshold = 0.9, blockBy = Seq("lang"))
+      val pairs = MinHashDedup(d3, "text", "doc_id",
+        numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.8,
+        pairing = "anchor2", observeDropped = Some("graft_pipeline_dedup"))
       DuplicateClusters(d3, "doc_id", pairs, "id_l", "id_r")
         .filter(col("is_canonical") === 1)
         .groupBy("lang", "source")
@@ -873,6 +883,33 @@ object SparkEntry {
     (s, dir) =>
       SimHashDedup(docs(s, dir), "text", "doc_id", maxHamming = 3,
         tokenHash = md5Hash60)
+
+  /** The streaming SimHash first-arrival gate executed in batch:
+    * [[graft.streaming.StreamingOps.streamingSimHashDedup]] is a
+    * stateless codegen'd fingerprint plus a keyed first-row selection,
+    * so the identical code path runs bounded here (the MemoryStream
+    * spec drives it incrementally). Event time is synthesized
+    * monotonically from doc_id, so streaming first-arrival ==
+    * min(doc_id) per signature — exactly what the DuckDB oracle
+    * computes from the md5-reproducible fingerprints. */
+  private val q_dedup_simhash_stream: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.streaming.StreamingOps.streamingSimHashDedup(
+        docs(s, dir).withColumn("ts", timestamp_seconds(col("doc_id"))),
+        "text", "ts", watermark = "1 hour", tokenHash = md5Hash60)
+        .select(col("doc_id").as("did"), col("simhash").as("sim"))
+
+  /** The dropped-recall audit as a first-class query:
+    * [[graft.dedup.SimHashDedup.droppedBlocks]] reports every pigeonhole
+    * block the skew guard would refuse at this `maxBucket` — at corpus
+    * scale this runs alongside (or as an `observe` metric inside) the
+    * dedup itself so silent recall loss is always a surfaced number.
+    * `maxBucket = 1` here so the multi-member blocks that necessarily
+    * back every simhash pair are the audited set. */
+  private val q_dedup_audit: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      SimHashDedup.droppedBlocks(docs(s, dir), "text", "doc_id",
+        maxHamming = 3, tokenHash = md5Hash60, maxBucket = 1)
 
   /** Anchor-paired near-dup clustering — the O(m)-per-bucket scale
     * shape for dup-heavy corpora: LSH buckets emit (member, bucket-min)
@@ -2559,6 +2596,8 @@ object SparkEntry {
     "q_dedup_cluster"       -> q_dedup_cluster,
     "q_pipeline"            -> q_pipeline,
     "q_dedup_simhash"       -> q_dedup_simhash,
+    "q_dedup_simhash_stream" -> q_dedup_simhash_stream,
+    "q_dedup_audit"         -> q_dedup_audit,
     "q_dedup_embcos"        -> q_dedup_embcos,
     "q_dedup_embcluster"    -> q_dedup_embcluster,
     "q_dedup_semantic"      -> q_dedup_semantic,
@@ -3234,6 +3273,10 @@ object SparkEntry {
         |SELECT did, cid, COUNT(*) OVER (PARTITION BY cid) AS sz,
         |       CAST(did = cid AS INT) AS canon
         |FROM lab""".stripMargin,
+    // near-dup stage oracle = closure of the EXACT 3-gram-Jaccard pairs
+    // over the survivors (LSH 16x2 bands complete at J >= 0.8 whp, and
+    // anchor2 pairing loses no cluster structure — q_dedup_anchor/2
+    // prove both legs separately)
     "q_pipeline" ->
       s"""WITH RECURSIVE
         |d0 AS (SELECT doc_id, text, lang, source, len($ToksExpr) AS ntok
@@ -3241,11 +3284,14 @@ object SparkEntry {
         |d1 AS (SELECT * FROM d0 WHERE ntok >= 5),
         |sv AS (SELECT MIN(doc_id) AS doc_id FROM d1 GROUP BY text),
         |d3 AS (SELECT d1.* FROM d1 JOIN sv USING (doc_id)),
-        |dk AS (SELECT doc_id, lang, list_distinct($ToksExpr) AS tk FROM d3),
+        |dt AS (SELECT doc_id, $ToksExpr AS tk FROM d3),
+        |dk AS (SELECT doc_id, list_distinct(
+        |        [list_aggregate(tk[i:i+2], 'string_agg', ' ')
+        |         FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS sh FROM dt),
         |p AS (SELECT a.doc_id AS u, b.doc_id AS v
-        |      FROM dk a JOIN dk b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |      WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
-        |          / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.9),
+        |      FROM dk a JOIN dk b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
         |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) t
         |                UNION SELECT r.u, ed.v FROM reach r JOIN e ed ON r.v = ed.u),
@@ -4498,6 +4544,39 @@ object SparkEntry {
     // 4 pigeonhole blocks the blocking is EXACT (any pair within distance
     // 3 shares >=1 untouched block), so the oracle is the full
     // quadratic hamming join
+    // batch-mode streaming gate: keep min(doc_id) per fingerprint (event
+    // time is monotone in doc_id, so first-arrival == min id)
+    "q_dedup_simhash_stream" ->
+      s"""WITH d AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
+        |h AS (SELECT doc_id,
+        |        [CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) FOR t IN tk] AS hs
+        |      FROM d),
+        |s AS (SELECT doc_id, CAST(coalesce(list_sum(
+        |        [CASE WHEN coalesce(list_sum(
+        |                [CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]), 0) > 0
+        |              THEN 1::BIGINT << j ELSE 0 END
+        |         FOR j IN range(0, 60)]), 0) AS BIGINT) AS sim
+        |      FROM h)
+        |SELECT MIN(doc_id) AS did, sim FROM s GROUP BY sim""".stripMargin,
+    // pigeonhole-block audit: 4 blocks of 16 bits (maxHamming 3), blocks
+    // with > 1 member — the refused set at maxBucket = 1
+    "q_dedup_audit" ->
+      s"""WITH d AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
+        |h AS (SELECT doc_id,
+        |        [CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) FOR t IN tk] AS hs
+        |      FROM d),
+        |s AS (SELECT doc_id, CAST(coalesce(list_sum(
+        |        [CASE WHEN coalesce(list_sum(
+        |                [CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]), 0) > 0
+        |              THEN 1::BIGINT << j ELSE 0 END
+        |         FOR j IN range(0, 60)]), 0) AS BIGINT) AS sim
+        |      FROM h),
+        |b AS (SELECT doc_id, CAST(j AS INT) AS blk,
+        |        CASE WHEN j = 3 THEN sim >> 48
+        |             ELSE (sim >> (16 * j)) & 65535 END AS key
+        |      FROM s, range(0, 4) t(j))
+        |SELECT blk, key, COUNT(*) AS members FROM b
+        |GROUP BY 1, 2 HAVING COUNT(*) > 1""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH d AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
         |h AS (SELECT doc_id,

@@ -143,6 +143,12 @@ object MinHashDedup {
     *                    "anchor2" (two anchors, robust to one
     *                    false-positive anchor per bucket — see
     *                    [[Buckets.anchorPairsFromGroups]])
+    * @param observeDropped when set, attach an `observe` metric of this
+    *                    name counting refused buckets to the plan — the
+    *                    recall audit as a FREE byproduct of every run
+    *                    (poll with
+    *                    [[org.apache.spark.sql.graft.ObservedMetrics]])
+    *                    instead of a separate [[droppedBuckets]] pass
     * @return pairs `(id_l, id_r, jaccard)` with `id_l < id_r`
     */
   def apply(
@@ -154,7 +160,8 @@ object MinHashDedup {
       shingleN: Int = 3,
       threshold: Double = 0.5,
       maxBucket: Int = 1000,
-      pairing: String = "all"): DataFrame = {
+      pairing: String = "all",
+      observeDropped: Option[String] = None): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val r = numHashes / numBands
 
@@ -170,7 +177,7 @@ object MinHashDedup {
     // buffer. A bucket of m rows emits m(m-1)/2 pairs ("all") or m-1
     // ("anchor").
     val pairs = Buckets.boundedPairs(exploded, Seq("band", "bucket"), "id",
-      maxBucket, pairing)
+      maxBucket, pairing, observeDropped)
 
     // verification re-attaches the (cached) hashed shingles; Jaccard via
     // the codegen'd sorted-merge intersection
@@ -324,13 +331,14 @@ object Buckets {
     * `.distinct()` its stream first.
     */
   def boundedPairs(exploded: DataFrame, keyCols: Seq[String], idCol: String,
-                   maxBucket: Int, pairing: String = "all"): DataFrame = {
+                   maxBucket: Int, pairing: String = "all",
+                   observeDropped: Option[String] = None): DataFrame = {
     require(maxBucket >= 1, "maxBucket >= 1")
     require(pairing == "all" || pairing == "anchor" || pairing == "anchor2",
       s"pairing=$pairing (expected all | anchor | anchor2)")
     val longIds = exploded.schema(idCol).dataType ==
       org.apache.spark.sql.types.LongType
-    val grouped =
+    val grouped0 =
       if (longIds && maxBucket < Int.MaxValue)
         exploded.groupBy(keyCols.map(col): _*)
           .agg(org.apache.spark.sql.graft.SketchFunctions
@@ -344,6 +352,20 @@ object Buckets {
         bounded.groupBy(keyCols.map(col): _*)
           .agg(collect_list(col(idCol)).as("__graft_bids"))
       }
+    // free recall audit: on the long-id path a refused bucket is exactly
+    // one whose bounded collection hit maxBucket+1, so counting them is
+    // an `observe` on rows already flowing through the plan — every run
+    // of the consuming query reports its silent-recall loss as a metric
+    // ([[org.apache.spark.sql.graft.ObservedMetrics]] collects it).
+    // On the count-first fallback the refused keys never reach `grouped`,
+    // so the audit stays with [[hotKeys]].
+    val grouped = observeDropped match {
+      case Some(name) if longIds && maxBucket < Int.MaxValue =>
+        grouped0.observe(name,
+          sum(when(size(col("__graft_bids")) > maxBucket, 1L).otherwise(0L))
+            .as("dropped_buckets"))
+      case _ => grouped0
+    }
     pairing match {
       case "all"    => pairsFromGroups(grouped, "__graft_bids", maxBucket)
       case "anchor" => anchorPairsFromGroups(grouped, "__graft_bids", maxBucket)
@@ -483,6 +505,16 @@ object SimHashDedup {
     */
   def simhash(tokens: Column): Column =
     votesToBits(bitVotes(transform(tokens, t => xxhash64(t))))
+
+  /** 64-bit simhash of a TEXT column through the native codegen'd
+    * vote/fold expression — the per-row production form (stateless, so
+    * it runs unchanged in streaming plans; see
+    * [[graft.streaming.StreamingOps.streamingSimHashDedup]]).
+    */
+  def fingerprint(text: Column,
+                  tokenHash: Column => Column = (t: Column) => xxhash64(t)): Column =
+    org.apache.spark.sql.graft.VecFunctions.simhash64(
+      transform(Shingles.tokens(text), tokenHash))
 
   private def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
@@ -218,18 +218,37 @@ object StreamingOps {
     * documents (a d-bit flip changes the signature, so this is the
     * streaming recall floor; the full pigeonhole pair search stays a
     * batch operator — its self-join is not incremental).
+    *
+    * On a BATCH frame the identical fingerprint plan runs with the
+    * deterministic analog of first-arrival: the earliest-`timeCol` row
+    * per signature (a keyed window, not `dropDuplicates`, whose batch
+    * row choice is nondeterministic) — how the driver query puts this
+    * gate under the DuckDB oracle. Ties on `timeCol` within a signature
+    * break arbitrarily; feed a unique event time for full determinism.
+    *
+    * @param tokenHash token → 64-bit hash; default `xxhash64`.
+    *                  Swappable for a cross-engine-reproducible hash
+    *                  (md5 prefix) in differential oracles.
     */
   def streamingSimHashDedup(
       docs: DataFrame,
       textCol: String,
       timeCol: String,
-      watermark: String): DataFrame =
-    docs
-      .withColumn("__graft_sh64",
-        graft.dedup.SimHashDedup.simhash(graft.text.Shingles.tokens(col(textCol))))
-      .withWatermark(timeCol, watermark)
-      .dropDuplicatesWithinWatermark(Seq("__graft_sh64"))
-      .withColumnRenamed("__graft_sh64", "simhash")
+      watermark: String,
+      tokenHash: Column => Column = (t: Column) => xxhash64(t)): DataFrame = {
+    val sig = docs.withColumn("__graft_sh64",
+      graft.dedup.SimHashDedup.fingerprint(col(textCol), tokenHash))
+    val kept =
+      if (sig.isStreaming)
+        sig.withWatermark(timeCol, watermark)
+          .dropDuplicatesWithinWatermark(Seq("__graft_sh64"))
+      else
+        sig.withColumn("__graft_rn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("__graft_sh64").orderBy(col(timeCol))))
+          .filter(col("__graft_rn") === 1).drop("__graft_rn")
+    kept.withColumnRenamed("__graft_sh64", "simhash")
+  }
 
   /** Streaming incremental MinHash near-dup gate: each arriving
     * document's near-duplicates (true Jaccard ≥ `threshold`) in a

@@ -97,6 +97,17 @@ class PipelineSpecs extends SparkSuite {
     val mhDropped = MinHashDedup.droppedBuckets(df, "text", "doc_id",
       numHashes = 32, numBands = 16, shingleN = 3, maxBucket = 10)
     assert(mhDropped.count() == 16) // all 16 band buckets of the fat doc
+
+    // observeDropped: the same refusal count as a FREE byproduct of the
+    // dedup run itself (observe metric on the bounded-collection frame)
+    val observed = MinHashDedup(df, "text", "doc_id", numHashes = 32,
+      numBands = 16, shingleN = 3, threshold = 0.8, maxBucket = 10,
+      observeDropped = Some("mh_audit"))
+    observed.collect()
+    val metric = observed.queryExecution.observedMetrics
+    assert(metric.contains("mh_audit"), metric.keySet.toString)
+    assert(metric("mh_audit").getAs[Long]("dropped_buckets") == 16L,
+      metric("mh_audit").toString)
   }
 
   test("anchor pairing: O(m) pairs per bucket, closure equals all-pairs closure") {

@@ -249,6 +249,22 @@ class StreamingSpecs extends SparkSuite {
     } finally q.stop()
   }
 
+  test("simhash gate batch parity: earliest-time row kept per signature, " +
+      "deterministic") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = Seq(
+      (7L, ts("2024-01-01 00:00:30"), base),  // later arrival, smaller id
+      (2L, ts("2024-01-01 00:00:00"), base),  // first arrival wins
+      (3L, ts("2024-01-01 00:02:00"), "completely different content here"))
+    val batch = rows.toDF("doc_id", "ts", "text")
+    val out = StreamingOps.streamingSimHashDedup(
+      batch, "text", "ts", watermark = "1 hour")
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // first ARRIVAL (min ts), not min id: doc 2 beats doc 7
+    assert(kept == Set(2L, 3L), kept.toString)
+    assert(out.columns.contains("simhash"))
+  }
+
   test("streaming minhash vs static corpus: matches across micro-batches, " +
       "band hits collapsed, batch parity") {
     implicit val sqlCtx = spark.sqlContext
