@@ -185,6 +185,27 @@ class PipelineSpecs extends SparkSuite {
     assert(verifiedClosure("anchor2") == Set(Set(2L, 3L, 4L)))
   }
 
+  test("boundedPairs contract: membership streams must be distinct per (key, id)") {
+    import graft.dedup.Buckets
+    // 5 distinct ids, each repeated 3x in one bucket: 15 raw rows
+    val dup = (1 to 5).flatMap(i => Seq.fill(3)((7L, i.toLong)))
+      .toDF("bucket", "id")
+    // long-id min-k path judges bucket size by DISTINCT ids: 5 <= 10 keeps
+    // the bucket, and min_k_longs dedupes the repeats for free
+    val minK = Buckets.boundedPairs(dup, Seq("bucket"), "id", maxBucket = 10)
+    assert(minK.count() == 10) // C(5,2)
+    // count-first fallback (non-long ids) judges by RAW row count:
+    // 15 > 10 drops the bucket — the divergence the contract forbids
+    val dupInt = dup.select(col("bucket"), col("id").cast("int").as("id"))
+    val cf = Buckets.boundedPairs(dupInt, Seq("bucket"), "id", maxBucket = 10)
+    assert(cf.count() == 0)
+    // .distinct()-ing the stream (the documented caller obligation)
+    // reconciles the two paths
+    val cfD = Buckets.boundedPairs(dupInt.distinct(), Seq("bucket"), "id",
+      maxBucket = 10)
+    assert(cfD.count() == 10)
+  }
+
   test("Bpe.encode refuses vocabulary-scale merge lists; toWordPieceVocab is the route") {
     import graft.text.{Bpe, WordPiece}
     val words = Seq(("low", 5L), ("lower", 2L), ("lowest", 1L))
