@@ -493,6 +493,39 @@ class SweepJoinSpec extends SparkSuite {
       "no skew -> the plain sweep plan, zero salting overhead")
   }
 
+  test("auto salted sweep ≡ plain sweep (randomized: skew side × keep × closedness)") {
+    import graft.joins.SaltedSweepJoin
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      // plant a hot key on a pseudo-random side; everything else varies
+      val hotOnLeft = seed % 2 == 0
+      val nKeys = 1 + rnd.nextInt(30)
+      def rows(n: Int, hot: Boolean, idBase: Long, maxLen: Int) =
+        (0 until n).map { i =>
+          val g = if (hot && i % 5 < 3) 0L else rnd.nextInt(nKeys).toLong
+          val s = rnd.nextInt(200).toDouble
+          (g, idBase + i, s, s + rnd.nextInt(maxLen))
+        }
+      val l = rows(600, hotOnLeft, 0L, 30).toDF("grp", "lid", "ls", "le")
+      val r = rows(900, !hotOnLeft, 10000L, 12).toDF("g2", "rid", "rs", "re")
+      val spec = if (seed % 3 == 0)
+        (IntervalSpec.open("ls", "le"), IntervalSpec.closed("rs", "re"))
+      else (IntervalSpec.closed("ls", "le"), IntervalSpec.closed("rs", "re"))
+      val keep = Seq("all", "first", "last")(seed % 3)
+      val ord = if (keep == "all") None else Some("rid")
+      def pairs(d: org.apache.spark.sql.DataFrame) =
+        d.select("lid", "rid").as[(Long, Long)].collect().toSet
+      val plain = pairs(SweepJoin(l, r, Seq("grp"), Seq("g2"),
+        spec._1, spec._2, keep = keep, rightOrderCol = ord))
+      val auto = SaltedSweepJoin.auto(l, r, Seq("grp"), Seq("g2"),
+        spec._1, spec._2, keep = keep, rightOrderCol = ord,
+        targetRowsPerTask = 100)
+      assert(auto.queryExecution.executedPlan.toString.contains("__ss_salt"),
+        s"seed=$seed: the planted hot key must trip the derived threshold")
+      assert(pairs(auto) == plain, s"seed=$seed keep=$keep hotLeft=$hotOnLeft")
+    }
+  }
+
   test("IntervalJoin skewGuard: auto-salted sweep behind the high-level API") {
     import graft.joins.IntervalJoin
     val rnd = new scala.util.Random(11)
