@@ -1244,6 +1244,68 @@ object SparkEntry {
           r6m(col("cosine")).as("cosine"), col("rank"))
     }
 
+  /** Product-quantization ANN (Jégou et al. 2011): the 64-dim corpus
+    * is split into 8 subspaces × 8 codes, codebooks trained by 2
+    * integer fixed-point Lloyd iterations, each vector stored as 8
+    * codes, and search is ADC — per-query lookup-table sums in exact
+    * Longs. Codes, distances, and ranks are bit-identical in DuckDB
+    * (the KMeans determinism contract; zero float tolerance). */
+  private val q_ann_pq: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = emb(s, dir)
+      val (model, codes) = graft.similarity.PqAnn.fit(
+        e, "vec_id", "embedding", m = 8, ksub = 8, iters = 2)
+      graft.similarity.PqAnn.search(
+        codes, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        "pq_codes", k = 5, model)
+    }
+
+  /** Unrolled DuckDB replay of PqAnn's integer Lloyd training + ADC
+    * search (m=8 → dsub=8, ksub=8, 2 iterations, scale 2^20). `fdist`
+    * doubles as both the final corpus assignment input AND the query
+    * lookup tables (queries ⊆ corpus), so ADC = sum over subspaces of
+    * the query's distance row at the neighbor's code. */
+  private val PqCte: String = {
+    val iters = (1 to 2).map { i =>
+      val p = s"cb${i - 1}"
+      s"""pdist$i AS (SELECT p.vec_id, c.s, c.code,
+         |    sum((p.q - c.v) * (p.q - c.v)) AS dist
+         |  FROM pqpts p JOIN $p c ON p.s = c.s AND p.w = c.w
+         |  GROUP BY 1, 2, 3),
+         |pa$i AS (SELECT vec_id, s, code,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+         |  FROM pdist$i),
+         |pagg$i AS (SELECT a.s, a.code, p.w, sum(p.q) AS sm, count(*) AS n
+         |  FROM pqpts p JOIN (SELECT vec_id, s, code FROM pa$i WHERE rn = 1) a
+         |    ON p.vec_id = a.vec_id AND p.s = a.s
+         |  GROUP BY 1, 2, 3),
+         |cb$i AS (SELECT c.s, c.code, c.w, coalesce(g.sm // g.n, c.v) AS v
+         |  FROM $p c LEFT JOIN pagg$i g
+         |    ON c.s = g.s AND c.code = g.code AND c.w = g.w)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pq0 AS (SELECT vec_id,
+       |    unnest(range(0, len(embedding))) AS d,
+       |    unnest(embedding) AS x
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |pqpts AS (SELECT vec_id, d // 8 AS s, d % 8 AS w,
+       |    CAST(floor(x::DOUBLE * 1048576) AS BIGINT) AS q FROM pq0),
+       |pqseeds AS (SELECT vec_id,
+       |    row_number() OVER (ORDER BY vec_id) - 1 AS code
+       |  FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
+       |        ORDER BY vec_id LIMIT 8)),
+       |cb0 AS (SELECT p.s, sd.code, p.w, p.q AS v
+       |  FROM pqseeds sd JOIN pqpts p USING (vec_id)),
+       |$iters,
+       |fdist AS (SELECT p.vec_id, c.s, c.code,
+       |    sum((p.q - c.v) * (p.q - c.v)) AS dist
+       |  FROM pqpts p JOIN cb2 c ON p.s = c.s AND p.w = c.w
+       |  GROUP BY 1, 2, 3),
+       |fcodes AS (SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+       |    FROM fdist) WHERE rn = 1)""".stripMargin
+  }
+
   private val q_salted_join: (SparkSession, String) => DataFrame =
     (s, dir) => {
       // maximal skew: 3 l_returnflag values over the whole lineitem table —
@@ -2615,6 +2677,7 @@ object SparkEntry {
     "q_ann_lsh"             -> q_ann_lsh,
     "q_kmeans"              -> q_kmeans,
     "q_ann_ivf"             -> q_ann_ivf,
+    "q_ann_pq"              -> q_ann_pq,
     "q_salted_join"         -> q_salted_join,
     "q_bloom_join"          -> q_bloom_join,
     "q_profile"             -> q_profile,
@@ -3556,6 +3619,19 @@ object SparkEntry {
         |SELECT qid AS query_id, nid AS neighbor_id,
         |  ROUND(cos + 1e-9, 6) + 0.0 AS cosine, rn AS rank
         |FROM r WHERE rn <= 5""".stripMargin,
+    "q_ann_pq" ->
+      s"""$PqCte,
+        |adc AS (SELECT qd.vec_id AS query_id, nc.vec_id AS neighbor_id,
+        |    CAST(sum(qd.dist) AS BIGINT) AS adist
+        |  FROM fdist qd JOIN fcodes nc ON qd.s = nc.s AND qd.code = nc.code
+        |  WHERE qd.vec_id < 10 AND nc.vec_id <> qd.vec_id
+        |  GROUP BY 1, 2),
+        |pqr AS (SELECT query_id, neighbor_id, adist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist, neighbor_id) AS rank
+        |  FROM adc)
+        |SELECT query_id, neighbor_id, adist, rank
+        |FROM pqr WHERE rank <= 5""".stripMargin,
     "q_topk" ->
       """WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority

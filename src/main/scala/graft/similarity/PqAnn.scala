@@ -1,0 +1,250 @@
+package graft.similarity
+
+import org.apache.spark.sql.graft.CheckpointStats
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN (Jégou, Douze, Schmid, "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011) — the compressed-domain
+  * scale path beyond [[IvfAnn]]'s cell pruning and [[Quantize]]'s int8
+  * codes.
+  *
+  * The vector space is split into `m` contiguous subspaces of
+  * `dsub = dim / m` components each; every subspace gets its own
+  * codebook of `ksub` centroids trained by Lloyd iterations, and a
+  * corpus vector is stored as `m` small codes (one byte each for
+  * ksub ≤ 256). Search is ADC (asymmetric distance computation): a
+  * query precomputes an `m × ksub` lookup table of exact
+  * query-subvector ↔ centroid distances, and a corpus vector's
+  * approximate squared distance is the sum of `m` table lookups — no
+  * float math per corpus component at all.
+  *
+  * Why it matters at 100 TB: a 64-dim float32 embedding is 256 B; its
+  * PQ code (m = 8) is 8 B — 32×. The corpus scan that ADC does runs
+  * over the CODE table, so a 100 TB embedding store becomes a ~3 TB
+  * compressed scan, and the per-query state is one m·ksub Long table.
+  *
+  * Determinism contract (the [[KMeans]] / [[graft.graph.PageRank]]
+  * one): components are quantized ONCE to `floor(x · scale)` longs,
+  * every distance is an exact integer sum of squares, centroid updates
+  * are truncating Long division, and ADC sums are exact Longs — codes,
+  * distances, and ranks are bit-identical under any partitioning and in
+  * any engine with 64-bit integers (the DuckDB oracle replays the same
+  * iterations with zero float tolerance).
+  *
+  * Plan shape:
+  *   - `fit` trains ALL `m` codebooks in one shuffle per iteration:
+  *     assignment is a map-side expression against the codebook
+  *     literals, and the update aggregates `(subspace, code, pos)` →
+  *     (sum, count) — the collect is bounded by m·ksub·dsub rows,
+  *     corpus-size-independent;
+  *   - `encode` is a pure projection (write the codes next to the data:
+  *     that column IS the index, and it costs m bytes/row);
+  *   - `search` broadcasts the queries WITH their lookup tables and
+  *     streams the code table; per-query top-k via the rank window
+  *     (WindowGroupLimit prunes map-side). Compose with [[IvfAnn]]
+  *     cells (`coarse`) to prune the scan to `nprobe/nlist` of the
+  *     corpus — the classic IVF-ADC layout (codes here are over the raw
+  *     vectors, not cell residuals: one codebook serves every cell, at
+  *     some recall cost vs residual encoding — documented trade).
+  */
+object PqAnn {
+
+  /** Trained codebooks: `codebooks(s)(j)` is subspace `s`'s code-`j`
+    * centroid (length dsub) in fixed-point units of `1/scale`.
+    */
+  case class Model(codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Long]]], scale: Long) {
+    require(codebooks.nonEmpty && codebooks.head.nonEmpty &&
+      codebooks.head.head.nonEmpty, "empty codebooks")
+    val m: Int = codebooks.length
+    val ksub: Int = codebooks.head.length
+    val dsub: Int = codebooks.head.head.length
+    require(codebooks.forall(cb => cb.length == ksub &&
+      cb.forall(_.length == dsub)), "ragged codebooks")
+
+    /** floor(x · scale) as array<long> — the one quantization step. */
+    def quantize(v: Column): Column =
+      transform(v, x => floor(x.cast("double") * scale).cast("long"))
+
+    /** Exact integer squared distance between QUANTIZED subvector
+      * `s` of subspace `si` and centroid `j`. */
+    private[similarity] def subDist(q: Column, si: Int, j: Int): Column =
+      aggregate(
+        zip_with(slice(q, si * dsub + 1, dsub), typedLit(codebooks(si)(j)),
+          (x, c) => (x - c) * (x - c)),
+        lit(0L), (acc, v) => acc + v)
+
+    /** Code of subspace `si` for quantized vector `q`: argmin distance,
+      * ties to the smallest code. */
+    private[similarity] def subCode(q: Column, si: Int): Column =
+      array_min(array((0 until ksub).map { j =>
+        struct(subDist(q, si, j).as("dist"), lit(j).as("code"))
+      }: _*))
+        // struct() drops aliases when children carry lambdas (cf.
+        // KMeans.best) — restore the field names with a free cast
+        .cast("struct<dist:bigint,code:int>")
+        .getField("code")
+
+    /** PQ codes of RAW vector `v`: array<int> of length m. */
+    def encode(v: Column): Column = encodeQuantized(quantize(v))
+
+    /** encode() over an ALREADY-quantized column (fit's internal
+      * frame — avoids double quantization). */
+    private[similarity] def encodeQuantized(q: Column): Column =
+      array((0 until m).map(subCode(q, _)): _*)
+
+    /** ADC lookup table of RAW query vector `v`: array<array<bigint>>,
+      * `lut[s][j]` = exact distance from the query's subspace-`s`
+      * subvector to centroid `j`. */
+    def lut(v: Column): Column = {
+      val q = quantize(v)
+      array((0 until m).map { si =>
+        array((0 until ksub).map(j => subDist(q, si, j)): _*)
+      }: _*)
+    }
+
+    /** Approximate squared distance = sum of m table lookups (exact
+      * Long — element_at is 1-based). */
+    def adc(codes: Column, lutCol: Column): Column =
+      aggregate(
+        zip_with(codes, lutCol, (c, row) => element_at(row, c + 1)),
+        lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Train all m codebooks with `iters` Lloyd iterations. Returns the
+    * model and the encoded corpus `(idCol, pq_codes)`.
+    *
+    * Seeds: subspace `s`'s codebook = the subvectors of the `ksub`
+    * smallest-id rows — reproducible everywhere, no RNG (swap a
+    * k-means|| seeding in when cross-engine reproducibility is not
+    * required). Codes that lose every point keep their centroid.
+    */
+  def fit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      scale: Long = 1L << 20): (Model, DataFrame) = {
+    require(m > 0 && ksub > 0 && iters >= 0, "m > 0, ksub > 0, iters >= 0")
+    require(scale > 0 && java.lang.Long.bitCount(scale) == 1,
+      "scale must be a power of two (exact double multiplication)")
+    require(scale <= (1L << 28), s"scale=$scale leaves no distance headroom")
+
+    val seedM = Model(IndexedSeq(IndexedSeq(IndexedSeq(0L))), scale) // quantize only
+    val pts0 = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__pqid"), seedM.quantize(col(vecCol)).as("__pqq"))
+    val cp = pts0.localCheckpoint(true)
+    // one stats pass: the ragged-dim guard (cf. KMeans.fit — a short
+    // vector would null-pad zip_with and corrupt the argmin silently)
+    val st = cp.agg(count(lit(1)).as("n"),
+      min(size(col("__pqq"))).as("mnd"), max(size(col("__pqq"))).as("mxd"))
+      .head()
+    val n = st.getLong(0)
+    require(n >= ksub, s"need >= $ksub non-null vectors, got $n")
+    val dim = st.getInt(1)
+    require(dim == st.getInt(2),
+      s"ragged vector dimensions: min $dim, max ${st.getInt(2)}")
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    // ADC sums all dim terms: the same Long-headroom bound as KMeans
+    require(dim.toLong <= Long.MaxValue / (4L * scale * scale),
+      s"dim=$dim at scale=$scale can overflow 64-bit distances")
+    val pts = CheckpointStats.withRowCount(cp, n, 8L + 12L * dim)
+
+    // deterministic seeds: subvectors of the ksub smallest ids
+    val seedRows = pts.orderBy(col("__pqid")).limit(ksub)
+      .select(col("__pqq")).collect()
+      .map(_.getSeq[Long](0).toIndexedSeq)
+    require(seedRows.length == ksub, s"need >= $ksub non-null vectors")
+    var codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+      IndexedSeq.tabulate(m)(si =>
+        seedRows.toIndexedSeq.map(r => r.slice(si * dsub, (si + 1) * dsub)))
+
+    for (_ <- 1 to iters) {
+      val mod = Model(codebooks, scale)
+      // ONE shuffle updates every subspace: explode positions, route
+      // each component to its (subspace, winning code, within-pos)
+      // cell. Collect is bounded by m·ksub·dsub rows.
+      val sums = pts
+        .select(col("__pqq"),
+          array((0 until m).map(si => mod.subCode(col("__pqq"), si)): _*)
+            .as("__codes"))
+        .select(posexplode(col("__pqq")), col("__codes"))
+        .select((col("pos") / dsub).cast("int").as("__s"),
+          element_at(col("__codes"), (col("pos") / dsub).cast("int") + 1).as("__c"),
+          (col("pos") % dsub).cast("int").as("__w"),
+          col("col").as("__v"))
+        .groupBy(col("__s"), col("__c"), col("__w"))
+        .agg(sum(col("__v")).as("sm"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+          (r.getLong(r.fieldIndex("sm")), r.getLong(r.fieldIndex("n")))))
+        .toMap
+      codebooks = IndexedSeq.tabulate(m) { si =>
+        IndexedSeq.tabulate(ksub) { j =>
+          IndexedSeq.tabulate(dsub) { w =>
+            sums.get((si, j, w)) match {
+              case Some((sm, cnt)) => sm / cnt // truncation — DuckDB `//`
+              case None            => codebooks(si)(j)(w) // empty code
+            }
+          }
+        }
+      }
+    }
+
+    val model = Model(codebooks, scale)
+    (model, pts.select(col("__pqid").as(idCol),
+      model.encodeQuantized(col("__pqq")).as("pq_codes")))
+  }
+
+  /** Top-k neighbors per query by ADC distance over the code table.
+    *
+    * @param corpusCodes (idCol, codesCol) — the encoded corpus
+    * @param queries     (idCol, vecCol) raw query vectors — small;
+    *                    broadcast with their lookup tables
+    * @param coarse      optional IVF composition: (cell column already
+    *                    present on corpusCodes, coarse model, nprobe) —
+    *                    prunes the scan to the probed cells
+    * @return (query_id, neighbor_id, adist, rank) — rank 1..k by
+    *         ascending ADC distance, ties by neighbor id ascending
+    */
+  def search(
+      corpusCodes: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codesCol: String,
+      k: Int,
+      model: Model,
+      excludeSelf: Boolean = true,
+      coarse: Option[(String, IvfAnn.Model, Int)] = None): DataFrame = {
+    val q0 = queries
+      .select(col(idCol).as("query_id"), model.lut(col(vecCol)).as("__lut"),
+        // IvfAnn's cosine expressions require array<double>
+        col(vecCol).cast("array<double>").as("__qv"))
+    val scored = coarse match {
+      case None =>
+        val c = corpusCodes.select(col(idCol).as("neighbor_id"),
+          col(codesCol).as("__codes"))
+        c.crossJoin(broadcast(q0.drop("__qv")))
+      case Some((cellCol, cm, nprobe)) =>
+        val c = corpusCodes.select(col(idCol).as("neighbor_id"),
+          col(codesCol).as("__codes"), col(cellCol).as("__cell"))
+        val q = broadcast(q0
+          .select(col("query_id"), col("__lut"),
+            explode(cm.probes(col("__qv"), nprobe)).as("__cell")))
+        c.join(q, "__cell")
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        model.adc(col("__codes"), col("__lut")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -509,7 +509,9 @@ class SweepJoinSpec extends SparkSuite {
       val l = rows(600, hotOnLeft, 0L, 30).toDF("grp", "lid", "ls", "le")
       val r = rows(900, !hotOnLeft, 10000L, 12).toDF("g2", "rid", "rs", "re")
       val spec = if (seed % 3 == 0)
-        (IntervalSpec.open("ls", "le"), IntervalSpec.closed("rs", "re"))
+        (IntervalSpec(Some("ls"), Some("le"),
+          includeStart = false, includeStop = false),
+          IntervalSpec.closed("rs", "re"))
       else (IntervalSpec.closed("ls", "le"), IntervalSpec.closed("rs", "re"))
       val keep = Seq("all", "first", "last")(seed % 3)
       val ord = if (keep == "all") None else Some("rid")
