@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.agg.{Factorize, GroupedMode, Histogram, Winsorize}
@@ -1258,6 +1259,69 @@ object SparkEntry {
       graft.similarity.PqAnn.search(
         codes, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         "pq_codes", k = 5, model)
+    }
+
+  /** IVF-ADC (Jégou et al. 2011 §IV) — the 100 TB ANN layout proven
+    * end-to-end: PQ codes stored beside the coarse IVF cell id, each
+    * query probes its 4 nearest of 16 cells and ADC-scores ONLY those
+    * candidates, so the scan covers ~nprobe/nlist of the compressed
+    * code table (8 B/vector) instead of the raw embeddings. */
+  private val q_ann_ivfpq: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = emb(s, dir)
+      val (model, codes) = graft.similarity.PqAnn.fit(
+        e, "vec_id", "embedding", m = 8, ksub = 8, iters = 2)
+      val coarse = IvfAnn.fit(e, "vec_id", "embedding", nlist = 16)
+      val withCell = codes.join(
+        e.filter(col("embedding").isNotNull).select(col("vec_id"),
+          coarse.cell(col("embedding").cast("array<double>")).as("cell")),
+        "vec_id")
+      graft.similarity.PqAnn.search(
+        withCell, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        "pq_codes", k = 5, model, coarse = Some(("cell", coarse, 4)))
+    }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    * SIGIR'09): "more-like-this" over the corpus — each seed document
+    * ranks every other document twice, lexically (token-set Jaccard:
+    * ONE exact int/int division, engine-portable) and semantically
+    * (embedding cosine), and the fused score is
+    * `10^12 div (60 + rank)` summed over the two legs — an exact
+    * integer, so ordering and hashes are engine-identical. The brute
+    * legs here are the oracle-checkable baseline; at corpus scale each
+    * leg swaps in its blocked variant ([[graft.dedup.MinHashDedup]]
+    * banding for Jaccard, [[IvfAnn]]/[[graft.similarity.PqAnn]] for
+    * cosine) and the fusion layer — the part this query pins — is
+    * unchanged: rank lists in, integer RRF out. */
+  private val q_hybrid_rrf: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        array_distinct(Shingles.tokens(col("text"))).as("toks"))
+      val ev = emb(s, dir).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val corpus = toks.join(ev, toks("doc_id") === ev("vec_id"))
+        .select(col("doc_id"), col("toks"), col("v"))
+      val seeds = broadcast(corpus.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("toks").as("qtoks"),
+          col("v").as("qv")))
+      val uni = size(array_union(col("toks"), col("qtoks")))
+      val pairs = corpus.join(seeds, col("doc_id") =!= col("qid"))
+        .select(col("qid"), col("doc_id").as("did"),
+          when(uni === 0, lit(0.0)).otherwise(
+            size(array_intersect(col("toks"), col("qtoks"))).cast("double") /
+              uni).as("jacc"),
+          graft.similarity.VectorOps.cosine(col("v"), col("qv")).as("cos"))
+      val wl = Window.partitionBy(col("qid")).orderBy(col("jacc").desc, col("did"))
+      val ws = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("did"))
+      val ranked = pairs
+        .withColumn("lrank", row_number().over(wl))
+        .withColumn("srank", row_number().over(ws))
+      graft.similarity.Rrf.fuse(
+        Seq(ranked.select(col("qid"), col("did"), col("lrank").as("r")),
+          ranked.select(col("qid"), col("did"), col("srank").as("r"))),
+        "qid", "did", "r", topK = 10)
+        .select(col("qid").as("query_id"), col("did").as("doc_id"),
+          col("rrf_score"), col("rank"))
     }
 
   /** Unrolled DuckDB replay of PqAnn's integer Lloyd training + ADC
@@ -2678,6 +2742,8 @@ object SparkEntry {
     "q_kmeans"              -> q_kmeans,
     "q_ann_ivf"             -> q_ann_ivf,
     "q_ann_pq"              -> q_ann_pq,
+    "q_ann_ivfpq"           -> q_ann_ivfpq,
+    "q_hybrid_rrf"          -> q_hybrid_rrf,
     "q_salted_join"         -> q_salted_join,
     "q_bloom_join"          -> q_bloom_join,
     "q_profile"             -> q_profile,
@@ -3632,6 +3698,62 @@ object SparkEntry {
         |  FROM adc)
         |SELECT query_id, neighbor_id, adist, rank
         |FROM pqr WHERE rank <= 5""".stripMargin,
+    "q_ann_ivfpq" ->
+      s"""$PqCte,
+        |cent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+        |         FROM embeddings WHERE vec_id < 16),
+        |casg AS (SELECT e.vec_id, c.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+        |               c.cell) AS rn
+        |  FROM embeddings e CROSS JOIN cent c
+        |  WHERE e.embedding IS NOT NULL),
+        |corpcell AS (SELECT vec_id, cell FROM casg WHERE rn = 1),
+        |qprobe AS (SELECT vec_id AS qid, cell FROM casg
+        |           WHERE vec_id < 10 AND rn <= 4),
+        |adc AS (SELECT qd.vec_id AS query_id, nc.vec_id AS neighbor_id,
+        |    CAST(sum(qd.dist) AS BIGINT) AS adist
+        |  FROM fdist qd
+        |  JOIN fcodes nc ON qd.s = nc.s AND qd.code = nc.code
+        |  JOIN corpcell cc ON cc.vec_id = nc.vec_id
+        |  JOIN qprobe qp ON qp.qid = qd.vec_id AND qp.cell = cc.cell
+        |  WHERE nc.vec_id <> qd.vec_id
+        |  GROUP BY 1, 2),
+        |pqr AS (SELECT query_id, neighbor_id, adist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist, neighbor_id) AS rank
+        |  FROM adc)
+        |SELECT query_id, neighbor_id, adist, rank
+        |FROM pqr WHERE rank <= 5""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH tk AS (SELECT doc_id, list_distinct($ToksExpr) AS toks
+        |           FROM documents),
+        |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |       WHERE embedding IS NOT NULL),
+        |c AS (SELECT doc_id, toks, v FROM tk JOIN ev ON doc_id = vec_id),
+        |sd AS (SELECT doc_id AS qid, toks AS qtoks, v AS qv
+        |       FROM c WHERE doc_id < 5),
+        |p AS (SELECT sd.qid, c.doc_id AS did,
+        |    CASE WHEN len(list_distinct(c.toks || sd.qtoks)) = 0 THEN 0.0
+        |      ELSE len(list_intersect(c.toks, sd.qtoks))::DOUBLE
+        |        / len(list_distinct(c.toks || sd.qtoks)) END AS jacc,
+        |    list_cosine_similarity(c.v, sd.qv) AS cos
+        |  FROM sd JOIN c ON c.doc_id <> sd.qid),
+        |r AS (SELECT qid, did,
+        |    row_number() OVER (PARTITION BY qid ORDER BY jacc DESC, did) AS lrank,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS srank
+        |  FROM p),
+        |f AS (SELECT qid, did,
+        |    1000000000000 // (60 + lrank) + 1000000000000 // (60 + srank)
+        |      AS rrf_score
+        |  FROM r),
+        |fr AS (SELECT qid, did, rrf_score,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY rrf_score DESC, did) AS rank
+        |  FROM f)
+        |SELECT qid AS query_id, did AS doc_id,
+        |  CAST(rrf_score AS BIGINT) AS rrf_score, rank
+        |FROM fr WHERE rank <= 10""".stripMargin,
     "q_topk" ->
       """WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
