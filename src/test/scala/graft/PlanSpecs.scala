@@ -210,10 +210,16 @@ class PlanSpecs extends SparkSuite {
     // bucket models broadcast by size; the totals are scalars)
     // q_mixture cross-joins the 1-row grand-total frame for
     // share-of-corpus, like q_bm25
+    // q_ann_pq = q_ann_topk's shape on PQ codes: ADC scans the code
+    // table against the broadcast query set (with its lookup tables) —
+    // the brute baseline; q_ann_ivfpq is its cell-pruned equi-join form
+    // q_hybrid_rrf's brute legs pair every corpus doc with the 5-row
+    // broadcast seed set (inequality-only condition) — the blocked
+    // variants (MinHash banding / IVF) replace the legs at scale
     val intended = Set("q_cross_join", "q_ann_topk", "q_ann_q8",
       "q_bm25", "q_lm_score", "q_tfidf", "q_skew", "q_sample_temperature",
       "q_collocations", "q_fuzzy_join", "q_fuzzy_freq", "q_dsir",
-      "q_mixture")
+      "q_mixture", "q_ann_pq", "q_hybrid_rrf")
     for (name <- SparkEntry.queries.keys if !intended(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian")
