@@ -33,29 +33,28 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
-  /** Coarse quantizer: `centroids(i)` is cell `i`'s centroid. */
+  /** Coarse quantizer: `centroids(i)` is cell `i`'s centroid.
+    *
+    * Both assignments run through the compact native expressions
+    * ([[org.apache.spark.sql.graft.VecNearestCosine]] /
+    * [[org.apache.spark.sql.graft.VecTopCosine]]). The earlier composed
+    * form (`array_max` over an array of k inline cosine structs)
+    * inflated the consuming stage's generated method past the JIT's
+    * compilable size at k = 16, leaving the IVF probe join interpreted
+    * — measured 60× slower at sf1 (SCALING.md round 9).
+    */
   case class Model(centroids: Seq[Seq[Double]]) {
     require(centroids.nonEmpty, "need at least one centroid")
 
-    /** Per-cell struct(cosine, -cell) — array_max/array_sort over these
-      * ranks cells by cosine descending, ties to the SMALLEST cell id.
-      */
-    private[similarity] def scored(v: Column): Column =
-      array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(VectorOps.cosine(v, typedLit(c)).as("cos"),
-          lit(-i).as("negCell"))
-      }: _*)
-
-    /** Cell id (int) of vector `v`: argmax-cosine centroid. */
+    /** Cell id (int) of vector `v`: argmax-cosine centroid, ties to the
+      * SMALLEST cell id. */
     def cell(v: Column): Column =
-      -array_max(scored(v)).getField("negCell")
+      org.apache.spark.sql.graft.VecFunctions.vec_nearest_cosine(v, centroids)
 
-    /** The `nprobe` nearest cell ids of `v`, best first. */
+    /** The `nprobe` nearest cell ids of `v`, best first (cosine
+      * descending, ties to the smallest cell id). */
     def probes(v: Column, nprobe: Int): Column =
-      transform(
-        // ascending (cos, negCell) reversed = cos desc, cell asc on ties
-        slice(reverse(array_sort(scored(v))), 1, nprobe),
-        s => -s.getField("negCell"))
+      org.apache.spark.sql.graft.VecFunctions.vec_top_cosine(v, centroids, nprobe)
   }
 
   /** Deterministic seed quantizer: centroids = the `nlist` corpus vectors

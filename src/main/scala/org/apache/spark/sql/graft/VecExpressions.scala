@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions for dense-vector math over
   * `array<double>` columns.
@@ -545,6 +545,182 @@ case class VecQuant8(child: Expression)
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment by cosine: index (0-based) of the
+  * max-cosine centroid, ties to the SMALLEST index; zero-norm pairs
+  * score 0.0 — bit-identical to the composed form
+  * `argmax_j cosine(v, centroids(j))` it replaces.
+  *
+  * Why an expression and not `array_max(array(struct(cosine…)))`: the
+  * composed form inlines k dot-product loops + struct construction into
+  * the consuming stage's generated method. At k = 16 that pushed the
+  * IVF probe-join stage past the JVM JIT's compilable-method size, so
+  * the whole join loop ran in the bytecode interpreter — measured 60×
+  * slower than this compact runtime loop (the centroid matrix is a
+  * reference object, the generated code is k-independent; see
+  * SCALING.md round 9). The same fix serves every centroid count.
+  */
+case class VecNearestCosine(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(centroids.nonEmpty, "need at least one centroid")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "vec_nearest_cosine"
+
+  @transient private lazy val mat: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val cnorms: Array[Double] =
+    mat.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var vn = 0.0
+    var i = 0
+    while (i < n) { val v = x.getDouble(i); vn += v * v; i += 1 }
+    vn = math.sqrt(vn)
+    var best = 0
+    var bc = Double.NegativeInfinity
+    var j = 0
+    while (j < mat.length) {
+      val c = mat(j)
+      val m = math.min(n, c.length)
+      var d = 0.0
+      var k = 0
+      while (k < m) { d += x.getDouble(k) * c(k); k += 1 }
+      val p = vn * cnorms(j)
+      val cs = if (p == 0.0) 0.0 else d / p
+      if (cs > bc) { bc = cs; best = j }
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val matRef = ctx.addReferenceObj("centroids", mat, "double[][]")
+      val nrmRef = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+      val n = ctx.freshName("n")
+      val vn = ctx.freshName("vn")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val m = ctx.freshName("m")
+      val d = ctx.freshName("d")
+      val k = ctx.freshName("k")
+      val p = ctx.freshName("p")
+      val cs = ctx.freshName("cs")
+      val best = ctx.freshName("best")
+      val bc = ctx.freshName("bc")
+      s"""
+         |int $n = $a.numElements();
+         |double $vn = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double v = $a.getDouble($i); $vn += v * v;
+         |}
+         |$vn = java.lang.Math.sqrt($vn);
+         |int $best = 0;
+         |double $bc = java.lang.Double.NEGATIVE_INFINITY;
+         |for (int $j = 0; $j < $matRef.length; $j++) {
+         |  double[] $c = $matRef[$j];
+         |  int $m = java.lang.Math.min($n, $c.length);
+         |  double $d = 0.0;
+         |  for (int $k = 0; $k < $m; $k++) { $d += $a.getDouble($k) * $c[$k]; }
+         |  double $p = $vn * $nrmRef[$j];
+         |  double $cs = ($p == 0.0) ? 0.0 : $d / $p;
+         |  if ($cs > $bc) { $bc = $cs; $best = $j; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecNearestCosine =
+    copy(child = newChild)
+}
+
+/** Top-`nprobe` centroid indices by cosine, best first, ties to the
+  * smallest index — the probe-list companion of [[VecNearestCosine]]
+  * (nprobe = 1 head ≡ its result). Evaluates on the QUERY side only
+  * (tiny, broadcast), so the generated code just calls back into the
+  * expression object — one virtual call per row keeps the consuming
+  * stage's method small, which is the entire point (see
+  * [[VecNearestCosine]]).
+  */
+case class VecTopCosine(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(nprobe > 0, "nprobe must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "vec_top_cosine"
+
+  @transient private lazy val mat: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val cnorms: Array[Double] =
+    mat.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+
+  /** Selection loop shared by eval and generated code. */
+  def select(x: ArrayData): Array[Int] = {
+    val n = x.numElements()
+    var vn = 0.0
+    var i = 0
+    while (i < n) { val v = x.getDouble(i); vn += v * v; i += 1 }
+    vn = math.sqrt(vn)
+    val cos = new Array[Double](mat.length)
+    var j = 0
+    while (j < mat.length) {
+      val c = mat(j)
+      val m = math.min(n, c.length)
+      var d = 0.0
+      var k = 0
+      while (k < m) { d += x.getDouble(k) * c(k); k += 1 }
+      val p = vn * cnorms(j)
+      cos(j) = if (p == 0.0) 0.0 else d / p
+      j += 1
+    }
+    val out = new Array[Int](math.min(nprobe, mat.length))
+    val taken = new Array[Boolean](mat.length)
+    var s = 0
+    while (s < out.length) {
+      var best = -1
+      var jj = 0
+      while (jj < mat.length) {
+        if (!taken(jj) && (best < 0 || cos(jj) > cos(best))) best = jj
+        jj += 1
+      }
+      taken(best) = true
+      out(s) = best
+      s += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      select(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("topCosine", this, classOf[VecTopCosine].getName)
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $ref.select($a));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecTopCosine =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VecFunctions {
 
@@ -555,6 +731,12 @@ object VecFunctions {
 
   def vec_norm(a: Column): Column =
     ExpressionUtils.column(VecNorm(expr(a)))
+
+  def vec_nearest_cosine(a: Column, centroids: Seq[Seq[Double]]): Column =
+    ExpressionUtils.column(VecNearestCosine(expr(a), centroids))
+
+  def vec_top_cosine(a: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    ExpressionUtils.column(VecTopCosine(expr(a), centroids, nprobe))
 
   def vec_dot_i8(a: Column, b: Column): Column =
     ExpressionUtils.column(VecDotI8(expr(a), expr(b)))
