@@ -60,19 +60,14 @@ object KMeans {
       transform(v, x => floor(x.cast("double") * scale).cast("long"))
 
     /** struct(dist, cluster) of the winning centroid for QUANTIZED
-      * vector `q` — lexicographic array_min gives argmin with ties to
-      * the smallest cluster id. */
+      * vector `q` — argmin with ties to the smallest cluster id.
+      * Native [[org.apache.spark.sql.graft.VecNearestSqLong]]: the
+      * earlier composed form (`array_min` over k inline
+      * `aggregate(zip_with(...))` structs) ran k interpreted HOF chains
+      * per row and broke whole-stage codegen around the assignment
+      * scan — the round-9 generated-code-size rule (SCALING.md). */
     def best(q: Column): Column =
-      array_min(array(centroids.zipWithIndex.map { case (c, j) =>
-        struct(
-          aggregate(
-            zip_with(q, typedLit(c), (x, cc) => (x - cc) * (x - cc)),
-            lit(0L), (acc, v) => acc + v).as("dist"),
-          lit(j).as("cluster"))
-      }: _*))
-        // aliases inside struct() are dropped when the children carry
-        // lambda expressions — restore the field names with a free cast
-        .cast("struct<dist:bigint,cluster:int>")
+      org.apache.spark.sql.graft.VecFunctions.vec_nearest_sq(q, centroids)
 
     /** Cluster id (int) of RAW vector column `v`. */
     def assign(v: Column): Column = best(quantize(v)).getField("cluster")

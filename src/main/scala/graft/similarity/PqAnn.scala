@@ -75,24 +75,18 @@ object PqAnn {
           (x, c) => (x - c) * (x - c)),
         lit(0L), (acc, v) => acc + v)
 
-    /** Code of subspace `si` for quantized vector `q`: argmin distance,
-      * ties to the smallest code. */
-    private[similarity] def subCode(q: Column, si: Int): Column =
-      array_min(array((0 until ksub).map { j =>
-        struct(subDist(q, si, j).as("dist"), lit(j).as("code"))
-      }: _*))
-        // struct() drops aliases when children carry lambdas (cf.
-        // KMeans.best) — restore the field names with a free cast
-        .cast("struct<dist:bigint,code:int>")
-        .getField("code")
-
     /** PQ codes of RAW vector `v`: array<int> of length m. */
     def encode(v: Column): Column = encodeQuantized(quantize(v))
 
     /** encode() over an ALREADY-quantized column (fit's internal
-      * frame — avoids double quantization). */
+      * frame — avoids double quantization). Native
+      * [[org.apache.spark.sql.graft.VecPqCodes]]: the composed
+      * per-subspace argmin unrolled m·ksub interpreted HOF folds into
+      * the encode projection — the round-9 generated-code-size rule
+      * (SCALING.md); `PqAnnSpec` pins bit-equality to the composed
+      * form. */
     private[similarity] def encodeQuantized(q: Column): Column =
-      array((0 until m).map(subCode(q, _)): _*)
+      org.apache.spark.sql.graft.VecFunctions.vec_pq_codes(q, codebooks)
 
     /** ADC lookup table of RAW query vector `v`: array<array<bigint>>,
       * `lut[s][j]` = exact distance from the query's subspace-`s`
@@ -105,11 +99,12 @@ object PqAnn {
     }
 
     /** Approximate squared distance = sum of m table lookups (exact
-      * Long — element_at is 1-based). */
+      * Long). Native [[org.apache.spark.sql.graft.VecAdc]] — this is
+      * the per-candidate inner loop of the search scan, which the
+      * composed `aggregate(zip_with(element_at))` ran on the
+      * interpreted HOF path. */
     def adc(codes: Column, lutCol: Column): Column =
-      aggregate(
-        zip_with(codes, lutCol, (c, row) => element_at(row, c + 1)),
-        lit(0L), (acc, v) => acc + v)
+      org.apache.spark.sql.graft.VecFunctions.vec_adc(codes, lutCol)
   }
 
   /** Train all m codebooks with `iters` Lloyd iterations. Returns the
@@ -170,8 +165,7 @@ object PqAnn {
       // cell. Collect is bounded by m·ksub·dsub rows.
       val sums = pts
         .select(col("__pqq"),
-          array((0 until m).map(si => mod.subCode(col("__pqq"), si)): _*)
-            .as("__codes"))
+          mod.encodeQuantized(col("__pqq")).as("__codes"))
         .select(posexplode(col("__pqq")), col("__codes"))
         .select((col("pos") / dsub).cast("int").as("__s"),
           element_at(col("__codes"), (col("pos") / dsub).cast("int") + 1).as("__c"),

@@ -9,7 +9,9 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Native Catalyst expressions for dense-vector math over
   * `array<double>` columns.
@@ -721,6 +723,175 @@ case class VecTopCosine(child: Expression, centroids: Seq[Seq[Double]], nprobe: 
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment by exact integer squared distance over
+  * `array<long>` fixed-point vectors: `struct(dist, cluster)` of the
+  * argmin centroid, ties to the smallest cluster id — bit-identical to
+  * the composed form (`array_min` over k inline
+  * `aggregate(zip_with(...))` structs) it replaces in the integer
+  * Lloyd loop. Same motivation as [[VecNearestCosine]]: the composed
+  * form unrolls k interpreted higher-order-function chains per row
+  * (breaking whole-stage codegen around the assignment scan); here the
+  * centroid table is a reference object and the generated code is one
+  * virtual call into the JIT-compiled selection loop.
+  */
+case class VecNearestSqLong(child: Expression, centroids: Seq[Seq[Long]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(centroids.nonEmpty, "need at least one centroid")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist", LongType, nullable = false),
+    StructField("cluster", IntegerType, nullable = false)))
+  override def prettyName: String = "vec_nearest_sq"
+
+  @transient private lazy val mat: Array[Array[Long]] =
+    centroids.map(_.toArray).toArray
+
+  /** Selection loop shared by eval and generated code. */
+  def nearest(x: ArrayData): InternalRow = {
+    val n = x.numElements()
+    var best = 0
+    var bd = Long.MaxValue
+    var j = 0
+    while (j < mat.length) {
+      val c = mat(j)
+      val m = math.min(n, c.length)
+      var d = 0L
+      var w = 0
+      while (w < m) {
+        val t = x.getLong(w) - c(w); d += t * t; w += 1
+      }
+      if (d < bd) { bd = d; best = j }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](bd, best))
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    nearest(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("nearestSq", this,
+        classOf[VecNearestSqLong].getName)
+      s"${ev.value} = $ref.nearest($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecNearestSqLong =
+    copy(child = newChild)
+}
+
+/** All `m` product-quantization codes of a fixed-point `array<long>`
+  * vector in ONE pass: code `s` = argmin over `codebooks(s)` of the
+  * exact integer squared distance of subvector `s`, ties to the
+  * smallest code — bit-identical to the per-subspace composed argmin
+  * ([[graft.similarity.PqAnn]]'s original `subCode` chain, which
+  * unrolled m·ksub interpreted HOF folds into the encode projection).
+  */
+case class VecPqCodes(child: Expression, codebooks: Seq[Seq[Seq[Long]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebooks")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "vec_pq_codes"
+
+  @transient private lazy val mat: Array[Array[Array[Long]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  /** Encode loop shared by eval and generated code. */
+  def encode(x: ArrayData): Array[Int] = {
+    val n = x.numElements()
+    val out = new Array[Int](mat.length)
+    var si = 0
+    var off = 0
+    while (si < mat.length) {
+      val cb = mat(si)
+      val dsub = cb(0).length
+      var best = 0
+      var bd = Long.MaxValue
+      var j = 0
+      while (j < cb.length) {
+        val c = cb(j)
+        var d = 0L
+        var w = 0
+        while (w < dsub && off + w < n) {
+          val t = x.getLong(off + w) - c(w); d += t * t; w += 1
+        }
+        if (d < bd) { bd = d; best = j }
+        j += 1
+      }
+      out(si) = best
+      off += dsub
+      si += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      encode(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("pqCodes", this, classOf[VecPqCodes].getName)
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $ref.encode($a));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecPqCodes =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance sum: `sum_i lut[i][codes[i]]` — the
+  * per-candidate inner loop of PQ search. Both inputs are row data
+  * (codes from the corpus side, the lookup table from the broadcast
+  * query side), so this generates a tight inline loop — the composed
+  * `aggregate(zip_with(codes, lut, element_at))` ran per joined pair on
+  * the interpreted HOF path.
+  */
+case class VecAdc(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(ArrayType(LongType)))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_adc"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val n = math.min(codes.numElements(), lut.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += lut.getArray(i).getLong(codes.getInt(i)); i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $b.getArray($i).getLong($a.getInt($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VecFunctions {
 
@@ -737,6 +908,15 @@ object VecFunctions {
 
   def vec_top_cosine(a: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
     ExpressionUtils.column(VecTopCosine(expr(a), centroids, nprobe))
+
+  def vec_nearest_sq(a: Column, centroids: Seq[Seq[Long]]): Column =
+    ExpressionUtils.column(VecNearestSqLong(expr(a), centroids))
+
+  def vec_pq_codes(a: Column, codebooks: Seq[Seq[Seq[Long]]]): Column =
+    ExpressionUtils.column(VecPqCodes(expr(a), codebooks))
+
+  def vec_adc(codes: Column, lut: Column): Column =
+    ExpressionUtils.column(VecAdc(expr(codes), expr(lut)))
 
   def vec_dot_i8(a: Column, b: Column): Column =
     ExpressionUtils.column(VecDotI8(expr(a), expr(b)))
