@@ -146,14 +146,23 @@ object LshAnn {
   }
 
   /** Signature of vector column `v` (dimension `dim`) for table `t`: bit i
-    * = sign(v · h_(t,i)), hyperplanes as literals, dot via the codegen'd
-    * [[graft.functions.VecDot]].
+    * = sign(v · h_(t,i)) — single-table form of [[signatures]], kept for
+    * callers that bucket one table at a time.
     */
   def signature(v: Column, numBits: Int, t: Int, dim: Int): Column =
-    (0 until numBits).map { i =>
-      val h = typedLit((0 until dim).map(d => hcomp(t, i, d)))
-      when(VectorOps.dot(v, h) > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
+    element_at(signatures(v, numBits, t + 1, dim), t + 1)
+
+  /** ALL tables' signatures in one native pass
+    * ([[org.apache.spark.sql.graft.VecLshSignatures]]): the composed
+    * per-bit form inlined numTables·numBits dot loops + CASEs into the
+    * scan's generated method — the round-9 generated-code-size rule
+    * (SCALING.md). Null vectors yield a null array (they can never
+    * produce a pair: their cosine is null downstream).
+    */
+  def signatures(v: Column, numBits: Int, numTables: Int, dim: Int): Column =
+    org.apache.spark.sql.graft.VecFunctions.vec_lsh_signatures(v,
+      (0 until numTables).map(t => (0 until numBits).map(i =>
+        (0 until dim).map(d => hcomp(t, i, d)))))
 
   /** All-pairs near-neighbor candidates with exact cosine above
     * `threshold`, via `numTables` independent signature tables.
@@ -171,8 +180,7 @@ object LshAnn {
     val dim = base.select(size(col("v"))).first().getInt(0)
     // all tables' signatures in ONE scan (posexplode), not per-table unions
     val sigs = base
-      .select(col("id"), posexplode(array(
-        (0 until numTables).map(t => signature(col("v"), numBits, t, dim)): _*)))
+      .select(col("id"), posexplode(signatures(col("v"), numBits, numTables, dim)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "sig")
     val l = sigs.select(col("tbl"), col("sig"), col("id").as("id_l"))

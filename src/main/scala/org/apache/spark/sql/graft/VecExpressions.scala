@@ -892,6 +892,65 @@ case class VecAdc(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All LSH table signatures of a vector in ONE pass:
+  * `result(t)` = Σ_i (1 << i) · [v · planes(t)(i) > 0] — bit-identical
+  * to the composed form (numTables · numBits inline `when(vec_dot > 0)`
+  * sums) it replaces; same generated-code-size rationale as
+  * [[VecNearestCosine]], with the plane tensor as a reference object.
+  */
+case class VecLshSignatures(child: Expression, planes: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(planes.nonEmpty && planes.forall(_.nonEmpty), "empty plane tables")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_lsh_signatures"
+
+  @transient private lazy val mat: Array[Array[Array[Double]]] =
+    planes.map(_.map(_.toArray).toArray).toArray
+
+  /** Signature loop shared by eval and generated code. */
+  def sign(x: ArrayData): Array[Long] = {
+    val n = x.numElements()
+    val out = new Array[Long](mat.length)
+    var t = 0
+    while (t < mat.length) {
+      val tbl = mat(t)
+      var sig = 0L
+      var i = 0
+      while (i < tbl.length) {
+        val h = tbl(i)
+        val m = math.min(n, h.length)
+        var d = 0.0
+        var k = 0
+        while (k < m) { d += x.getDouble(k) * h(k); k += 1 }
+        if (d > 0) sig |= 1L << i
+        i += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sign(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("lshSign", this,
+        classOf[VecLshSignatures].getName)
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $ref.sign($a));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecLshSignatures =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VecFunctions {
 
@@ -917,6 +976,9 @@ object VecFunctions {
 
   def vec_adc(codes: Column, lut: Column): Column =
     ExpressionUtils.column(VecAdc(expr(codes), expr(lut)))
+
+  def vec_lsh_signatures(a: Column, planes: Seq[Seq[Seq[Double]]]): Column =
+    ExpressionUtils.column(VecLshSignatures(expr(a), planes))
 
   def vec_dot_i8(a: Column, b: Column): Column =
     ExpressionUtils.column(VecDotI8(expr(a), expr(b)))
