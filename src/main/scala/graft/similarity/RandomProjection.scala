@@ -47,18 +47,18 @@ object RandomProjection {
     Array.tabulate(dimOut)(j => Array.tabulate(dimIn)(i => signAt(seed, i, j)))
 
   /** Projected column: `array<double>` of length dimOut where
-    * out[j] = Σ_i vec[i]·sign(i,j) / √dimOut. Each output component is
-    * one [[VectorOps.dot]] against a literal column — a tight codegen'd
-    * primitive loop, dimOut of them, all inside one projection.
+    * out[j] = Σ_i vec[i]·sign(i,j) / √dimOut — ONE native
+    * [[org.apache.spark.sql.graft.VecProject]] pass (the earlier
+    * composed form inlined dimOut dot loops into the projection's
+    * generated method — the round-9 generated-code-size rule,
+    * SCALING.md; `SketchSpecs` pins the projection values).
     */
   def projectCol(vec: Column, dimIn: Int, dimOut: Int,
                  seed: Long = 42L): Column = {
     require(dimOut >= 1 && dimIn >= 1, s"bad shape $dimIn -> $dimOut")
     val m = matrix(dimIn, dimOut, seed)
-    val scale = math.sqrt(dimOut.toDouble)
-    array(m.map { colJ =>
-      VectorOps.dot(vec, lit(colJ)) / scale
-    }: _*)
+    org.apache.spark.sql.graft.VecFunctions.vec_project(
+      vec, m.map(_.toIndexedSeq).toIndexedSeq, math.sqrt(dimOut.toDouble))
   }
 
   /** Frame form: `vecCol` replaced by its dimOut-dim projection (input

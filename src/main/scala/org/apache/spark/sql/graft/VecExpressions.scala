@@ -951,6 +951,59 @@ case class VecLshSignatures(child: Expression, planes: Seq[Seq[Seq[Double]]])
     copy(child = newChild)
 }
 
+/** Dense matrix projection: `out(j) = (v · rows(j)) / scale` — the
+  * whole Johnson–Lindenstrauss (or any fixed linear) projection in one
+  * native pass, bit-identical to the composed per-output-dim
+  * `vec_dot / scale` array it replaces. Same generated-code-size
+  * rationale as [[VecNearestCosine]]: the matrix rides along as a
+  * reference object instead of dimOut inline dot loops.
+  */
+case class VecProject(child: Expression, rows: Seq[Seq[Double]], scale: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(rows.nonEmpty, "need at least one projection row")
+  require(scale != 0.0, "scale must be non-zero")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_project"
+
+  @transient private lazy val mat: Array[Array[Double]] =
+    rows.map(_.toArray).toArray
+
+  /** Projection loop shared by eval and generated code. */
+  def project(x: ArrayData): Array[Double] = {
+    val n = x.numElements()
+    val out = new Array[Double](mat.length)
+    var j = 0
+    while (j < mat.length) {
+      val r = mat(j)
+      val m = math.min(n, r.length)
+      var d = 0.0
+      var i = 0
+      while (i < m) { d += x.getDouble(i) * r(i); i += 1 }
+      out(j) = d / scale
+      j += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      project(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("vecProject", this, classOf[VecProject].getName)
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $ref.project($a));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecProject =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VecFunctions {
 
@@ -979,6 +1032,9 @@ object VecFunctions {
 
   def vec_lsh_signatures(a: Column, planes: Seq[Seq[Seq[Double]]]): Column =
     ExpressionUtils.column(VecLshSignatures(expr(a), planes))
+
+  def vec_project(a: Column, rows: Seq[Seq[Double]], scale: Double): Column =
+    ExpressionUtils.column(VecProject(expr(a), rows, scale))
 
   def vec_dot_i8(a: Column, b: Column): Column =
     ExpressionUtils.column(VecDotI8(expr(a), expr(b)))

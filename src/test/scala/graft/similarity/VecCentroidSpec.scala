@@ -64,6 +64,21 @@ class VecCentroidSpec extends SparkSuite {
     assert(p.length == 4 && p.take(2) == Seq(1, 2)) // clamp + tie order
   }
 
+  test("vec_project ≡ legacy per-output-dim dot array (randomized)") {
+    val dimIn = 12; val dimOut = 5
+    val m = RandomProjection.matrix(dimIn, dimOut, seed = 42L)
+    val scale = math.sqrt(dimOut.toDouble)
+    val rows = (0 until 300).map(i => (i.toLong, vec(dimIn))).toDF("id", "v")
+    val legacy = array(m.map(colJ =>
+      VectorOps.dot(col("v"), lit(colJ)) / scale).toIndexedSeq: _*)
+    val out = rows.select(col("id"),
+      RandomProjection.projectCol(col("v"), dimIn, dimOut).as("np"),
+      legacy.as("lp")).collect()
+    for (r <- out)
+      assert(r.getSeq[Double](1) == r.getSeq[Double](2),
+        s"id=${r.getLong(0)}")
+  }
+
   test("null vector yields null; search end-to-end unchanged by the swap") {
     val cents = Seq.fill(6)(vec(8))
     val df = Seq((0L, Option(vec(8))), (1L, Option.empty[Seq[Double]]))
