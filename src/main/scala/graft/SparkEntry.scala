@@ -965,6 +965,24 @@ object SparkEntry {
         .select(col("doc_id").as("id_b"), col("id_c"), col("jaccard"))
     }
 
+  /** Streaming semantic gate, batch-executed under the oracle: odd
+    * vec_ids arrive as the "stream", even vec_ids are the static lake,
+    * IVF cells (8, seed quantizer on the corpus) block the match, exact
+    * cosine ≥ 0.3 verifies — same code path as the MemoryStream spec. */
+  private val q_dedup_semantic_stream: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") % 2 === 0)
+      val coarse = IvfAnn.fit(corpus, "vec_id", "embedding", nlist = 8)
+      graft.streaming.StreamingOps.streamingSemanticDedup(
+        e.filter(col("vec_id") % 2 =!= 0)
+          .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp")),
+        corpus, "embedding", "vec_id", "ts", watermark = "1 hour",
+        coarse, nprobe = 2, threshold = 0.3)
+        .select(col("vec_id").as("id_s"), col("id_c"),
+          r6m(col("cosine")).as("cosine"))
+    }
+
   private val q_dedup_embcos: (SparkSession, String) => DataFrame =
     (s, dir) =>
       EmbeddingDedup(emb(s, dir), "vec_id", "embedding",
@@ -1279,6 +1297,25 @@ object SparkEntry {
       graft.similarity.PqAnn.search(
         withCell, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         "pq_codes", k = 5, model, coarse = Some(("cell", coarse, 4)))
+    }
+
+  /** IVF with a TRAINED coarse quantizer — the production path the
+    * seed-centroid `q_ann_ivf` documents ("real deployments train
+    * k-means and pass the centroids"): the deterministic fixed-point
+    * Lloyd k-means trains 8 cells (3 iterations, exactly replayable),
+    * and since cosine is scale-invariant the integer centroids feed the
+    * coarse quantizer directly. DuckDB replays the SAME training
+    * (KMeansCte) and the same cell/probe/cosine search. */
+  private val q_ann_ivf_trained: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = emb(s, dir)
+      val km = graft.similarity.KMeans.fit(
+        e, "vec_id", "embedding", k = 8, iters = 3)._1
+      val coarse = IvfAnn.Model(km.centroids.map(_.map(_.toDouble)))
+      IvfAnn.search(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, coarse, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          r6m(col("cosine")).as("cosine"), col("rank"))
     }
 
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
@@ -2743,6 +2780,8 @@ object SparkEntry {
     "q_ann_ivf"             -> q_ann_ivf,
     "q_ann_pq"              -> q_ann_pq,
     "q_ann_ivfpq"           -> q_ann_ivfpq,
+    "q_ann_ivf_trained"     -> q_ann_ivf_trained,
+    "q_dedup_semantic_stream" -> q_dedup_semantic_stream,
     "q_hybrid_rrf"          -> q_hybrid_rrf,
     "q_salted_join"         -> q_salted_join,
     "q_bloom_join"          -> q_bloom_join,
@@ -3725,6 +3764,55 @@ object SparkEntry {
         |  FROM adc)
         |SELECT query_id, neighbor_id, adist, rank
         |FROM pqr WHERE rank <= 5""".stripMargin,
+    "q_dedup_semantic_stream" ->
+      """WITH cent AS (SELECT embedding::DOUBLE[] AS cv,
+        |    row_number() OVER (ORDER BY vec_id) - 1 AS cell
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8)),
+        |corpa AS (SELECT e.vec_id, e.embedding, c.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+        |               c.cell) AS rn
+        |  FROM embeddings e CROSS JOIN cent c
+        |  WHERE e.vec_id % 2 = 0 AND e.embedding IS NOT NULL),
+        |corp AS (SELECT vec_id, embedding, cell FROM corpa WHERE rn = 1),
+        |qp AS (SELECT e.vec_id, e.embedding, c.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+        |               c.cell) AS rn
+        |  FROM embeddings e CROSS JOIN cent c
+        |  WHERE e.vec_id % 2 <> 0 AND e.embedding IS NOT NULL),
+        |pr AS (SELECT vec_id AS id_s, embedding AS qv, cell FROM qp
+        |       WHERE rn <= 2),
+        |sc AS (SELECT pr.id_s, corp.vec_id AS id_c,
+        |        list_cosine_similarity(pr.qv::DOUBLE[],
+        |          corp.embedding::DOUBLE[]) AS cos
+        |      FROM pr JOIN corp ON pr.cell = corp.cell)
+        |SELECT id_s, id_c, ROUND(cos + 1e-9, 6) + 0.0 AS cosine
+        |FROM sc WHERE cos >= 0.3""".stripMargin,
+    "q_ann_ivf_trained" ->
+      s"""$KMeansCte,
+         |tcent AS (SELECT cluster AS cell, list(v::DOUBLE ORDER BY d) AS cv
+         |          FROM c3 GROUP BY cluster),
+         |tasg AS (SELECT e.vec_id, e.embedding, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+         |               c.cell) AS trn
+         |  FROM embeddings e CROSS JOIN tcent c
+         |  WHERE e.embedding IS NOT NULL),
+         |tcorp AS (SELECT vec_id, embedding, cell FROM tasg WHERE trn = 1),
+         |tpr AS (SELECT vec_id AS qid, embedding AS qv, cell FROM tasg
+         |        WHERE vec_id < 10 AND trn <= 2),
+         |ts AS (SELECT tpr.qid, tcorp.vec_id AS nid,
+         |        list_cosine_similarity(tpr.qv::DOUBLE[],
+         |          tcorp.embedding::DOUBLE[]) AS cos
+         |      FROM tpr JOIN tcorp
+         |        ON tpr.cell = tcorp.cell AND tcorp.vec_id <> tpr.qid),
+         |tr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY cos DESC, nid) AS rn2 FROM ts)
+         |SELECT qid AS query_id, nid AS neighbor_id,
+         |  ROUND(cos + 1e-9, 6) + 0.0 AS cosine, rn2 AS rank
+         |FROM tr WHERE rn2 <= 5""".stripMargin,
     "q_hybrid_rrf" ->
       s"""WITH tk AS (SELECT doc_id, list_distinct($ToksExpr) AS toks
         |           FROM documents),

@@ -339,6 +339,62 @@ object StreamingOps {
     else verified.dropDuplicates(Seq(idCol, "id_c"))
   }
 
+  /** Streaming semantic near-dup gate: each arriving embedding's
+    * near-duplicates (exact cosine ≥ `threshold`) in a STATIC corpus,
+    * blocked by the IVF coarse quantizer — the semantic analog of
+    * [[streamingMinHashDedup]], so a continuously ingesting pipeline
+    * can SemDeDup-gate new documents against the lake without any
+    * corpus-internal pair work.
+    *
+    * Plan shape (all stream-legal, NOTHING stateful):
+    *   - the static side carries one cell id per corpus vector (the
+    *     inverted-file layout — persist/bucket it at lake scale and the
+    *     gate reads it as-is);
+    *   - the stream side explodes its `nprobe` probe cells in-row
+    *     (codegen'd [[org.apache.spark.sql.graft.VecTopCosine]]);
+    *   - candidates = stream-static inner equi-join on cell; a corpus
+    *     vector lives in exactly ONE cell, so a (stream, corpus) pair
+    *     can match at most once — unlike the banded MinHash gate there
+    *     is NO pair-collapse state at all, and the watermark exists
+    *     only to bound late-data semantics for downstream consumers;
+    *   - verification = exact cosine (codegen'd dot/norm) ≥ threshold.
+    *
+    * On a BATCH frame the identical plan runs with the watermark a
+    * no-op — how the driver query puts this path under the DuckDB
+    * oracle, alongside the MemoryStream spec.
+    *
+    * @return stream columns `idCol`, `timeCol` + `(id_c, cosine)` — one
+    *         row per (stream vector, matching corpus vector) whose cell
+    *         was probed; recall is the IVF nprobe/nlist trade
+    */
+  def streamingSemanticDedup(
+      stream: DataFrame,
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      timeCol: String,
+      watermark: String,
+      coarse: graft.similarity.IvfAnn.Model,
+      nprobe: Int = 2,
+      threshold: Double = 0.9): DataFrame = {
+    val cSide = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__sem_idc"),
+        col(vecCol).cast("array<double>").as("__sem_vc"))
+      .withColumn("__sem_cell", coarse.cell(col("__sem_vc")))
+    val sSide = stream.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(timeCol),
+        col(vecCol).cast("array<double>").as("__sem_v"))
+      .withColumn("__sem_cell", explode(coarse.probes(col("__sem_v"), nprobe)))
+    val wm = if (sSide.isStreaming) sSide.withWatermark(timeCol, watermark)
+             else sSide
+    wm.join(cSide, Seq("__sem_cell"))
+      .withColumn("cosine",
+        graft.similarity.VectorOps.cosine(col("__sem_v"), col("__sem_vc")))
+      .filter(col("cosine") >= threshold)
+      .select(col(idCol), col(timeCol), col("__sem_idc").as("id_c"),
+        col("cosine"))
+  }
+
   /** Streaming as-of join against a STATIC right side — the incremental
     * analog of [[graft.joins.AsOfJoin]] for slowly-changing reference
     * data (latest price, config version, model checkpoint at event time).

@@ -323,6 +323,61 @@ class StreamingSpecs extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic gate vs static corpus: IVF-blocked matches " +
+      "across micro-batches, full-probe batch parity with brute force") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.9f, 0.1f, 0.0f, 0.0f)), // near 10
+      (12L, Seq(0.0f, 0.0f, 1.0f, 0.0f))  // far
+    ).toDF("vec_id", "v")
+    val coarse = graft.similarity.IvfAnn.fit(corpus, "vec_id", "v", nlist = 2)
+    val input = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val stream = input.toDF().toDF("vec_id", "ts", "v")
+    val out = StreamingOps.streamingSemanticDedup(
+      stream, corpus, "v", "vec_id", "ts", watermark = "1 hour",
+      coarse, nprobe = 2, threshold = 0.95)
+    val q = out.writeStream.format("memory").queryName("sem_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00"),
+        Seq(0.99f, 0.05f, 0.0f, 0.0f))) // near-dup of 10 AND 11
+      q.processAllAvailable()
+      input.addData(
+        (2L, ts("2024-01-01 00:05:00"), Seq(0.0f, 0.0f, 0.99f, 0.1f)), // ≈ 12
+        (3L, ts("2024-01-01 00:06:00"), Seq(0.0f, 1.0f, 0.0f, 0.0f)))  // novel
+      q.processAllAvailable()
+      val got = spark.table("sem_stream").select("vec_id", "id_c").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 10L), (1L, 11L), (2L, 12L)), got.toString)
+      // nprobe = nlist probes every cell, so each pair appears exactly
+      // once (a corpus vector has ONE cell) — no inflation
+      assert(spark.table("sem_stream").count() == 3L)
+
+      // batch parity at full probe: the same function on a bounded frame
+      // equals the brute-force cosine threshold join
+      val batchDf = Seq(
+        (1L, ts("2024-01-01 00:00:00"), Seq(0.99f, 0.05f, 0.0f, 0.0f)),
+        (2L, ts("2024-01-01 00:05:00"), Seq(0.0f, 0.0f, 0.99f, 0.1f)),
+        (3L, ts("2024-01-01 00:06:00"), Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+        .toDF("vec_id", "ts", "v")
+      val viaGate = StreamingOps.streamingSemanticDedup(
+        batchDf, corpus, "v", "vec_id", "ts", watermark = "1 hour",
+        coarse, nprobe = 2, threshold = 0.95)
+        .select("vec_id", "id_c").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = batchDf.select(col("vec_id").as("id_s"),
+          col("v").cast("array<double>").as("sv"))
+        .crossJoin(corpus.select(col("vec_id").as("id_c"),
+          col("v").cast("array<double>").as("cv")))
+        .filter(graft.similarity.VectorOps
+          .cosine(col("sv"), col("cv")) >= 0.95)
+        .select("id_s", "id_c").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaGate == got && brute == got)
+    } finally q.stop()
+  }
+
   test("streaming as-of against a static side ≡ batch AsOfJoin") {
     implicit val sqlCtx = spark.sqlContext
     // static reference data: per-key (time, value) ticks
