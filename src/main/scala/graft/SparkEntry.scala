@@ -1361,6 +1361,37 @@ object SparkEntry {
           col("rrf_score"), col("rank"))
     }
 
+  /** The SCALE path of hybrid retrieval, oracle-checked end-to-end:
+    * the lexical leg is MinHash-banded (candidates share a band bucket,
+    * exact hashed-shingle Jaccard ≥ 0.8 verifies and ranks) and the
+    * semantic leg is IVF cell-probed (top-20 cosine among probed
+    * cells) — the two blocked retrievers [[q_hybrid_rrf]]'s brute legs
+    * document as their production replacements — fused by the same
+    * integer RRF. The oracle replays the exact-Jaccard pair set (LSH
+    * completeness at J ≥ 0.8: miss prob < 1e-7), the IVF cell/probe
+    * assignment, and the integer fusion. */
+  private val q_hybrid_rrf_blocked: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val d = docs(s, dir)
+      val e = emb(s, dir)
+      val lex = graft.dedup.MinHashDedup.incremental(
+        d.filter(col("doc_id") < 5), d.filter(col("doc_id") >= 5),
+        "text", "doc_id", numHashes = 32, numBands = 16, shingleN = 3,
+        threshold = 0.8)
+        .withColumn("r", row_number().over(Window.partitionBy(col("id_b"))
+          .orderBy(col("jaccard").desc, col("id_c"))))
+        .select(col("id_b").as("qid"), col("id_c").as("did"), col("r"))
+      val corpus = e.filter(col("vec_id") >= 5)
+      val coarse = IvfAnn.fit(corpus, "vec_id", "embedding", nlist = 16)
+      val sem = IvfAnn.search(corpus, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 20, coarse, nprobe = 4)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("did"),
+          col("rank").as("r"))
+      graft.similarity.Rrf.fuse(Seq(lex, sem), "qid", "did", "r", topK = 10)
+        .select(col("qid").as("query_id"), col("did").as("doc_id"),
+          col("rrf_score"), col("rank"))
+    }
+
   /** Unrolled DuckDB replay of PqAnn's integer Lloyd training + ADC
     * search (m=8 → dsub=8, ksub=8, 2 iterations, scale 2^20). `fdist`
     * doubles as both the final corpus assignment input AND the query
@@ -2783,6 +2814,7 @@ object SparkEntry {
     "q_ann_ivf_trained"     -> q_ann_ivf_trained,
     "q_dedup_semantic_stream" -> q_dedup_semantic_stream,
     "q_hybrid_rrf"          -> q_hybrid_rrf,
+    "q_hybrid_rrf_blocked"  -> q_hybrid_rrf_blocked,
     "q_salted_join"         -> q_salted_join,
     "q_bloom_join"          -> q_bloom_join,
     "q_profile"             -> q_profile,
@@ -3841,6 +3873,57 @@ object SparkEntry {
         |  FROM f)
         |SELECT qid AS query_id, did AS doc_id,
         |  CAST(rrf_score AS BIGINT) AS rrf_score, rank
+        |FROM fr WHERE rank <= 10""".stripMargin,
+    "q_hybrid_rrf_blocked" ->
+      s"""WITH dd AS (SELECT doc_id, $ToksExpr AS tk FROM documents),
+        |g AS (SELECT doc_id, list_distinct(
+        |        [list_aggregate(tk[i:i+2], 'string_agg', ' ')
+        |         FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS sh FROM dd),
+        |bt AS (SELECT * FROM g WHERE doc_id < 5),
+        |cp AS (SELECT * FROM g WHERE doc_id >= 5),
+        |lexp AS (SELECT bt.doc_id AS qid, cp.doc_id AS did,
+        |    len(list_intersect(bt.sh, cp.sh))::DOUBLE
+        |      / (len(bt.sh) + len(cp.sh)
+        |         - len(list_intersect(bt.sh, cp.sh))) AS jacc
+        |  FROM bt JOIN cp ON true),
+        |lex AS (SELECT qid, did,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY jacc DESC, did) AS lrank
+        |  FROM lexp WHERE jacc >= 0.8),
+        |cent AS (SELECT embedding::DOUBLE[] AS cv,
+        |    row_number() OVER (ORDER BY vec_id) - 1 AS cell
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16)),
+        |casg AS (SELECT e.vec_id, e.embedding, c.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+        |               c.cell) AS rn
+        |  FROM embeddings e CROSS JOIN cent c
+        |  WHERE e.embedding IS NOT NULL),
+        |corp AS (SELECT vec_id, embedding, cell FROM casg
+        |         WHERE vec_id >= 5 AND rn = 1),
+        |qp AS (SELECT vec_id AS qid, embedding AS qv, cell FROM casg
+        |       WHERE vec_id < 5 AND rn <= 4),
+        |semc AS (SELECT qp.qid, corp.vec_id AS did,
+        |    list_cosine_similarity(qp.qv::DOUBLE[],
+        |      corp.embedding::DOUBLE[]) AS cos
+        |  FROM qp JOIN corp ON qp.cell = corp.cell),
+        |sem AS (SELECT qid, did,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, did) AS srank
+        |  FROM semc),
+        |contrib AS (
+        |  SELECT qid, did, 1000000000000 // (60 + lrank) AS c FROM lex
+        |  UNION ALL
+        |  SELECT qid, did, 1000000000000 // (60 + srank) FROM sem
+        |  WHERE srank <= 20),
+        |f AS (SELECT qid, did, CAST(sum(c) AS BIGINT) AS rrf_score
+        |      FROM contrib GROUP BY 1, 2),
+        |fr AS (SELECT qid, did, rrf_score,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY rrf_score DESC, did) AS rank
+        |  FROM f)
+        |SELECT qid AS query_id, did AS doc_id, rrf_score, rank
         |FROM fr WHERE rank <= 10""".stripMargin,
     "q_topk" ->
       """WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
