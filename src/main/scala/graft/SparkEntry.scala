@@ -1361,6 +1361,32 @@ object SparkEntry {
           col("rrf_score"), col("rank"))
     }
 
+  /** The ANN index AS a table layout: the PQ code table written
+    * hive-partitioned by IVF cell (sorted by id within files), read
+    * back, and searched — the probe equi-join on the partition column
+    * lets Dynamic Partition Pruning limit the scan to the probed
+    * directories, so at lake scale a query batch opens nprobe/nlist of
+    * the index files and nothing else. Oracle = q_ann_ivfpq's replay:
+    * result equality proves the persisted index is lossless. */
+  private val q_ann_layout: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = emb(s, dir)
+      val (model, codes) = graft.similarity.PqAnn.fit(
+        e, "vec_id", "embedding", m = 8, ksub = 8, iters = 2)
+      val coarse = IvfAnn.fit(e, "vec_id", "embedding", nlist = 16)
+      val withCell = codes.join(
+        e.filter(col("embedding").isNotNull).select(col("vec_id"),
+          coarse.cell(col("embedding").cast("array<double>")).as("cell")),
+        "vec_id")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${math.abs(dir.hashCode)}"
+      graft.sources.Layout.writePartitioned(
+        withCell, path, partitionBy = Seq("cell"), sortBy = Seq("vec_id"))
+      graft.similarity.PqAnn.search(
+        graft.sources.Layout.read(s, path), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "pq_codes", k = 5, model,
+        coarse = Some(("cell", coarse, 4)))
+    }
+
   /** The SCALE path of hybrid retrieval, oracle-checked end-to-end:
     * the lexical leg is MinHash-banded (candidates share a band bucket,
     * exact hashed-shingle Jaccard ≥ 0.8 verifies and ranks) and the
@@ -1437,6 +1463,37 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
        |    FROM fdist) WHERE rn = 1)""".stripMargin
   }
+
+  /** Shared IVF-ADC replay (q_ann_ivfpq AND its layout round-trip
+    * q_ann_layout, whose result must be identical): PqCte's trained
+    * codes + cosine cell assignment + probed-cell ADC ranking. */
+  private lazy val IvfPqOracle: String =
+    s"""$PqCte,
+      |cent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+      |         FROM embeddings WHERE vec_id < 16),
+      |casg AS (SELECT e.vec_id, c.cell,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+      |               c.cell) AS rn
+      |  FROM embeddings e CROSS JOIN cent c
+      |  WHERE e.embedding IS NOT NULL),
+      |corpcell AS (SELECT vec_id, cell FROM casg WHERE rn = 1),
+      |qprobe AS (SELECT vec_id AS qid, cell FROM casg
+      |           WHERE vec_id < 10 AND rn <= 4),
+      |adc AS (SELECT qd.vec_id AS query_id, nc.vec_id AS neighbor_id,
+      |    CAST(sum(qd.dist) AS BIGINT) AS adist
+      |  FROM fdist qd
+      |  JOIN fcodes nc ON qd.s = nc.s AND qd.code = nc.code
+      |  JOIN corpcell cc ON cc.vec_id = nc.vec_id
+      |  JOIN qprobe qp ON qp.qid = qd.vec_id AND qp.cell = cc.cell
+      |  WHERE nc.vec_id <> qd.vec_id
+      |  GROUP BY 1, 2),
+      |pqr AS (SELECT query_id, neighbor_id, adist,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adist, neighbor_id) AS rank
+      |  FROM adc)
+      |SELECT query_id, neighbor_id, adist, rank
+      |FROM pqr WHERE rank <= 5""".stripMargin
 
   private val q_salted_join: (SparkSession, String) => DataFrame =
     (s, dir) => {
@@ -2815,6 +2872,7 @@ object SparkEntry {
     "q_dedup_semantic_stream" -> q_dedup_semantic_stream,
     "q_hybrid_rrf"          -> q_hybrid_rrf,
     "q_hybrid_rrf_blocked"  -> q_hybrid_rrf_blocked,
+    "q_ann_layout"          -> q_ann_layout,
     "q_salted_join"         -> q_salted_join,
     "q_bloom_join"          -> q_bloom_join,
     "q_profile"             -> q_profile,
@@ -3769,33 +3827,11 @@ object SparkEntry {
         |  FROM adc)
         |SELECT query_id, neighbor_id, adist, rank
         |FROM pqr WHERE rank <= 5""".stripMargin,
-    "q_ann_ivfpq" ->
-      s"""$PqCte,
-        |cent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
-        |         FROM embeddings WHERE vec_id < 16),
-        |casg AS (SELECT e.vec_id, c.cell,
-        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
-        |               c.cell) AS rn
-        |  FROM embeddings e CROSS JOIN cent c
-        |  WHERE e.embedding IS NOT NULL),
-        |corpcell AS (SELECT vec_id, cell FROM casg WHERE rn = 1),
-        |qprobe AS (SELECT vec_id AS qid, cell FROM casg
-        |           WHERE vec_id < 10 AND rn <= 4),
-        |adc AS (SELECT qd.vec_id AS query_id, nc.vec_id AS neighbor_id,
-        |    CAST(sum(qd.dist) AS BIGINT) AS adist
-        |  FROM fdist qd
-        |  JOIN fcodes nc ON qd.s = nc.s AND qd.code = nc.code
-        |  JOIN corpcell cc ON cc.vec_id = nc.vec_id
-        |  JOIN qprobe qp ON qp.qid = qd.vec_id AND qp.cell = cc.cell
-        |  WHERE nc.vec_id <> qd.vec_id
-        |  GROUP BY 1, 2),
-        |pqr AS (SELECT query_id, neighbor_id, adist,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY adist, neighbor_id) AS rank
-        |  FROM adc)
-        |SELECT query_id, neighbor_id, adist, rank
-        |FROM pqr WHERE rank <= 5""".stripMargin,
+    "q_ann_ivfpq" -> IvfPqOracle,
+    // the layout round-trip re-reads the SAME index from the
+    // partitioned sink — result equality against the identical replay
+    // proves the persisted form lossless
+    "q_ann_layout" -> IvfPqOracle,
     "q_dedup_semantic_stream" ->
       """WITH cent AS (SELECT embedding::DOUBLE[] AS cv,
         |    row_number() OVER (ORDER BY vec_id) - 1 AS cell

@@ -225,11 +225,22 @@ object PqAnn {
           col(codesCol).as("__codes"))
         c.crossJoin(broadcast(q0.drop("__qv")))
       case Some((cellCol, cm, nprobe)) =>
-        val c = corpusCodes.select(col(idCol).as("neighbor_id"),
-          col(codesCol).as("__codes"), col(cellCol).as("__cell"))
         val q = broadcast(q0
           .select(col("query_id"), col("__lut"),
             explode(cm.probes(col("__qv"), nprobe)).as("__cell")))
+        // Static partition pruning: the probed-cell set is tiny and
+        // known up front (≤ nlist ints — queries are small by this
+        // operator's contract), so plant it as an IN filter on the
+        // corpus side. When corpusCodes is a cell-partitioned layout
+        // the filter prunes DIRECTORIES at listing time — dynamic
+        // pruning can't serve here because the probe cells come
+        // through a Generate, which breaks DPP's join-key lineage.
+        val probed = q.select(col("__cell")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val c = corpusCodes
+          .filter(col(cellCol).isInCollection(probed))
+          .select(col(idCol).as("neighbor_id"),
+            col(codesCol).as("__codes"), col(cellCol).as("__cell"))
         c.join(q, "__cell")
     }
     val w = Window.partitionBy(col("query_id"))

@@ -1288,6 +1288,47 @@ class PipelineSpecs extends SparkSuite {
       s"partition filter not pushed:\n$plan")
   }
 
+  test("ANN index as layout: cell-partitioned code table, probe join " +
+      "dynamically prunes partitions, results ≡ in-memory search") {
+    import graft.similarity.{IvfAnn, PqAnn}
+    val rnd = new scala.util.Random(31)
+    val big = (0 until 400).map { i =>
+      (i.toLong, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (model, codes) = PqAnn.fit(big, "vec_id", "embedding",
+      m = 4, ksub = 4, iters = 1)
+    val coarse = IvfAnn.fit(big, "vec_id", "embedding", nlist = 6)
+    val withCell = codes.join(
+      big.select(col("vec_id"),
+        coarse.cell(col("embedding").cast("array<double>")).as("cell")),
+      "vec_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_spec").toString
+    graft.sources.Layout.writePartitioned(withCell, dir, Seq("cell"), Seq("vec_id"))
+    val dirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("cell=")).toSet
+    assert(dirs.nonEmpty && dirs.subsetOf((0 until 6).map(c => s"cell=$c").toSet))
+    val queries = big.filter(col("vec_id") < 4)
+    val fromDisk = PqAnn.search(graft.sources.Layout.read(spark, dir),
+      queries, "vec_id", "embedding", "pq_codes", k = 3, model,
+      coarse = Some(("cell", coarse, 2)))
+    val inMem = PqAnn.search(withCell, queries, "vec_id", "embedding",
+      "pq_codes", k = 3, model, coarse = Some(("cell", coarse, 2)))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(rows(fromDisk) == rows(inMem))
+    // the probed-cell IN filter reaches the scan as a static
+    // PartitionFilter: at lake scale a query batch opens only the
+    // probed cells' directories (explode breaks DPP lineage, so the
+    // operator plants the bounded IN list itself)
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    val pf = "(?s).*PartitionFilters: \\[([^\\]]*)].*".r
+    val filters = plan match { case pf(f) => f; case _ => "" }
+    assert(filters.contains(" IN ") || filters.contains("cell#"),
+      s"probed-cell partition filter missing from the index scan:\n$plan")
+    assert(filters.toUpperCase.contains(" IN "),
+      s"IN-list partition filter missing:\n$filters")
+  }
+
   test("incremental minhash: batch-vs-corpus matches only, bucket guard") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
