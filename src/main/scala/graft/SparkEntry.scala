@@ -1378,7 +1378,13 @@ object SparkEntry {
         e.filter(col("embedding").isNotNull).select(col("vec_id"),
           coarse.cell(col("embedding").cast("array<double>")).as("cell")),
         "vec_id")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${math.abs(dir.hashCode)}"
+      // per-APPLICATION path: a fixed dataset-keyed dir raced concurrent
+      // runs (one overwrites while the other reads back mid-search) and
+      // was one refactor away from silently reusing a stale index from a
+      // previous tree; applicationId is unique per SparkContext, so a
+      // fresh run can never read another run's files
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
       graft.sources.Layout.writePartitioned(
         withCell, path, partitionBy = Seq("cell"), sortBy = Seq("vec_id"))
       graft.similarity.PqAnn.search(

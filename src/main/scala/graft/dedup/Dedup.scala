@@ -338,6 +338,17 @@ object Buckets {
       s"pairing=$pairing (expected all | anchor | anchor2)")
     val longIds = exploded.schema(idCol).dataType ==
       org.apache.spark.sql.types.LongType
+    // the dropped-bucket observe only exists on the long-id min-k path
+    // (the count-first fallback anti-joins refused keys away BEFORE
+    // grouping, so there is no row left to count them on); accepting the
+    // metric name there would bind it to nothing and the caller would
+    // read "zero dropped buckets" while buckets were refused upstream
+    require(observeDropped.isEmpty || (longIds && maxBucket < Int.MaxValue),
+      s"observeDropped is only supported for LONG ids with a finite " +
+        s"maxBucket (got idCol=$idCol: " +
+        s"${exploded.schema(idCol).dataType.simpleString}, " +
+        s"maxBucket=$maxBucket); audit the count-first path with " +
+        "Buckets.hotKeys instead")
     val grouped0 =
       if (longIds && maxBucket < Int.MaxValue)
         exploded.groupBy(keyCols.map(col): _*)

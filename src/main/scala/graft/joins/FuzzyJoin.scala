@@ -149,6 +149,9 @@ object FuzzyJoin {
     // a hot gram concentrated on the right side alone explodes the
     // candidate join just the same (candidates per gram = |lp|·|rp|).
     if (!frequencyOrder) {
+      // BOUNDED collect: limit(1) — at most ONE row crosses the driver,
+      // whatever the corpus size (the aggregation runs distributed; the
+      // collect is only the existence witness for the loud failure)
       val hot = lp.select(col("__fz_gram"), col("__fz_occ"))
         .unionByName(rp.select(col("__fz_gram"), col("__fz_occ")))
         .groupBy("__fz_gram", "__fz_occ")

@@ -147,10 +147,16 @@ object LshAnn {
 
   /** Signature of vector column `v` (dimension `dim`) for table `t`: bit i
     * = sign(v · h_(t,i)) — single-table form of [[signatures]], kept for
-    * callers that bucket one table at a time.
+    * callers that bucket one table at a time. Evaluates ONE table's
+    * planes (O(numBits·dim) per call) — a caller looping t over
+    * numTables pays linear total cost, same as one [[signatures]] pass.
     */
   def signature(v: Column, numBits: Int, t: Int, dim: Int): Column =
-    element_at(signatures(v, numBits, t + 1, dim), t + 1)
+    element_at(
+      org.apache.spark.sql.graft.VecFunctions.vec_lsh_signatures(v,
+        Seq((0 until numBits).map(i =>
+          (0 until dim).map(d => hcomp(t, i, d))))),
+      1)
 
   /** ALL tables' signatures in one native pass
     * ([[org.apache.spark.sql.graft.VecLshSignatures]]): the composed

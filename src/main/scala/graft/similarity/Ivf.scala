@@ -62,6 +62,9 @@ object IvfAnn {
     * iteration order); swap in k-means-trained centroids for recall.
     */
   def fit(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int): Model =
+    // BOUNDED collect: limit(nlist) caps it at nlist·dim doubles — the
+    // coarse quantizer is driver-sized by design (it ships to executors
+    // as a literal matrix), whatever the corpus size
     Model(corpus
       .orderBy(col(idCol))
       .limit(nlist)

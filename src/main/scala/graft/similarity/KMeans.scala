@@ -118,7 +118,9 @@ object KMeans {
         dim.toLong <= Long.MaxValue / (4L * scale * scale),
       s"dim=$dim at scale=$scale can overflow 64-bit distances")
 
-    // deterministic seeds: the k smallest ids' quantized vectors
+    // deterministic seeds: the k smallest ids' quantized vectors.
+    // BOUNDED collect: limit(k) caps it at k·dim longs (the distributed
+    // TakeOrdered does the ordering; only the k winners reach the driver)
     var centroids: IndexedSeq[IndexedSeq[Long]] = pts
       .orderBy(col("__kmid")).limit(k)
       .select(col("__kmq")).collect()

@@ -215,7 +215,11 @@ object PqAnn {
       model: Model,
       excludeSelf: Boolean = true,
       coarse: Option[(String, IvfAnn.Model, Int)] = None): DataFrame = {
-    val q0 = queries
+    // null query vectors are DROPPED (matching fit's corpus filter):
+    // quantize(null) would make every subDist null, turning the lut into
+    // a non-null array whose LEAF slots are null — VecAdc would read
+    // those as 0 and rank arbitrary corpus rows at adist=0
+    val q0 = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), model.lut(col(vecCol)).as("__lut"),
         // IvfAnn's cosine expressions require array<double>
         col(vecCol).cast("array<double>").as("__qv"))

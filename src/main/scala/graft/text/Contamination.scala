@@ -104,6 +104,10 @@ object Contamination {
       .select(explode(array_distinct(
         org.apache.spark.sql.graft.VecFunctions.gram_hash(col("__graft_th"), n)))
         .as("__graft_g"))
+      // BOUNDED collect: one long per DISTINCT eval n-gram — the eval
+      // suite is the small, fixed side of decontamination by contract
+      // (benchmarks, not the corpus), so this is a broadcast-sized
+      // array, not a data-scaled job result
       .distinct().collect().map(_.getLong(0)).sorted
 
   /** Shuffle-free, state-free contamination: each document's distinct

@@ -618,11 +618,15 @@ case class VecNearestCosine(child: Expression, centroids: Seq[Seq[Double]])
       val cs = ctx.freshName("cs")
       val best = ctx.freshName("best")
       val bc = ctx.freshName("bc")
+      val v = ctx.freshName("v") // freshName like every other local: a
+      // hardcoded `v` colliding with an enclosing scope would make Janino
+      // reject the stage — interpreter fallback, the failure this
+      // expression exists to avoid
       s"""
          |int $n = $a.numElements();
          |double $vn = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double v = $a.getDouble($i); $vn += v * v;
+         |  double $v = $a.getDouble($i); $vn += $v * $v;
          |}
          |$vn = java.lang.Math.sqrt($vn);
          |int $best = 0;
