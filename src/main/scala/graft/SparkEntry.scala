@@ -1393,6 +1393,55 @@ object SparkEntry {
         coarse = Some(("cell", coarse, 4)))
     }
 
+  /** Recall@10 of every approximate retrieval method against the exact
+    * brute-force top-10 — the answer-QUALITY metric the per-method
+    * oracle replays cannot see (each `q_ann_*` oracle replays its own
+    * algorithm bit-exactly: correctness of the computation, never
+    * goodness of the approximation). The same move `q_dedup_audit`
+    * made for LSH recall loss: the silent quality dimension becomes a
+    * surfaced, oracle-checked number. Methods: IVF at nprobe 1/2/4
+    * (the recall-vs-probe-cost curve), brute ADC over PQ codes (the
+    * compression loss alone), and IVF-PQ (both losses composed). All
+    * counts are exact integers; the one division is exactly rounded —
+    * bit-identical in DuckDB, which replays every method AND the
+    * brute baseline, then intersects. Mirrors the reference's
+    * slow-oracle differential method
+    * (`/root/reference/tests/util.py:272-293`) applied to approximate
+    * retrieval.
+    */
+  private val q_ann_recall: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      // the ground truth is computed ONCE (localCheckpoint: ≤ 10·k rows)
+      val exact = CosineTopK(e, q, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      val coarse = IvfAnn.fit(e, "vec_id", "embedding", nlist = 16)
+      val (pqModel, pqCodes) = graft.similarity.PqAnn.fit(
+        e, "vec_id", "embedding", m = 8, ksub = 8, iters = 2)
+      val withCell = pqCodes.join(
+        e.filter(col("embedding").isNotNull).select(col("vec_id"),
+          coarse.cell(col("embedding").cast("array<double>")).as("cell")),
+        "vec_id")
+      def recallRow(name: String, approx: DataFrame): DataFrame =
+        approx.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(exact.agg(count(lit(1)).as("possible")))
+          .select(lit(name).as("method"), col("hits"), col("possible"),
+            (col("hits").cast("double") / col("possible")).as("recall"))
+      val ivfs = Seq(1, 2, 4).map(np => recallRow(s"ivf_n$np",
+        IvfAnn.search(e, q, "vec_id", "embedding", k = 10, coarse,
+          nprobe = np)))
+      val pq = recallRow("pq", graft.similarity.PqAnn.search(
+        pqCodes, q, "vec_id", "embedding", "pq_codes", k = 10, pqModel))
+      val ivfpq = recallRow("ivfpq", graft.similarity.PqAnn.search(
+        withCell, q, "vec_id", "embedding", "pq_codes", k = 10, pqModel,
+        coarse = Some(("cell", coarse, 4))))
+      (ivfs :+ pq :+ ivfpq).reduce(_ unionByName _)
+    }
+
   /** The SCALE path of hybrid retrieval, oracle-checked end-to-end:
     * the lexical leg is MinHash-banded (candidates share a band bucket,
     * exact hashed-shingle Jaccard ≥ 0.8 verifies and ranks) and the
@@ -1500,6 +1549,77 @@ object SparkEntry {
       |  FROM adc)
       |SELECT query_id, neighbor_id, adist, rank
       |FROM pqr WHERE rank <= 5""".stripMargin
+
+  /** q_ann_recall's replay: the exact brute top-10, every approximate
+    * method's top-10 (IVF at nprobe 1/2/4, brute ADC over PqCte's
+    * trained codes, IVF-PQ), and the integer intersection counts. */
+  private lazy val AnnRecallOracle: String = {
+    def ivfTop(np: Int): String =
+      s"""iv${np}s AS (SELECT pr.qid, c.vec_id AS nid,
+         |    list_cosine_similarity(pr.qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+         |  FROM (SELECT vec_id AS qid, embedding AS qv, cell FROM rasg
+         |        WHERE vec_id < 10 AND rn <= $np) pr
+         |  JOIN rcorp c ON pr.cell = c.cell AND c.vec_id <> pr.qid),
+         |iv$np AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, nid) AS rn2 FROM iv${np}s)
+         |  WHERE rn2 <= 10)""".stripMargin
+    def rec(name: String, cte: String): String =
+      s"""SELECT '$name' AS method,
+         |  (SELECT count(*) FROM $cte a JOIN ex USING (qid, nid)) AS hits,
+         |  (SELECT count(*) FROM ex) AS possible""".stripMargin
+    s"""$PqCte,
+       |exs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |    list_cosine_similarity(q.embedding::DOUBLE[],
+       |      c.embedding::DOUBLE[]) AS cos
+       |  FROM embeddings q CROSS JOIN embeddings c
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |ex AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid) AS rn FROM exs) WHERE rn <= 10),
+       |rcent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+       |          FROM embeddings WHERE vec_id < 16),
+       |rasg AS (SELECT e.vec_id, e.embedding, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+       |               c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN rcent c
+       |  WHERE e.embedding IS NOT NULL),
+       |rcorp AS (SELECT vec_id, embedding, cell FROM rasg WHERE rn = 1),
+       |${ivfTop(1)},
+       |${ivfTop(2)},
+       |${ivfTop(4)},
+       |pqadc AS (SELECT qd.vec_id AS qid, nc.vec_id AS nid,
+       |    CAST(sum(qd.dist) AS BIGINT) AS adist
+       |  FROM fdist qd JOIN fcodes nc ON qd.s = nc.s AND qd.code = nc.code
+       |  WHERE qd.vec_id < 10 AND nc.vec_id <> qd.vec_id
+       |  GROUP BY 1, 2),
+       |pqb AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adist, nid) AS rn FROM pqadc) WHERE rn <= 10),
+       |ipadc AS (SELECT qd.vec_id AS qid, nc.vec_id AS nid,
+       |    CAST(sum(qd.dist) AS BIGINT) AS adist
+       |  FROM fdist qd
+       |  JOIN fcodes nc ON qd.s = nc.s AND qd.code = nc.code
+       |  JOIN rcorp cc ON cc.vec_id = nc.vec_id
+       |  JOIN (SELECT vec_id AS qid2, cell FROM rasg
+       |        WHERE vec_id < 10 AND rn <= 4) qp
+       |    ON qp.qid2 = qd.vec_id AND qp.cell = cc.cell
+       |  WHERE nc.vec_id <> qd.vec_id
+       |  GROUP BY 1, 2),
+       |ipq AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adist, nid) AS rn FROM ipadc) WHERE rn <= 10),
+       |rec AS (
+       |  ${rec("ivf_n1", "iv1")}
+       |  UNION ALL ${rec("ivf_n2", "iv2")}
+       |  UNION ALL ${rec("ivf_n4", "iv4")}
+       |  UNION ALL ${rec("pq", "pqb")}
+       |  UNION ALL ${rec("ivfpq", "ipq")})
+       |SELECT method, hits, possible,
+       |  hits::DOUBLE / possible AS recall
+       |FROM rec""".stripMargin
+  }
 
   private val q_salted_join: (SparkSession, String) => DataFrame =
     (s, dir) => {
@@ -2879,6 +2999,7 @@ object SparkEntry {
     "q_hybrid_rrf"          -> q_hybrid_rrf,
     "q_hybrid_rrf_blocked"  -> q_hybrid_rrf_blocked,
     "q_ann_layout"          -> q_ann_layout,
+    "q_ann_recall"          -> q_ann_recall,
     "q_salted_join"         -> q_salted_join,
     "q_bloom_join"          -> q_bloom_join,
     "q_profile"             -> q_profile,
@@ -3838,6 +3959,7 @@ object SparkEntry {
     // partitioned sink — result equality against the identical replay
     // proves the persisted form lossless
     "q_ann_layout" -> IvfPqOracle,
+    "q_ann_recall" -> AnnRecallOracle,
     "q_dedup_semantic_stream" ->
       """WITH cent AS (SELECT embedding::DOUBLE[] AS cv,
         |    row_number() OVER (ORDER BY vec_id) - 1 AS cell
