@@ -1299,6 +1299,24 @@ object SparkEntry {
         "pq_codes", k = 5, model, coarse = Some(("cell", coarse, 4)))
     }
 
+  /** Residual-encoded IVF-PQ — the classic IVFADC layout
+    * (`q_ann_ivfpq` encodes raw vectors with one codebook for the whole
+    * corpus; here each vector is encoded as its RESIDUAL against its
+    * cell centroid, so the code budget covers the residual ball, and
+    * the query builds one lookup table per probed cell). Training,
+    * encoding, and per-cell ADC all replay bit-identically in DuckDB;
+    * `q_ann_recall` measures what the re-centering buys. */
+  private val q_ann_ivfpq_res: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = emb(s, dir)
+      val coarse = IvfAnn.fit(e, "vec_id", "embedding", nlist = 16)
+      val (model, codes) = graft.similarity.PqAnn.fitResidual(
+        e, "vec_id", "embedding", coarse, m = 8, ksub = 8, iters = 2)
+      graft.similarity.PqAnn.searchResidual(
+        codes, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        "pq_codes", "cell", k = 5, model, nprobe = 4)
+    }
+
   /** IVF with a TRAINED coarse quantizer — the production path the
     * seed-centroid `q_ann_ivf` documents ("real deployments train
     * k-means and pass the centroids"): the deterministic fixed-point
@@ -1439,7 +1457,12 @@ object SparkEntry {
       val ivfpq = recallRow("ivfpq", graft.similarity.PqAnn.search(
         withCell, q, "vec_id", "embedding", "pq_codes", k = 10, pqModel,
         coarse = Some(("cell", coarse, 4))))
-      (ivfs :+ pq :+ ivfpq).reduce(_ unionByName _)
+      val (resModel, resCodes) = graft.similarity.PqAnn.fitResidual(
+        e, "vec_id", "embedding", coarse, m = 8, ksub = 8, iters = 2)
+      val ivfpqRes = recallRow("ivfpq_res",
+        graft.similarity.PqAnn.searchResidual(resCodes, q, "vec_id",
+          "embedding", "pq_codes", "cell", k = 10, resModel, nprobe = 4))
+      (ivfs :+ pq :+ ivfpq :+ ivfpqRes).reduce(_ unionByName _)
     }
 
   /** The SCALE path of hybrid retrieval, oracle-checked end-to-end:
@@ -1577,15 +1600,10 @@ object SparkEntry {
        |ex AS (SELECT qid, nid FROM (
        |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
        |      ORDER BY cos DESC, nid) AS rn FROM exs) WHERE rn <= 10),
-       |rcent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
-       |          FROM embeddings WHERE vec_id < 16),
-       |rasg AS (SELECT e.vec_id, e.embedding, c.cell,
-       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
-       |               c.cell) AS rn
-       |  FROM embeddings e CROSS JOIN rcent c
-       |  WHERE e.embedding IS NOT NULL),
-       |rcorp AS (SELECT vec_id, embedding, cell FROM rasg WHERE rn = 1),
+       |$IvfCellCte,
+       |$PqResCte,
+       |rtop AS (SELECT query_id AS qid, neighbor_id AS nid FROM rres
+       |         WHERE rank <= 10),
        |${ivfTop(1)},
        |${ivfTop(2)},
        |${ivfTop(4)},
@@ -1615,11 +1633,103 @@ object SparkEntry {
        |  UNION ALL ${rec("ivf_n2", "iv2")}
        |  UNION ALL ${rec("ivf_n4", "iv4")}
        |  UNION ALL ${rec("pq", "pqb")}
-       |  UNION ALL ${rec("ivfpq", "ipq")})
+       |  UNION ALL ${rec("ivfpq", "ipq")}
+       |  UNION ALL ${rec("ivfpq_res", "rtop")})
        |SELECT method, hits, possible,
        |  hits::DOUBLE / possible AS recall
        |FROM rec""".stripMargin
   }
+
+  /** Shared cosine cell assignment (nlist = 16 seed centroids): corpus
+    * cells (`rcorp`) and the full rank frame (`rasg`, probe lists via
+    * `rn <= nprobe`). */
+  private val IvfCellCte: String =
+    """rcent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+      |          FROM embeddings WHERE vec_id < 16),
+      |rasg AS (SELECT e.vec_id, e.embedding, c.cell,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+      |               c.cell) AS rn
+      |  FROM embeddings e CROSS JOIN rcent c
+      |  WHERE e.embedding IS NOT NULL),
+      |rcorp AS (SELECT vec_id, embedding, cell FROM rasg WHERE rn = 1)"""
+      .stripMargin
+
+  /** Residual-PQ replay (q_ann_ivfpq_res; also the `ivfpq_res` leg of
+    * q_ann_recall): quantized cell centroids (`cq`), residual points
+    * (`rpts`), PqCte-shaped integer Lloyd over the residuals
+    * (`rcb0..rcb2`), final residual codes (`rfcodes`), per-(query,
+    * probed cell) residual lookup tables (`rqlut`), and the ranked ADC
+    * scan (`rres`). Assumes `pqpts`/`pqseeds` (from PqCte) and
+    * `rasg`/`rcorp` (from IvfCellCte) are in scope.
+    */
+  private val PqResCte: String = {
+    val iters = (1 to 2).map { i =>
+      val p = s"rcb${i - 1}"
+      s"""rpdist$i AS (SELECT p.vec_id, c.s, c.code,
+         |    sum((p.q - c.v) * (p.q - c.v)) AS dist
+         |  FROM rpts p JOIN $p c ON p.s = c.s AND p.w = c.w
+         |  GROUP BY 1, 2, 3),
+         |rpa$i AS (SELECT vec_id, s, code,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+         |  FROM rpdist$i),
+         |rpagg$i AS (SELECT a.s, a.code, p.w, sum(p.q) AS sm, count(*) AS n
+         |  FROM rpts p JOIN (SELECT vec_id, s, code FROM rpa$i WHERE rn = 1) a
+         |    ON p.vec_id = a.vec_id AND p.s = a.s
+         |  GROUP BY 1, 2, 3),
+         |rcb$i AS (SELECT c.s, c.code, c.w, coalesce(g.sm // g.n, c.v) AS v
+         |  FROM $p c LEFT JOIN rpagg$i g
+         |    ON c.s = g.s AND c.code = g.code AND c.w = g.w)""".stripMargin
+    }.mkString(",\n")
+    s"""cq AS (SELECT cell, d // 8 AS s, d % 8 AS w,
+       |    CAST(floor(x::DOUBLE * 1048576) AS BIGINT) AS v
+       |  FROM (SELECT vec_id AS cell, unnest(range(0, len(embedding))) AS d,
+       |          unnest(embedding) AS x
+       |        FROM embeddings WHERE vec_id < 16)),
+       |rpts AS (SELECT p.vec_id, p.s, p.w, p.q - cq.v AS q
+       |  FROM pqpts p JOIN rcorp cc ON cc.vec_id = p.vec_id
+       |  JOIN cq ON cq.cell = cc.cell AND cq.s = p.s AND cq.w = p.w),
+       |rcb0 AS (SELECT p.s, sd.code, p.w, p.q AS v
+       |  FROM pqseeds sd JOIN rpts p USING (vec_id)),
+       |$iters,
+       |rfdist AS (SELECT p.vec_id, c.s, c.code,
+       |    sum((p.q - c.v) * (p.q - c.v)) AS dist
+       |  FROM rpts p JOIN rcb2 c ON p.s = c.s AND p.w = c.w
+       |  GROUP BY 1, 2, 3),
+       |rfcodes AS (SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+       |    FROM rfdist) WHERE rn = 1),
+       |rqlut AS (SELECT qp.qid, qp.cell, c.s, c.code,
+       |    sum((p.q - cq.v - c.v) * (p.q - cq.v - c.v)) AS dist
+       |  FROM (SELECT vec_id AS qid, cell FROM rasg
+       |        WHERE vec_id < 10 AND rn <= 4) qp
+       |  JOIN pqpts p ON p.vec_id = qp.qid
+       |  JOIN cq ON cq.cell = qp.cell AND cq.s = p.s AND cq.w = p.w
+       |  JOIN rcb2 c ON c.s = p.s AND c.w = p.w
+       |  GROUP BY 1, 2, 3, 4),
+       |radc AS (SELECT ql.qid AS query_id, nc.vec_id AS neighbor_id,
+       |    CAST(sum(ql.dist) AS BIGINT) AS adist
+       |  FROM rqlut ql
+       |  JOIN rcorp cc ON cc.cell = ql.cell
+       |  JOIN rfcodes nc ON nc.vec_id = cc.vec_id
+       |    AND nc.s = ql.s AND nc.code = ql.code
+       |  WHERE nc.vec_id <> ql.qid
+       |  GROUP BY 1, 2),
+       |rres AS (SELECT query_id, neighbor_id, adist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist, neighbor_id) AS rank
+       |  FROM radc)""".stripMargin
+  }
+
+  /** q_ann_ivfpq_res's standalone replay: PqCte's quantized points +
+    * the shared cell CTEs + the residual chain, top-5. */
+  private lazy val IvfPqResOracle: String =
+    s"""$PqCte,
+       |$IvfCellCte,
+       |$PqResCte
+       |SELECT query_id, neighbor_id, adist, rank
+       |FROM rres WHERE rank <= 5""".stripMargin
 
   private val q_salted_join: (SparkSession, String) => DataFrame =
     (s, dir) => {
@@ -3000,6 +3110,7 @@ object SparkEntry {
     "q_hybrid_rrf_blocked"  -> q_hybrid_rrf_blocked,
     "q_ann_layout"          -> q_ann_layout,
     "q_ann_recall"          -> q_ann_recall,
+    "q_ann_ivfpq_res"       -> q_ann_ivfpq_res,
     "q_salted_join"         -> q_salted_join,
     "q_bloom_join"          -> q_bloom_join,
     "q_profile"             -> q_profile,
@@ -3960,6 +4071,7 @@ object SparkEntry {
     // proves the persisted form lossless
     "q_ann_layout" -> IvfPqOracle,
     "q_ann_recall" -> AnnRecallOracle,
+    "q_ann_ivfpq_res" -> IvfPqResOracle,
     "q_dedup_semantic_stream" ->
       """WITH cent AS (SELECT embedding::DOUBLE[] AS cv,
         |    row_number() OVER (ORDER BY vec_id) - 1 AS cell

@@ -91,12 +91,17 @@ object PqAnn {
     /** ADC lookup table of RAW query vector `v`: array<array<bigint>>,
       * `lut[s][j]` = exact distance from the query's subspace-`s`
       * subvector to centroid `j`. */
-    def lut(v: Column): Column = {
-      val q = quantize(v)
+    def lut(v: Column): Column = lutQuantized(quantize(v))
+
+    /** [[lut]] over an ALREADY-quantized (or residual) column. The
+      * composed m·ksub subDist chain evaluates its input expression per
+      * entry — pass a plain column reference (project the quantized
+      * vector first), and only on the SMALL query side (the corpus-scan
+      * hot loop is the native [[adc]]). */
+    private[similarity] def lutQuantized(q: Column): Column =
       array((0 until m).map { si =>
         array((0 until ksub).map(j => subDist(q, si, j)): _*)
       }: _*)
-    }
 
     /** Approximate squared distance = sum of m table lookups (exact
       * Long). Native [[org.apache.spark.sql.graft.VecAdc]] — this is
@@ -123,14 +128,29 @@ object PqAnn {
       ksub: Int,
       iters: Int,
       scale: Long = 1L << 20): (Model, DataFrame) = {
+    val seedM = Model(IndexedSeq(IndexedSeq(IndexedSeq(0L))), scale) // quantize only
+    val pts0 = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__pqid"), seedM.quantize(col(vecCol)).as("__pqq"))
+    val (model, pts, _) = trainOn(pts0, m, ksub, iters, scale)
+    (model, pts.select(col("__pqid").as(idCol),
+      model.encodeQuantized(col("__pqq")).as("pq_codes")))
+  }
+
+  /** The shared Lloyd training core: `pts0` carries `__pqid` and the
+    * pre-quantized (raw or RESIDUAL) vector `__pqq`; extra columns pass
+    * through to the returned (checkpointed) frame. Returns the trained
+    * model, the frame, and the learned dimension.
+    */
+  private def trainOn(
+      pts0: DataFrame,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      scale: Long): (Model, DataFrame, Int) = {
     require(m > 0 && ksub > 0 && iters >= 0, "m > 0, ksub > 0, iters >= 0")
     require(scale > 0 && java.lang.Long.bitCount(scale) == 1,
       "scale must be a power of two (exact double multiplication)")
     require(scale <= (1L << 28), s"scale=$scale leaves no distance headroom")
-
-    val seedM = Model(IndexedSeq(IndexedSeq(IndexedSeq(0L))), scale) // quantize only
-    val pts0 = df.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("__pqid"), seedM.quantize(col(vecCol)).as("__pqq"))
     val cp = pts0.localCheckpoint(true)
     // one stats pass: the ragged-dim guard (cf. KMeans.fit — a short
     // vector would null-pad zip_with and corrupt the argmin silently)
@@ -189,9 +209,125 @@ object PqAnn {
       }
     }
 
-    val model = Model(codebooks, scale)
-    (model, pts.select(col("__pqid").as(idCol),
-      model.encodeQuantized(col("__pqq")).as("pq_codes")))
+    (Model(codebooks, scale), pts, dim)
+  }
+
+  /** Residual-encoded IVF-PQ (the classic IVFADC layout, Jégou et al.
+    * TPAMI 2011 §IV): codebooks are trained on CELL RESIDUALS
+    * `quantize(x) − quantize(centroid(cell(x)))` instead of raw
+    * vectors. Residuals of a decent coarse quantizer are concentrated
+    * near the origin, so the same code budget spends its resolution on
+    * a much smaller ball than the one-codebook-per-corpus shortcut
+    * [[fit]] takes — the recall delta is MEASURED, not assumed:
+    * `q_ann_recall` surfaces both variants' recall@10 against the
+    * exact brute top-k (numbers in SCALING.md round 10).
+    *
+    * Determinism: centroids quantize once to `floor(c · scale)` (exact
+    * for power-of-two scales), residuals are exact Long differences,
+    * and everything downstream is [[fit]]'s integer Lloyd — the DuckDB
+    * oracle replays training, encoding, and search bit-identically.
+    *
+    * @return the model and the encoded corpus
+    *         `(idCol, pq_codes, cell)` — the cell column is part of
+    *         the index (ADC needs the neighbor's cell to pick the
+    *         query-residual lookup table)
+    */
+  def fitResidual(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: IvfAnn.Model,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      scale: Long = 1L << 20): (ResidualModel, DataFrame) = {
+    val seedM = Model(IndexedSeq(IndexedSeq(IndexedSeq(0L))), scale)
+    val centroidsQ: IndexedSeq[IndexedSeq[Long]] =
+      coarse.centroids.map(_.map(c => math.floor(c * scale).toLong)
+        .toIndexedSeq).toIndexedSeq
+    require(centroidsQ.map(_.length).distinct.length == 1,
+      "ragged coarse centroids")
+    val pts0 = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__pqid"),
+        coarse.cell(col(vecCol).cast("array<double>")).as("__pqcell"),
+        seedM.quantize(col(vecCol)).as("__pqq0"))
+      .select(col("__pqid"), col("__pqcell"),
+        zip_with(col("__pqq0"),
+          element_at(typedLit(centroidsQ), col("__pqcell") + 1),
+          (a, b) => a - b).as("__pqq"))
+    val (model, pts, dim) = trainOn(pts0, m, ksub, iters, scale)
+    // a centroid/data dim mismatch would have null-padded the zip_with
+    // residuals silently — fail loudly instead
+    require(centroidsQ.head.length == dim,
+      s"coarse centroid dim ${centroidsQ.head.length} != data dim $dim")
+    (ResidualModel(model, coarse, centroidsQ),
+      pts.select(col("__pqid").as(idCol),
+        model.encodeQuantized(col("__pqq")).as("pq_codes"),
+        col("__pqcell").as("cell")))
+  }
+
+  /** [[fitResidual]]'s trained state: the per-subspace codebooks (over
+    * residuals), the coarse quantizer, and its quantized centroids. */
+  case class ResidualModel(
+      pq: Model,
+      coarse: IvfAnn.Model,
+      centroidsQ: IndexedSeq[IndexedSeq[Long]]) {
+
+    /** Residual of an ALREADY-quantized vector w.r.t. `cell`. */
+    private[similarity] def residual(q: Column, cell: Column): Column =
+      zip_with(q, element_at(typedLit(centroidsQ), cell + 1),
+        (a, b) => a - b)
+  }
+
+  /** Top-k neighbors per query by ADC over RESIDUAL codes. Unlike
+    * [[search]]'s raw-code coarse path (one lookup table per query),
+    * the query builds one table per PROBED CELL — `lut(q, cell)` is the
+    * distance table of the query's residual w.r.t. that cell, and a
+    * candidate in that cell is scored against exactly that table, so
+    * the ADC sum approximates `‖q − x‖²` with both vectors expressed
+    * relative to the same centroid. Query-side cost grows nprobe× (the
+    * cells are exploded before the lut projection); the corpus-side
+    * scan — the 100 TB term — is unchanged: probed-cell equi-join +
+    * native [[org.apache.spark.sql.graft.VecAdc]].
+    */
+  def searchResidual(
+      corpusCodes: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codesCol: String,
+      cellCol: String,
+      k: Int,
+      model: ResidualModel,
+      nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q0 = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"),
+        model.pq.quantize(col(vecCol)).as("__qq"),
+        explode(model.coarse.probes(
+          col(vecCol).cast("array<double>"), nprobe)).as("__cell"))
+      .select(col("query_id"), col("__cell"),
+        model.pq.lutQuantized(
+          model.residual(col("__qq"), col("__cell"))).as("__lut"))
+    val q = broadcast(q0)
+    // BOUNDED collect: distinct probed cells ≤ nlist ints — planted as
+    // a static IN filter so a cell-partitioned layout prunes
+    // directories at listing time (same rationale as [[search]])
+    val probed = q.select(col("__cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val c = corpusCodes
+      .filter(col(cellCol).isInCollection(probed))
+      .select(col(idCol).as("neighbor_id"),
+        col(codesCol).as("__codes"), col(cellCol).as("__cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    c.join(q, "__cell")
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+              else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        model.pq.adc(col("__codes"), col("__lut")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** Top-k neighbors per query by ADC distance over the code table.

@@ -134,4 +134,71 @@ class PqAnnSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pruned.nonEmpty)
   }
+
+  test("pq: null query vectors are dropped, not scored (brute and coarse)") {
+    val withNull = (vecs :+ (200L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val (model, codes) = PqAnn.fit(withNull, "vec_id", "embedding",
+      m = 2, ksub = 6, iters = 1)
+    val qs = withNull.filter(col("vec_id") === 200L || col("vec_id") === 0L)
+    val brute = PqAnn.search(codes, qs, "vec_id", "embedding",
+      "pq_codes", k = 3, model).select("query_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(brute == Set(0L), "null-vector query must produce no rows")
+    val coarse = IvfAnn.fit(df, "vec_id", "embedding", nlist = 2)
+    val withCell = codes.join(
+      df.select(col("vec_id"),
+        coarse.cell(col("embedding").cast("array<double>")).as("cell")),
+      "vec_id")
+    val probed = PqAnn.search(withCell, qs, "vec_id", "embedding",
+      "pq_codes", k = 3, model, coarse = Some(("cell", coarse, 2)))
+      .select("query_id").collect().map(_.getLong(0)).toSet
+    assert(probed == Set(0L))
+  }
+
+  test("residual pq: ksub >= corpus and iters=0 -> ADC = exact distance") {
+    // every residual is its own seed centroid, and the query residual is
+    // built against the NEIGHBOR's cell — so the ADC sum telescopes to
+    // the exact integer distance ‖q − x‖² regardless of which cell each
+    // vector landed in
+    val coarse = IvfAnn.fit(df, "vec_id", "embedding", nlist = 2)
+    val (model, codes) = PqAnn.fitResidual(df, "vec_id", "embedding",
+      coarse, m = 2, ksub = 6, iters = 0)
+    assert(codes.columns.toSeq == Seq("vec_id", "pq_codes", "cell"))
+    val res = PqAnn.searchResidual(codes, df.filter(col("vec_id") < 2),
+      "vec_id", "embedding", "pq_codes", "cell", k = 5, model, nprobe = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val vm = vecs.toMap
+    assert(res.size == 10)
+    for (((q, n), adist) <- res)
+      assert(adist == exactDist(vm(q), vm(n)), s"query=$q neighbor=$n")
+  }
+
+  test("residual pq: codes/ranks partitioning-independent; pruned probe subset") {
+    val rnd = new scala.util.Random(23)
+    val big = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val coarse = IvfAnn.fit(big, "vec_id", "embedding", nlist = 4)
+    def run(parts: Int) = {
+      val (model, codes) = PqAnn.fitResidual(big.repartition(parts),
+        "vec_id", "embedding", coarse, m = 4, ksub = 5, iters = 2)
+      (model.pq.codebooks,
+        PqAnn.searchResidual(codes, big.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "pq_codes", "cell", k = 3, model,
+          nprobe = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getInt(3))).sortBy(t => (t._1, t._4)).toSeq)
+    }
+    assert(run(1) == run(13))
+    // nprobe=1 candidates ⊆ nprobe=4 candidates per query
+    val (model, codes) = PqAnn.fitResidual(big, "vec_id", "embedding",
+      coarse, m = 4, ksub = 5, iters = 2)
+    def cands(np: Int) = PqAnn.searchResidual(codes,
+      big.filter(col("vec_id") < 5), "vec_id", "embedding", "pq_codes",
+      "cell", k = 300, model, nprobe = np)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands(1).subsetOf(cands(4)))
+  }
 }
