@@ -1411,6 +1411,48 @@ object SparkEntry {
         coarse = Some(("cell", coarse, 4)))
     }
 
+  /** Index MAINTENANCE: the operation a continuously-ingesting pipeline
+    * runs daily. PQ codebooks + IVF coarse quantizer are trained on the
+    * BASE corpus only (vec_id % 5 ≠ 0); the delta (vec_id % 5 = 0) is
+    * encoded with the FROZEN model and APPENDED to the cell-partitioned
+    * layout — no rebuild, O(delta) write. The search then runs over the
+    * read-back union, and the oracle replays train-on-base +
+    * encode-everything + search-over-union: result equality proves the
+    * appended index is exactly the index a full rebuild (same fixed
+    * model) would produce. PipelineSpecs additionally compares the
+    * appended layout against an in-session full rebuild bit-exactly. */
+  private val q_ann_layout_append: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = emb(s, dir)
+      val base = e.filter(col("vec_id") % 5 =!= 0)
+      val delta = e.filter(col("vec_id") % 5 === 0)
+      val coarse = IvfAnn.fit(base, "vec_id", "embedding", nlist = 16)
+      val (model, baseCodes) = graft.similarity.PqAnn.fit(
+        base, "vec_id", "embedding", m = 8, ksub = 8, iters = 2)
+      def withCell(codes: DataFrame, src: DataFrame) = codes.join(
+        src.filter(col("embedding").isNotNull).select(col("vec_id"),
+          coarse.cell(col("embedding").cast("array<double>")).as("cell")),
+        "vec_id")
+      val deltaCodes = delta.filter(col("embedding").isNotNull)
+        .select(col("vec_id"), model.encode(col("embedding")).as("pq_codes"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_" +
+        s"${s.sparkContext.applicationId}_append_" +
+        Integer.toHexString(dir.hashCode)
+      // base write is mode=overwrite (static partition-overwrite drops
+      // the whole path first), so re-running the query in one session
+      // never double-appends the delta
+      graft.sources.Layout.writePartitioned(
+        withCell(baseCodes, base), path,
+        partitionBy = Seq("cell"), sortBy = Seq("vec_id"))
+      graft.sources.Layout.appendPartitioned(
+        withCell(deltaCodes, delta), path,
+        partitionBy = Seq("cell"), sortBy = Seq("vec_id"))
+      graft.similarity.PqAnn.search(
+        graft.sources.Layout.read(s, path), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "pq_codes", k = 5, model,
+        coarse = Some(("cell", coarse, 4)))
+    }
+
   /** Recall@10 of every approximate retrieval method against the exact
     * brute-force top-10 — the answer-QUALITY metric the per-method
     * oracle replays cannot see (each `q_ann_*` oracle replays its own
@@ -1500,19 +1542,26 @@ object SparkEntry {
     * search (m=8 → dsub=8, ksub=8, 2 iterations, scale 2^20). `fdist`
     * doubles as both the final corpus assignment input AND the query
     * lookup tables (queries ⊆ corpus), so ADC = sum over subspaces of
-    * the query's distance row at the neighbor's code. */
-  private val PqCte: String = {
+    * the query's distance row at the neighbor's code.
+    *
+    * `trainPred` restricts TRAINING (seeds + Lloyd updates) to a
+    * subset of the corpus while `fdist`/`fcodes` still encode EVERY
+    * vector with the final codebooks — the fixed-model shape
+    * q_ann_layout_append replays (train on the base, encode the
+    * appended delta with the frozen model). "TRUE" = the plain PqCte.
+    */
+  private def pqCteOn(trainPred: String): String = {
     val iters = (1 to 2).map { i =>
       val p = s"cb${i - 1}"
       s"""pdist$i AS (SELECT p.vec_id, c.s, c.code,
          |    sum((p.q - c.v) * (p.q - c.v)) AS dist
-         |  FROM pqpts p JOIN $p c ON p.s = c.s AND p.w = c.w
+         |  FROM pqtrain p JOIN $p c ON p.s = c.s AND p.w = c.w
          |  GROUP BY 1, 2, 3),
          |pa$i AS (SELECT vec_id, s, code,
          |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
          |  FROM pdist$i),
          |pagg$i AS (SELECT a.s, a.code, p.w, sum(p.q) AS sm, count(*) AS n
-         |  FROM pqpts p JOIN (SELECT vec_id, s, code FROM pa$i WHERE rn = 1) a
+         |  FROM pqtrain p JOIN (SELECT vec_id, s, code FROM pa$i WHERE rn = 1) a
          |    ON p.vec_id = a.vec_id AND p.s = a.s
          |  GROUP BY 1, 2, 3),
          |cb$i AS (SELECT c.s, c.code, c.w, coalesce(g.sm // g.n, c.v) AS v
@@ -1525,12 +1574,13 @@ object SparkEntry {
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |pqpts AS (SELECT vec_id, d // 8 AS s, d % 8 AS w,
        |    CAST(floor(x::DOUBLE * 1048576) AS BIGINT) AS q FROM pq0),
+       |pqtrain AS (SELECT * FROM pqpts WHERE $trainPred),
        |pqseeds AS (SELECT vec_id,
        |    row_number() OVER (ORDER BY vec_id) - 1 AS code
        |  FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
-       |        ORDER BY vec_id LIMIT 8)),
+       |        AND ($trainPred) ORDER BY vec_id LIMIT 8)),
        |cb0 AS (SELECT p.s, sd.code, p.w, p.q AS v
-       |  FROM pqseeds sd JOIN pqpts p USING (vec_id)),
+       |  FROM pqseeds sd JOIN pqtrain p USING (vec_id)),
        |$iters,
        |fdist AS (SELECT p.vec_id, c.s, c.code,
        |    sum((p.q - c.v) * (p.q - c.v)) AS dist
@@ -1541,6 +1591,8 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
        |    FROM fdist) WHERE rn = 1)""".stripMargin
   }
+
+  private lazy val PqCte: String = pqCteOn("TRUE")
 
   /** Shared IVF-ADC replay (q_ann_ivfpq AND its layout round-trip
     * q_ann_layout, whose result must be identical): PqCte's trained
@@ -1721,6 +1773,39 @@ object SparkEntry {
        |      ORDER BY adist, neighbor_id) AS rank
        |  FROM radc)""".stripMargin
   }
+
+  /** q_ann_layout_append's replay: PQ training restricted to the base
+    * (vec_id % 5 ≠ 0) via [[pqCteOn]] — `fdist`/`fcodes` still encode
+    * EVERY vector with the frozen codebooks — plus base-seeded IVF
+    * cells and the probed ADC search over the union corpus. */
+  private lazy val LayoutAppendOracle: String =
+    s"""${pqCteOn("vec_id % 5 <> 0")},
+       |acent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16)),
+       |aasg AS (SELECT e.vec_id, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+       |               c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN acent c
+       |  WHERE e.embedding IS NOT NULL),
+       |acorp AS (SELECT vec_id, cell FROM aasg WHERE rn = 1),
+       |aadc AS (SELECT qd.vec_id AS query_id, nc.vec_id AS neighbor_id,
+       |    CAST(sum(qd.dist) AS BIGINT) AS adist
+       |  FROM fdist qd
+       |  JOIN fcodes nc ON qd.s = nc.s AND qd.code = nc.code
+       |  JOIN acorp cc ON cc.vec_id = nc.vec_id
+       |  JOIN (SELECT vec_id AS qid, cell FROM aasg
+       |        WHERE vec_id < 10 AND rn <= 4) qp
+       |    ON qp.qid = qd.vec_id AND qp.cell = cc.cell
+       |  WHERE nc.vec_id <> qd.vec_id
+       |  GROUP BY 1, 2),
+       |ares AS (SELECT query_id, neighbor_id, adist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist, neighbor_id) AS rank
+       |  FROM aadc)
+       |SELECT query_id, neighbor_id, adist, rank
+       |FROM ares WHERE rank <= 5""".stripMargin
 
   /** q_ann_ivfpq_res's standalone replay: PqCte's quantized points +
     * the shared cell CTEs + the residual chain, top-5. */
@@ -3111,6 +3196,7 @@ object SparkEntry {
     "q_ann_layout"          -> q_ann_layout,
     "q_ann_recall"          -> q_ann_recall,
     "q_ann_ivfpq_res"       -> q_ann_ivfpq_res,
+    "q_ann_layout_append"   -> q_ann_layout_append,
     "q_salted_join"         -> q_salted_join,
     "q_bloom_join"          -> q_bloom_join,
     "q_profile"             -> q_profile,
@@ -4072,6 +4158,7 @@ object SparkEntry {
     "q_ann_layout" -> IvfPqOracle,
     "q_ann_recall" -> AnnRecallOracle,
     "q_ann_ivfpq_res" -> IvfPqResOracle,
+    "q_ann_layout_append" -> LayoutAppendOracle,
     "q_dedup_semantic_stream" ->
       """WITH cent AS (SELECT embedding::DOUBLE[] AS cv,
         |    row_number() OVER (ORDER BY vec_id) - 1 AS cell

@@ -30,6 +30,27 @@ object Layout {
       .parquet(path)
   }
 
+  /** Appends to an existing [[writePartitioned]] layout — the index
+    * MAINTENANCE path: a continuously-ingesting pipeline encodes each
+    * day's new rows with the FIXED trained model and appends them to
+    * the partitioned index instead of rebuilding it (`mode("append")`
+    * only adds files — existing partition directories gain new files,
+    * new key values gain new directories; nothing is rewritten, so
+    * the append costs O(delta), not O(corpus)). Readers see the union;
+    * q_ann_layout_append proves search equality vs a full rebuild.
+    * Same `repartition` discipline as the initial write: the DELTA gets
+    * one writer per touched partition (small-files growth is one file
+    * per partition per append — compact periodically at lake scale). */
+  def appendPartitioned(df: DataFrame, path: String,
+                        partitionBy: Seq[String], sortBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "need at least one partition column")
+    df.repartition(partitionBy.map(col): _*)
+      .sortWithinPartitions((partitionBy ++ sortBy).map(col): _*)
+      .write.mode("append")
+      .partitionBy(partitionBy: _*)
+      .parquet(path)
+  }
+
   /** Reads a [[writePartitioned]] layout back. Predicates on the
     * partition columns prune directories (check `.explain` for
     * `PartitionFilters`); predicates on `sortBy` columns skip row

@@ -1329,6 +1329,51 @@ class PipelineSpecs extends SparkSuite {
       s"IN-list partition filter missing:\n$filters")
   }
 
+  test("ANN index append: delta encoded with the frozen model, appended " +
+      "to the layout — search ≡ full rebuild over the union") {
+    import graft.similarity.{IvfAnn, PqAnn}
+    val rnd = new scala.util.Random(37)
+    val all = (0 until 400).map { i =>
+      (i.toLong, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val base = all.filter(col("vec_id") % 5 =!= 0)
+    val delta = all.filter(col("vec_id") % 5 === 0)
+    // model + cells trained on the BASE only, then frozen
+    val (model, baseCodes) = PqAnn.fit(base, "vec_id", "embedding",
+      m = 4, ksub = 4, iters = 1)
+    val coarse = IvfAnn.fit(base, "vec_id", "embedding", nlist = 6)
+    def withCell(codes: org.apache.spark.sql.DataFrame,
+                 src: org.apache.spark.sql.DataFrame) = codes.join(
+      src.select(col("vec_id"),
+        coarse.cell(col("embedding").cast("array<double>")).as("cell")),
+      "vec_id")
+    val deltaCodes = delta.select(col("vec_id"),
+      model.encode(col("embedding")).as("pq_codes"))
+    val appendDir =
+      java.nio.file.Files.createTempDirectory("graft_annidx_app").toString
+    graft.sources.Layout.writePartitioned(
+      withCell(baseCodes, base), appendDir, Seq("cell"), Seq("vec_id"))
+    graft.sources.Layout.appendPartitioned(
+      withCell(deltaCodes, delta), appendDir, Seq("cell"), Seq("vec_id"))
+    // full rebuild with the SAME frozen model over the union corpus
+    val rebuildDir =
+      java.nio.file.Files.createTempDirectory("graft_annidx_reb").toString
+    graft.sources.Layout.writePartitioned(
+      withCell(baseCodes.unionByName(deltaCodes), all), rebuildDir,
+      Seq("cell"), Seq("vec_id"))
+    val queries = all.filter(col("vec_id") < 4)
+    def search(dir: String) = PqAnn.search(
+      graft.sources.Layout.read(spark, dir), queries, "vec_id",
+      "embedding", "pq_codes", k = 3, model,
+      coarse = Some(("cell", coarse, 2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(search(appendDir) == search(rebuildDir))
+    // the union index really contains both halves (delta rows present)
+    val cnt = graft.sources.Layout.read(spark, appendDir).count()
+    assert(cnt == 400L, s"appended index has $cnt rows")
+  }
+
   test("incremental minhash: batch-vs-corpus matches only, bucket guard") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
