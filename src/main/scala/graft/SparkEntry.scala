@@ -2556,6 +2556,63 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_matches"), min(col("rid")).as("min_rid"))
     }
 
+  /** The [[graft.plans.SweepJoinRewrite]] auto-salt routing end-to-end
+    * on the SKEWED shape: a PLAIN declarative DataFrame range join — no
+    * graft operator call, no salting hint — on a session with the rule
+    * installed and `autoSalt` at its default (true). The rule rewrites
+    * to the deferred dispatch node, whose execution-time stats pass
+    * detects the mega-key and time-slices it via
+    * [[graft.joins.SaltedSweepJoin.auto]] — the user wrote `df.join`,
+    * the optimizer owns the skew strategy. Shares q_auto_sweep's
+    * oracle: routing must be row-invisible. `newSession` isolates the
+    * conf/optimizer state. */
+  private val q_rule_auto_sweep: (SparkSession, String) => DataFrame =
+    (s0, dir) => {
+      val s = s0.newSession()
+      s.experimental.extraOptimizations = Seq(graft.plans.SweepJoinRewrite)
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .experimental.extraStrategies =
+          Seq(org.apache.spark.sql.graft.IntervalSweepStrategy)
+      s.conf.set(graft.plans.SweepJoinRewrite.enabledKey, "true")
+      // test-scale task sizing only (production floor is 64Ki rows/key);
+      // the derivation itself is what graft.SkewProbe exercises at scale
+      s.conf.set("spark.graft.skew.targetRowsPerTask", "300")
+      val skew = (k: Column) => when(k % 2 === 0, 0L).otherwise(k % 997)
+      val l = t(s, dir, "orders").select(
+        col("o_orderkey").as("okey"), skew(col("o_orderkey")).as("grp"),
+        ((col("o_orderkey") * 13 % 100000).cast("double") / 10.0).as("s"),
+        ((col("o_orderkey") * 13 % 100000).cast("double") / 10.0 +
+          (col("o_custkey") % 40).cast("double") / 10.0).as("e"))
+      val r = t(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        skew(col("l_orderkey")).as("grp_r"),
+        ((col("l_orderkey") * 31 % 100000).cast("double") / 10.0 +
+          col("l_linenumber").cast("double")).as("p"))
+      l.join(r, col("grp") === col("grp_r") &&
+          col("p") >= col("s") && col("p") <= col("e"))
+        .groupBy(col("okey"))
+        .agg(count(lit(1)).as("n_matches"), min(col("rid")).as("min_rid"))
+    }
+
+  /** q_auto_sweep AND q_rule_auto_sweep replay to the same plain range
+    * join: salting/routing must be row-invisible. */
+  private val AutoSweepOracle: String =
+    """WITH l AS (SELECT o_orderkey AS okey,
+      |             CASE WHEN o_orderkey % 2 = 0 THEN 0
+      |                  ELSE o_orderkey % 997 END AS grp,
+      |             (o_orderkey * 13 % 100000) / 10.0 AS s,
+      |             (o_orderkey * 13 % 100000) / 10.0
+      |               + (o_custkey % 40) / 10.0 AS e
+      |           FROM orders),
+      |r AS (SELECT l_orderkey * 10 + l_linenumber AS rid,
+      |        CASE WHEN l_orderkey % 2 = 0 THEN 0
+      |             ELSE l_orderkey % 997 END AS grp,
+      |        (l_orderkey * 31 % 100000) / 10.0 + l_linenumber AS p
+      |      FROM lineitem)
+      |SELECT l.okey, COUNT(*) AS n_matches, MIN(r.rid) AS min_rid
+      |FROM l JOIN r ON l.grp = r.grp AND r.p >= l.s AND r.p <= l.e
+      |GROUP BY l.okey""".stripMargin
+
   /** Synchronous label propagation over the q_pagerank synthetic graph:
     * seed labels doc_id % 50, 3 rounds of in-neighbor majority with
     * ties to the smallest label — bit-exact vs 3 unrolled rounds in
@@ -3227,6 +3284,7 @@ object SparkEntry {
     "q_bpe_wordpiece"       -> q_bpe_wordpiece,
     "q_salted_sweep"        -> q_salted_sweep,
     "q_auto_sweep"          -> q_auto_sweep,
+    "q_rule_auto_sweep"     -> q_rule_auto_sweep,
     "q_zorder"              -> q_zorder,
     "q_url_blocklist"       -> q_url_blocklist,
     "q_collocations"        -> q_collocations,
@@ -4528,22 +4586,10 @@ object SparkEntry {
         |SELECT l.okey, MIN(r.rid) AS rid
         |FROM l JOIN r ON l.grp = r.grp AND r.p >= l.s AND r.p <= l.e
         |GROUP BY l.okey""".stripMargin,
-    "q_auto_sweep" ->
-      """WITH l AS (SELECT o_orderkey AS okey,
-        |             CASE WHEN o_orderkey % 2 = 0 THEN 0
-        |                  ELSE o_orderkey % 997 END AS grp,
-        |             (o_orderkey * 13 % 100000) / 10.0 AS s,
-        |             (o_orderkey * 13 % 100000) / 10.0
-        |               + (o_custkey % 40) / 10.0 AS e
-        |           FROM orders),
-        |r AS (SELECT l_orderkey * 10 + l_linenumber AS rid,
-        |        CASE WHEN l_orderkey % 2 = 0 THEN 0
-        |             ELSE l_orderkey % 997 END AS grp,
-        |        (l_orderkey * 31 % 100000) / 10.0 + l_linenumber AS p
-        |      FROM lineitem)
-        |SELECT l.okey, COUNT(*) AS n_matches, MIN(r.rid) AS min_rid
-        |FROM l JOIN r ON l.grp = r.grp AND r.p >= l.s AND r.p <= l.e
-        |GROUP BY l.okey""".stripMargin,
+    "q_auto_sweep" -> AutoSweepOracle,
+    // the rule-planned declarative join on the SAME skewed shape must be
+    // row-invisible too: one shared replay
+    "q_rule_auto_sweep" -> AutoSweepOracle,
     "q_bpe_merges" ->
       s"""$BpeCte
          |SELECT 1::BIGINT AS merge_rank, a AS sym_a, b AS sym_b FROM top1

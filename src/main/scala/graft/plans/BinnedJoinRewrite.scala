@@ -301,6 +301,17 @@ object SweepJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val enabledKey = "spark.graft.sweepJoin.enabled"
 
+  /** default true: rewritten joins go to the DEFERRED auto-salt
+    * dispatch ([[org.apache.spark.sql.graft.AutoSaltedSweepJoin]]) —
+    * at execution one stats pass detects hot keys and time-slices them
+    * ([[graft.joins.SaltedSweepJoin.auto]]); with no hot keys the plan
+    * is the plain sweep's. A rule cannot decide skew itself (rules
+    * must not launch jobs), so it defers, the same division of labor
+    * as broadcast-threshold-vs-AQE. `false` restores the direct
+    * [[org.apache.spark.sql.graft.IntervalSweepJoin]] rewrite (no
+    * stats pass, single-task on a hot key). */
+  val autoSaltKey = "spark.graft.sweepJoin.autoSalt"
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(enabledKey, "false") != "true") plan
     else plan.transformUp {
@@ -374,17 +385,26 @@ object SweepJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             if (ns) LessThanOrEqual(a, b) else LessThan(a, b) } ++
           loRest.map { case (a, b, ns) =>
             if (ns) GreaterThanOrEqual(a, b) else GreaterThan(a, b) }
-        val node = graft_sweep.IntervalSweepJoin(
-          j.left, j.right,
-          keys.reverse.map(_._1), keys.reverse.map(_._2),
-          lStart = lLow, lEnd = lHigh, rStart = rLow, rEnd = rHigh,
-          // sweep matches iff (rs<le or (rs==le && lcE&&rcS)) and
-          // (ls<re or (ls==re && lcS&&rcE)); with lcS=lcE=true the two
-          // closedness products reduce to exactly the conjuncts'
-          // strictness flags
-          lClosedStart = true, lClosedEnd = true,
-          rClosedStart = loNonstrict, rClosedEnd = upNonstrict,
-          matchNullKeys = nullSafeFlags.head)
+        // sweep matches iff (rs<le or (rs==le && lcE&&rcS)) and
+        // (ls<re or (ls==re && lcS&&rcE)); with lcS=lcE=true the two
+        // closedness products reduce to exactly the conjuncts'
+        // strictness flags
+        val autoSalt = conf.getConfString(autoSaltKey, "true").toBoolean
+        val node: LogicalPlan =
+          if (autoSalt) graft_sweep.AutoSaltedSweepJoin(
+            j.left, j.right,
+            keys.reverse.map(_._1), keys.reverse.map(_._2),
+            lStart = lLow, lEnd = lHigh, rStart = rLow, rEnd = rHigh,
+            lClosedStart = true, lClosedEnd = true,
+            rClosedStart = loNonstrict, rClosedEnd = upNonstrict,
+            matchNullKeys = nullSafeFlags.head)
+          else graft_sweep.IntervalSweepJoin(
+            j.left, j.right,
+            keys.reverse.map(_._1), keys.reverse.map(_._2),
+            lStart = lLow, lEnd = lHigh, rStart = rLow, rEnd = rHigh,
+            lClosedStart = true, lClosedEnd = true,
+            rClosedStart = loNonstrict, rClosedEnd = upNonstrict,
+            matchNullKeys = nullSafeFlags.head)
         val filtered = (residual.reverse ++ extra) match {
           case Nil => node
           case fs  => Filter(fs.reduce(And), node)

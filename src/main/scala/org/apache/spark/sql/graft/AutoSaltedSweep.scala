@@ -1,0 +1,136 @@
+// Hosted under org.apache.spark.sql for the same reason as
+// IntervalSweep.scala: the dispatch needs `classic.Dataset.ofRows`
+// (via SweepPlanBuilder) and `SparkPlan.session`.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
+import org.apache.spark.sql.functions.{col, lit, not}
+
+import graft.core.{IntervalSpec, Intervals}
+
+/** Deferred stats-driven skew dispatch for rule-planned sweep joins.
+  *
+  * [[graft.plans.SweepJoinRewrite]] turns a declarative keyed range join
+  * into the custom sweep — but the PLAIN sweep hash-clusters on the
+  * keys, so a declarative join on a skewed key gets the single-straggler
+  * plan unless the user calls [[graft.joins.SaltedSweepJoin.auto]]
+  * directly. A Catalyst rule cannot make the routing decision itself
+  * (rules must not launch jobs, and the stats that decide hot keys ARE a
+  * job), so the rule rewrites to THIS logical node instead: the decision
+  * is deferred to `doExecute`, where running jobs is legitimate (Spark's
+  * own RangePartitioner samples its child inside execution the same
+  * way). At execution the dispatch runs `SaltedSweepJoin.auto` — one
+  * both-sides stats pass, hot keys time-sliced, no hot keys ≡ the plain
+  * sweep.
+  *
+  * '''Semantics guard.''' The operator API validity-filters EMPTY
+  * intervals on ingress (`start > stop` under the closedness, or NaN
+  * endpoints) — the graft interval convention — while the raw sweep
+  * exec evaluates the join conjuncts exactly as written, and an inverted
+  * "interval" CAN satisfy them (`ls=5, le=3` matches `[2, 10]`). A
+  * rule-planned join must be row-identical to the join the user wrote,
+  * so the dispatch first runs one cheap existence probe (union of both
+  * sides, `limit(1)`): if any row has a non-null-endpoint empty
+  * interval, it falls back to the raw [[IntervalSweepJoin]] node —
+  * today's exact plan. Rows with NULL endpoints never match on either
+  * path, so they cannot flip the decision. The probe + stats pass cost
+  * two extra scans of the inputs; the joins this rule targets are the
+  * ones where a single straggling task dwarfs that.
+  */
+case class AutoSaltedSweepJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    lStart: Expression, lEnd: Expression,
+    rStart: Expression, rEnd: Expression,
+    lClosedStart: Boolean, lClosedEnd: Boolean,
+    rClosedStart: Boolean, rClosedEnd: Boolean,
+    matchNullKeys: Boolean = false) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AutoSaltedSweepJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical dispatch for [[AutoSaltedSweepJoin]]. A leaf exec that owns
+  * the two LOGICAL children: `doExecute` materializes them as
+  * DataFrames, probes validity, and executes either the auto-salted
+  * operator chain or the raw sweep node — both nested query executions
+  * whose output ordinals match this node's `output` exactly.
+  *
+  * `join` is `@transient` (the `FileSourceScanExec` idiom): when this
+  * node feeds a whole-stage-codegen'd parent (e.g. HashAggregateExec
+  * puts ITSELF — and so its child subtree — into the generated code's
+  * `references` array), the plan tree is java-serialized into every
+  * task, and the logical children hold a non-serializable
+  * `InMemoryFileIndex`. `doExecute` runs driver-side before any task
+  * serialization; executors never touch the field. `output` is captured
+  * eagerly for the same reason.
+  */
+case class AutoSaltedSweepDispatchExec(@transient join: AutoSaltedSweepJoin)
+    extends LeafExecNode {
+
+  override val output: Seq[Attribute] = join.output
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val spark = session
+
+    // rename EVERY passthrough column and alias the key/endpoint
+    // expressions to synthetic names: SaltedSweepJoin.auto requires
+    // disjoint names across sides, and the originals may collide
+    def proj(child: LogicalPlan, keys: Seq[Expression],
+             s: Expression, e: Expression, p: String): LogicalPlan =
+      Project(
+        child.output.zipWithIndex.map { case (a, i) =>
+          Alias(a, s"__${p}_c$i")() } ++
+          keys.zipWithIndex.map { case (k, i) => Alias(k, s"__${p}_k$i")() } ++
+          Seq(Alias(s, s"__${p}_s")(), Alias(e, s"__${p}_e")()),
+        child)
+
+    val lDf = SweepPlanBuilder.ofRows(spark,
+      proj(join.left, join.leftKeys, join.lStart, join.lEnd, "asl"))
+    val rDf = SweepPlanBuilder.ofRows(spark,
+      proj(join.right, join.rightKeys, join.rStart, join.rEnd, "asr"))
+    val lSpec = IntervalSpec(Some("__asl_s"), Some("__asl_e"),
+      join.lClosedStart, join.lClosedEnd)
+    val rSpec = IntervalSpec(Some("__asr_s"), Some("__asr_e"),
+      join.rClosedStart, join.rClosedEnd)
+
+    // one existence probe over both sides: any non-null-endpoint EMPTY
+    // interval anywhere -> the operator chain's ingress filter would
+    // drop rows the raw conjuncts can match -> fall back
+    def dangerCol(df: DataFrame, spec: IntervalSpec) =
+      not(Intervals.nonEmpty(df, spec)) &&
+        col(spec.start.get).isNotNull && col(spec.stop.get).isNotNull
+    val hasDanger = lDf.select(dangerCol(lDf, lSpec).as("d"))
+      .unionByName(rDf.select(dangerCol(rDf, rSpec).as("d")))
+      .filter(col("d")).limit(1).count() > 0
+
+    if (hasDanger) {
+      // exact fallback: the raw sweep node over the ORIGINAL plans —
+      // output attrs are join.output verbatim, conjunct-exact semantics
+      SweepPlanBuilder.ofRows(spark, IntervalSweepJoin(
+        join.left, join.right, join.leftKeys, join.rightKeys,
+        join.lStart, join.lEnd, join.rStart, join.rEnd,
+        join.lClosedStart, join.lClosedEnd,
+        join.rClosedStart, join.rClosedEnd,
+        join.matchNullKeys)).queryExecution.toRdd
+    } else {
+      val res = graft.joins.SaltedSweepJoin.auto(lDf, rDf,
+        join.leftKeys.indices.map(i => s"__asl_k$i"),
+        join.rightKeys.indices.map(i => s"__asr_k$i"),
+        lSpec, rSpec, nullSafeKeys = join.matchNullKeys)
+      val outNames = join.left.output.indices.map(i => s"__asl_c$i") ++
+        join.right.output.indices.map(i => s"__asr_c$i")
+      // positional re-projection: ordinals (and types) line up with
+      // this node's declared output attributes
+      res.select(outNames.map(col): _*).queryExecution.toRdd
+    }
+  }
+}

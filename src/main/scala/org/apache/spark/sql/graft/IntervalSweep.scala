@@ -76,6 +76,8 @@ object IntervalSweepStrategy extends SparkStrategy {
         j.leftKeys, j.rightKeys, j.lStart, j.lEnd, j.rStart, j.rEnd,
         j.lClosedStart, j.lClosedEnd, j.rClosedStart, j.rClosedEnd,
         j.matchNullKeys, j.keep, j.rightOrder) :: Nil
+    case j: AutoSaltedSweepJoin =>
+      AutoSaltedSweepDispatchExec(j) :: Nil
     case _ => Nil
   }
 }

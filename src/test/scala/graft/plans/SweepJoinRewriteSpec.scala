@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 class SweepJoinRewriteSpec extends SparkSuite {
   import spark.implicits._
 
-  private def withRule[A](body: => A): A = {
+  private def withRule[A](autoSalt: Boolean = false)(body: => A): A = {
     val prev = spark.experimental.extraOptimizations
     val cl = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val prevStrat = cl.experimental.extraStrategies
@@ -20,11 +20,13 @@ class SweepJoinRewriteSpec extends SparkSuite {
     cl.experimental.extraStrategies =
       prevStrat :+ org.apache.spark.sql.graft.IntervalSweepStrategy
     spark.conf.set(SweepJoinRewrite.enabledKey, "true")
+    spark.conf.set(SweepJoinRewrite.autoSaltKey, autoSalt.toString)
     try body
     finally {
       spark.experimental.extraOptimizations = prev
       cl.experimental.extraStrategies = prevStrat
       spark.conf.unset(SweepJoinRewrite.enabledKey)
+      spark.conf.unset(SweepJoinRewrite.autoSaltKey)
     }
   }
 
@@ -56,7 +58,7 @@ class SweepJoinRewriteSpec extends SparkSuite {
         (col("s") <= col("re"), col("rs") < col("e")))) { // mixed
       def q: DataFrame = l.join(r, col("g") === col("g2") && c1 && c2)
       val expected = rows(q) // rule inert without the conf
-      withRule {
+      withRule() {
         val planned = q
         val phys = planned.queryExecution.executedPlan.toString
         assert(phys.contains("IntervalSweepJoin"), s"rule did not fire:\n$phys")
@@ -73,7 +75,7 @@ class SweepJoinRewriteSpec extends SparkSuite {
       col("s") <= col("re") && col("rs") <= col("e") &&
       (col("lid") + col("rid")) % 3 =!= 0)
     val expected = rows(q)
-    withRule {
+    withRule() {
       val planned = q
       val phys = planned.queryExecution.executedPlan.toString
       assert(phys.contains("IntervalSweepJoin"), phys)
@@ -83,7 +85,7 @@ class SweepJoinRewriteSpec extends SparkSuite {
 
   test("out-of-scope shapes are left alone") {
     val (l, r) = frames
-    withRule {
+    withRule() {
       // keyless: BinnedJoinRewrite's territory
       val keyless = l.join(r, col("s") <= col("re") && col("rs") <= col("e"))
       assert(!keyless.queryExecution.optimizedPlan.toString
@@ -118,11 +120,90 @@ class SweepJoinRewriteSpec extends SparkSuite {
       val r = Seq((1L, 5L, 55L), (2L, 90L, 99L)).toDF("g2", "rs", "re")
       val q = l.join(r, col("g") === col("g2") &&
         col("s") <= col("re") && col("rs") <= col("e"))
-      assert(q.queryExecution.executedPlan.toString.contains("IntervalSweepJoin"))
+      // default routing is the deferred auto-salt dispatch
+      assert(q.queryExecution.executedPlan.toString
+        .contains("AutoSaltedSweepDispatch"))
       assert(q.count() == 2)
     } finally {
       active.foreach(SparkSession.setActiveSession)
       default.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
+  test("skewed declarative join routes through the deferred auto-salt " +
+      "dispatch: rows = plain join = operator API") {
+    import graft.core.IntervalSpec
+    // one mega-key (g=0 holds ~2/3 of both sides) — the SkewProbe shape
+    val rnd = new scala.util.Random(17)
+    val l = (0 until 3000).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      (if (i % 3 != 0) 0L else (i % 97).toLong, i.toLong, s,
+        s + rnd.nextInt(40))
+    }.toDF("g", "lid", "s", "e")
+    val r = (0 until 3000).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      (if (i % 3 != 0) 0L else (i % 97).toLong, i.toLong, s,
+        s + rnd.nextInt(25))
+    }.toDF("g2", "rid", "rs", "re")
+    def q: DataFrame = l.join(r, col("g") === col("g2") &&
+      col("s") <= col("re") && col("rs") <= col("e"))
+    val expected = rows(q)
+    // force the derived threshold low enough that test-scale counts are
+    // "hot" (production floor is 64Ki rows/key)
+    spark.conf.set("spark.graft.skew.targetRowsPerTask", "200")
+    try withRule(autoSalt = true) {
+      val planned = q
+      val phys = planned.queryExecution.executedPlan.toString
+      assert(phys.contains("AutoSaltedSweepDispatch"),
+        s"dispatch did not plan:\n$phys")
+      assert(rows(planned) == expected)
+      // and the rule-planned result IS the operator API's salted result
+      val viaOperator = graft.joins.SaltedSweepJoin.auto(
+        l, r, Seq("g"), Seq("g2"),
+        IntervalSpec.closed("s", "e"), IntervalSpec.closed("rs", "re"),
+        targetRowsPerTask = 200)
+      assert(rows(planned) == rows(viaOperator))
+    } finally spark.conf.unset("spark.graft.skew.targetRowsPerTask")
+  }
+
+  test("dispatch falls back to the raw sweep on data the operator " +
+      "ingress filter would drop (inverted intervals keep their matches)") {
+    // left row [5, 3] is EMPTY by the interval convention but the raw
+    // conjuncts s <= re && rs <= e match it against [2, 10]; the
+    // operator chain would silently drop the pair, so the dispatch must
+    // detect it and take the conjunct-exact path
+    val l = Seq((1L, 10L, 5L, 3L), (1L, 11L, 1L, 2L))
+      .toDF("g", "lid", "s", "e")
+    val r = Seq((1L, 20L, 2L, 10L), (1L, 21L, 7L, 8L))
+      .toDF("g2", "rid", "rs", "re")
+    def q: DataFrame = l.join(r, col("g") === col("g2") &&
+      col("s") <= col("re") && col("rs") <= col("e"))
+    val expected = rows(q)
+    assert(expected.exists(_.startsWith("1|10|5|3")),
+      "fixture must contain an inverted-interval match")
+    withRule(autoSalt = true) {
+      val planned = q
+      assert(planned.queryExecution.executedPlan.toString
+        .contains("AutoSaltedSweepDispatch"))
+      assert(rows(planned) == expected)
+    }
+  }
+
+  test("auto-salt dispatch preserves null keys, closedness, residual " +
+      "conjuncts on the clean fixture") {
+    val (l, r) = frames
+    for ((c1, c2) <- Seq(
+        (col("s") <= col("re"), col("rs") <= col("e")),
+        (col("s") < col("re"), col("rs") < col("e")))) {
+      def q: DataFrame = l.join(r, col("g") === col("g2") && c1 && c2 &&
+        (col("lid") + col("rid")) % 3 =!= 0)
+      val expected = rows(q)
+      withRule(autoSalt = true) {
+        val planned = q
+        assert(planned.queryExecution.executedPlan.toString
+          .contains("AutoSaltedSweepDispatch"))
+        assert(rows(planned) == expected)
+      }
     }
   }
 }
