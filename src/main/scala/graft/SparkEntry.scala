@@ -834,6 +834,106 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
     }
 
+  /** The FULL curation chain — every stage a 100 TB pipeline runs, in
+    * production order, oracle-checked end-to-end (composition is where
+    * schema/contract bugs hide; the 3-stage q_pipeline* chains cover
+    * pieces of this):
+    *
+    *   raw ∪ synthesized exact copies (1-in-7 docs re-crawled under a
+    *   shifted id — the corpus itself is dup-free)
+    *   → 1 Gopher quality gate (all 7 rules, loosened to corpus scale)
+    *   → 2 URL blocklist (host + registrable domain, broadcast anti)
+    *   → 3 exact dedup (min-id survivor per text)
+    *   → 4 anchor2 MinHash+LSH near-dup, transitive-closure canonicals,
+    *       refused-bucket recall loss carried as an `observe` metric
+    *   → 5 SemDedup over the survivors' embeddings (IVF cells from the
+    *       8 smallest surviving vec_ids; embedding key = doc_id mod
+    *       100000, so a re-crawled copy that outlives a blocked
+    *       original still finds its vector)
+    *   → 6 decontamination (3-gram overlap vs the raw eval split,
+    *       streaming-safe perRow projection, keep frac ≤ 0.05)
+    *   → 7 WordPiece tokenize with a BPE vocab trained on the CURATED
+    *       corpus itself (train → fold → codegen'd longest match)
+    *   → 8 token-budget packing (budget 128, doc-id order, two-phase
+    *       PrefixSum offsets)
+    *
+    * Output: per (lang, source) doc/token/UNK counts plus the number of
+    * (doc × pack) overlap rows — every stage's membership and the
+    * packing boundaries all feed the hash, so any drift anywhere in the
+    * chain fails the oracle. */
+  private val q_pipeline5: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      import s.implicits._
+      val raw = docs(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val d0 = raw.unionByName(
+        raw.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      // 1 ── quality gate
+      val q1 = QualityFilter.keep(d0, "text",
+        QualityFilter.GopherThresholds(
+          minTokens = 12, maxTokens = 1000,
+          minMeanLen = 2.5, maxMeanLen = 6.0, minStopwords = 1))
+      // 2 ── URL blocklist
+      val blocked = Seq("site.co.uk", "cdn.media.org", "news.com")
+        .toDF("entry")
+      val q2 = graft.text.UrlFilter(
+        q1.withColumn("url", synUrl(col("doc_id"))), "url",
+        blocked, "entry").drop("url")
+      // 3 ── exact dedup survivors
+      val q3 = ExactDedup.survivors(q2, Seq("text"), "doc_id")
+        .localCheckpoint(false)
+      // 4 ── anchor2 near-dup canonicals (+ observed recall loss)
+      val pairs = MinHashDedup(q3, "text", "doc_id",
+        numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.8,
+        pairing = "anchor2", observeDropped = Some("graft_p5_minhash"))
+      val q4 = DuplicateClusters(q3, "doc_id", pairs, "id_l", "id_r")
+        .filter(col("is_canonical") === 1)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      // 5 ── SemDedup on the survivors' embeddings
+      val e5 = emb(s, dir).join(
+        q4.select((col("doc_id") % 100000L).as("__p5_k")),
+        col("vec_id") === col("__p5_k"), "left_semi")
+      val model = IvfAnn.fit(e5, "vec_id", "embedding", nlist = 8)
+      val semCanon = SemDedup(e5, "vec_id", "embedding", model,
+        threshold = 0.3)
+        .filter(col("is_canonical") === 1).select(col("vec_id"))
+      val q5 = q4.join(semCanon,
+        col("doc_id") % 100000L === col("vec_id"), "left_semi")
+      // 6 ── decontamination gate (eval = raw corpus, doc_id % 50 = 0)
+      val keys = graft.text.Contamination.evalGramKeys(
+        raw.filter(col("doc_id") % 50 === 0), "text", n = 3)
+      val q6 = graft.text.Contamination.perRow(
+        q5.filter(col("doc_id") % 50 =!= 0), "text", keys, n = 3)
+        .filter(col("contamination_frac") <= 0.05)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .localCheckpoint(false)
+      // 7 ── tokenizer trained on the curated corpus, applied to it
+      val words = q6
+        .select(explode(Shingles.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val (_, vocab) = graft.text.Bpe.fit(words, "word", "freq", k = 3)
+      val pieces = graft.text.Bpe.toWordPieceVocab(vocab)
+      val q7 = q6
+        .select(col("doc_id"), col("lang"), col("source"),
+          graft.text.WordPiece.tokens(col("text"), pieces).as("toks"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(col("toks")).cast("long").as("n_tok"),
+          size(filter(col("toks"), t => t === "[UNK]"))
+            .cast("long").as("n_unk"))
+      // 8 ── token-budget packing, then the per-(lang, source) rollup
+      val packRows = graft.text.Packing.chunk(
+          q7.select(col("doc_id"), col("n_tok")),
+          Seq(col("doc_id")), col("n_tok"), budget = 128L)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_pack_rows"))
+      q7.join(packRows, Seq("doc_id"), "left")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_unk")).as("n_unk"),
+          sum(coalesce(col("n_pack_rows"), lit(0L))).as("n_pack_rows"))
+    }
+
   private val q_dedup_ngram: (SparkSession, String) => DataFrame =
     (s, dir) =>
       NgramJaccardDedup(docs(s, dir), "text", "doc_id",
@@ -2360,7 +2460,13 @@ object SparkEntry {
       |FROM lab""".stripMargin
 
   // lazy: references ToksExpr, which is declared later in the file
-  private lazy val BpeCte: String = {
+  private lazy val BpeCte: String = bpeCteFrom("documents")
+
+  /** The unrolled 3-round BPE training replay, parameterized by the
+    * words' source CTE/table (`src` must expose a `text` column) — the
+    * pipeline chain trains its tokenizer on the CURATED corpus, not the
+    * raw table. */
+  private def bpeCteFrom(src: String): String = {
     val rounds = (1 to 3).map { r =>
       val p = s"v${r - 1}"
       s"""px$r AS (SELECT word, freq, syms,
@@ -2388,7 +2494,7 @@ object SparkEntry {
          |  WHERE k2.i IS NULL
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    s"""WITH wd AS (SELECT unnest($ToksExpr) AS word FROM documents),
+    s"""WITH wd AS (SELECT unnest($ToksExpr) AS word FROM $src),
        |wc AS (SELECT word, count(*)::BIGINT AS freq FROM wd GROUP BY 1),
        |v0 AS (SELECT word, freq,
        |    [word[i] FOR i IN range(1, len(word) + 1)] || ['</w>'] AS syms
@@ -2401,21 +2507,25 @@ object SparkEntry {
     * via the registrable domain, "cdn.media.org" blocks that exact
     * host, "news.com" takes the www. family — survivors keep their
     * doc_id + host. */
+  /** The synthesized crawl URL keyed by doc id (the corpus has no url
+    * column) — shared by q_url_blocklist and the q_pipeline5 chain so
+    * both replay against the oracle's one `syn` CTE. */
+  private def synUrl(id: Column): Column = concat(
+    when(id % 3 === 0, lit("HTTP://")).when(id % 3 === 1, lit("https://"))
+      .otherwise(lit("http://")),
+    when(id % 4 === 0, lit("WWW.News")).when(id % 4 === 1, lit("blog.Site"))
+      .when(id % 4 === 2, lit("cdn.media")).otherwise(lit("Docs.Portal")),
+    when(id % 5 === 0, lit(".com")).when(id % 5 === 1, lit(".co.uk"))
+      .when(id % 5 === 2, lit(".org")).when(id % 5 === 3, lit(".com.au"))
+      .otherwise(lit(".io")),
+    when(id % 11 === 0, lit("/"))
+      .otherwise(concat(lit("/p/"), id.cast("string"))))
+
   private val q_url_blocklist: (SparkSession, String) => DataFrame =
     (s, dir) => {
       import s.implicits._
-      val id = col("doc_id")
-      val url = concat(
-        when(id % 3 === 0, lit("HTTP://")).when(id % 3 === 1, lit("https://"))
-          .otherwise(lit("http://")),
-        when(id % 4 === 0, lit("WWW.News")).when(id % 4 === 1, lit("blog.Site"))
-          .when(id % 4 === 2, lit("cdn.media")).otherwise(lit("Docs.Portal")),
-        when(id % 5 === 0, lit(".com")).when(id % 5 === 1, lit(".co.uk"))
-          .when(id % 5 === 2, lit(".org")).when(id % 5 === 3, lit(".com.au"))
-          .otherwise(lit(".io")),
-        when(id % 11 === 0, lit("/"))
-          .otherwise(concat(lit("/p/"), id.cast("string"))))
-      val d = docs(s, dir).select(id, url.as("url"))
+      val d = docs(s, dir)
+        .select(col("doc_id"), synUrl(col("doc_id")).as("url"))
       val blocked = Seq("site.co.uk", "cdn.media.org", "news.com")
         .toDF("entry")
       graft.text.UrlFilter(d, "url", blocked, "entry")
@@ -2952,7 +3062,11 @@ object SparkEntry {
     * equality proves the layout round-trip is lossless. */
   private val q_layout_scan: (SparkSession, String) => DataFrame =
     (s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_layout_${math.abs(dir.hashCode)}"
+      // applicationId in the path: two concurrent runs over the same
+      // dataset dir must not overwrite each other mid-read-back (and
+      // abs(Int.MinValue) stays negative — hex, not abs)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_layout_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
       graft.sources.Layout.writePartitioned(
         t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_shipdate")),
@@ -2971,7 +3085,8 @@ object SparkEntry {
     */
   private val q_csv_roundtrip: (SparkSession, String) => DataFrame =
     (s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${math.abs(dir.hashCode)}"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
       val ev = t(s, dir, "events")
       graft.sources.Csv.write(ev, path)
       val back = graft.sources.Csv.read(s, path,
@@ -2989,7 +3104,8 @@ object SparkEntry {
     * scan honest: OrcSpec audits PushedFilters on this exact shape. */
   private val q_orc_roundtrip: (SparkSession, String) => DataFrame =
     (s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${math.abs(dir.hashCode)}"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
       val ev = t(s, dir, "events")
       graft.sources.Orc.write(ev, path, bloomFor = Seq("user_id"))
       graft.sources.Orc.read(s, path)
@@ -3224,6 +3340,7 @@ object SparkEntry {
     "q_dedup_anchor2"       -> q_dedup_anchor2,
     "q_dedup_cluster"       -> q_dedup_cluster,
     "q_pipeline"            -> q_pipeline,
+    "q_pipeline5"           -> q_pipeline5,
     "q_dedup_simhash"       -> q_dedup_simhash,
     "q_dedup_simhash_stream" -> q_dedup_simhash_stream,
     "q_dedup_audit"         -> q_dedup_audit,
@@ -3941,6 +4058,183 @@ object SparkEntry {
         |SELECT lang, source, COUNT(*) AS n_docs,
         |       CAST(SUM(ntok) AS BIGINT) AS n_tokens
         |FROM keep GROUP BY 1, 2""".stripMargin,
+    "q_pipeline5" -> {
+      // the full 8-stage chain replayed: gopher rules → url blocklist →
+      // exact dedup → exact-Jaccard closure (complete for the LSH pair
+      // set whp, same argument as q_dedup_minhash) → cell-blocked
+      // cosine closure → 3-gram decontamination → unrolled BPE + greedy
+      // wordpiece walk (trained FROM q6, the curated corpus) → prefix-
+      // sum packing. Any membership or boundary drift anywhere fails
+      // the final hash. The stage CTEs are MATERIALIZED: each is
+      // referenced 2-3× downstream, and inlining re-evaluates the whole
+      // chain below it per reference (measured: the un-hinted plan
+      // exhausts the fd limit re-opening the parquet). Do NOT hint `v`:
+      // a materialized piece vocab breaks DuckDB's correlated-LATERAL
+      // longest-match walk (observed: every word degrades to [UNK]).
+      val bpe5 = bpeCteFrom("q6").stripPrefix("WITH ")
+      s"""WITH RECURSIVE
+        |d0 AS (SELECT doc_id, text, lang, source FROM documents
+        |       UNION ALL
+        |       SELECT doc_id + 100000, text, lang, source
+        |       FROM documents WHERE doc_id % 7 = 0),
+        |qt AS (SELECT doc_id, text, lang, source, $ToksExpr AS tk,
+        |         list_filter(list_transform(string_split(text, chr(10)),
+        |           x -> trim(x)), x -> len(x) > 0) AS lns
+        |       FROM d0),
+        |qs AS (SELECT doc_id, text, lang, source, len(tk) AS nt,
+        |         CASE WHEN len(tk) = 0 THEN 0.0
+        |              ELSE list_aggregate(list_transform(tk, x -> len(x)),
+        |                     'sum')::DOUBLE / len(tk) END AS mtl,
+        |         (len(text) - len(replace(text, '#', ''))
+        |           + len(regexp_extract_all(text, '\\.{3}|…')))::DOUBLE
+        |           / GREATEST(len(tk), 1) AS sr,
+        |         len(list_filter(lns, x -> regexp_matches(x, '^[-*•]')))::DOUBLE
+        |           / GREATEST(len(lns), 1) AS bf,
+        |         len(list_filter(lns, x -> regexp_matches(x, '(\\.\\.\\.|…)$$')))::DOUBLE
+        |           / GREATEST(len(lns), 1) AS ef,
+        |         len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+        |           / GREATEST(len(tk), 1) AS af,
+        |         len(list_filter(['the','a','an','and','or','of','to','in','is',
+        |           'are','was','for','on','with','as','by','at','it','that',
+        |           'this'], w -> list_contains(tk, w))) AS nsw
+        |       FROM qt),
+        |q1 AS MATERIALIZED (SELECT doc_id, text, lang, source FROM qs
+        |       WHERE nt BETWEEN 12 AND 1000 AND mtl >= 2.5 AND mtl <= 6.0
+        |         AND sr <= 0.1 AND bf <= 0.9 AND ef <= 0.3
+        |         AND af >= 0.8 AND nsw >= 1),
+        |syn AS (SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 'HTTP://' WHEN 1 THEN 'https://' ELSE 'http://' END)
+        |    || (CASE doc_id % 4 WHEN 0 THEN 'WWW.News' WHEN 1 THEN 'blog.Site' WHEN 2 THEN 'cdn.media' ELSE 'Docs.Portal' END)
+        |    || (CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' WHEN 2 THEN '.org' WHEN 3 THEN '.com.au' ELSE '.io' END)
+        |    || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '/p/' || doc_id::VARCHAR END) AS url
+        |  FROM q1),
+        |h AS (SELECT doc_id,
+        |    lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+        |  FROM syn),
+        |hd AS (SELECT doc_id, host,
+        |    CASE WHEN regexp_matches(host, '\\.(co|com|net|org|ac|gov|edu)\\.[a-z][a-z]$$')
+        |              AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+        |         THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+        |         WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) <> ''
+        |         THEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+        |         ELSE host END AS dom
+        |  FROM h),
+        |bl(entry) AS (VALUES ('site.co.uk'), ('cdn.media.org'), ('news.com')),
+        |q2 AS MATERIALIZED (SELECT q1.* FROM q1 JOIN hd USING (doc_id)
+        |       WHERE NOT EXISTS (SELECT 1 FROM bl WHERE bl.entry = hd.host)
+        |         AND NOT EXISTS (SELECT 1 FROM bl WHERE bl.entry = hd.dom)),
+        |sv AS (SELECT MIN(doc_id) AS doc_id FROM q2 GROUP BY text),
+        |q3 AS MATERIALIZED (SELECT q2.* FROM q2 JOIN sv USING (doc_id)),
+        |dt AS (SELECT doc_id, $ToksExpr AS tk FROM q3),
+        |dk AS (SELECT doc_id, list_distinct(
+        |        [list_aggregate(tk[i:i+2], 'string_agg', ' ')
+        |         FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS sh FROM dt),
+        |p4 AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |      FROM dk a JOIN dk b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        |e4 AS (SELECT u, v FROM p4 UNION SELECT v, u FROM p4),
+        |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e4) t
+        |                UNION SELECT r.u, ed.v FROM reach r JOIN e4 ed ON r.v = ed.u),
+        |comp AS (SELECT u AS node, MIN(v) AS comp FROM reach GROUP BY u),
+        |q4 AS MATERIALIZED (SELECT q3.* FROM q3 LEFT JOIN comp ON q3.doc_id = comp.node
+        |       WHERE q3.doc_id = COALESCE(comp.comp, q3.doc_id)),
+        |em AS (SELECT e.vec_id, e.embedding
+        |       FROM embeddings e JOIN q4 ON e.vec_id = q4.doc_id % 100000),
+        |ctr AS (SELECT vec_id AS ctrid, embedding::DOUBLE[] AS c
+        |        FROM em ORDER BY vec_id LIMIT 8),
+        |asg AS (SELECT em.vec_id, em.embedding, c.ctrid,
+        |          ROW_NUMBER() OVER (PARTITION BY em.vec_id
+        |            ORDER BY list_cosine_similarity(em.embedding::DOUBLE[], c.c)
+        |              DESC, c.ctrid) AS rk
+        |        FROM em CROSS JOIN ctr c),
+        |cell AS (SELECT vec_id, embedding, ctrid AS cell FROM asg WHERE rk = 1),
+        |p5 AS (SELECT a.vec_id AS u, b.vec_id AS v
+        |      FROM cell a JOIN cell b
+        |        ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |              b.embedding::DOUBLE[]) >= 0.3),
+        |e5 AS (SELECT u, v FROM p5 UNION SELECT v, u FROM p5),
+        |reach5(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e5) t
+        |                 UNION SELECT r.u, ed.v FROM reach5 r JOIN e5 ed ON r.v = ed.u),
+        |comp5 AS (SELECT u AS node, MIN(v) AS comp FROM reach5 GROUP BY u),
+        |q5 AS MATERIALIZED (SELECT q4.* FROM q4
+        |       JOIN cell ON cell.vec_id = q4.doc_id % 100000
+        |       LEFT JOIN comp5 ON comp5.node = q4.doc_id % 100000
+        |       WHERE q4.doc_id % 100000
+        |             = COALESCE(comp5.comp, q4.doc_id % 100000)),
+        |ge0 AS (SELECT doc_id, $ToksExpr AS toks FROM documents
+        |        WHERE doc_id % 50 = 0),
+        |ge AS (SELECT DISTINCT gram FROM (SELECT unnest(
+        |         CASE WHEN len(toks) = 0 THEN []
+        |              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |              ELSE [array_to_string(toks[i:i+2], ' ')
+        |                    for i in range(1, len(toks) - 1)]
+        |         END) AS gram FROM ge0)),
+        |gt0 AS (SELECT doc_id, $ToksExpr AS toks FROM q5
+        |        WHERE doc_id % 50 <> 0),
+        |gc AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, unnest(
+        |         CASE WHEN len(toks) = 0 THEN []
+        |              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |              ELSE [array_to_string(toks[i:i+2], ' ')
+        |                    for i in range(1, len(toks) - 1)]
+        |         END) AS gram FROM gt0)),
+        |tot AS (SELECT doc_id, COUNT(*) AS n FROM gc GROUP BY 1),
+        |hit AS (SELECT gc.doc_id, COUNT(*) AS hh FROM gc JOIN ge USING (gram)
+        |        GROUP BY 1),
+        |q6 AS MATERIALIZED (SELECT q5.doc_id, q5.text, q5.lang, q5.source FROM q5
+        |       LEFT JOIN tot ON tot.doc_id = q5.doc_id
+        |       LEFT JOIN hit ON hit.doc_id = q5.doc_id
+        |       WHERE q5.doc_id % 50 <> 0
+        |         AND (CASE WHEN COALESCE(tot.n, 0) = 0 THEN 0.0
+        |              ELSE COALESCE(hit.hh, 0)::DOUBLE / tot.n END) <= 0.05),
+        |$bpe5,
+        |pb AS (SELECT replace(syms[i], '</w>', '') AS body, (i > 1) AS cont
+        |  FROM (SELECT syms, unnest(range(1, len(syms) + 1)) AS i FROM v3)),
+        |pieces AS (SELECT DISTINCT body, cont FROM pb WHERE body <> ''),
+        |v AS (SELECT CASE WHEN cont THEN '##' || body ELSE body END AS piece,
+        |        body, cont FROM pieces),
+        |w AS (SELECT doc_id, pos, word FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\r]+')) AS word,
+        |           generate_subscripts(string_split_regex(text, '[ \t\n\r]+'), 1) AS pos
+        |    FROM q6) WHERE word <> ''),
+        |step(doc_id, pos, word, at, toks, failed) AS (
+        |  SELECT doc_id, pos, word, 0, []::VARCHAR[], false FROM w
+        |  UNION ALL
+        |  SELECT s.doc_id, s.pos, s.word,
+        |    CASE WHEN m.mlen IS NULL THEN length(s.word) ELSE s.at + m.mlen END,
+        |    CASE WHEN m.mlen IS NULL THEN ['[UNK]'] ELSE list_append(s.toks, m.mpiece) END,
+        |    m.mlen IS NULL
+        |  FROM step s LEFT JOIN LATERAL (
+        |    SELECT length(body) AS mlen, piece AS mpiece FROM v
+        |    WHERE v.cont = (s.at > 0)
+        |      AND substr(s.word, s.at + 1, length(body)) = body
+        |    ORDER BY length(body) DESC LIMIT 1) m ON true
+        |  WHERE s.at < length(s.word) AND NOT s.failed),
+        |tok AS (SELECT doc_id, pos, toks FROM step WHERE at >= length(word)),
+        |agg AS (SELECT doc_id, flatten(list(toks ORDER BY pos)) AS ft
+        |        FROM tok GROUP BY 1),
+        |tokd AS (SELECT q6.doc_id, q6.lang, q6.source,
+        |           coalesce(len(a.ft), 0)::BIGINT AS n_tok,
+        |           coalesce(len(list_filter(a.ft, x -> x = '[UNK]')), 0)::BIGINT AS n_unk
+        |         FROM q6 LEFT JOIN agg a ON q6.doc_id = a.doc_id),
+        |nz AS (SELECT doc_id, n_tok AS n FROM tokd WHERE n_tok > 0),
+        |cps AS (SELECT doc_id, n,
+        |        CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |             AS BIGINT) AS e
+        |      FROM nz),
+        |sps AS (SELECT doc_id, e - n AS st, e FROM cps),
+        |pp AS (SELECT doc_id,
+        |        unnest(range(st // 128, (e - 1) // 128 + 1)) AS pack_id
+        |      FROM sps),
+        |pr AS (SELECT doc_id, COUNT(*) AS n_pack_rows FROM pp GROUP BY 1)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_unk) AS BIGINT) AS n_unk,
+        |  CAST(SUM(COALESCE(pr.n_pack_rows, 0)) AS BIGINT) AS n_pack_rows
+        |FROM tokd LEFT JOIN pr USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin
+    },
     "q_dedup_embcos" ->
       """SELECT a.vec_id AS id_l, b.vec_id AS id_r,
         |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
