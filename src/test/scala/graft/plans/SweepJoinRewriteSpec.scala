@@ -189,6 +189,45 @@ class SweepJoinRewriteSpec extends SparkSuite {
     }
   }
 
+  test("dispatch executes under a codegen'd aggregate over PARQUET " +
+      "scans (regression: logical children must not enter the task)") {
+    // toDF children are serializable LocalRelations, so only a
+    // file-backed plan exercises the failure mode: HashAggregateExec
+    // serializes ITSELF — and with it the child subtree — into the
+    // generated code's `references` array, and the dispatch's logical
+    // children carry a non-serializable InMemoryFileIndex. The
+    // @transient field on AutoSaltedSweepDispatchExec is what this
+    // spec pins down.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sweep_ser")
+    val lp = dir.resolve("l").toString
+    val rp = dir.resolve("r").toString
+    (0L until 200L).map(i => (i % 5, i, (i * 7) % 100, (i * 7) % 100 + 10))
+      .toDF("g", "lid", "s", "e").write.parquet(lp)
+    (0L until 200L).map(i => (i % 5, i, (i * 11) % 100))
+      .toDF("g2", "rid", "p").write.parquet(rp)
+    def q: DataFrame = {
+      val l = spark.read.parquet(lp)
+      val r = spark.read.parquet(rp)
+      l.join(r, col("g") === col("g2") &&
+          col("p") >= col("s") && col("p") <= col("e"))
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    }
+    val expected = rows(q) // rule inert without the conf
+    try withRule(autoSalt = true) {
+      val planned = q
+      assert(planned.queryExecution.executedPlan.toString
+        .contains("AutoSaltedSweepDispatch"))
+      assert(rows(planned) == expected)
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(dir)
+    }
+  }
+
   test("auto-salt dispatch preserves null keys, closedness, residual " +
       "conjuncts on the clean fixture") {
     val (l, r) = frames
