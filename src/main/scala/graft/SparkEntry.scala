@@ -1604,7 +1604,27 @@ object SparkEntry {
       val ivfpqRes = recallRow("ivfpq_res",
         graft.similarity.PqAnn.searchResidual(resCodes, q, "vec_id",
           "embedding", "pq_codes", "cell", k = 10, resModel, nprobe = 4))
-      (ivfs :+ pq :+ ivfpq :+ ivfpqRes).reduce(_ unionByName _)
+      // residual encoding with a TRAINED coarse quantizer (the real
+      // IVFADC layout): with untrained seed cells the residuals carry
+      // MORE variance than the raw unit vectors (measured mean residual
+      // norm 1.24 at sf0.1 — cosine-assigned arbitrary corpus vectors
+      // are not Euclidean cell means), so residual coding HURTS there;
+      // k-means cells shrink the residuals and the same bit budget
+      // quantizes less signal. nprobe 2 of 8 cells = the same probed
+      // fraction as the nlist=16/nprobe=4 legs. Integer-Lloyd centroids
+      // are 2^20-scaled; dividing by scale reproduces them exactly in
+      // fitResidual's floor(c·2^20) quantization (dyadic, no rounding).
+      val km = graft.similarity.KMeans.fit(
+        e, "vec_id", "embedding", k = 8, iters = 3)._1
+      val kmCoarse = IvfAnn.Model(
+        km.centroids.map(_.map(_.toDouble / km.scale)))
+      val (resKm, resKmCodes) = graft.similarity.PqAnn.fitResidual(
+        e, "vec_id", "embedding", kmCoarse, m = 8, ksub = 8, iters = 2)
+      val ivfpqResKm = recallRow("ivfpq_res_km",
+        graft.similarity.PqAnn.searchResidual(resKmCodes, q, "vec_id",
+          "embedding", "pq_codes", "cell", k = 10, resKm, nprobe = 2))
+      (ivfs :+ pq :+ ivfpq :+ ivfpqRes :+ ivfpqResKm)
+        .reduce(_ unionByName _)
     }
 
   /** The SCALE path of hybrid retrieval, oracle-checked end-to-end:
@@ -1756,6 +1776,21 @@ object SparkEntry {
        |$PqResCte,
        |rtop AS (SELECT query_id AS qid, neighbor_id AS nid FROM rres
        |         WHERE rank <= 10),
+       |${KMeansCte.stripPrefix("WITH ")},
+       |kcent AS (SELECT cluster AS cell, list(v::DOUBLE ORDER BY d) AS cv
+       |          FROM c3 GROUP BY 1),
+       |kasg AS (SELECT e.vec_id, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+       |               c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN kcent c
+       |  WHERE e.embedding IS NOT NULL),
+       |kcorp AS (SELECT vec_id, cell FROM kasg WHERE rn = 1),
+       |${pqResCteP("k",
+        "SELECT cluster AS cell, d // 8 AS s, d % 8 AS w, v FROM c3",
+        asg = "kasg", corp = "kcorp", nprobe = 2)},
+       |ktop AS (SELECT query_id AS qid, neighbor_id AS nid FROM kres
+       |         WHERE rank <= 10),
        |${ivfTop(1)},
        |${ivfTop(2)},
        |${ivfTop(4)},
@@ -1786,7 +1821,8 @@ object SparkEntry {
        |  UNION ALL ${rec("ivf_n4", "iv4")}
        |  UNION ALL ${rec("pq", "pqb")}
        |  UNION ALL ${rec("ivfpq", "ipq")}
-       |  UNION ALL ${rec("ivfpq_res", "rtop")})
+       |  UNION ALL ${rec("ivfpq_res", "rtop")}
+       |  UNION ALL ${rec("ivfpq_res_km", "ktop")})
        |SELECT method, hits, possible,
        |  hits::DOUBLE / possible AS recall
        |FROM rec""".stripMargin
@@ -1815,63 +1851,74 @@ object SparkEntry {
     * scan (`rres`). Assumes `pqpts`/`pqseeds` (from PqCte) and
     * `rasg`/`rcorp` (from IvfCellCte) are in scope.
     */
-  private val PqResCte: String = {
+  private val PqResCte: String = pqResCteP("r",
+    """SELECT cell, d // 8 AS s, d % 8 AS w,
+      |    CAST(floor(x::DOUBLE * 1048576) AS BIGINT) AS v
+      |  FROM (SELECT vec_id AS cell, unnest(range(0, len(embedding))) AS d,
+      |          unnest(embedding) AS x
+      |        FROM embeddings WHERE vec_id < 16)""".stripMargin,
+    asg = "rasg", corp = "rcorp", nprobe = 4)
+
+  /** Parameterized residual-PQ replay: every CTE name carries prefix
+    * `p` so two instantiations (seed-centroid cells vs k-means-trained
+    * cells — the `ivfpq_res` / `ivfpq_res_km` recall legs) coexist in
+    * one statement. `cqBody` yields the quantized coarse centroids as
+    * (cell, s, w, v); `asg`/`corp` name the cell-rank and corpus-cell
+    * CTEs in scope; assumes `pqpts`/`pqseeds` from PqCte. */
+  private def pqResCteP(p: String, cqBody: String, asg: String,
+                        corp: String, nprobe: Int): String = {
     val iters = (1 to 2).map { i =>
-      val p = s"rcb${i - 1}"
-      s"""rpdist$i AS (SELECT p.vec_id, c.s, c.code,
+      val prev = s"${p}cb${i - 1}"
+      s"""${p}pdist$i AS (SELECT p.vec_id, c.s, c.code,
          |    sum((p.q - c.v) * (p.q - c.v)) AS dist
-         |  FROM rpts p JOIN $p c ON p.s = c.s AND p.w = c.w
+         |  FROM ${p}pts p JOIN $prev c ON p.s = c.s AND p.w = c.w
          |  GROUP BY 1, 2, 3),
-         |rpa$i AS (SELECT vec_id, s, code,
+         |${p}pa$i AS (SELECT vec_id, s, code,
          |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
-         |  FROM rpdist$i),
-         |rpagg$i AS (SELECT a.s, a.code, p.w, sum(p.q) AS sm, count(*) AS n
-         |  FROM rpts p JOIN (SELECT vec_id, s, code FROM rpa$i WHERE rn = 1) a
+         |  FROM ${p}pdist$i),
+         |${p}pagg$i AS (SELECT a.s, a.code, p.w, sum(p.q) AS sm, count(*) AS n
+         |  FROM ${p}pts p JOIN (SELECT vec_id, s, code FROM ${p}pa$i WHERE rn = 1) a
          |    ON p.vec_id = a.vec_id AND p.s = a.s
          |  GROUP BY 1, 2, 3),
-         |rcb$i AS (SELECT c.s, c.code, c.w, coalesce(g.sm // g.n, c.v) AS v
-         |  FROM $p c LEFT JOIN rpagg$i g
+         |${p}cb$i AS (SELECT c.s, c.code, c.w, coalesce(g.sm // g.n, c.v) AS v
+         |  FROM $prev c LEFT JOIN ${p}pagg$i g
          |    ON c.s = g.s AND c.code = g.code AND c.w = g.w)""".stripMargin
     }.mkString(",\n")
-    s"""cq AS (SELECT cell, d // 8 AS s, d % 8 AS w,
-       |    CAST(floor(x::DOUBLE * 1048576) AS BIGINT) AS v
-       |  FROM (SELECT vec_id AS cell, unnest(range(0, len(embedding))) AS d,
-       |          unnest(embedding) AS x
-       |        FROM embeddings WHERE vec_id < 16)),
-       |rpts AS (SELECT p.vec_id, p.s, p.w, p.q - cq.v AS q
-       |  FROM pqpts p JOIN rcorp cc ON cc.vec_id = p.vec_id
-       |  JOIN cq ON cq.cell = cc.cell AND cq.s = p.s AND cq.w = p.w),
-       |rcb0 AS (SELECT p.s, sd.code, p.w, p.q AS v
-       |  FROM pqseeds sd JOIN rpts p USING (vec_id)),
+    s"""${p}cq AS ($cqBody),
+       |${p}pts AS (SELECT p.vec_id, p.s, p.w, p.q - cq.v AS q
+       |  FROM pqpts p JOIN $corp cc ON cc.vec_id = p.vec_id
+       |  JOIN ${p}cq cq ON cq.cell = cc.cell AND cq.s = p.s AND cq.w = p.w),
+       |${p}cb0 AS (SELECT p.s, sd.code, p.w, p.q AS v
+       |  FROM pqseeds sd JOIN ${p}pts p USING (vec_id)),
        |$iters,
-       |rfdist AS (SELECT p.vec_id, c.s, c.code,
+       |${p}fdist AS (SELECT p.vec_id, c.s, c.code,
        |    sum((p.q - c.v) * (p.q - c.v)) AS dist
-       |  FROM rpts p JOIN rcb2 c ON p.s = c.s AND p.w = c.w
+       |  FROM ${p}pts p JOIN ${p}cb2 c ON p.s = c.s AND p.w = c.w
        |  GROUP BY 1, 2, 3),
-       |rfcodes AS (SELECT vec_id, s, code FROM (
+       |${p}fcodes AS (SELECT vec_id, s, code FROM (
        |    SELECT vec_id, s, code,
        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
-       |    FROM rfdist) WHERE rn = 1),
-       |rqlut AS (SELECT qp.qid, qp.cell, c.s, c.code,
+       |    FROM ${p}fdist) WHERE rn = 1),
+       |${p}qlut AS (SELECT qp.qid, qp.cell, c.s, c.code,
        |    sum((p.q - cq.v - c.v) * (p.q - cq.v - c.v)) AS dist
-       |  FROM (SELECT vec_id AS qid, cell FROM rasg
-       |        WHERE vec_id < 10 AND rn <= 4) qp
+       |  FROM (SELECT vec_id AS qid, cell FROM $asg
+       |        WHERE vec_id < 10 AND rn <= $nprobe) qp
        |  JOIN pqpts p ON p.vec_id = qp.qid
-       |  JOIN cq ON cq.cell = qp.cell AND cq.s = p.s AND cq.w = p.w
-       |  JOIN rcb2 c ON c.s = p.s AND c.w = p.w
+       |  JOIN ${p}cq cq ON cq.cell = qp.cell AND cq.s = p.s AND cq.w = p.w
+       |  JOIN ${p}cb2 c ON c.s = p.s AND c.w = p.w
        |  GROUP BY 1, 2, 3, 4),
-       |radc AS (SELECT ql.qid AS query_id, nc.vec_id AS neighbor_id,
+       |${p}adc AS (SELECT ql.qid AS query_id, nc.vec_id AS neighbor_id,
        |    CAST(sum(ql.dist) AS BIGINT) AS adist
-       |  FROM rqlut ql
-       |  JOIN rcorp cc ON cc.cell = ql.cell
-       |  JOIN rfcodes nc ON nc.vec_id = cc.vec_id
+       |  FROM ${p}qlut ql
+       |  JOIN $corp cc ON cc.cell = ql.cell
+       |  JOIN ${p}fcodes nc ON nc.vec_id = cc.vec_id
        |    AND nc.s = ql.s AND nc.code = ql.code
        |  WHERE nc.vec_id <> ql.qid
        |  GROUP BY 1, 2),
-       |rres AS (SELECT query_id, neighbor_id, adist,
+       |${p}res AS (SELECT query_id, neighbor_id, adist,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY adist, neighbor_id) AS rank
-       |  FROM radc)""".stripMargin
+       |  FROM ${p}adc)""".stripMargin
   }
 
   /** q_ann_layout_append's replay: PQ training restricted to the base
