@@ -216,10 +216,14 @@ class PlanSpecs extends SparkSuite {
     // q_hybrid_rrf's brute legs pair every corpus doc with the 5-row
     // broadcast seed set (inequality-only condition) — the blocked
     // variants (MinHash banding / IVF) replace the legs at scale
+    // q_ann_recall cross-joins each method's hit count with the 1-row
+    // ground-truth total (hits × possible — scalar broadcast, like
+    // q_bm25), and its brute pq/exact legs are q_ann_topk's
+    // broadcast-query-loop shape by design
     val intended = Set("q_cross_join", "q_ann_topk", "q_ann_q8",
       "q_bm25", "q_lm_score", "q_tfidf", "q_skew", "q_sample_temperature",
       "q_collocations", "q_fuzzy_join", "q_fuzzy_freq", "q_dsir",
-      "q_mixture", "q_ann_pq", "q_hybrid_rrf")
+      "q_mixture", "q_ann_pq", "q_hybrid_rrf", "q_ann_recall")
     for (name <- SparkEntry.queries.keys if !intended(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian")
