@@ -2549,11 +2549,6 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
-  /** Blocklist gate over the synthesized crawl URLs (q_url_normalize's
-    * generator): "site.co.uk" blocks every blog.site.co.uk subdomain
-    * via the registrable domain, "cdn.media.org" blocks that exact
-    * host, "news.com" takes the www. family — survivors keep their
-    * doc_id + host. */
   /** The synthesized crawl URL keyed by doc id (the corpus has no url
     * column) — shared by q_url_blocklist and the q_pipeline5 chain so
     * both replay against the oracle's one `syn` CTE. */
@@ -2568,6 +2563,11 @@ object SparkEntry {
     when(id % 11 === 0, lit("/"))
       .otherwise(concat(lit("/p/"), id.cast("string"))))
 
+  /** Blocklist gate over the synthesized crawl URLs (q_url_normalize's
+    * generator): "site.co.uk" blocks every blog.site.co.uk subdomain
+    * via the registrable domain, "cdn.media.org" blocks that exact
+    * host, "news.com" takes the www. family — survivors keep their
+    * doc_id + host. */
   private val q_url_blocklist: (SparkSession, String) => DataFrame =
     (s, dir) => {
       import s.implicits._
@@ -4186,8 +4186,9 @@ object SparkEntry {
         |comp AS (SELECT u AS node, MIN(v) AS comp FROM reach GROUP BY u),
         |q4 AS MATERIALIZED (SELECT q3.* FROM q3 LEFT JOIN comp ON q3.doc_id = comp.node
         |       WHERE q3.doc_id = COALESCE(comp.comp, q3.doc_id)),
-        |em AS (SELECT e.vec_id, e.embedding
-        |       FROM embeddings e JOIN q4 ON e.vec_id = q4.doc_id % 100000),
+        |em AS (SELECT e.vec_id, e.embedding FROM embeddings e
+        |       WHERE EXISTS (SELECT 1 FROM q4
+        |                     WHERE e.vec_id = q4.doc_id % 100000)),
         |ctr AS (SELECT vec_id AS ctrid, embedding::DOUBLE[] AS c
         |        FROM em ORDER BY vec_id LIMIT 8),
         |asg AS (SELECT em.vec_id, em.embedding, c.ctrid,

@@ -386,24 +386,40 @@ object SweepJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           loRest.map { case (a, b, ns) =>
             if (ns) GreaterThanOrEqual(a, b) else GreaterThan(a, b) }
         // sweep matches iff (rs<le or (rs==le && lcE&&rcS)) and
-        // (ls<re or (ls==re && lcS&&rcE)); with lcS=lcE=true the two
-        // closedness products reduce to exactly the conjuncts'
-        // strictness flags
+        // (ls<re or (ls==re && lcS&&rcE)); only the PRODUCTS matter, so
+        // there is freedom in which side carries the conjuncts'
+        // strictness. Default: lcS=lcE=true, right flags = strictness.
+        // POINT PROBES (rs and re are the same expression — the as-of /
+        // timestamp-in-interval shape) instead keep the right interval
+        // CLOSED and move strictness to the left flags: under the
+        // default mapping a strict conjunct makes the point interval
+        // [p,p] open ⇒ empty under the operator convention ⇒ the
+        // auto-salt dispatch's validity probe would flag EVERY right
+        // row and permanently fall back to the unsalted sweep — the
+        // exact straggler the dispatch exists to fix. With the point
+        // closed, no right row is ever convention-empty, and degenerate
+        // left rows that the operator ingress filter drops provably
+        // cannot satisfy the raw conjuncts (s > e, or s = e with a
+        // strict bound, admits no p) — the dispatch skips its probe.
+        val pointProbe = rLow.semanticEquals(rHigh)
+        val (lcS, lcE, rcS, rcE) =
+          if (pointProbe) (upNonstrict, loNonstrict, true, true)
+          else (true, true, loNonstrict, upNonstrict)
         val autoSalt = conf.getConfString(autoSaltKey, "true").toBoolean
         val node: LogicalPlan =
           if (autoSalt) graft_sweep.AutoSaltedSweepJoin(
             j.left, j.right,
             keys.reverse.map(_._1), keys.reverse.map(_._2),
             lStart = lLow, lEnd = lHigh, rStart = rLow, rEnd = rHigh,
-            lClosedStart = true, lClosedEnd = true,
-            rClosedStart = loNonstrict, rClosedEnd = upNonstrict,
+            lClosedStart = lcS, lClosedEnd = lcE,
+            rClosedStart = rcS, rClosedEnd = rcE,
             matchNullKeys = nullSafeFlags.head)
           else graft_sweep.IntervalSweepJoin(
             j.left, j.right,
             keys.reverse.map(_._1), keys.reverse.map(_._2),
             lStart = lLow, lEnd = lHigh, rStart = rLow, rEnd = rHigh,
-            lClosedStart = true, lClosedEnd = true,
-            rClosedStart = loNonstrict, rClosedEnd = upNonstrict,
+            lClosedStart = lcS, lClosedEnd = lcE,
+            rClosedStart = rcS, rClosedEnd = rcE,
             matchNullKeys = nullSafeFlags.head)
         val filtered = (residual.reverse ++ extra) match {
           case Nil => node

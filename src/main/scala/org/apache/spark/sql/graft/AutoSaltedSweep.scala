@@ -56,6 +56,22 @@ case class AutoSaltedSweepJoin(
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AutoSaltedSweepJoin =
     copy(left = newLeft, right = newRight)
+
+  /** The conjunct-exact raw sweep over the same children/flags — the
+    * dispatch's fallback node (one conversion site instead of
+    * re-listing all 13 fields). */
+  def toRawSweep: IntervalSweepJoin =
+    IntervalSweepJoin(left, right, leftKeys, rightKeys,
+      lStart, lEnd, rStart, rEnd,
+      lClosedStart, lClosedEnd, rClosedStart, rClosedEnd, matchNullKeys)
+
+  /** The right side is a CLOSED point probe (rStart ≡ rEnd): no right
+    * row is ever empty under the interval convention, and a left row
+    * the operator ingress filter drops (start > stop, or start = stop
+    * under a non-closed flag) admits no point between its bounds — the
+    * validity probe is provably redundant. */
+  def closedPointProbe: Boolean =
+    rClosedStart && rClosedEnd && rStart.semanticEquals(rEnd)
 }
 
 /** Physical dispatch for [[AutoSaltedSweepJoin]]. A leaf exec that owns
@@ -104,23 +120,22 @@ case class AutoSaltedSweepDispatchExec(@transient join: AutoSaltedSweepJoin)
 
     // one existence probe over both sides: any non-null-endpoint EMPTY
     // interval anywhere -> the operator chain's ingress filter would
-    // drop rows the raw conjuncts can match -> fall back
+    // drop rows the raw conjuncts can match -> fall back. Skipped for
+    // closed point probes, where no such row can exist (see
+    // [[AutoSaltedSweepJoin.closedPointProbe]]) — the common as-of
+    // shape pays zero extra scans beyond auto's own stats pass.
     def dangerCol(df: DataFrame, spec: IntervalSpec) =
       not(Intervals.nonEmpty(df, spec)) &&
         col(spec.start.get).isNotNull && col(spec.stop.get).isNotNull
-    val hasDanger = lDf.select(dangerCol(lDf, lSpec).as("d"))
-      .unionByName(rDf.select(dangerCol(rDf, rSpec).as("d")))
-      .filter(col("d")).limit(1).count() > 0
+    val hasDanger = !join.closedPointProbe &&
+      lDf.select(dangerCol(lDf, lSpec).as("d"))
+        .unionByName(rDf.select(dangerCol(rDf, rSpec).as("d")))
+        .filter(col("d")).limit(1).count() > 0
 
     if (hasDanger) {
       // exact fallback: the raw sweep node over the ORIGINAL plans —
       // output attrs are join.output verbatim, conjunct-exact semantics
-      SweepPlanBuilder.ofRows(spark, IntervalSweepJoin(
-        join.left, join.right, join.leftKeys, join.rightKeys,
-        join.lStart, join.lEnd, join.rStart, join.rEnd,
-        join.lClosedStart, join.lClosedEnd,
-        join.rClosedStart, join.rClosedEnd,
-        join.matchNullKeys)).queryExecution.toRdd
+      SweepPlanBuilder.ofRows(spark, join.toRawSweep).queryExecution.toRdd
     } else {
       val res = graft.joins.SaltedSweepJoin.auto(lDf, rDf,
         join.leftKeys.indices.map(i => s"__asl_k$i"),

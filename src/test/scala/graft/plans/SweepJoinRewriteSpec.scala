@@ -220,8 +220,10 @@ class SweepJoinRewriteSpec extends SparkSuite {
       assert(rows(planned) == expected)
     } finally {
       def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
         java.nio.file.Files.deleteIfExists(p)
       }
       rm(dir)
@@ -229,11 +231,13 @@ class SweepJoinRewriteSpec extends SparkSuite {
   }
 
   test("auto-salt dispatch preserves null keys, closedness, residual " +
-      "conjuncts on the clean fixture") {
+      "conjuncts on the clean fixture (all four strictness combos)") {
     val (l, r) = frames
     for ((c1, c2) <- Seq(
         (col("s") <= col("re"), col("rs") <= col("e")),
-        (col("s") < col("re"), col("rs") < col("e")))) {
+        (col("s") < col("re"), col("rs") < col("e")),
+        (col("s") <= col("re"), col("rs") < col("e")), // mixed
+        (col("s") < col("re"), col("rs") <= col("e")))) { // mixed
       def q: DataFrame = l.join(r, col("g") === col("g2") && c1 && c2 &&
         (col("lid") + col("rid")) % 3 =!= 0)
       val expected = rows(q)
@@ -241,6 +245,37 @@ class SweepJoinRewriteSpec extends SparkSuite {
         val planned = q
         assert(planned.queryExecution.executedPlan.toString
           .contains("AutoSaltedSweepDispatch"))
+        assert(rows(planned) == expected)
+      }
+    }
+  }
+
+  test("POINT probes keep the right interval closed (strictness moves " +
+      "to the left flags) so strict/half-open probes still auto-salt") {
+    import org.apache.spark.sql.graft.AutoSaltedSweepJoin
+    val l = Seq((1L, 10L, 2L, 8L), (1L, 11L, 5L, 5L), (1L, 12L, 9L, 4L))
+      .toDF("g", "lid", "s", "e")
+    val r = Seq((1L, 20L, 5L), (1L, 21L, 2L), (1L, 22L, 8L))
+      .toDF("g2", "rid", "p")
+    // all four strictness combos: rows must match the plain join, the
+    // rewritten node must be a closed point probe (no validity-probe
+    // fallback possible), and the fixture exercises the dangerous rows:
+    // a degenerate [5,5] left interval and an inverted [9,4] one
+    for ((c1, c2) <- Seq(
+        (col("p") >= col("s"), col("p") <= col("e")),
+        (col("p") > col("s"), col("p") < col("e")),
+        (col("p") >= col("s"), col("p") < col("e")),
+        (col("p") > col("s"), col("p") <= col("e")))) {
+      def q: DataFrame = l.join(r, col("g") === col("g2") && c1 && c2)
+      val expected = rows(q)
+      withRule(autoSalt = true) {
+        val planned = q
+        val nodes = planned.queryExecution.optimizedPlan.collect {
+          case jn: AutoSaltedSweepJoin => jn
+        }
+        assert(nodes.length == 1, "rule did not produce the dispatch node")
+        assert(nodes.head.closedPointProbe,
+          s"point probe not closed: ${nodes.head}")
         assert(rows(planned) == expected)
       }
     }
