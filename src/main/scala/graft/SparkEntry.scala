@@ -850,7 +850,8 @@ object SparkEntry {
     *       8 smallest surviving vec_ids; embedding key = doc_id mod
     *       100000, so a re-crawled copy that outlives a blocked
     *       original still finds its vector)
-    *   → 6 decontamination (3-gram overlap vs the raw eval split,
+    *   → 6 decontamination (4-gram overlap vs the raw eval split —
+    *       3-grams over-trigger as the eval gram set grows with scale,
     *       streaming-safe perRow projection, keep frac ≤ 0.05)
     *   → 7 WordPiece tokenize with a BPE vocab trained on the CURATED
     *       corpus itself (train → fold → codegen'd longest match)
@@ -900,11 +901,17 @@ object SparkEntry {
         .filter(col("is_canonical") === 1).select(col("vec_id"))
       val q5 = q4.join(semCanon,
         col("doc_id") % 100000L === col("vec_id"), "left_semi")
-      // 6 ── decontamination gate (eval = raw corpus, doc_id % 50 = 0)
+      // 6 ── decontamination gate (eval = raw corpus, doc_id % 50 = 0).
+      // 4-grams, not q_contamination's 3-grams: the eval gram set grows
+      // with the corpus, and at sf0.1 the 3-gram overlap rate (mean
+      // frac 0.17) would flunk ~97% of survivors — the whole chain
+      // downstream of this gate would be empty. 4-grams filter at
+      // every scale tested (drops 2/490 at sf0.01, 88/4900 at sf0.1)
+      // without zeroing the corpus.
       val keys = graft.text.Contamination.evalGramKeys(
-        raw.filter(col("doc_id") % 50 === 0), "text", n = 3)
+        raw.filter(col("doc_id") % 50 === 0), "text", n = 4)
       val q6 = graft.text.Contamination.perRow(
-        q5.filter(col("doc_id") % 50 =!= 0), "text", keys, n = 3)
+        q5.filter(col("doc_id") % 50 =!= 0), "text", keys, n = 4)
         .filter(col("contamination_frac") <= 0.05)
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
         .localCheckpoint(false)
@@ -4109,7 +4116,7 @@ object SparkEntry {
       // the full 8-stage chain replayed: gopher rules → url blocklist →
       // exact dedup → exact-Jaccard closure (complete for the LSH pair
       // set whp, same argument as q_dedup_minhash) → cell-blocked
-      // cosine closure → 3-gram decontamination → unrolled BPE + greedy
+      // cosine closure → 4-gram decontamination → unrolled BPE + greedy
       // wordpiece walk (trained FROM q6, the curated corpus) → prefix-
       // sum packing. Any membership or boundary drift anywhere fails
       // the final hash. The stage CTEs are MATERIALIZED: each is
@@ -4215,17 +4222,17 @@ object SparkEntry {
         |        WHERE doc_id % 50 = 0),
         |ge AS (SELECT DISTINCT gram FROM (SELECT unnest(
         |         CASE WHEN len(toks) = 0 THEN []
-        |              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |              ELSE [array_to_string(toks[i:i+2], ' ')
-        |                    for i in range(1, len(toks) - 1)]
+        |              WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |              ELSE [array_to_string(toks[i:i+3], ' ')
+        |                    for i in range(1, len(toks) - 2)]
         |         END) AS gram FROM ge0)),
         |gt0 AS (SELECT doc_id, $ToksExpr AS toks FROM q5
         |        WHERE doc_id % 50 <> 0),
         |gc AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, unnest(
         |         CASE WHEN len(toks) = 0 THEN []
-        |              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |              ELSE [array_to_string(toks[i:i+2], ' ')
-        |                    for i in range(1, len(toks) - 1)]
+        |              WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |              ELSE [array_to_string(toks[i:i+3], ' ')
+        |                    for i in range(1, len(toks) - 2)]
         |         END) AS gram FROM gt0)),
         |tot AS (SELECT doc_id, COUNT(*) AS n FROM gc GROUP BY 1),
         |hit AS (SELECT gc.doc_id, COUNT(*) AS hh FROM gc JOIN ge USING (gram)
