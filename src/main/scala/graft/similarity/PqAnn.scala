@@ -47,7 +47,13 @@ import org.apache.spark.sql.functions._
   *     cells (`coarse`) to prune the scan to `nprobe/nlist` of the
   *     corpus — the classic IVF-ADC layout (codes here are over the raw
   *     vectors, not cell residuals: one codebook serves every cell, at
-  *     some recall cost vs residual encoding — documented trade).
+  *     some recall cost vs residual encoding — a MEASURED trade:
+  *     `q_ann_recall` shows residual coding HURTS on an unclustered
+  *     corpus (cell means ≈ 0 ⇒ residuals carry the raw variance plus
+  *     centroid noise; 0.34 → 0.17 recall@10 at sf0.1, and a trained
+  *     coarse quantizer does not rescue it) and pays only when the
+  *     corpus is genuinely clustered — run the recall harness on YOUR
+  *     corpus before choosing [[fitResidual]] over [[fit]]).
   */
 object PqAnn {
 
