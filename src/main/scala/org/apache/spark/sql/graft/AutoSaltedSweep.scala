@@ -51,8 +51,20 @@ case class AutoSaltedSweepJoin(
     rStart: Expression, rEnd: Expression,
     lClosedStart: Boolean, lClosedEnd: Boolean,
     rClosedStart: Boolean, rClosedEnd: Boolean,
-    matchNullKeys: Boolean = false) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    matchNullKeys: Boolean = false,
+    /** When defined, the subset (in original order) of
+      * `left.output ++ right.output` the PARENT plan actually consumes —
+      * folded in by [[graft.plans.SweepJoinRewrite]]'s pruning pass
+      * (injected rules run after Catalyst's ColumnPruning batch, so
+      * nothing else ever prunes this node). The dispatch exec projects
+      * the nested execution down to this set BEFORE rows cross the
+      * leaf-exec boundary: a wide join feeding a 2-column aggregate
+      * ships 2 columns per match row, not the join's full width.
+      * `Some(Nil)` is legal (a bare `count(1)` parent needs no columns
+      * at all). */
+    requiredOutput: Option[Seq[Attribute]] = None) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    requiredOutput.getOrElse(left.output ++ right.output)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AutoSaltedSweepJoin =
     copy(left = newLeft, right = newRight)
@@ -69,9 +81,24 @@ case class AutoSaltedSweepJoin(
     * row is ever empty under the interval convention, and a left row
     * the operator ingress filter drops (start > stop, or start = stop
     * under a non-closed flag) admits no point between its bounds — the
-    * validity probe is provably redundant. */
+    * validity probe is provably redundant... for TOTAL orders. Under
+    * Spark's float/double ordering NaN sorts above +∞, so a left
+    * interval `[5.0, NaN]` is ingress-dropped (NaN endpoint ⇒ empty by
+    * the interval convention) yet matches every point ≥ 5 in the raw
+    * conjuncts (`p <= NaN` is true). The dispatch therefore still runs
+    * a NaN-only probe on the LEFT side when endpoints are floating —
+    * left-only suffices: a NaN right point `p` satisfies `p <= le`
+    * only when `le` is itself NaN, so every divergent row pair
+    * involves a NaN LEFT endpoint. */
   def closedPointProbe: Boolean =
     rClosedStart && rClosedEnd && rStart.semanticEquals(rEnd)
+
+  /** Whether a left endpoint type admits NaN (the one value breaking
+    * [[closedPointProbe]]'s redundancy proof — see its scaladoc). */
+  def leftEndpointsFloating: Boolean =
+    Seq(lStart.dataType, lEnd.dataType).exists(t =>
+      t == org.apache.spark.sql.types.DoubleType ||
+        t == org.apache.spark.sql.types.FloatType)
 }
 
 /** Physical dispatch for [[AutoSaltedSweepJoin]]. A leaf exec that owns
@@ -97,19 +124,27 @@ case class AutoSaltedSweepDispatchExec(@transient join: AutoSaltedSweepJoin)
   protected override def doExecute(): RDD[InternalRow] = {
     val spark = session
 
-    // rename EVERY passthrough column to a synthetic name
+    // rename passthrough columns to synthetic names
     // (SaltedSweepJoin.auto requires disjoint names across sides, and
     // the originals may collide). Key/endpoint expressions that are
     // BARE column references reuse the passthrough alias instead of
     // shipping a duplicate column — the join's shuffle carries each
     // referenced column once, not twice (measured: the duplicating
     // form cost ~40% extra wall clock on a 472M-match sf1 join);
-    // computed expressions still get their own alias.
+    // computed expressions still get their own alias. Columns neither
+    // in this node's (possibly pruned) output nor referenced by a
+    // key/endpoint never enter the nested execution at all — the
+    // sweep's shuffle carries the minimal width, not the child's.
+    val neededIds: Set[Long] =
+      (output ++
+        (join.leftKeys ++ join.rightKeys ++
+          Seq(join.lStart, join.lEnd, join.rStart, join.rEnd))
+          .flatMap(_.references)).map(_.exprId.id).toSet
     def proj(child: LogicalPlan, keys: Seq[Expression],
              s: Expression, e: Expression, p: String)
         : (LogicalPlan, Seq[String], String, String) = {
-      val passthrough = child.output.zipWithIndex.map { case (a, i) =>
-        Alias(a, s"__${p}_c$i")()
+      val passthrough = child.output.zipWithIndex.collect {
+        case (a, i) if neededIds(a.exprId.id) => Alias(a, s"__${p}_c$i")()
       }
       var extra = List.empty[Alias]
       def nameOf(ex: Expression, fallback: String): String = ex match {
@@ -140,30 +175,53 @@ case class AutoSaltedSweepDispatchExec(@transient join: AutoSaltedSweepJoin)
 
     // one existence probe over both sides: any non-null-endpoint EMPTY
     // interval anywhere -> the operator chain's ingress filter would
-    // drop rows the raw conjuncts can match -> fall back. Skipped for
-    // closed point probes, where no such row can exist (see
-    // [[AutoSaltedSweepJoin.closedPointProbe]]) — the common as-of
-    // shape pays zero extra scans beyond auto's own stats pass.
+    // drop rows the raw conjuncts can match -> fall back. For closed
+    // point probes the full probe is provably redundant EXCEPT for NaN
+    // left endpoints under floating types (see
+    // [[AutoSaltedSweepJoin.closedPointProbe]]): integral/date/
+    // timestamp probes skip entirely (the common as-of shape pays zero
+    // extra scans beyond auto's own stats pass); float/double probes
+    // pay one cheap left-only NaN existence scan.
     def dangerCol(df: DataFrame, spec: IntervalSpec) =
       not(Intervals.nonEmpty(df, spec)) &&
         col(spec.start.get).isNotNull && col(spec.stop.get).isNotNull
-    val hasDanger = !join.closedPointProbe &&
-      lDf.select(dangerCol(lDf, lSpec).as("d"))
-        .unionByName(rDf.select(dangerCol(rDf, rSpec).as("d")))
-        .filter(col("d")).limit(1).count() > 0
+    val hasDanger =
+      if (join.closedPointProbe) {
+        import org.apache.spark.sql.functions.isnan
+        import org.apache.spark.sql.types.{DoubleType, FloatType}
+        val nanChecks = Seq(
+          join.lStart.dataType -> lsName, join.lEnd.dataType -> leName)
+          .collect { case (t, n) if t == DoubleType || t == FloatType =>
+            isnan(col(n)) }
+        nanChecks.nonEmpty &&
+          lDf.filter(nanChecks.reduce(_ || _)).limit(1).count() > 0
+      } else {
+        lDf.select(dangerCol(lDf, lSpec).as("d"))
+          .unionByName(rDf.select(dangerCol(rDf, rSpec).as("d")))
+          .filter(col("d")).limit(1).count() > 0
+      }
 
     if (hasDanger) {
       // exact fallback: the raw sweep node over the ORIGINAL plans —
-      // output attrs are join.output verbatim, conjunct-exact semantics
-      SweepPlanBuilder.ofRows(spark, join.toRawSweep).queryExecution.toRdd
+      // conjunct-exact semantics; a pruned requiredOutput becomes a
+      // Project over the raw node (same boundary width both paths)
+      val raw = join.toRawSweep
+      val rawPlan: LogicalPlan =
+        if (output.length == raw.output.length) raw else Project(output, raw)
+      SweepPlanBuilder.ofRows(spark, rawPlan).queryExecution.toRdd
     } else {
       val res = graft.joins.SaltedSweepJoin.auto(lDf, rDf,
         lKeyNames, rKeyNames,
         lSpec, rSpec, nullSafeKeys = join.matchNullKeys)
-      val outNames = join.left.output.indices.map(i => s"__asl_c$i") ++
-        join.right.output.indices.map(i => s"__asr_c$i")
-      // positional re-projection: ordinals (and types) line up with
-      // this node's declared output attributes
+      // positional re-projection pruned to this node's declared output:
+      // ordinals (and types) line up attribute-for-attribute, and only
+      // the columns the parent consumes cross the leaf-exec boundary
+      val synthName: Map[Long, String] =
+        (join.left.output.zipWithIndex.map { case (a, i) =>
+          a.exprId.id -> s"__asl_c$i" } ++
+          join.right.output.zipWithIndex.map { case (a, i) =>
+            a.exprId.id -> s"__asr_c$i" }).toMap
+      val outNames = output.map(a => synthName(a.exprId.id))
       res.select(outNames.map(col): _*).queryExecution.toRdd
     }
   }

@@ -250,6 +250,124 @@ class SweepJoinRewriteSpec extends SparkSuite {
     }
   }
 
+  test("double-typed point probe with NaN left endpoints: dispatch " +
+      "detects the NaN and stays row-identical to the raw join") {
+    // Under Spark's ordering NaN sorts above +Inf, so the raw conjunct
+    // p <= e with e = NaN is TRUE for every p — but the operator
+    // ingress filter drops NaN-endpoint rows as empty intervals. The
+    // closed-point-probe skip must therefore NOT apply to floating
+    // endpoints with NaN present: the dispatch runs the left-side NaN
+    // probe and falls back to the conjunct-exact raw sweep.
+    val l = Seq(
+      (1L, 10L, 5.0, Double.NaN),          // matches every p >= 5 raw
+      (1L, 11L, Double.NaN, 9.0),          // matches only p = NaN raw
+      (1L, 12L, 1.0, 4.0)                  // clean row
+    ).toDF("g", "lid", "s", "e")
+    val r = Seq((1L, 20L, 6.0), (1L, 21L, 2.0), (1L, 22L, Double.NaN))
+      .toDF("g2", "rid", "p")
+    def q: DataFrame = l.join(r, col("g") === col("g2") &&
+      col("p") >= col("s") && col("p") <= col("e"))
+    val expected = rows(q)
+    assert(expected.exists(_.startsWith("1|10|5.0|NaN")),
+      "fixture must contain a NaN-endpoint match the ingress filter would drop")
+    withRule(autoSalt = true) {
+      val planned = q
+      assert(planned.queryExecution.executedPlan.toString
+        .contains("AutoSaltedSweepDispatch"))
+      assert(rows(planned) == expected)
+    }
+    // and a NaN-free double-typed probe still takes the salted path
+    // (the NaN probe finds nothing; no fallback, rows identical)
+    val lClean = Seq((1L, 10L, 5.0, 8.0), (1L, 11L, 1.0, 4.0))
+      .toDF("g", "lid", "s", "e")
+    val rClean = Seq((1L, 20L, 6.0), (1L, 21L, 2.0)).toDF("g2", "rid", "p")
+    def q2: DataFrame = lClean.join(rClean, col("g") === col("g2") &&
+      col("p") >= col("s") && col("p") <= col("e"))
+    val expected2 = rows(q2)
+    withRule(autoSalt = true) {
+      assert(rows(q2) == expected2)
+    }
+  }
+
+  test("parent Project/Aggregate required set is folded into the " +
+      "dispatch node: rows cross the boundary pruned, results identical") {
+    import org.apache.spark.sql.graft.AutoSaltedSweepJoin
+    val (l, r) = frames // 4 + 4 columns
+    // aggregate consumes 2 of the 8 columns
+    def q: DataFrame = l.join(r, col("g") === col("g2") &&
+        col("s") <= col("re") && col("rs") <= col("e"))
+      .groupBy(col("g")).agg(sum(col("rid")).as("srid"))
+    val expected = rows(q)
+    withRule(autoSalt = true) {
+      val planned = q
+      val nodes = planned.queryExecution.optimizedPlan.collect {
+        case n: AutoSaltedSweepJoin => n
+      }
+      assert(nodes.length == 1)
+      // boundary schema = what the aggregate needs (g, rid), not 8 wide
+      assert(nodes.head.output.map(_.name).toSet == Set("g", "rid"),
+        s"boundary not pruned: ${nodes.head.output.map(_.name)}")
+      assert(rows(planned) == expected)
+    }
+    // narrow Project parent, residual Filter in between
+    def q2: DataFrame = l.join(r, col("g") === col("g2") &&
+        col("s") <= col("re") && col("rs") <= col("e") &&
+        (col("lid") + col("rid")) % 3 =!= 0)
+      .select(col("lid"), col("rid"))
+    val expected2 = rows(q2)
+    withRule(autoSalt = true) {
+      val planned = q2
+      val nodes = planned.queryExecution.optimizedPlan.collect {
+        case n: AutoSaltedSweepJoin => n
+      }
+      assert(nodes.length == 1)
+      assert(nodes.head.output.map(_.name).toSet == Set("lid", "rid"),
+        s"boundary not pruned: ${nodes.head.output.map(_.name)}")
+      assert(rows(planned) == expected2)
+    }
+  }
+
+  test("nondeterministic child plans bypass the dispatch (children " +
+      "would re-execute across its probe passes) and take the direct sweep") {
+    // needs file-backed children: over LocalRelations the optimizer's
+    // ConvertToLocalRelation folds rand() into materialized data, which
+    // IS safe to re-execute — only a live nondeterministic projection
+    // (here: over a parquet scan) must bypass the dispatch
+    val dir = java.nio.file.Files.createTempDirectory("graft_sweep_nd")
+    val lp = dir.resolve("l").toString
+    val rp = dir.resolve("r").toString
+    (0L until 100L).map(i => (i % 5, i, (i * 7) % 50, (i * 7) % 50 + 10))
+      .toDF("g", "lid", "s", "e").write.parquet(lp)
+    (0L until 100L).map(i => (i % 5, i, (i * 11) % 50, (i * 11) % 50 + 5))
+      .toDF("g2", "rid", "rs", "re").write.parquet(rp)
+    try withRule(autoSalt = true) {
+      val lNd = spark.read.parquet(lp).withColumn("tag", rand(7))
+      val r = spark.read.parquet(rp)
+      val q = lNd.join(r, col("g") === col("g2") &&
+        col("s") <= col("re") && col("rs") <= col("e"))
+      val phys = q.queryExecution.executedPlan.toString
+      assert(!phys.contains("AutoSaltedSweepDispatch"),
+        s"nondeterministic child must not enter the dispatch:\n$phys")
+      assert(phys.contains("IntervalSweepJoin"),
+        s"direct sweep expected:\n$phys")
+      // deterministic children over the same files still dispatch
+      val lDet = spark.read.parquet(lp)
+      val q2 = lDet.join(r, col("g") === col("g2") &&
+        col("s") <= col("re") && col("rs") <= col("e"))
+      assert(q2.queryExecution.executedPlan.toString
+        .contains("AutoSaltedSweepDispatch"))
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(dir)
+    }
+  }
+
   test("POINT probes keep the right interval closed (strictness moves " +
       "to the left flags) so strict/half-open probes still auto-salt") {
     import org.apache.spark.sql.graft.AutoSaltedSweepJoin
