@@ -103,11 +103,53 @@ object AnnProbe {
       import org.apache.spark.sql.execution.debug._
       scoreDf.debugCodegen()
     }
+
+    // ── PQ bit-width probe: the table-carrying native expressions at
+    // the ksub = 8 demo budget vs the ksub = 256 production budget.
+    // The round-9 JIT cliff showed a silently-interpreted stage costs
+    // ~100× with a perfect-looking plan; if the 256-entry LUTs stayed
+    // compiled, adc256 tracks adc8 within a small factor (the LUT is
+    // indexed, not scanned — cost is per-code, not per-entry) and sits
+    // far under its own whole-stage-codegen-off control.
+    import graft.similarity.PqAnn
+    val (pq8m, codes8) = PqAnn.fit(e, "vec_id", "embedding",
+      m = 8, ksub = 8, iters = 1)
+    val (pq256m, codes256) = PqAnn.fit(e, "vec_id", "embedding",
+      m = 8, ksub = 256, iters = 1)
+    def encProbe(model: PqAnn.Model): Double = time("enc") {
+      e.filter(col("embedding").isNotNull)
+        .select(model.encode(col("embedding")).as("c"))
+        .selectExpr("sum(size(c))").collect()
+    }
+    def adcProbe(model: PqAnn.Model, codes: org.apache.spark.sql.DataFrame): Double = {
+      val qf = broadcast(queries
+        .select(col("vec_id").as("query_id"),
+          model.lut(col("embedding")).as("__lut")))
+      time("adc") {
+        codes.crossJoin(qf)
+          .select(model.adc(col("pq_codes"), col("__lut")).as("d"))
+          .selectExpr("sum(d)").collect()
+      }
+    }
+    val tEnc8 = encProbe(pq8m)
+    val tEnc256 = encProbe(pq256m)
+    val tAdc8 = adcProbe(pq8m, codes8)
+    val tAdc256 = adcProbe(pq256m, codes256)
+    val tAdc256NoCg = {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val t = adcProbe(pq256m, codes256)
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      t
+    }
+
     println(s"""{"sf":"$sfDir","fit":$tFit,"assign":$tAssign,""" +
       s""""probes":$tProbes,"search":$tSearch,"join":$tJoin,""" +
       s""""score":$tScore,"score_cp":$tScoreCp,""" +
       s""""search_noaqe":$tSearchNoAqe,"score_nocg":$tScoreNoCodegen,""" +
-      s""""dot_only":$tDotOnly,"joined_rows":$nJoined}""")
+      s""""dot_only":$tDotOnly,"joined_rows":$nJoined,""" +
+      s""""pq_encode8":$tEnc8,"pq_encode256":$tEnc256,""" +
+      s""""pq_adc8":$tAdc8,"pq_adc256":$tAdc256,""" +
+      s""""pq_adc256_nocg":$tAdc256NoCg}""")
     spark.stop()
   }
 }

@@ -177,6 +177,50 @@ object Bench {
         .map(_(name)).min
       name -> (if (best.isInfinity) -1.0 else best)
     }
+
+    // ── drift attribution vs the previous round's committed artifact ──
+    // (round-10 lesson: ~30 untouched queries drifted 1.2-1.4× with zero
+    // code changes on their paths and the protocol could not say why —
+    // suite totals self-load as queries are added, so round-over-round
+    // per-query deltas need a same-run recheck to separate regression
+    // from run-composition noise). Every shared query whose best-of pass
+    // exceeds the previous artifact's by SPARK_GRAFT_DRIFT_RATIO is
+    // RE-PROBED at end of run: load-gated, post-GC, min-of-2 — a real
+    // plan regression reproduces in the gated re-probe; accumulated
+    // JVM/chunk state does not. The artifact records all three numbers
+    // per drifting query: [prev, this_run, gated_reprobe].
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV", "bench_prev.json")
+    val prevQ: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(prevPath)), "UTF-8")
+        val start = txt.indexOf("\"queries\":{")
+        if (start < 0) Map.empty
+        else {
+          val sub = txt.substring(start + 11, txt.indexOf('}', start))
+          "\"(q_[A-Za-z0-9_]+)\":(-?[0-9.Ee+]+)".r.findAllMatchIn(sub)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Exception => Map.empty }
+    val driftRatio =
+      sys.env.getOrElse("SPARK_GRAFT_DRIFT_RATIO", "1.25").toDouble
+    val driftCap = sys.env.getOrElse("SPARK_GRAFT_DRIFT_MAX", "12").toInt
+    val driftFloor = 0.3 // below the noise floor a ratio is meaningless
+    val drifting = results.collect {
+      case (name, v) if v > 0 && prevQ.get(name).exists(p =>
+          p >= driftFloor && v / p > driftRatio) =>
+        (name, prevQ(name), v)
+    }.sortBy { case (_, p, v) => -(v / p) }.take(driftCap)
+    val driftReprobed = drifting.map { case (name, p, v) =>
+      var waited = 0
+      while (loadAvg1() > maxLoad && waited < probeGateWait) {
+        Thread.sleep(5000); waited += 5
+      }
+      System.gc()
+      val re = (1 to 2).map(i => time(name, s"drift-$i")._2)
+        .filter(_.isFinite).minOption.getOrElse(-1.0)
+      (name, p, v, re)
+    }
     val failed = results.collect { case (name, v) if v < 0 => name }
     val total = results.map(_._2).filter(_ >= 0).sum
     // cap the failed list: a mass-failure run must not overflow the
@@ -224,6 +268,10 @@ object Bench {
     val probePassesJson = probePasses.map { case (k, v) =>
       "\"" + k + "\":" + v.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // drift entries: name -> [prev_round, this_run_best, gated_reprobe]
+    val driftJson = driftReprobed.map { case (name, p, v, re) =>
+      "\"" + name + "\":[" + fmt(p) + "," + fmt(v) + "," + fmt(re) + "]"
+    }.mkString("{", ",", "}")
     // The driver captures only the last ~2000 chars of stdout and parses the
     // JSON line out of that tail; the round-3 line (64 queries × 9-decimal
     // doubles) overflowed it and the round's bench number was lost. Print a
@@ -238,11 +286,13 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_DETAILS_OUT", "bench_details.json")),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failedJson,"runs":$runs,"agg":"min","probe_passes":$probePassesJson,"probe_median":$probeMedianJson,"n_queries":${names.size},$hostJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failedJson,"runs":$runs,"agg":"min","probe_passes":$probePassesJson,"probe_median":$probeMedianJson,"drift":$driftJson,"n_queries":${names.size},$hostJson,"sf":"$sfDir"}""")
     catch { case e: Exception =>
       System.err.println(s"[bench] bench_details.json not written: $e")
     }
-    val budget = 1100 // chars for the queries object; tail is 2000 total
+    // drift entries ride the stdout line too (the driver's artifact);
+    // the queries object cedes budget so the 2000-char tail still fits
+    val budget = math.max(400, 1100 - driftJson.length)
     // the two BASELINE-comparable probes lead regardless of rank, then
     // slowest-first fills the budget
     val slowestFirst = results.filter(r => headline.contains(r._1)) ++
@@ -253,7 +303,7 @@ object Bench {
       val entry = (if (kept == 0) "" else ",") + "\"" + k + "\":" + fmt(v)
       if (sb.length + entry.length <= budget) { sb.append(entry); kept += 1 }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{${sb.toString}},"queries_omitted":${names.size - kept},"failed":$failedJson,"runs":$runs,"agg":"min","probe_median":$probeMedianJson,"n_queries":${names.size},$hostJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{${sb.toString}},"queries_omitted":${names.size - kept},"failed":$failedJson,"runs":$runs,"agg":"min","probe_median":$probeMedianJson,"drift":$driftJson,"n_queries":${names.size},$hostJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

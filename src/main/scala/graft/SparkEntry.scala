@@ -941,9 +941,18 @@ object SparkEntry {
           sum(coalesce(col("n_pack_rows"), lit(0L))).as("n_pack_rows"))
     }
 
+  /** The exact n-gram Jaccard verifier DEMO, scoped to a FIXED-size
+    * slice (doc_id < 500 — all of the sf0.01 correctness corpus,
+    * constant work at any scale factor): within-block all-pairs
+    * verification is quadratic in the block, so the operator's honest
+    * role at corpus scale is verifying candidate pairs some bounded
+    * generator produced (exactly what [[MinHashDedup]]'s verify stage
+    * does via the same hashed-Jaccard kernel) — the registered closure
+    * chain (q_dedup_cluster) rides the anchor2 LSH generator instead. */
   private val q_dedup_ngram: (SparkSession, String) => DataFrame =
     (s, dir) =>
-      NgramJaccardDedup(docs(s, dir), "text", "doc_id",
+      NgramJaccardDedup(docs(s, dir).filter(col("doc_id") < 500),
+        "text", "doc_id",
         n = 1, threshold = 0.9, blockBy = Seq("lang"))
 
   private val q_dedup_minhash: (SparkSession, String) => DataFrame =
@@ -951,15 +960,54 @@ object SparkEntry {
       MinHashDedup(docs(s, dir), "text", "doc_id",
         numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.8)
 
-  /** Near-dup clustering: ngram-Jaccard pairs → transitive closure →
-    * per-doc cluster id / size / survivor flag. Oracle: the same pairs in
-    * DuckDB, closed with a recursive CTE. */
+  /** Near-dup clustering — the PRODUCTION chain, scale-safe end to end
+    * (replaces the block-quadratic NgramJaccardDedup generator, which
+    * stays as the bounded exact-verifier demo, q_dedup_ngram):
+    *
+    *   1. verbatim-copy collapse FIRST (one digest-keyed window pass —
+    *      the contract [[MinHashDedup]] documents: boilerplate twins
+    *      must never flood LSH buckets); twins connect to their
+    *      canonical row by explicit edges,
+    *   2. anchor2 MinHash+LSH pairs over the SURVIVORS only (3-gram
+    *      shingles, J ≥ 0.8, 2m−3 pairs per bucket — O(m)),
+    *   3. one transitive closure over (LSH pairs ∪ twin edges) labels
+    *      every document.
+    *
+    * Oracle: [[AnchorClosureSql]] — the closure of the EXACT 3-gram
+    * Jaccard pair set over ALL docs. Twins sit at J = 1 to their
+    * canonical row, so collapsing them first and re-attaching by edge
+    * provably yields the same components (any exact pair (u,v) maps to
+    * its reps with the identical Jaccard), given anchor2-closure ≡
+    * exact-closure on the survivors — the property q_dedup_anchor2
+    * pins against the same oracle.
+    *
+    * Why this predicate and not the old unigram J ≥ 0.9: on this
+    * corpus the unigram-0.9 similarity graph is DENSE (measured: avg
+    * true-pair degree grows ~linearly with the corpus, 9 → 98 from
+    * sf0.01 → sf0.1), so ANY generator that materializes that pair
+    * set is intrinsically quadratic — the scale fix is the predicate
+    * near-dup pipelines actually run (shingled Jaccard, where dup
+    * structure is sparse and anchor pairing is sound), not a cleverer
+    * enumeration of a dense graph. */
   private val q_dedup_cluster: (SparkSession, String) => DataFrame =
     (s, dir) => {
       val d = docs(s, dir)
-      val pairs = NgramJaccardDedup(d, "text", "doc_id",
-        n = 1, threshold = 0.9, blockBy = Seq("lang"))
-      DuplicateClusters(d, "doc_id", pairs, "id_l", "id_r")
+      // digest-keyed twin collapse: shuffle rows carry (id, text) only,
+      // grouped on (xxhash64, length) so the key stays 12 bytes at lake
+      // scale (ExactDedup's hashKey convention)
+      val w = Window.partitionBy(xxhash64(col("text")), length(col("text")))
+      val withRep = d.select(col("doc_id"), col("text"))
+        .withColumn("rep_id", min(col("doc_id")).over(w))
+      val twinEdges = withRep.filter(col("doc_id") =!= col("rep_id"))
+        .select(col("rep_id").as("id_l"), col("doc_id").as("id_r"))
+      val surv = withRep.filter(col("doc_id") === col("rep_id"))
+        .select(col("doc_id"), col("text"))
+      val lshPairs = MinHashDedup(surv, "text", "doc_id",
+        numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.8,
+        pairing = "anchor2")
+        .select(col("id_l"), col("id_r"))
+      DuplicateClusters(d, "doc_id", lshPairs.unionByName(twinEdges),
+        "id_l", "id_r")
         .select(col("doc_id").as("did"), col("cluster_id").as("cid"),
           col("cluster_size").as("sz"), col("is_canonical").as("canon"))
     }
@@ -1634,6 +1682,39 @@ object SparkEntry {
         .reduce(_ unionByName _)
     }
 
+  /** PQ at PRODUCTION bit-width: m = 8 subquantizers × ksub = 256
+    * codes = 64-bit codes, the compression real deployments run (the
+    * other PQ queries stay at the ksub = 8 / 24-bit demo budget so
+    * their composed oracles stay small). Trains 2 integer Lloyd
+    * iterations, brute-ADC-searches top-10 for the standard 10 queries
+    * through the SAME native table-carrying expressions — whose
+    * carried tables are now 256-entry LUTs per subquantizer
+    * (`graft.AnnProbe pq256` pins that the consuming stage stays
+    * JIT-compiled; numbers in SCALING.md) — and emits the recall@10
+    * row against the exact brute cosine top-10. Until this query, the
+    * sentence "production would use ksub = 256" was unmeasured
+    * folklore by the repo's own standard; the oracle replays training,
+    * encoding, ADC ranking, the exact baseline, and the integer
+    * intersection bit-for-bit. */
+  private val q_ann_pq256: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = CosineTopK(e, q, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true) // ≤ 10·k rows, reused by hits + possible
+      val (model, codes) = graft.similarity.PqAnn.fit(
+        e, "vec_id", "embedding", m = 8, ksub = 256, iters = 2)
+      val approx = graft.similarity.PqAnn.search(
+        codes, q, "vec_id", "embedding", "pq_codes", k = 10, model)
+      approx.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("possible")))
+        .select(lit("pq256").as("method"), col("hits"), col("possible"),
+          (col("hits").cast("double") / col("possible")).as("recall"))
+    }
+
   /** The SCALE path of hybrid retrieval, oracle-checked end-to-end:
     * the lexical leg is MinHash-banded (candidates share a band bucket,
     * exact hashed-shingle Jaccard ≥ 0.8 verifies and ranks) and the
@@ -1677,46 +1758,48 @@ object SparkEntry {
     * q_ann_layout_append replays (train on the base, encode the
     * appended delta with the frozen model). "TRUE" = the plain PqCte.
     */
-  private def pqCteOn(trainPred: String): String = {
+  private def pqCteOn(trainPred: String, ksub: Int = 8,
+      px: String = ""): String = {
     val iters = (1 to 2).map { i =>
-      val p = s"cb${i - 1}"
-      s"""pdist$i AS (SELECT p.vec_id, c.s, c.code,
+      val p = s"${px}cb${i - 1}"
+      s"""${px}pdist$i AS (SELECT p.vec_id, c.s, c.code,
          |    sum((p.q - c.v) * (p.q - c.v)) AS dist
-         |  FROM pqtrain p JOIN $p c ON p.s = c.s AND p.w = c.w
+         |  FROM ${px}pqtrain p JOIN $p c ON p.s = c.s AND p.w = c.w
          |  GROUP BY 1, 2, 3),
-         |pa$i AS (SELECT vec_id, s, code,
+         |${px}pa$i AS (SELECT vec_id, s, code,
          |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
-         |  FROM pdist$i),
-         |pagg$i AS (SELECT a.s, a.code, p.w, sum(p.q) AS sm, count(*) AS n
-         |  FROM pqtrain p JOIN (SELECT vec_id, s, code FROM pa$i WHERE rn = 1) a
+         |  FROM ${px}pdist$i),
+         |${px}pagg$i AS (SELECT a.s, a.code, p.w, sum(p.q) AS sm, count(*) AS n
+         |  FROM ${px}pqtrain p
+         |  JOIN (SELECT vec_id, s, code FROM ${px}pa$i WHERE rn = 1) a
          |    ON p.vec_id = a.vec_id AND p.s = a.s
          |  GROUP BY 1, 2, 3),
-         |cb$i AS (SELECT c.s, c.code, c.w, coalesce(g.sm // g.n, c.v) AS v
-         |  FROM $p c LEFT JOIN pagg$i g
+         |${px}cb$i AS (SELECT c.s, c.code, c.w, coalesce(g.sm // g.n, c.v) AS v
+         |  FROM $p c LEFT JOIN ${px}pagg$i g
          |    ON c.s = g.s AND c.code = g.code AND c.w = g.w)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pq0 AS (SELECT vec_id,
+    s"""WITH ${px}pq0 AS (SELECT vec_id,
        |    unnest(range(0, len(embedding))) AS d,
        |    unnest(embedding) AS x
        |  FROM embeddings WHERE embedding IS NOT NULL),
-       |pqpts AS (SELECT vec_id, d // 8 AS s, d % 8 AS w,
-       |    CAST(floor(x::DOUBLE * 1048576) AS BIGINT) AS q FROM pq0),
-       |pqtrain AS (SELECT * FROM pqpts WHERE $trainPred),
-       |pqseeds AS (SELECT vec_id,
+       |${px}pqpts AS (SELECT vec_id, d // 8 AS s, d % 8 AS w,
+       |    CAST(floor(x::DOUBLE * 1048576) AS BIGINT) AS q FROM ${px}pq0),
+       |${px}pqtrain AS (SELECT * FROM ${px}pqpts WHERE $trainPred),
+       |${px}pqseeds AS (SELECT vec_id,
        |    row_number() OVER (ORDER BY vec_id) - 1 AS code
        |  FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
-       |        AND ($trainPred) ORDER BY vec_id LIMIT 8)),
-       |cb0 AS (SELECT p.s, sd.code, p.w, p.q AS v
-       |  FROM pqseeds sd JOIN pqtrain p USING (vec_id)),
+       |        AND ($trainPred) ORDER BY vec_id LIMIT $ksub)),
+       |${px}cb0 AS (SELECT p.s, sd.code, p.w, p.q AS v
+       |  FROM ${px}pqseeds sd JOIN ${px}pqtrain p USING (vec_id)),
        |$iters,
-       |fdist AS (SELECT p.vec_id, c.s, c.code,
+       |${px}fdist AS (SELECT p.vec_id, c.s, c.code,
        |    sum((p.q - c.v) * (p.q - c.v)) AS dist
-       |  FROM pqpts p JOIN cb2 c ON p.s = c.s AND p.w = c.w
+       |  FROM ${px}pqpts p JOIN ${px}cb2 c ON p.s = c.s AND p.w = c.w
        |  GROUP BY 1, 2, 3),
-       |fcodes AS (SELECT vec_id, s, code FROM (
+       |${px}fcodes AS (SELECT vec_id, s, code FROM (
        |    SELECT vec_id, s, code,
        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
-       |    FROM fdist) WHERE rn = 1)""".stripMargin
+       |    FROM ${px}fdist) WHERE rn = 1)""".stripMargin
   }
 
   private lazy val PqCte: String = pqCteOn("TRUE")
@@ -3423,6 +3506,7 @@ object SparkEntry {
     "q_hybrid_rrf_blocked"  -> q_hybrid_rrf_blocked,
     "q_ann_layout"          -> q_ann_layout,
     "q_ann_recall"          -> q_ann_recall,
+    "q_ann_pq256"           -> q_ann_pq256,
     "q_ann_ivfpq_res"       -> q_ann_ivfpq_res,
     "q_ann_layout_append"   -> q_ann_layout_append,
     "q_salted_join"         -> q_salted_join,
@@ -4012,8 +4096,11 @@ object SparkEntry {
         |FROM r GROUP BY 1, 2""".stripMargin,
     "q_dedup_exact" ->
       "SELECT MIN(doc_id) AS cid, COUNT(*) AS n FROM documents GROUP BY text",
+    // fixed-size slice (doc_id < 500): the exact verifier demo — see the
+    // query's scaladoc; constant work at any scale factor
     "q_dedup_ngram" ->
-      s"""WITH d AS (SELECT doc_id, lang, list_distinct($ToksExpr) AS tk FROM documents)
+      s"""WITH d AS (SELECT doc_id, lang, list_distinct($ToksExpr) AS tk
+        |           FROM documents WHERE doc_id < 500)
         |SELECT a.doc_id AS id_l, b.doc_id AS id_r,
         |  len(list_intersect(a.tk, b.tk))::DOUBLE
         |    / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS jaccard
@@ -4068,22 +4155,11 @@ object SparkEntry {
     // whp): anchor pairing must lose no cluster structure
     "q_dedup_anchor" -> AnchorClosureSql,
     "q_dedup_anchor2" -> AnchorClosureSql,
-    "q_dedup_cluster" ->
-      s"""WITH RECURSIVE
-        |d AS (SELECT doc_id, lang, list_distinct($ToksExpr) AS tk FROM documents),
-        |p AS (SELECT a.doc_id AS u, b.doc_id AS v
-        |      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |      WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
-        |          / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.9),
-        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
-        |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) t
-        |                UNION SELECT r.u, ed.v FROM reach r JOIN e ed ON r.v = ed.u),
-        |comp AS (SELECT u AS node, MIN(v) AS comp FROM reach GROUP BY u),
-        |lab AS (SELECT doc.doc_id AS did, COALESCE(c.comp, doc.doc_id) AS cid
-        |        FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node)
-        |SELECT did, cid, COUNT(*) OVER (PARTITION BY cid) AS sz,
-        |       CAST(did = cid AS INT) AS canon
-        |FROM lab""".stripMargin,
+    // the production chain (exact collapse → anchor2 LSH on survivors →
+    // closure with twin edges) must label identically to the closure of
+    // the exact 3-gram pair set over ALL docs — twins sit at J = 1, so
+    // collapsing them first cannot change a component
+    "q_dedup_cluster" -> AnchorClosureSql,
     // near-dup stage oracle = closure of the EXACT 3-gram-Jaccard pairs
     // over the survivors (LSH 16x2 bands complete at J >= 0.8 whp, and
     // anchor2 pairing loses no cluster structure — q_dedup_anchor/2
@@ -4564,6 +4640,33 @@ object SparkEntry {
     // proves the persisted form lossless
     "q_ann_layout" -> IvfPqOracle,
     "q_ann_recall" -> AnnRecallOracle,
+    // production-bit-width PQ: the 256-code training replay (the same
+    // integer Lloyd CTE, ksub parameterized) + brute ADC top-10 + the
+    // exact baseline + integer intersection
+    "q_ann_pq256" ->
+      s"""${pqCteOn("TRUE", ksub = 256, px = "h")},
+        |hexs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    list_cosine_similarity(q.embedding::DOUBLE[],
+        |      c.embedding::DOUBLE[]) AS cos
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |hex AS (SELECT qid, nid FROM (
+        |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid) AS rn FROM hexs) WHERE rn <= 10),
+        |hadc AS (SELECT qd.vec_id AS qid, nc.vec_id AS nid,
+        |    CAST(sum(qd.dist) AS BIGINT) AS adist
+        |  FROM hfdist qd JOIN hfcodes nc ON qd.s = nc.s AND qd.code = nc.code
+        |  WHERE qd.vec_id < 10 AND nc.vec_id <> qd.vec_id
+        |  GROUP BY 1, 2),
+        |hb AS (SELECT qid, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY adist, nid) AS rn FROM hadc) WHERE rn <= 10),
+        |hrec AS (SELECT 'pq256' AS method,
+        |    (SELECT count(*) FROM hb a JOIN hex USING (qid, nid)) AS hits,
+        |    (SELECT count(*) FROM hex) AS possible)
+        |SELECT method, hits, possible,
+        |  hits::DOUBLE / possible AS recall
+        |FROM hrec""".stripMargin,
     "q_ann_ivfpq_res" -> IvfPqResOracle,
     "q_ann_layout_append" -> LayoutAppendOracle,
     "q_dedup_semantic_stream" ->

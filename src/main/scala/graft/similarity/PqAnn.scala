@@ -74,7 +74,10 @@ object PqAnn {
       transform(v, x => floor(x.cast("double") * scale).cast("long"))
 
     /** Exact integer squared distance between QUANTIZED subvector
-      * `s` of subspace `si` and centroid `j`. */
+      * `s` of subspace `si` and centroid `j` — the composed form,
+      * kept as [[lutQuantizedComposed]]'s kernel so the differential
+      * spec can pin the native [[org.apache.spark.sql.graft.VecPqLut]]
+      * bit-for-bit. */
     private[similarity] def subDist(q: Column, si: Int, j: Int): Column =
       aggregate(
         zip_with(slice(q, si * dsub + 1, dsub), typedLit(codebooks(si)(j)),
@@ -99,12 +102,20 @@ object PqAnn {
       * subvector to centroid `j`. */
     def lut(v: Column): Column = lutQuantized(quantize(v))
 
-    /** [[lut]] over an ALREADY-quantized (or residual) column. The
-      * composed m·ksub subDist chain evaluates its input expression per
-      * entry — pass a plain column reference (project the quantized
-      * vector first), and only on the SMALL query side (the corpus-scan
-      * hot loop is the native [[adc]]). */
+    /** [[lut]] over an ALREADY-quantized (or residual) column. Native
+      * [[org.apache.spark.sql.graft.VecPqLut]]: the composed m·ksub
+      * subDist chain was tolerable at the 64-entry demo budget but
+      * dominated the whole search at production ksub = 256 (2048
+      * interpreted HOF entries per query row — AnnProbe measured it
+      * slower than the interpreted-everything control; SCALING.md).
+      * Query-side only; the corpus-scan hot loop is the native
+      * [[adc]]. */
     private[similarity] def lutQuantized(q: Column): Column =
+      org.apache.spark.sql.graft.VecFunctions.vec_pq_lut(q, codebooks)
+
+    /** The pre-round-11 composed lut — the differential spec's oracle
+      * for [[lutQuantized]]'s native expression (bit-equality). */
+    private[similarity] def lutQuantizedComposed(q: Column): Column =
       array((0 until m).map { si =>
         array((0 until ksub).map(j => subDist(q, si, j)): _*)
       }: _*)

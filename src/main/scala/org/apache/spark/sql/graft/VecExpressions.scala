@@ -849,6 +849,75 @@ case class VecPqCodes(child: Expression, codebooks: Seq[Seq[Seq[Long]]])
     copy(child = newChild)
 }
 
+/** The full ADC lookup table of a fixed-point query vector in ONE
+  * pass: `lut(s)(j)` = exact integer squared distance of subvector `s`
+  * to `codebooks(s)(j)` — bit-identical to the composed m·ksub
+  * `aggregate(zip_with(slice...))` chain it replaces
+  * ([[graft.similarity.PqAnn.Model.lutQuantized]]'s original form). At
+  * the m·ksub = 64 demo budget the composed form was tolerable; at
+  * production ksub = 256 its 2048 interpreted HOF entries dominated
+  * the whole search (`graft.AnnProbe`: 17.6 s vs 1.6 s at ksub = 8,
+  * SLOWER than its own whole-stage-codegen-off control — the round-9
+  * generated-code-size cliff on the query side). Same table-carrying
+  * design as [[VecPqCodes]]: the codebook tensor rides along as a
+  * reference object, the loop is one compiled method.
+  */
+case class VecPqLut(child: Expression, codebooks: Seq[Seq[Seq[Long]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebooks")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def prettyName: String = "vec_pq_lut"
+
+  @transient private lazy val mat: Array[Array[Array[Long]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  /** LUT loop shared by eval and generated code. Subvectors short of
+    * the codebook width contribute only their present components —
+    * the [[VecPqCodes]] convention (well-formed corpora are fixed-dim;
+    * the trainers enforce it). */
+  def lut(x: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = x.numElements()
+    val out = new Array[Any](mat.length)
+    var si = 0
+    var off = 0
+    while (si < mat.length) {
+      val cb = mat(si)
+      val dsub = cb(0).length
+      val row = new Array[Long](cb.length)
+      var j = 0
+      while (j < cb.length) {
+        val c = cb(j)
+        var d = 0L
+        var w = 0
+        while (w < dsub && off + w < n) {
+          val t = x.getLong(off + w) - c(w); d += t * t; w += 1
+        }
+        row(j) = d
+        j += 1
+      }
+      out(si) = new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+      off += dsub
+      si += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    lut(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("pqLut", this, classOf[VecPqLut].getName)
+      s"${ev.value} = $ref.lut($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecPqLut =
+    copy(child = newChild)
+}
+
 /** Asymmetric-distance sum: `sum_i lut[i][codes[i]]` — the
   * per-candidate inner loop of PQ search. Both inputs are row data
   * (codes from the corpus side, the lookup table from the broadcast
@@ -1030,6 +1099,9 @@ object VecFunctions {
 
   def vec_pq_codes(a: Column, codebooks: Seq[Seq[Seq[Long]]]): Column =
     ExpressionUtils.column(VecPqCodes(expr(a), codebooks))
+
+  def vec_pq_lut(a: Column, codebooks: Seq[Seq[Seq[Long]]]): Column =
+    ExpressionUtils.column(VecPqLut(expr(a), codebooks))
 
   def vec_adc(codes: Column, lut: Column): Column =
     ExpressionUtils.column(VecAdc(expr(codes), expr(lut)))

@@ -223,7 +223,10 @@ class PlanSpecs extends SparkSuite {
     val intended = Set("q_cross_join", "q_ann_topk", "q_ann_q8",
       "q_bm25", "q_lm_score", "q_tfidf", "q_skew", "q_sample_temperature",
       "q_collocations", "q_fuzzy_join", "q_fuzzy_freq", "q_dsir",
-      "q_mixture", "q_ann_pq", "q_hybrid_rrf", "q_ann_recall")
+      "q_mixture", "q_ann_pq", "q_hybrid_rrf", "q_ann_recall",
+      // q_ann_pq256 = q_ann_recall's scalar hits × possible cross-join
+      // plus the brute ADC/exact legs at production bit-width
+      "q_ann_pq256")
     for (name <- SparkEntry.queries.keys if !intended(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian")

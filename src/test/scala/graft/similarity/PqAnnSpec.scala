@@ -45,6 +45,30 @@ class PqAnnSpec extends SparkSuite {
     assert(res.size == 10)
   }
 
+  test("pq: native VecPqLut == composed subDist chain, bit-for-bit " +
+      "(incl. ksub = 256 production width)") {
+    // 16-dim corpus so a 256-code codebook has room to differ per code
+    val rnd = new scala.util.Random(11)
+    val wide = (0L until 300L).map(i =>
+      i -> Seq.fill(16)(rnd.nextFloat() * 2 - 1)).toDF("vec_id", "embedding")
+    for (ksub <- Seq(4, 256)) {
+      val (model, _) = PqAnn.fit(wide, "vec_id", "embedding",
+        m = 4, ksub = ksub, iters = 1)
+      val q = wide.filter(col("vec_id") < 8)
+        .select(col("vec_id"), model.quantize(col("embedding")).as("qq"))
+        .localCheckpoint(true)
+      def lutMap(c: org.apache.spark.sql.Column) = q.select(col("vec_id"),
+          c.as("lut"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[scala.collection.Seq[Long]](1).map(_.toList).toList).toMap
+      val native = lutMap(model.lutQuantized(col("qq")))
+      val composed = lutMap(model.lutQuantizedComposed(col("qq")))
+      assert(native == composed, s"ksub=$ksub lut mismatch")
+      assert(native.head._2.length == 4 &&
+        native.head._2.head.length == ksub)
+    }
+  }
+
   test("pq: codes and ranks are partitioning-independent (bit-identical)") {
     val rnd = new scala.util.Random(7)
     val big = (0 until 300).map { i =>
