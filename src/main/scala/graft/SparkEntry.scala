@@ -1608,6 +1608,51 @@ object SparkEntry {
         coarse = Some(("cell", coarse, 4)))
     }
 
+  /** Index COMPACTION — the maintenance step after [[q_ann_layout_append]]'s
+    * daily appends: three delta batches (vec_id % 15 ∈ {0, 5, 10}) are
+    * frozen-model-encoded and appended to the base layout, leaving up
+    * to four files per touched cell; [[graft.sources.Layout.compact]]
+    * then rewrites exactly the cells past the fragment threshold (one
+    * driver listing bounded by nlist directories, dynamic partition
+    * overwrite — untouched cells keep their files) and the probed
+    * search over the compacted index must still equal the full replay.
+    * Shares q_ann_layout_append's oracle SHAPE (train on base, encode
+    * everything, search the union): compaction must be invisible
+    * row-for-row. */
+  private val q_ann_layout_compact: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = emb(s, dir)
+      val base = e.filter(col("vec_id") % 5 =!= 0)
+      val coarse = IvfAnn.fit(base, "vec_id", "embedding", nlist = 16)
+      val (model, baseCodes) = graft.similarity.PqAnn.fit(
+        base, "vec_id", "embedding", m = 8, ksub = 8, iters = 2)
+      def withCell(codes: DataFrame, src: DataFrame) = codes.join(
+        src.filter(col("embedding").isNotNull).select(col("vec_id"),
+          coarse.cell(col("embedding").cast("array<double>")).as("cell")),
+        "vec_id")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_" +
+        s"${s.sparkContext.applicationId}_compact_" +
+        Integer.toHexString(dir.hashCode)
+      graft.sources.Layout.writePartitioned(
+        withCell(baseCodes, base), path,
+        partitionBy = Seq("cell"), sortBy = Seq("vec_id"))
+      for (slice <- Seq(0, 5, 10)) {
+        val delta = e.filter(col("vec_id") % 15 === slice &&
+          col("embedding").isNotNull)
+        val deltaCodes = delta
+          .select(col("vec_id"), model.encode(col("embedding")).as("pq_codes"))
+        graft.sources.Layout.appendPartitioned(
+          withCell(deltaCodes, delta), path,
+          partitionBy = Seq("cell"), sortBy = Seq("vec_id"))
+      }
+      graft.sources.Layout.compact(s, path,
+        partitionBy = Seq("cell"), sortBy = Seq("vec_id"), maxFragments = 1)
+      graft.similarity.PqAnn.search(
+        graft.sources.Layout.read(s, path), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "pq_codes", k = 5, model,
+        coarse = Some(("cell", coarse, 4)))
+    }
+
   /** Recall@10 of every approximate retrieval method against the exact
     * brute-force top-10 — the answer-QUALITY metric the per-method
     * oracle replays cannot see (each `q_ann_*` oracle replays its own
@@ -2941,6 +2986,42 @@ object SparkEntry {
           col("dec_height").cast("long").as("dec_height"),
           r6m(element_at(col("features"), 1).cast("double")).as("f0"))
 
+  /** Perceptual near-dup over MEDIA — the missing link between the
+    * decode plumbing (q_media_features) and the dedup family: groups of
+    * five re-encoded brightness-jittered copies of each base image
+    * ([[Media.nearDupImages]] — pairwise-distinct BYTES, so exact dedup
+    * finds nothing) are recovered through the classic 8×8 average-hash:
+    * decoded integer luminance grid → 64-bit fingerprint (cell mean >
+    * global mean, an exact integer cross-multiplication — no float
+    * threshold, so DuckDB replays it with zero tolerance) → the SimHash
+    * pigeonhole machinery over the fingerprint
+    * ([[SimHashDedup.fromFingerprints]], Hamming ≤ 2). The oracle
+    * recomputes the decoded pixels arithmetically (the
+    * q_media_features formula + the jitter clamp), the fingerprints,
+    * and the full pair set. Scale: decode is the batched mapPartitions
+    * scan, blocking is pigeonhole-exact (never a cartesian), buckets
+    * count-first bounded. */
+  private val q_media_dedup: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val media = Media.nearDupImages(s, docs(s, dir))
+      val grid = Media.extractLumGrid(media, gw = 8, gh = 8).toDF()
+        .filter(size(col("lum")) > 0)
+        // project the total ONCE (interpreted HOF lambdas re-evaluate
+        // non-column references per element)
+        .select(col("media_id").as("id"), col("lum"),
+          aggregate(col("lum"), lit(0L), (a, x) => a + x).as("total"))
+      val fp = grid.select(col("id"),
+        aggregate(
+          zip_with(col("lum"), sequence(lit(0), size(col("lum")) - 1),
+            (x, j) => when(x * size(col("lum")) > col("total"),
+              call_function("shiftleft", lit(1L), j.cast("int")))
+              .otherwise(lit(0L))),
+          lit(0L), (a, b) => a.bitwiseOR(b)).as("fp"))
+      SimHashDedup.fromFingerprints(fp, "fp", "id",
+        maxHamming = 2, fpBits = 64)
+        .select(col("id_l"), col("id_r"), col("hamming"))
+    }
+
   // ───────── baseline-shape throughput probes (BASELINE.md rows 1, 5) ──
   //
   // The reference's only published numbers are a 10M×1M equality+
@@ -3509,6 +3590,7 @@ object SparkEntry {
     "q_ann_pq256"           -> q_ann_pq256,
     "q_ann_ivfpq_res"       -> q_ann_ivfpq_res,
     "q_ann_layout_append"   -> q_ann_layout_append,
+    "q_ann_layout_compact"  -> q_ann_layout_compact,
     "q_salted_join"         -> q_salted_join,
     "q_bloom_join"          -> q_bloom_join,
     "q_profile"             -> q_profile,
@@ -3561,6 +3643,7 @@ object SparkEntry {
     "q_text_fingerprint"    -> q_text_fingerprint,
     "q_media_frames"        -> q_media_frames,
     "q_media_features"      -> q_media_features,
+    "q_media_dedup"         -> q_media_dedup,
     "q_line_dedup"          -> q_line_dedup,
     "q_sample_weighted"     -> q_sample_weighted,
     "q_normalize"           -> q_normalize,
@@ -4669,6 +4752,10 @@ object SparkEntry {
         |FROM hrec""".stripMargin,
     "q_ann_ivfpq_res" -> IvfPqResOracle,
     "q_ann_layout_append" -> LayoutAppendOracle,
+    // compaction must be row-invisible: the compacted index's probed
+    // search replays exactly like the append query's (train on base,
+    // encode everything, search the union)
+    "q_ann_layout_compact" -> LayoutAppendOracle,
     "q_dedup_semantic_stream" ->
       """WITH cent AS (SELECT embedding::DOUBLE[] AS cv,
         |    row_number() OVER (ORDER BY vec_id) - 1 AS cell
@@ -5754,6 +5841,35 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'video', CAST(8 AS BIGINT), CAST(8 AS BIGINT),
         |  ROUND(CAST(f0 AS REAL) + 1e-9, 6) + 0.0 FROM vid""".stripMargin,
+    // the decoded-pixel formula (q_media_features' image leg) + the
+    // row-0 jitter clamp -> integer luminance cells -> 64-bit aHash
+    // (bit 63 via the Long.MinValue literal: DuckDB range-checks
+    // 1 << 63) -> all-pairs Hamming <= 2 (the pigeonhole blocking is
+    // recall-exact, so LSH == brute force here)
+    "q_media_dedup" ->
+      """WITH img AS (SELECT doc_id AS id, doc_id - (doc_id % 15) AS base,
+        |               (doc_id % 15) // 3 AS delta
+        |             FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT i.id, (y.y // 4) * 8 + (x.x // 4) AS j,
+        |         SUM(LEAST(255, (i.base*31 + x.x*7  + y.y*13) % 256
+        |               + CASE WHEN y.y = 0 THEN i.delta ELSE 0 END)
+        |           + LEAST(255, (i.base*17 + x.x*11 + y.y*5 ) % 256
+        |               + CASE WHEN y.y = 0 THEN i.delta ELSE 0 END)
+        |           + LEAST(255, (i.base*23 + x.x*3  + y.y*19) % 256
+        |               + CASE WHEN y.y = 0 THEN i.delta ELSE 0 END))::BIGINT AS lum
+        |       FROM img i, generate_series(0,31) AS x(x),
+        |            generate_series(0,31) AS y(y)
+        |       GROUP BY 1, 2),
+        |tot AS (SELECT id, SUM(lum)::BIGINT AS total FROM px GROUP BY 1),
+        |fp AS (SELECT p.id,
+        |         bit_or(CASE WHEN p.lum * 64 <= t.total THEN 0
+        |                WHEN p.j = 63 THEN (-9223372036854775807 - 1)
+        |                ELSE 1::BIGINT << p.j::INT END)::BIGINT AS f
+        |       FROM px p JOIN tot t USING (id) GROUP BY 1)
+        |SELECT a.id AS id_l, b.id AS id_r,
+        |  bit_count(xor(a.f, b.f))::INT AS hamming
+        |FROM fp a JOIN fp b ON a.id < b.id
+        |WHERE bit_count(xor(a.f, b.f)) <= 2""".stripMargin,
     // winnowing fingerprints over md5-hex gram hashes (k=4 token grams,
     // window w=5, min per window, sorted distinct) — md5 makes the hash
     // engine-portable, and string min/sort orders agree byte-wise

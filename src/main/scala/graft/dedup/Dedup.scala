@@ -541,11 +541,17 @@ object SimHashDedup {
 
   /** Pigeonhole block memberships `(id, blk, key)` of a fingerprint
     * frame — the blocking stream [[apply]] pairs up and
-    * [[droppedBlocks]] audits.
+    * [[droppedBlocks]] audits. `fpBits` is the fingerprint's REAL
+    * width: blocks partition the low `fpBits` bits, so a narrow
+    * fingerprint (a 16-bit media pHash) still spreads its bits over
+    * all `maxHamming + 1` blocks instead of wasting blocks on the
+    * shared-zero high bits (which would put the whole corpus in one
+    * bucket).
     */
-  private def blockStream(fp: DataFrame, maxHamming: Int): DataFrame = {
+  private def blockStream(fp: DataFrame, maxHamming: Int,
+      fpBits: Int = 64): DataFrame = {
     val blocks = maxHamming + 1
-    val bits = 64 / blocks
+    val bits = fpBits / blocks
     // pigeonhole: explode each fingerprint into its blocks
     val blockCol = explode(
       transform(sequence(lit(0), lit(blocks - 1)), b =>
@@ -556,6 +562,46 @@ object SimHashDedup {
               .bitwiseAND((1L << bits) - 1)).as("key"))))
     fp.select(col("id"), blockCol.as("bb"))
       .select(col("id"), col("bb.blk").as("blk"), col("bb.key").as("key"))
+  }
+
+  /** Pigeonhole near-dup over PRECOMPUTED fingerprints — the pHash
+    * path: any caller that derives a bit-fingerprint per row (media
+    * luminance grids via [[graft.multimodal.Media.extractLumGrid]],
+    * external signatures) gets the same block-join + exact-Hamming
+    * verify [[apply]] runs on text simhashes. `fpBits` = the
+    * fingerprint width (≤ 64); two fingerprints within `maxHamming`
+    * bits share at least one of the `maxHamming + 1` blocks, so the
+    * candidate join is exact-recall by pigeonhole, never a cartesian.
+    *
+    * @return pairs `(id_l, id_r, hamming)` with `id_l < id_r` and
+    *         Hamming distance ≤ `maxHamming`.
+    */
+  def fromFingerprints(
+      df: DataFrame,
+      fpCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      fpBits: Int = 64,
+      maxBucket: Int = 1000,
+      pairing: String = "all"): DataFrame = {
+    require(fpBits >= maxHamming + 1 && fpBits <= 64,
+      s"fpBits=$fpBits must be in [maxHamming + 1, 64]")
+    val cached = df.select(col(idCol).as("id"), col(fpCol).as("sh64")).cache()
+    pairsOfFingerprints(cached, maxHamming, fpBits, maxBucket, pairing)
+  }
+
+  /** Shared tail of [[apply]] / [[fromFingerprints]]: block, pair
+    * (count-first bounded), verify exact Hamming. */
+  private def pairsOfFingerprints(cached: DataFrame, maxHamming: Int,
+      fpBits: Int, maxBucket: Int, pairing: String): DataFrame = {
+    val exploded = blockStream(cached, maxHamming, fpBits)
+    val pairs = Buckets.boundedPairs(exploded, Seq("blk", "key"), "id",
+      maxBucket, pairing)
+    pairs
+      .join(cached.select(col("id").as("id_l"), col("sh64").as("h_l")), Seq("id_l"))
+      .join(cached.select(col("id").as("id_r"), col("sh64").as("h_r")), Seq("id_r"))
+      .select(col("id_l"), col("id_r"), hamming(col("h_l"), col("h_r")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** RECALL NOTE — `maxBucket` defaults to 1000, NOT unbounded (changed
@@ -594,16 +640,7 @@ object SimHashDedup {
       pairing: String = "all"): DataFrame = {
     // fingerprints reused by blocking + verify
     val cached = fingerprints(df, textCol, idCol, tokenHash).cache()
-    val exploded = blockStream(cached, maxHamming)
-
-    val pairs = Buckets.boundedPairs(exploded, Seq("blk", "key"), "id",
-      maxBucket, pairing)
-
-    pairs
-      .join(cached.select(col("id").as("id_l"), col("sh64").as("h_l")), Seq("id_l"))
-      .join(cached.select(col("id").as("id_r"), col("sh64").as("h_r")), Seq("id_r"))
-      .select(col("id_l"), col("id_r"), hamming(col("h_l"), col("h_r")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    pairsOfFingerprints(cached, maxHamming, fpBits = 64, maxBucket, pairing)
   }
 
   /** The pigeonhole blocks [[apply]] would refuse at this `maxBucket` —

@@ -312,6 +312,107 @@ object Media {
         .otherwise(array(lit(0)))))
   }
 
+  /** Integer luminance grid of a media row's DECODED image: one row per
+    * media, `lum(r·gw + c)` = Σ over grid cell `(r, c)`'s pixels of
+    * `r + g + b` (cell row `r` = pixel rows `y` with
+    * `floor(y·gh/h) = r`, likewise columns), plus per-cell and total
+    * pixel counts. ALL-INTEGER on purpose: the perceptual fingerprint
+    * downstream (the classic 8×8 average-hash) thresholds cell means
+    * against the global mean, and with integer sums that comparison is
+    * the exact cross-multiplication
+    * `lum_j · n_px > total · cell_px_j` — engine-bit-identical with
+    * zero float tolerance (float cell means would make the threshold
+    * depend on each engine's summation order). Non-image (or corrupt)
+    * rows yield an empty grid — quarantineable, never a stage killer.
+    */
+  final case class LumGrid(media_id: Long, kind: String,
+      lum: Array[Long], cell_px: Array[Long], n_px: Long)
+
+  def extractLumGrid(media: Dataset[MediaRow], gw: Int = 8,
+      gh: Int = 8): Dataset[LumGrid] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { m =>
+          val img = if (m.kind == "image") decodeImage(m.content) else None
+          img match {
+            case Some(im) =>
+              val h = im.getHeight
+              val w = im.getWidth
+              val lum = new Array[Long](gw * gh)
+              val cnt = new Array[Long](gw * gh)
+              var y = 0
+              while (y < h) {
+                val r = math.min(y * gh / h, gh - 1)
+                var x = 0
+                while (x < w) {
+                  val j = r * gw + math.min(x * gw / w, gw - 1)
+                  val rgb = im.getRGB(x, y)
+                  lum(j) +=
+                    ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  cnt(j) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              LumGrid(m.media_id, m.kind, lum, cnt, cnt.sum)
+            case None =>
+              LumGrid(m.media_id, m.kind, Array.empty, Array.empty, 0L)
+          }
+        }
+      }
+    }
+  }
+
+  /** [[encodePng]] with a per-replica brightness jitter on row 0: each
+    * channel of the `y = 0` pixels is brightened by `delta` (clamped at
+    * 255) — a REAL re-encoded PNG whose bytes differ from the base
+    * image while the picture stays perceptually near-identical. The
+    * near-dup fixture generator for the media dedup query/specs.
+    */
+  def encodePngJitter(id: Long, delta: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val d = if (y == 0) delta else 0
+        img.setRGB(x, y,
+          (math.min(255, pxR(id, 0, x, y) + d) << 16) |
+            (math.min(255, pxG(id, 0, x, y) + d) << 8) |
+            math.min(255, pxB(id, 0, x, y) + d))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false)
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Near-dup image fixture over the documents table: the image-kind
+    * ids (`doc_id % 3 = 0`) form groups of five consecutive image ids
+    * (`base = doc_id − doc_id mod 15`) sharing ONE base picture; each
+    * replica re-encodes it with its own row-0 brightness jitter
+    * (`delta = (doc_id mod 15) / 3` ∈ 0..4) — five perceptually
+    * near-identical PNGs with pairwise-distinct bytes, so exact dedup
+    * finds nothing and the perceptual path must.
+    */
+  def nearDupImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val base = id - id % 15
+          val delta = ((id % 15) / 3).toInt
+          MediaRow(id, "image", encodePngJitter(base, delta, ImgW, ImgH),
+            ImgW, ImgH, 0, 0)
+        }
+      }
+  }
+
   /** Image dimensions of the synthesized test fixtures. */
   val ImgW = 32
   val ImgH = 32

@@ -1,0 +1,99 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recall-targeted IVF parameter advisor — the decision procedure on
+  * top of the recall harness (`q_ann_recall` measures; this PICKS).
+  *
+  * For a corpus and a recall floor, the advisor measures recall@k of
+  * IVF search against the exact brute top-k for every candidate
+  * `(nlist, nprobe)` configuration, on a deterministic query sample,
+  * and returns the configuration that meets the floor at the SMALLEST
+  * probed fraction `nprobe / nlist` — the quantity that prices a query
+  * at lake scale (a cell-partitioned index opens `nprobe/nlist` of its
+  * directories per query batch; see `q_ann_layout`). Ties prefer the
+  * larger `nlist` (same probed fraction, smaller individual cells ⇒
+  * cheaper per-cell scans and finer future pruning).
+  *
+  * Everything follows the repo determinism contract: the query sample
+  * is the md5-rank bottom `sampleQueries` ids (engine-portable, no
+  * RNG), the coarse quantizers are the deterministic seed models
+  * ([[IvfAnn.fit]] — smallest-id vectors), and recall counts are exact
+  * integers, so the advice is reproducible bit-for-bit under any
+  * partitioning.
+  *
+  * Cost/scale posture: ONE exact brute pass over (sample × corpus) —
+  * the ground truth every candidate shares — then one probed search
+  * per configuration; the driver collects |configs| count rows plus
+  * the ≤ `sampleQueries`·k ground-truth pairs (localCheckpointed,
+  * reused). Run it on a corpus SAMPLE in production; the advice is a
+  * property of the data distribution, not the row count.
+  */
+object AnnAdvisor {
+
+  /** One measured configuration. */
+  final case class Measured(nlist: Int, nprobe: Int,
+      recall: Double, probedFraction: Double)
+
+  /** The advice: the winning configuration plus the full measured
+    * table (for SCALING.md-style reporting and for callers that want a
+    * different trade). */
+  final case class Advice(chosen: Option[Measured], table: Seq[Measured])
+
+  /** @param recallFloor   minimum acceptable recall@k (0, 1]
+    * @param nlists        candidate cell counts (each must be ≤ corpus)
+    * @param nprobes       candidate probe counts; per nlist only values
+    *                      ≤ nlist are measured
+    * @param sampleQueries deterministic query-sample size
+    */
+  def advise(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      recallFloor: Double,
+      nlists: Seq[Int] = Seq(8, 16, 32),
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+      sampleQueries: Int = 16): Advice = {
+    require(k > 0 && sampleQueries > 0, "k > 0, sampleQueries > 0")
+    require(recallFloor > 0 && recallFloor <= 1, "recallFloor in (0, 1]")
+    require(nlists.nonEmpty && nprobes.nonEmpty, "need candidates")
+
+    // the cosine kernels take array<double>; accept float embeddings
+    val base = corpus.filter(col(vecCol).isNotNull)
+      .withColumn(vecCol, col(vecCol).cast("array<double>"))
+    // deterministic, engine-portable sample: md5-rank bottom ids
+    val qIds = base
+      .select(col(idCol), md5(col(idCol).cast("string")).as("__r"))
+      .orderBy(col("__r"), col(idCol))
+      .limit(sampleQueries)
+      .select(col(idCol))
+    val queries = base.join(qIds, Seq(idCol), "left_semi")
+
+    // ground truth computed ONCE (≤ sampleQueries·k rows), shared by
+    // every configuration's intersection
+    val exact = CosineTopK(base, queries, idCol, vecCol, k = k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val possible = exact.count()
+    require(possible > 0, "empty ground truth — corpus too small for k")
+
+    val table = for {
+      nlist <- nlists.sorted
+      model = IvfAnn.fit(base, idCol, vecCol, nlist = nlist)
+      np <- nprobes.sorted if np <= nlist
+    } yield {
+      val hits = IvfAnn.search(base, queries, idCol, vecCol, k = k,
+          model, nprobe = np)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .count()
+      Measured(nlist, np, hits.toDouble / possible, np.toDouble / nlist)
+    }
+    val chosen = table.filter(_.recall >= recallFloor)
+      .sortBy(m => (m.probedFraction, -m.nlist, -m.recall))
+      .headOption
+    Advice(chosen, table)
+  }
+}

@@ -58,6 +58,78 @@ object Layout {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compacts partitions that have accumulated more than `maxFragments`
+    * files — the maintenance step [[appendPartitioned]]'s contract
+    * defers ("one file per partition per append; compact periodically"):
+    * a daily-append index otherwise opens O(days) fragments per probed
+    * cell, and read amplification eats the pruning win.
+    *
+    * Mechanics: one driver-side listing finds the fragmented leaf
+    * directories (bounded by the PARTITION count — for the ANN index
+    * that is `nlist` directories, never the row count); only those
+    * partitions are read back, re-sorted, and rewritten through Spark's
+    * DYNAMIC partition overwrite, which replaces exactly the partition
+    * directories present in the written frame — untouched partitions
+    * keep their files byte-for-byte, and the rewrite costs
+    * O(fragmented rows), not O(index). Readers racing the commit can
+    * see a partition mid-replace (the parquet-directory layout has no
+    * transaction log — a lakehouse table format adds one; this is the
+    * same trade `appendPartitioned` documents).
+    *
+    * @return the partition directory names that were compacted (empty =
+    *         nothing exceeded `maxFragments`)
+    */
+  def compact(spark: SparkSession, path: String,
+              partitionBy: Seq[String], sortBy: Seq[String],
+              maxFragments: Int = 4): Seq[String] = {
+    require(partitionBy.nonEmpty, "need at least one partition column")
+    require(maxFragments >= 1, "maxFragments >= 1")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // leaf partition dirs at depth |partitionBy| (hive-style k=v names)
+    def leaves(p: org.apache.hadoop.fs.Path, depth: Int)
+        : Seq[org.apache.hadoop.fs.Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath).filter(_.getName.contains("="))
+        .flatMap(leaves(_, depth - 1))
+    val fragmented = leaves(root, partitionBy.length).filter { d =>
+      fs.listStatus(d).count(s => s.isFile &&
+        !s.getPath.getName.startsWith("_")) > maxFragments
+    }
+    if (fragmented.isEmpty) return Nil
+    // partition-value tuples of the fragmented dirs, as an OR-of-ANDs
+    // filter (string-compared: hive dir names are the string forms)
+    def values(d: org.apache.hadoop.fs.Path): Seq[(String, String)] = {
+      var p = d
+      val out = List.newBuilder[(String, String)]
+      while (p != null && p.getName.contains("=")) {
+        val Array(k, v) = p.getName.split("=", 2)
+        out += ((k, v))
+        p = p.getParent
+      }
+      out.result()
+    }
+    val pred = fragmented.map { d =>
+      values(d).map { case (k, v) => col(k).cast("string") === v }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val frag = spark.read.parquet(path).filter(pred)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      frag.repartition(partitionBy.map(col): _*)
+        .sortWithinPartitions((partitionBy ++ sortBy).map(col): _*)
+        .write.mode("overwrite")
+        .partitionBy(partitionBy: _*)
+        .parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    fragmented.map(_.getName)
+  }
+
   /** Bucketed + sorted table layout: the SHUFFLE-AMORTIZING sink for
     * tables that are repeatedly joined or interval-swept on the same
     * key. A table written `bucketBy(n, key).sortBy(key, sortBy…)` with

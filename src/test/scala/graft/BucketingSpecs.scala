@@ -129,6 +129,61 @@ class BucketingSpecs extends SparkSuite {
 
   // ── z-order layout ────────────────────────────────────────────────────
 
+  test("layout compact: rewrites only over-fragmented partitions, " +
+      "rows and sort order survive, untouched files stay") {
+    import graft.sources.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+    val path = dir.resolve("idx").toString
+    try {
+      // base: cells 0..3; cell 0 and 1 then take three appends each,
+      // cell 2 one append, cell 3 none
+      def rows(tag: Int, cells: Seq[Int]) =
+        cells.flatMap(c => (0 until 5).map(i =>
+          (tag * 1000L + c * 100 + i, c, s"v$tag-$c-$i")))
+          .toDF("id", "cell", "payload")
+      Layout.writePartitioned(rows(0, Seq(0, 1, 2, 3)), path,
+        partitionBy = Seq("cell"), sortBy = Seq("id"))
+      Layout.appendPartitioned(rows(1, Seq(0, 1, 2)), path,
+        partitionBy = Seq("cell"), sortBy = Seq("id"))
+      Layout.appendPartitioned(rows(2, Seq(0, 1)), path,
+        partitionBy = Seq("cell"), sortBy = Seq("id"))
+      Layout.appendPartitioned(rows(3, Seq(0, 1)), path,
+        partitionBy = Seq("cell"), sortBy = Seq("id"))
+      val before = Layout.read(spark, path).collect()
+        .map(_.toSeq.map(String.valueOf)).toSet
+      def files(cell: Int): Seq[java.io.File] =
+        new java.io.File(s"$path/cell=$cell").listFiles().toSeq
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+      assert(files(0).size == 4 && files(1).size == 4)
+      assert(files(2).size == 2 && files(3).size == 1)
+      val untouched3 = files(3).map(f => (f.getName, f.lastModified)).toSet
+      val untouched2 = files(2).map(f => (f.getName, f.lastModified)).toSet
+      // threshold 2: cells 0 and 1 (4 files) compact; cell 2 (2 files)
+      // and cell 3 (1 file) stay byte-for-byte
+      val compacted = Layout.compact(spark, path,
+        partitionBy = Seq("cell"), sortBy = Seq("id"), maxFragments = 2)
+      assert(compacted.toSet == Set("cell=0", "cell=1"), compacted.toString)
+      assert(files(0).size == 1 && files(1).size == 1)
+      assert(files(2).map(f => (f.getName, f.lastModified)).toSet == untouched2)
+      assert(files(3).map(f => (f.getName, f.lastModified)).toSet == untouched3)
+      val after = Layout.read(spark, path).collect()
+        .map(_.toSeq.map(String.valueOf)).toSet
+      assert(after == before, "compaction changed the row set")
+      // idempotent: nothing left over the threshold
+      assert(Layout.compact(spark, path, Seq("cell"), Seq("id"), 2).isEmpty)
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(dir)
+    }
+  }
+
   test("zorder: interleave bit positions match the reference math") {
     import graft.sources.ZOrder
     // codes (0b101, 0b011), 3 bits: c0 bits land at 0,2,4; c1 at 1,3,5

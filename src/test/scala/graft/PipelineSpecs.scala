@@ -853,6 +853,78 @@ class PipelineSpecs extends SparkSuite {
     assert(Media.decodeVideoFrames("junk".getBytes).isEmpty)
   }
 
+  test("media: perceptual near-dup recovers planted jittered copies " +
+      "(integer aHash + pigeonhole, == brute force)") {
+    import graft.dedup.SimHashDedup
+    // three re-encoded jittered copies of base 0 (distinct bytes!) plus
+    // two distinct base images
+    val media = Seq(
+      MediaRow(10L, "image", Media.encodePngJitter(0L, 0, 32, 32), 32, 32, 0, 0),
+      MediaRow(11L, "image", Media.encodePngJitter(0L, 2, 32, 32), 32, 32, 0, 0),
+      MediaRow(12L, "image", Media.encodePngJitter(0L, 4, 32, 32), 32, 32, 0, 0),
+      MediaRow(20L, "image", Media.encodePng(999L, 0, 32, 32), 32, 32, 0, 0),
+      MediaRow(21L, "image", Media.encodePng(54321L, 0, 32, 32), 32, 32, 0, 0),
+      MediaRow(30L, "audio", Media.encodePcm(5L, 64), 0, 0, 16000, 0))
+      .toDS()
+    // bytes really differ (exact dedup would find nothing)
+    val payloads = media.collect().filter(_.kind == "image")
+      .map(_.content.toSeq).toSet
+    assert(payloads.size == 5)
+    val grid = Media.extractLumGrid(media, gw = 8, gh = 8).toDF()
+      .filter(size(col("lum")) > 0)
+      .select(col("media_id").as("id"), col("lum"),
+        aggregate(col("lum"), lit(0L), (a, x) => a + x).as("total"))
+    val fp = grid.select(col("id"),
+      aggregate(
+        zip_with(col("lum"), sequence(lit(0), size(col("lum")) - 1),
+          (x, j) => when(x * size(col("lum")) > col("total"),
+            call_function("shiftleft", lit(1L), j.cast("int")))
+            .otherwise(lit(0L))),
+        lit(0L), (a, b) => a.bitwiseOR(b)).as("fp"))
+    val fps = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.keySet == Set(10L, 11L, 12L, 20L, 21L), "audio row excluded")
+    val pairs = SimHashDedup.fromFingerprints(fp, "fp", "id",
+      maxHamming = 2, fpBits = 64)
+      .select("id_l", "id_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth over the same fingerprints
+    val ids = fps.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; k <- ids if i < k
+      if java.lang.Long.bitCount(fps(i) ^ fps(k)) <= 2
+    } yield (i, k)).toSet
+    assert(pairs == brute, s"pigeonhole != brute: $pairs vs $brute")
+    // the planted jitter family is connected; the distinct bases are not
+    // near the family
+    assert(pairs.contains((10L, 11L)) && pairs.contains((10L, 12L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(20L) &&
+      Set(a, b).intersect(Set(10L, 11L, 12L)).nonEmpty })
+  }
+
+  test("media: fromFingerprints narrow-width blocking loses no pairs " +
+      "(16-bit fingerprints, pigeonhole over the REAL bits)") {
+    import graft.dedup.SimHashDedup
+    val rnd = new scala.util.Random(23)
+    val fps = (0L until 200L).map(i => (i, rnd.nextInt(1 << 16).toLong))
+    val df = fps.toDF("id", "fp")
+    val got = SimHashDedup.fromFingerprints(df, "fp", "id",
+      maxHamming = 3, fpBits = 16)
+      .select("id_l", "id_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (i, a) <- fps; (k, b) <- fps if i < k
+      if java.lang.Long.bitCount(a ^ b) <= 3
+    } yield (i, k)).toSet
+    assert(got == brute)
+    // a 64-bit-width blocking over the same 16-bit fingerprints would
+    // dump everything into shared-zero high blocks; the explicit width
+    // keeps buckets meaningful (documented contract, not asserted here)
+    val e = intercept[IllegalArgumentException] {
+      SimHashDedup.fromFingerprints(df, "fp", "id", maxHamming = 3, fpBits = 2)
+    }
+    assert(e.getMessage.contains("fpBits"))
+  }
+
   test("media: batched feature extraction is deterministic, resize, frames") {
     val media = Seq(
       MediaRow(0L, "image", Media.encodePng(0L, 0, 32, 32), 32, 32, 0, 0),

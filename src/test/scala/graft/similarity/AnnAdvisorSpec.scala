@@ -1,0 +1,79 @@
+package graft.similarity
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The recall-targeted parameter advisor: on a CLUSTERED fixture corpus
+  * (where cell pruning genuinely works) it must return a configuration
+  * meeting the floor at the minimum measured probed fraction, be
+  * deterministic under repartitioning, and degrade honestly (no
+  * configuration meets an impossible floor ⇒ `chosen = None`, table
+  * still measured).
+  */
+class AnnAdvisorSpec extends SparkSuite {
+  import spark.implicits._
+
+  // 4 well-separated direction clusters in 8-d: 60 vectors per cluster
+  // with small deterministic jitter — IVF at nlist >= 4 prunes cleanly
+  private def corpus = {
+    val centers = Seq(
+      Seq(1.0, 0, 0, 0, 0, 0, 0, 0), Seq(0, 1.0, 0, 0, 0, 0, 0, 0),
+      Seq(0, 0, 1.0, 0, 0, 0, 0, 0), Seq(0, 0, 0, 1.0, 0, 0, 0, 0))
+    (0 until 240).map { i =>
+      val c = centers(i % 4)
+      val v = c.zipWithIndex.map { case (x, d) =>
+        (x + ((i * 7 + d * 13) % 19 - 9) / 200.0).toFloat }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("advisor picks the cheapest configuration meeting the floor") {
+    val a = AnnAdvisor.advise(corpus, "vec_id", "embedding", k = 5,
+      recallFloor = 0.9, nlists = Seq(4, 8), nprobes = Seq(1, 2, 4),
+      sampleQueries = 12)
+    assert(a.table.nonEmpty)
+    // every measured row is a real (nlist, nprobe <= nlist) pair with a
+    // recall in [0, 1]
+    assert(a.table.forall(m => m.nprobe <= m.nlist &&
+      m.recall >= 0 && m.recall <= 1))
+    val c = a.chosen.getOrElse(fail(s"no config met 0.9: ${a.table}"))
+    assert(c.recall >= 0.9)
+    // minimality: nothing that met the floor probes a smaller fraction
+    val qualifying = a.table.filter(_.recall >= 0.9)
+    assert(qualifying.forall(_.probedFraction >= c.probedFraction),
+      s"chosen $c not minimal among $qualifying")
+    // on this clustered fixture the clean answer is known: one probed
+    // cell suffices (queries sit inside their cluster's cell)
+    assert(c.nprobe == 1, s"expected nprobe = 1 on separated clusters: $c")
+  }
+
+  test("advisor is deterministic under repartitioning") {
+    def run(parts: Int) = AnnAdvisor.advise(
+      corpus.repartition(parts), "vec_id", "embedding", k = 5,
+      recallFloor = 0.8, nlists = Seq(4, 8), nprobes = Seq(1, 2),
+      sampleQueries = 10)
+    val (a, b) = (run(1), run(7))
+    assert(a.table == b.table)
+    assert(a.chosen == b.chosen)
+  }
+
+  test("impossible floor: chosen is None, the table still reports") {
+    val a = AnnAdvisor.advise(corpus, "vec_id", "embedding", k = 5,
+      recallFloor = 1.0, nlists = Seq(4), nprobes = Seq(1),
+      sampleQueries = 8)
+    // nprobe 1 of 4 on jittered clusters rarely hits exactly 1.0; if it
+    // does, chosen is legitimately defined — assert consistency instead
+    // of a brittle None
+    a.chosen match {
+      case Some(c) => assert(c.recall == 1.0)
+      case None    => assert(a.table.forall(_.recall < 1.0))
+    }
+    val b = AnnAdvisor.advise(corpus, "vec_id", "embedding", k = 5,
+      recallFloor = 0.999999, nlists = Seq(4), nprobes = Seq(1, 2, 4),
+      sampleQueries = 8)
+    // nprobe = nlist is exhaustive probing: recall 1.0 by construction,
+    // so SOME configuration always qualifies at any floor <= 1
+    assert(b.chosen.isDefined)
+    assert(b.table.exists(m => m.nprobe == 4 && m.recall == 1.0))
+  }
+}
