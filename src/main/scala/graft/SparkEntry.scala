@@ -1608,6 +1608,26 @@ object SparkEntry {
         coarse = Some(("cell", coarse, 4)))
     }
 
+  /** The recall-targeted parameter ADVISOR as a first-class query: for
+    * every candidate (nlist, nprobe) the advisor measures recall@5 of
+    * seed-IVF search against the exact brute top-5 on the
+    * deterministic md5-rank 8-query sample, then picks the cheapest
+    * configuration (minimum probed fraction, ties to larger nlist then
+    * higher recall) meeting the 0.6 floor — `q_ann_recall`'s
+    * measurement turned into a decision procedure, oracle-replayed end
+    * to end (sampling, both quantizers, every search, the exact
+    * baseline, the integer intersections, and the choice itself). */
+  private val q_ann_advise: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      import s.implicits._
+      val a = graft.similarity.AnnAdvisor.advise(
+        emb(s, dir), "vec_id", "embedding", k = 5, recallFloor = 0.6,
+        nlists = Seq(8, 16), nprobes = Seq(1, 2, 4), sampleQueries = 8)
+      a.table.map(m => (m.nlist, m.nprobe, m.recall,
+          if (a.chosen.contains(m)) 1 else 0))
+        .toDF("nlist", "nprobe", "recall", "chosen")
+    }
+
   /** Index COMPACTION — the maintenance step after [[q_ann_layout_append]]'s
     * daily appends: three delta batches (vec_id % 15 ∈ {0, 5, 10}) are
     * frozen-model-encoded and appended to the base layout, leaving up
@@ -1961,6 +1981,72 @@ object SparkEntry {
        |SELECT method, hits, possible,
        |  hits::DOUBLE / possible AS recall
        |FROM rec""".stripMargin
+  }
+
+  /** q_ann_advise's replay: the md5-rank query sample, the exact brute
+    * top-5 baseline, BOTH seed quantizers (nlist 8 and 16 — cells by
+    * ascending-id row number), every (nlist, nprobe) search's hit
+    * count, and the choice rule itself (min probed fraction among
+    * configurations meeting the 0.6 floor; ties to larger nlist then
+    * higher recall). */
+  private lazy val AnnAdviseOracle: String = {
+    val nlists = Seq(8, 16)
+    val nprobes = Seq(1, 2, 4)
+    val quantizers = nlists.map { nl =>
+      s"""cent$nl AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |    embedding::DOUBLE[] AS cv
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $nl)),
+         |asg$nl AS (SELECT e.vec_id, e.embedding, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+         |      c.cell) AS rn
+         |  FROM embeddings e CROSS JOIN cent$nl c
+         |  WHERE e.embedding IS NOT NULL),
+         |corp$nl AS (SELECT vec_id, embedding, cell FROM asg$nl
+         |            WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val legs = (for (nl <- nlists; np <- nprobes) yield
+      s"""a${nl}_$np AS (SELECT count(*) AS hits FROM (
+         |  SELECT t.qid, t.nid FROM (
+         |    SELECT pr.qid, c.vec_id AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY pr.qid ORDER BY
+         |        list_cosine_similarity(pr.qv, c.embedding::DOUBLE[]) DESC,
+         |        c.vec_id) AS rn
+         |    FROM (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, cell
+         |          FROM asg$nl WHERE rn <= $np
+         |            AND vec_id IN (SELECT vec_id FROM advq)) pr
+         |    JOIN corp$nl c ON pr.cell = c.cell AND c.vec_id <> pr.qid) t
+         |  WHERE t.rn <= 5) s
+         |  JOIN advex ON s.qid = advex.qid AND s.nid = advex.nid)"""
+        .stripMargin).mkString(",\n")
+    val rows = (for (nl <- nlists; np <- nprobes) yield
+      s"SELECT $nl AS nlist, $np AS nprobe, " +
+        s"(SELECT hits FROM a${nl}_$np) AS hits").mkString("\n  UNION ALL ")
+    s"""WITH advq AS (SELECT vec_id FROM (
+       |    SELECT vec_id, md5(vec_id::VARCHAR) AS r FROM embeddings
+       |    WHERE embedding IS NOT NULL ORDER BY r, vec_id LIMIT 8)),
+       |advexs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |    list_cosine_similarity(q.embedding::DOUBLE[],
+       |      c.embedding::DOUBLE[]) AS cos
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id IN (SELECT vec_id FROM advq)
+       |    AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL),
+       |advex AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid) AS rn FROM advexs) WHERE rn <= 5),
+       |$quantizers,
+       |$legs,
+       |tbl AS ($rows),
+       |res AS (SELECT nlist, nprobe,
+       |    hits::DOUBLE / (SELECT count(*) FROM advex) AS recall FROM tbl),
+       |ch AS (SELECT nlist, nprobe FROM res WHERE recall >= 0.6
+       |       ORDER BY nprobe::DOUBLE / nlist ASC, nlist DESC, recall DESC
+       |       LIMIT 1)
+       |SELECT r.nlist, r.nprobe, r.recall,
+       |  (CASE WHEN c.nlist IS NOT NULL THEN 1 ELSE 0 END) AS chosen
+       |FROM res r LEFT JOIN ch c
+       |  ON r.nlist = c.nlist AND r.nprobe = c.nprobe""".stripMargin
   }
 
   /** Shared cosine cell assignment (nlist = 16 seed centroids): corpus
@@ -3591,6 +3677,7 @@ object SparkEntry {
     "q_ann_ivfpq_res"       -> q_ann_ivfpq_res,
     "q_ann_layout_append"   -> q_ann_layout_append,
     "q_ann_layout_compact"  -> q_ann_layout_compact,
+    "q_ann_advise"          -> q_ann_advise,
     "q_salted_join"         -> q_salted_join,
     "q_bloom_join"          -> q_bloom_join,
     "q_profile"             -> q_profile,
@@ -4756,6 +4843,7 @@ object SparkEntry {
     // search replays exactly like the append query's (train on base,
     // encode everything, search the union)
     "q_ann_layout_compact" -> LayoutAppendOracle,
+    "q_ann_advise" -> AnnAdviseOracle,
     "q_dedup_semantic_stream" ->
       """WITH cent AS (SELECT embedding::DOUBLE[] AS cv,
         |    row_number() OVER (ORDER BY vec_id) - 1 AS cell
