@@ -3108,6 +3108,22 @@ object SparkEntry {
         .select(col("id_l"), col("id_r"), col("hamming"))
     }
 
+  /** The streaming media gate executed in batch:
+    * [[graft.streaming.StreamingOps.streamingMediaDedup]] is a
+    * stateless decode+fingerprint stage plus a keyed first-arrival
+    * selection, so the identical code path runs bounded here (the
+    * MemoryStream spec drives it incrementally). Event time is
+    * synthesized monotonically from media_id, so streaming
+    * first-arrival == min(media_id) per aHash — exactly what the
+    * DuckDB oracle computes from the arithmetic pixel replay. */
+  private val q_media_dedup_stream: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.streaming.StreamingOps.streamingMediaDedup(
+        Media.nearDupImages(s, docs(s, dir)).toDF()
+          .withColumn("ts", timestamp_seconds(col("media_id"))),
+        "ts", watermark = "1 hour")
+        .select(col("media_id").as("did"), col("ahash").as("ah"))
+
   // ───────── baseline-shape throughput probes (BASELINE.md rows 1, 5) ──
   //
   // The reference's only published numbers are a 10M×1M equality+
@@ -3731,6 +3747,7 @@ object SparkEntry {
     "q_media_frames"        -> q_media_frames,
     "q_media_features"      -> q_media_features,
     "q_media_dedup"         -> q_media_dedup,
+    "q_media_dedup_stream"  -> q_media_dedup_stream,
     "q_line_dedup"          -> q_line_dedup,
     "q_sample_weighted"     -> q_sample_weighted,
     "q_normalize"           -> q_normalize,
@@ -5958,6 +5975,30 @@ object SparkEntry {
         |  bit_count(xor(a.f, b.f))::INT AS hamming
         |FROM fp a JOIN fp b ON a.id < b.id
         |WHERE bit_count(xor(a.f, b.f)) <= 2""".stripMargin,
+    // the streaming gate in batch: first arrival (min media_id — event
+    // time is monotone in it) per aHash, same pixel/fingerprint replay
+    // as q_media_dedup
+    "q_media_dedup_stream" ->
+      """WITH img AS (SELECT doc_id AS id, doc_id - (doc_id % 15) AS base,
+        |               (doc_id % 15) // 3 AS delta
+        |             FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT i.id, (y.y // 4) * 8 + (x.x // 4) AS j,
+        |         SUM(LEAST(255, (i.base*31 + x.x*7  + y.y*13) % 256
+        |               + CASE WHEN y.y = 0 THEN i.delta ELSE 0 END)
+        |           + LEAST(255, (i.base*17 + x.x*11 + y.y*5 ) % 256
+        |               + CASE WHEN y.y = 0 THEN i.delta ELSE 0 END)
+        |           + LEAST(255, (i.base*23 + x.x*3  + y.y*19) % 256
+        |               + CASE WHEN y.y = 0 THEN i.delta ELSE 0 END))::BIGINT AS lum
+        |       FROM img i, generate_series(0,31) AS x(x),
+        |            generate_series(0,31) AS y(y)
+        |       GROUP BY 1, 2),
+        |tot AS (SELECT id, SUM(lum)::BIGINT AS total FROM px GROUP BY 1),
+        |fp AS (SELECT p.id,
+        |         bit_or(CASE WHEN p.lum * 64 <= t.total THEN 0
+        |                WHEN p.j = 63 THEN (-9223372036854775807 - 1)
+        |                ELSE 1::BIGINT << p.j::INT END)::BIGINT AS f
+        |       FROM px p JOIN tot t USING (id) GROUP BY 1)
+        |SELECT min(id) AS did, f AS ah FROM fp GROUP BY f""".stripMargin,
     // winnowing fingerprints over md5-hex gram hashes (k=4 token grams,
     // window w=5, min per window, sorted distinct) — md5 makes the hash
     // engine-portable, and string min/sort orders agree byte-wise

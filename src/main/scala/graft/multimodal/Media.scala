@@ -364,6 +364,49 @@ object Media {
     }
   }
 
+  /** 64-bit average-hash of an image payload: decode, 8×8 integer
+    * luminance grid, bit `j` set iff cell `j`'s mean luminance exceeds
+    * the global mean — the exact cross-multiplied integer comparison
+    * (`lum_j · n_px > total · cell_px_j`), so the fingerprint is
+    * bit-identical to the [[extractLumGrid]]-based DataFrame pipeline
+    * and to the DuckDB arithmetic replay. `None` for non-image or
+    * undecodable payloads (quarantine, not failure). Stateless —
+    * legal inside streaming plans.
+    */
+  def aHash64(kind: String, content: Array[Byte],
+      gw: Int = 8, gh: Int = 8): Option[Long] = {
+    require(gw * gh <= 64, "aHash64 needs gw*gh <= 64 bits")
+    val img = if (kind == "image") decodeImage(content) else None
+    img.map { im =>
+      val h = im.getHeight
+      val w = im.getWidth
+      val lum = new Array[Long](gw * gh)
+      val cnt = new Array[Long](gw * gh)
+      var y = 0
+      while (y < h) {
+        val r = math.min(y * gh / h, gh - 1)
+        var x = 0
+        while (x < w) {
+          val j = r * gw + math.min(x * gw / w, gw - 1)
+          val rgb = im.getRGB(x, y)
+          lum(j) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          cnt(j) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val total = lum.sum
+      val nPx = cnt.sum
+      var bits = 0L
+      var j = 0
+      while (j < gw * gh) {
+        if (lum(j) * nPx > total * cnt(j)) bits |= 1L << j
+        j += 1
+      }
+      bits
+    }
+  }
+
   /** [[encodePng]] with a per-replica brightness jitter on row 0: each
     * channel of the `y = 0` pixels is brightened by `delta` (clamped at
     * 255) — a REAL re-encoded PNG whose bytes differ from the base

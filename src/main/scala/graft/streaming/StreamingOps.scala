@@ -250,6 +250,64 @@ object StreamingOps {
     kept.withColumnRenamed("__graft_sh64", "simhash")
   }
 
+  /** Streaming PERCEPTUAL media gate — the media member of the gate
+    * family (exact / MinHash / SimHash / semantic / media): keep the
+    * first arriving image per 64-bit average-hash fingerprint within
+    * the watermark horizon, so re-encoded/brightness-jittered copies of
+    * an already-seen picture are suppressed on ingest. The fingerprint
+    * ([[graft.multimodal.Media.aHash64]]: decode → integer luminance
+    * grid → exact mean-threshold bits) is computed in a stateless
+    * `mapPartitions` batch — decode is inherently JVM work, the same
+    * batched shape as the batch extractors — so the ONLY state is the
+    * keyed dedup store, evicted by the watermark. Non-image and
+    * undecodable payloads are DROPPED (the gate is image-scoped;
+    * quarantine corrupt blobs upstream via `extractFeatures`'s empty-
+    * features contract).
+    *
+    * Exact-fingerprint matching is the streaming recall floor (a
+    * Hamming-1 flip changes the key); the full Hamming ≤ h pair search
+    * stays the batch operator `q_media_dedup` runs — its pigeonhole
+    * self-join is not incremental. Same trade as
+    * [[streamingSimHashDedup]], documented there.
+    *
+    * On a BATCH frame the identical fingerprint path runs with the
+    * deterministic first-arrival analog (earliest `timeCol` per
+    * fingerprint, ties broken by media_id) — how the driver query puts
+    * this gate under the DuckDB oracle.
+    *
+    * @param media (media_id long, kind string, content binary,
+    *              `timeCol`) — extra columns are dropped (the decode
+    *              stage is typed)
+    * @return (media_id, `timeCol`, ahash) — the kept survivors
+    */
+  def streamingMediaDedup(
+      media: DataFrame,
+      timeCol: String,
+      watermark: String,
+      gw: Int = 8,
+      gh: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val typed = media.select(col("media_id").cast("long"),
+        col("kind").cast("string"), col("content"),
+        col(timeCol).cast("timestamp"))
+      .as[(Long, String, Array[Byte], java.sql.Timestamp)]
+    val fp = typed.mapPartitions { it =>
+      it.flatMap { case (id, kind, content, ts) =>
+        graft.multimodal.Media.aHash64(kind, content, gw, gh)
+          .map(h => (id, ts, h))
+      }
+    }.toDF("media_id", timeCol, "ahash")
+    if (fp.isStreaming)
+      fp.withWatermark(timeCol, watermark)
+        .dropDuplicatesWithinWatermark(Seq("ahash"))
+    else
+      fp.withColumn("__graft_rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("ahash").orderBy(col(timeCol), col("media_id"))))
+        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+  }
+
   /** Streaming incremental MinHash near-dup gate: each arriving
     * document's near-duplicates (true Jaccard ≥ `threshold`) in a
     * STATIC banded corpus — [[graft.dedup.MinHashDedup.incremental]]'s

@@ -265,6 +265,48 @@ class StreamingSpecs extends SparkSuite {
     assert(out.columns.contains("simhash"))
   }
 
+  test("streaming media gate drops jittered re-encodes across " +
+      "micro-batches; corrupt and non-image rows never pass") {
+    import graft.multimodal.Media
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Array[Byte], Timestamp)]
+    val stream = input.toDF().toDF("media_id", "kind", "content", "ts")
+    val out = StreamingOps.streamingMediaDedup(stream, "ts",
+      watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("media_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "image", Media.encodePngJitter(0L, 0, 32, 32), ts("2024-01-01 00:00:00")),
+        (2L, "image", Media.encodePng(999L, 0, 32, 32), ts("2024-01-01 00:01:00")),
+        (3L, "audio", Media.encodePcm(5L, 64), ts("2024-01-01 00:01:30")))
+      q.processAllAvailable()
+      // SECOND micro-batch: a jittered re-encode of media 1's picture
+      // (different bytes, same aHash) must be suppressed by state
+      input.addData(
+        (4L, "image", Media.encodePngJitter(0L, 3, 32, 32), ts("2024-01-01 00:02:00")),
+        (5L, "image", "corrupt".getBytes, ts("2024-01-01 00:02:30")),
+        (6L, "image", Media.encodePng(54321L, 0, 32, 32), ts("2024-01-01 00:03:00")))
+      q.processAllAvailable()
+      val ids = spark.table("media_stream").select("media_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 6L), ids.toString)
+    } finally q.stop()
+
+    // batch parity: earliest-time row kept per fingerprint, and the
+    // fingerprint equals the driver-side aHash64 exactly
+    val batch = Seq(
+      (7L, "image", Media.encodePngJitter(0L, 1, 32, 32), ts("2024-01-01 00:00:30")),
+      (2L, "image", Media.encodePngJitter(0L, 4, 32, 32), ts("2024-01-01 00:00:00")),
+      (3L, "image", Media.encodePng(999L, 0, 32, 32), ts("2024-01-01 00:02:00")))
+      .toDF("media_id", "kind", "content", "ts")
+    val kept = StreamingOps.streamingMediaDedup(batch, "ts", "1 hour")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(kept.keySet == Set(2L, 3L), kept.toString) // first arrival wins
+    assert(kept(3L) ==
+      Media.aHash64("image", Media.encodePng(999L, 0, 32, 32)).get)
+  }
+
   test("streaming minhash vs static corpus: matches across micro-batches, " +
       "band hits collapsed, batch parity") {
     implicit val sqlCtx = spark.sqlContext
