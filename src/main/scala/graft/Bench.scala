@@ -4,6 +4,26 @@ object Bench {
   private def loadAvg1(): Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** The previous round's per-query map out of a bench_details-format
+    * artifact: strictly the `"queries":{...}` object (flat name:number
+    * pairs, so the first `}` closes it) — `failed` lists and
+    * `probe_passes` later in the file also contain query names and
+    * must not leak in. Tolerant of anything unparseable (no artifact =
+    * no drift table, never a crash). */
+  private[graft] def parsePrevQueries(txt: String): Map[String, Double] =
+    try {
+      // whitespace-tolerant: Bench's own artifact is compact, the
+      // chunked runner's json.dump puts spaces after colons
+      "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt) match {
+        case None => Map.empty
+        case Some(m) =>
+          val sub = txt.substring(m.end, txt.indexOf('}', m.end))
+          "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.Ee+]+)".r
+            .findAllMatchIn(sub)
+            .map(g => g.group(1) -> g.group(2).toDouble).toMap
+      }
+    } catch { case _: Exception => Map.empty }
+
   def main(args: Array[String]): Unit = {
     // enumeration mode for the chunked runner: the query registry is a
     // static map, no Spark session needed
@@ -191,17 +211,9 @@ object Bench {
     // per drifting query: [prev, this_run, gated_reprobe].
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV", "bench_prev.json")
     val prevQ: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(prevPath)), "UTF-8")
-        val start = txt.indexOf("\"queries\":{")
-        if (start < 0) Map.empty
-        else {
-          val sub = txt.substring(start + 11, txt.indexOf('}', start))
-          "\"(q_[A-Za-z0-9_]+)\":(-?[0-9.Ee+]+)".r.findAllMatchIn(sub)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
-      } catch { case _: Exception => Map.empty }
+      try parsePrevQueries(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(prevPath)), "UTF-8"))
+      catch { case _: Exception => Map.empty }
     val driftRatio =
       sys.env.getOrElse("SPARK_GRAFT_DRIFT_RATIO", "1.25").toDouble
     val driftCap = sys.env.getOrElse("SPARK_GRAFT_DRIFT_MAX", "12").toInt
