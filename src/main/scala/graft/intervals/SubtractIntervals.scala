@@ -136,11 +136,16 @@ object SubtractIntervals {
     // after the last piece.
     val wAsc = Window.partitionBy(col(lid)).orderBy(col(Rs))
     // window columns projected first (window functions cannot be nested
-    // inside the explode generator expression)
+    // inside the explode generator expression). Both functions share one
+    // window spec, so this is a SINGLE WindowExec: `lead(Rs) IS NULL`
+    // marks the last covering piece (every matched row of a lid has a
+    // non-null Rs, and the unmatched completion row is alone in its
+    // partition and takes the Rs-null branch below) — the earlier
+    // `row_number = count` formulation needed a second, unbounded-frame
+    // window pass for the count.
     val windowed = joined
       .withColumn("__graft_sub_prev", lag(col(Re), 1).over(wAsc))
-      .withColumn("__graft_sub_last", row_number().over(wAsc) ===
-        count(lit(1)).over(Window.partitionBy(col(lid))))
+      .withColumn("__graft_sub_last", lead(col(Rs), 1).over(wAsc).isNull)
     val ls = col(startCol)
     val le = col(stopCol)
     val before = struct(
