@@ -960,6 +960,33 @@ object SparkEntry {
       MinHashDedup(docs(s, dir), "text", "doc_id",
         numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.8)
 
+  /** The MinHash-LSH banding advisor ([[graft.dedup.LshAdvisor]]) — the
+    * dedup-side sibling of q_ann_advise: for a 16-hash signature budget
+    * it measures every candidate banding's recall against the EXACT
+    * 3-gram Jaccard pair set and its candidate-pair bill on a
+    * deterministic md5-rank 256-doc sample, then picks the cheapest
+    * banding meeting the 0.9 recall floor. Every stage is md5-hashed
+    * (engine-portable, unlike the production path's xxhash64), so the
+    * DuckDB oracle replays the WHOLE procedure: sampling, shingling,
+    * the inverted-index exact pair set, the 16 minhashes, each banding's
+    * buckets and distinct candidate pairs, and the choice rule itself
+    * (ties broken by hits — same order as recall, same denominator).
+    */
+  private val q_lsh_advise: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      import s.implicits._
+      val a = graft.dedup.LshAdvisor.advise(
+        docs(s, dir), "text", "doc_id",
+        numHashes = 16, shingleN = 3, threshold = 0.8, recallFloor = 0.9,
+        bandCandidates = Seq(2, 4, 8, 16), sampleDocs = 256)
+      a.table.map(m => (m.numBands, m.rowsPerBand, m.sCurve,
+          m.truePairs, m.candidates, m.hits, m.recall,
+          if (a.chosen.contains(m)) 1 else 0))
+        .toDF("num_bands", "rows_per_band", "s_curve", "true_pairs",
+          "candidates", "hits", "recall", "chosen")
+        .withColumn("s_curve", r6(col("s_curve")))
+    }
+
   /** Near-dup clustering — the PRODUCTION chain, scale-safe end to end
     * (replaces the block-quadratic NgramJaccardDedup generator, which
     * stays as the bounded exact-verifier demo, q_dedup_ngram):
@@ -1989,6 +2016,70 @@ object SparkEntry {
     * count, and the choice rule itself (min probed fraction among
     * configurations meeting the 0.6 floor; ties to larger nlist then
     * higher recall). */
+  /** Full replay of [[q_lsh_advise]]: md5-rank sample → 3-gram shingles
+    * → inverted-index exact Jaccard pairs → 16 md5-minhashes → per-band
+    * bucket keys (`string_agg ORDER BY i` ≡ the Spark slice order) →
+    * distinct candidate pairs per banding → the choice rule (min
+    * candidates, ties by hits DESC then fewer bands — hits-ordering ≡
+    * recall-ordering, same denominator).
+    */
+  private lazy val LshAdviseOracle: String = {
+    val k = 16
+    val bandsVals = "(VALUES (2), (4), (8), (16))"
+    s"""WITH samp AS (SELECT doc_id, text FROM documents
+       |    WHERE text IS NOT NULL
+       |    ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 256),
+       |dd AS (SELECT doc_id, $ToksExpr AS tk FROM samp),
+       |gg AS (SELECT doc_id, sh FROM (
+       |    SELECT doc_id, list_distinct(
+       |      [list_aggregate(tk[i:i+2], 'string_agg', ' ')
+       |       FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS sh
+       |    FROM dd) WHERE len(sh) > 0),
+       |p AS (SELECT doc_id, u.s AS gr, len(sh) AS n
+       |  FROM gg, unnest(sh) AS u(s)),
+       |tp AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+       |    a.n AS n_l, b.n AS n_r, count(*) AS inter
+       |  FROM p a JOIN p b ON a.gr = b.gr AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |truth AS (SELECT id_l, id_r FROM tp
+       |  WHERE inter::DOUBLE / (n_l + n_r - inter) >= 0.8),
+       |h AS (SELECT doc_id, t.i AS i,
+       |    min(('0x' || substring(md5(t.i::VARCHAR || ':' || u.s), 1, 15))::BIGINT) AS mh
+       |  FROM gg, unnest(sh) AS u(s)
+       |  CROSS JOIN generate_series(0, ${k - 1}) AS t(i)
+       |  GROUP BY doc_id, t.i),
+       |bu AS (SELECT doc_id, bt.b AS b, (h.i // ($k // bt.b))::INT AS band,
+       |    string_agg(h.mh::VARCHAR, ',' ORDER BY h.i) AS key
+       |  FROM h CROSS JOIN $bandsVals AS bt(b)
+       |  GROUP BY doc_id, bt.b, h.i // ($k // bt.b)),
+       |bh AS (SELECT doc_id, b, band,
+       |    ('0x' || substring(md5(band::VARCHAR || ':' || key), 1, 15))::BIGINT AS bucket
+       |  FROM bu),
+       |cand AS (SELECT DISTINCT x.b, x.doc_id AS id_l, y.doc_id AS id_r
+       |  FROM bh x JOIN bh y ON x.b = y.b AND x.band = y.band
+       |    AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |cs AS (SELECT c.b, count(*) AS candidates, count(t.id_l) AS hits
+       |  FROM cand c LEFT JOIN truth t
+       |    ON c.id_l = t.id_l AND c.id_r = t.id_r
+       |  GROUP BY c.b),
+       |tbl AS (SELECT bt.b AS num_bands, ($k // bt.b) AS rows_per_band,
+       |    round(1 - power(1 - power(0.8, $k // bt.b), bt.b), 6) + 0.0 AS s_curve,
+       |    (SELECT count(*) FROM truth) AS true_pairs,
+       |    coalesce(cs.candidates, 0) AS candidates,
+       |    coalesce(cs.hits, 0) AS hits,
+       |    (CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+       |      ELSE coalesce(cs.hits, 0)::DOUBLE
+       |        / (SELECT count(*) FROM truth) END) AS recall
+       |  FROM $bandsVals AS bt(b) LEFT JOIN cs ON cs.b = bt.b),
+       |ch AS (SELECT num_bands FROM tbl WHERE recall >= 0.9
+       |  ORDER BY candidates, hits DESC, num_bands LIMIT 1)
+       |SELECT t.num_bands, t.rows_per_band, t.s_curve, t.true_pairs,
+       |  t.candidates, t.hits, t.recall,
+       |  (CASE WHEN t.num_bands = (SELECT num_bands FROM ch)
+       |    THEN 1 ELSE 0 END) AS chosen
+       |FROM tbl t""".stripMargin
+  }
+
   private lazy val AnnAdviseOracle: String = {
     val nlists = Seq(8, 16)
     val nprobes = Seq(1, 2, 4)
@@ -3654,6 +3745,7 @@ object SparkEntry {
     "q_dedup_exact"         -> q_dedup_exact,
     "q_dedup_ngram"         -> q_dedup_ngram,
     "q_dedup_minhash"       -> q_dedup_minhash,
+    "q_lsh_advise"          -> q_lsh_advise,
     "q_dedup_minhash_incr"  -> q_dedup_minhash_incr,
     "q_dedup_minhash_stream" -> q_dedup_minhash_stream,
     "q_dedup_anchor"        -> q_dedup_anchor,
@@ -4861,6 +4953,7 @@ object SparkEntry {
     // encode everything, search the union)
     "q_ann_layout_compact" -> LayoutAppendOracle,
     "q_ann_advise" -> AnnAdviseOracle,
+    "q_lsh_advise" -> LshAdviseOracle,
     "q_dedup_semantic_stream" ->
       """WITH cent AS (SELECT embedding::DOUBLE[] AS cv,
         |    row_number() OVER (ORDER BY vec_id) - 1 AS cell
