@@ -69,7 +69,11 @@ object AnnAdvisor {
       .orderBy(col("__r"), col(idCol))
       .limit(sampleQueries)
       .select(col(idCol))
+    // pinned: every configuration's search re-consumes the query set —
+    // without the barrier each re-execution re-runs the md5-rank
+    // sample selection (an orderBy-limit over the corpus) per config
     val queries = base.join(qIds, Seq(idCol), "left_semi")
+      .localCheckpoint(true)
 
     // ground truth computed ONCE (≤ sampleQueries·k rows), shared by
     // every configuration's intersection
