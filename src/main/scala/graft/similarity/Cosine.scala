@@ -247,7 +247,8 @@ object LshAnn {
       numBits: Int = 8,
       numTables: Int = 4,
       multiProbe: Int = 0,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true): DataFrame = {
     require(k > 0 && numBits >= 1 && numBits <= 62 && numTables >= 1,
       s"bad shape k=$k numBits=$numBits numTables=$numTables")
     require(multiProbe >= 0 && multiProbe <= numBits,
@@ -287,7 +288,13 @@ object LshAnn {
           transform(col("__flips"), f => col("__base")
             .bitwiseXOR(element_at(pows, f.getField("b") + 1)))))
           .as("sig"))
-    val cand = csig.join(broadcast(qprobes), Seq("tbl", "sig"))
+    // query batches too large to broadcast (each query emits
+    // numTables·(1 + multiProbe) probe rows): broadcastQueries = false
+    // shuffles BOTH sides on (tbl, sig) — the bucketed corpus side is
+    // exactly the persistable layout, so at lake scale that shuffle is
+    // amortized by writing the signatures partitioned by (tbl, sig)
+    val qside = if (broadcastQueries) broadcast(qprobes) else qprobes
+    val cand = csig.join(qside, Seq("tbl", "sig"))
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
         else lit(true))
       // a pair can collide in several tables/probes — once is enough

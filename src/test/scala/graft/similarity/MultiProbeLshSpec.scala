@@ -69,6 +69,12 @@ class MultiProbeLshSpec extends SparkSuite {
     val again = LshAnn.search(corpus.repartition(7), queries, "vec_id",
       "embedding", k = 3, numBits = 6, numTables = 2, multiProbe = 2)
     assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    // the shuffled-query path (large query batches) is row-identical
+    val shuffled = LshAnn.search(corpus, queries, "vec_id", "embedding",
+      k = 3, numBits = 6, numTables = 2, multiProbe = 2,
+      broadcastQueries = false)
+    assert(out.exceptAll(shuffled).count() == 0 &&
+      shuffled.exceptAll(out).count() == 0)
     out.unpersist()
   }
 
