@@ -1789,7 +1789,11 @@ object SparkEntry {
       val ivfpqResKm = recallRow("ivfpq_res_km",
         graft.similarity.PqAnn.searchResidual(resKmCodes, q, "vec_id",
           "embedding", "pq_codes", "cell", k = 10, resKm, nprobe = 2))
-      (ivfs :+ pq :+ ivfpq :+ ivfpqRes :+ ivfpqResKm)
+      // query-directed multi-probe LSH beside the cell/code families —
+      // recall bought on the query side (the q_ann_lsh_mp machinery)
+      val lshMp = recallRow("lsh_mp", LshAnn.search(e, q, "vec_id",
+        "embedding", k = 10, numBits = 6, numTables = 2, multiProbe = 2))
+      (ivfs :+ pq :+ ivfpq :+ ivfpqRes :+ ivfpqResKm :+ lshMp)
         .reduce(_ unionByName _)
     }
 
@@ -2016,6 +2020,47 @@ object SparkEntry {
        |ipq AS (SELECT qid, nid FROM (
        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
        |      ORDER BY adist, nid) AS rn FROM ipadc) WHERE rn <= 10),
+       |mp_e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |mp_t AS (SELECT unnest(range(0, 2)) AS tbl),
+       |mp_csig AS (
+       |  SELECT e.vec_id, t.tbl,
+       |    CAST(coalesce(list_sum([CASE WHEN
+       |        coalesce(list_sum([e.v[d + 1] *
+       |          ((((t.tbl + 1) * 7919 + (i + 1) * 104729 + (d + 1) * 1299709)
+       |            % 1000003 % 2001) / 1000.0 - 1.0)
+       |          FOR d IN range(0, 64)]), 0.0) > 0
+       |      THEN 1::BIGINT << i ELSE 0 END FOR i IN range(0, 6)]), 0) AS BIGINT) AS sig
+       |  FROM mp_e e CROSS JOIN mp_t t),
+       |mp_qd AS (SELECT q.vec_id, t.tbl, u.i,
+       |    coalesce(list_sum([q.v[d + 1] *
+       |      ((((t.tbl + 1) * 7919 + (u.i + 1) * 104729 + (d + 1) * 1299709)
+       |        % 1000003 % 2001) / 1000.0 - 1.0)
+       |      FOR d IN range(0, 64)]), 0.0) AS dot
+       |  FROM mp_e q CROSS JOIN mp_t t
+       |  CROSS JOIN (SELECT unnest(range(0, 6)) AS i) u
+       |  WHERE q.vec_id < 10),
+       |mp_qs AS (SELECT vec_id, tbl,
+       |    CAST(coalesce(sum(CASE WHEN dot > 0 THEN 1::BIGINT << i ELSE 0 END), 0)
+       |      AS BIGINT) AS base
+       |  FROM mp_qd GROUP BY 1, 2),
+       |mp_qr AS (SELECT vec_id, tbl, i,
+       |    row_number() OVER (PARTITION BY vec_id, tbl ORDER BY abs(dot), i) AS rn
+       |  FROM mp_qd),
+       |mp_probes AS (
+       |  SELECT vec_id, tbl, base AS sig FROM mp_qs
+       |  UNION ALL
+       |  SELECT r.vec_id, r.tbl, xor(s.base, CAST(1::BIGINT << r.i AS BIGINT)) AS sig
+       |  FROM mp_qr r JOIN mp_qs s ON r.vec_id = s.vec_id AND r.tbl = s.tbl
+       |  WHERE r.rn <= 2),
+       |mp_cand AS (SELECT DISTINCT p.vec_id AS qid, c.vec_id AS nid
+       |  FROM mp_probes p JOIN mp_csig c
+       |    ON p.tbl = c.tbl AND p.sig = c.sig AND c.vec_id <> p.vec_id),
+       |mtop AS (SELECT qid, nid FROM (
+       |    SELECT c.qid, c.nid,
+       |      row_number() OVER (PARTITION BY c.qid
+       |        ORDER BY x.cos DESC, c.nid) AS rn
+       |    FROM mp_cand c JOIN exs x ON x.qid = c.qid AND x.nid = c.nid)
+       |  WHERE rn <= 10),
        |rec AS (
        |  ${rec("ivf_n1", "iv1")}
        |  UNION ALL ${rec("ivf_n2", "iv2")}
@@ -2023,7 +2068,8 @@ object SparkEntry {
        |  UNION ALL ${rec("pq", "pqb")}
        |  UNION ALL ${rec("ivfpq", "ipq")}
        |  UNION ALL ${rec("ivfpq_res", "rtop")}
-       |  UNION ALL ${rec("ivfpq_res_km", "ktop")})
+       |  UNION ALL ${rec("ivfpq_res_km", "ktop")}
+       |  UNION ALL ${rec("lsh_mp", "mtop")})
        |SELECT method, hits, possible,
        |  hits::DOUBLE / possible AS recall
        |FROM rec""".stripMargin
