@@ -18,9 +18,14 @@ object Bench {
         case None => Map.empty
         case Some(m) =>
           val sub = txt.substring(m.end, txt.indexOf('}', m.end))
-          "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.Ee+]+)".r
+          // full JSON number syntax (negative exponents included), and
+          // per-entry tolerance: one malformed value must not discard
+          // the whole previous-round map (which would silently disable
+          // the drift table)
+          "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+(?:[Ee][-+]?[0-9]+)?)".r
             .findAllMatchIn(sub)
-            .map(g => g.group(1) -> g.group(2).toDouble).toMap
+            .flatMap(g => scala.util.Try(g.group(2).toDouble).toOption
+              .map(g.group(1) -> _)).toMap
       }
     } catch { case _: Exception => Map.empty }
 

@@ -193,7 +193,7 @@ case class AutoSaltedSweepDispatchExec(@transient join: AutoSaltedSweepJoin)
           join.lStart.dataType -> lsName, join.lEnd.dataType -> leName)
           .collect { case (t, n) if t == DoubleType || t == FloatType =>
             isnan(col(n)) }
-        nanChecks.nonEmpty &&
+        join.leftEndpointsFloating &&
           lDf.filter(nanChecks.reduce(_ || _)).limit(1).count() > 0
       } else {
         lDf.select(dangerCol(lDf, lSpec).as("d"))

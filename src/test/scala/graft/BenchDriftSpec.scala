@@ -27,6 +27,15 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(Bench.parsePrevQueries(spaced) == Map("q_x" -> 1.5, "q_y" -> 2.0))
   }
 
+  test("negative exponents parse; one bad value drops only its entry") {
+    val artifact =
+      """{"queries":{"q_tiny":1.2E-4,"q_bad":nan,"q_ok":3.0}}"""
+    val m = Bench.parsePrevQueries(artifact)
+    assert(m.get("q_tiny").contains(1.2e-4))
+    assert(m.get("q_ok").contains(3.0))
+    assert(!m.contains("q_bad"))
+  }
+
   test("missing or malformed artifacts yield an empty baseline") {
     assert(Bench.parsePrevQueries("") == Map.empty)
     assert(Bench.parsePrevQueries("{\"value\":1}") == Map.empty)
