@@ -1464,6 +1464,27 @@ object SparkEntry {
           r6m(col("cosine")).as("cosine"), col("rank"))
     }
 
+  /** The PERSISTED signature index behind the same multi-probe search:
+    * signatures written once as a (tbl, sig)-partitioned layout, the
+    * probe set pushed as a literal partition predicate so only probed
+    * bucket directories are listed (`PartitionFilters` — spec-pinned in
+    * MultiProbeLshSpec). Shares q_ann_lsh_mp's oracle verbatim: the
+    * layout must be row-invisible. Same per-application temp path
+    * discipline as q_ann_layout. */
+  private val q_ann_lsh_layout: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = emb(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lshidx_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      LshAnn.writeIndex(e, "vec_id", "embedding", path,
+        numBits = 6, numTables = 2)
+      LshAnn.searchIndex(s, path, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, numBits = 6, numTables = 2,
+        multiProbe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          r6m(col("cosine")).as("cosine"), col("rank"))
+    }
+
   /** Product-quantization ANN (Jégou et al. 2011): the 64-dim corpus
     * is split into 8 subspaces × 8 codes, codebooks trained by 2
     * integer fixed-point Lloyd iterations, each vector stored as 8
@@ -2081,6 +2102,56 @@ object SparkEntry {
     * count, and the choice rule itself (min probed fraction among
     * configurations meeting the 0.6 floor; ties to larger nlist then
     * higher recall). */
+  /** Shared by q_ann_lsh_mp and q_ann_lsh_layout (the persisted
+    * index must be row-invisible): the full multi-probe replay.
+    */
+  private lazy val LshMpOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |t AS (SELECT unnest(range(0, 2)) AS tbl),
+        |csig AS (
+        |  SELECT e.vec_id, t.tbl,
+        |    CAST(coalesce(list_sum([CASE WHEN
+        |        coalesce(list_sum([e.v[d + 1] *
+        |          ((((t.tbl + 1) * 7919 + (i + 1) * 104729 + (d + 1) * 1299709)
+        |            % 1000003 % 2001) / 1000.0 - 1.0)
+        |          FOR d IN range(0, 64)]), 0.0) > 0
+        |      THEN 1::BIGINT << i ELSE 0 END FOR i IN range(0, 6)]), 0) AS BIGINT) AS sig
+        |  FROM e CROSS JOIN t),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |qd AS (SELECT q.vec_id, t.tbl, u.i,
+        |    coalesce(list_sum([q.v[d + 1] *
+        |      ((((t.tbl + 1) * 7919 + (u.i + 1) * 104729 + (d + 1) * 1299709)
+        |        % 1000003 % 2001) / 1000.0 - 1.0)
+        |      FOR d IN range(0, 64)]), 0.0) AS dot
+        |  FROM q CROSS JOIN t CROSS JOIN (SELECT unnest(range(0, 6)) AS i) u),
+        |qs AS (SELECT vec_id, tbl,
+        |    CAST(coalesce(sum(CASE WHEN dot > 0 THEN 1::BIGINT << i ELSE 0 END), 0)
+        |      AS BIGINT) AS base
+        |  FROM qd GROUP BY 1, 2),
+        |qr AS (SELECT vec_id, tbl, i,
+        |    row_number() OVER (PARTITION BY vec_id, tbl ORDER BY abs(dot), i) AS rn
+        |  FROM qd),
+        |probes AS (
+        |  SELECT vec_id, tbl, base AS sig FROM qs
+        |  UNION ALL
+        |  SELECT r.vec_id, r.tbl, xor(s.base, CAST(1::BIGINT << r.i AS BIGINT)) AS sig
+        |  FROM qr r JOIN qs s ON r.vec_id = s.vec_id AND r.tbl = s.tbl
+        |  WHERE r.rn <= 2),
+        |cand AS (SELECT DISTINCT p.vec_id AS qid, c.vec_id AS nid
+        |  FROM probes p JOIN csig c
+        |    ON p.tbl = c.tbl AND p.sig = c.sig AND c.vec_id <> p.vec_id),
+        |sc AS (SELECT cand.qid, cand.nid,
+        |    list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM cand JOIN e a ON a.vec_id = cand.qid
+        |            JOIN e b ON b.vec_id = cand.nid),
+        |rk AS (SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |  FROM sc)
+        |SELECT qid AS query_id, nid AS neighbor_id,
+        |  ROUND(cos + 1e-9, 6) + 0.0 AS cosine, rank
+        |FROM rk WHERE rank <= 5""".stripMargin
+
+
   /** Full replay of [[q_lsh_advise]]: md5-rank sample → 3-gram shingles
     * → inverted-index exact Jaccard pairs → 16 md5-minhashes → per-band
     * bucket keys (`string_agg ORDER BY i` ≡ the Spark slice order) →
@@ -3837,6 +3908,7 @@ object SparkEntry {
     "q_rand_proj"           -> q_rand_proj,
     "q_ann_lsh"             -> q_ann_lsh,
     "q_ann_lsh_mp"          -> q_ann_lsh_mp,
+    "q_ann_lsh_layout"      -> q_ann_lsh_layout,
     "q_kmeans"              -> q_kmeans,
     "q_ann_ivf"             -> q_ann_ivf,
     "q_ann_pq"              -> q_ann_pq,
@@ -6272,51 +6344,10 @@ object SparkEntry {
     // native accumulation), base signature from the same dots, bits
     // ranked by (abs(dot), bit), XOR probe set, exclude-self candidate
     // union across tables/probes, exact-cosine re-rank
-    "q_ann_lsh_mp" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |t AS (SELECT unnest(range(0, 2)) AS tbl),
-        |csig AS (
-        |  SELECT e.vec_id, t.tbl,
-        |    CAST(coalesce(list_sum([CASE WHEN
-        |        coalesce(list_sum([e.v[d + 1] *
-        |          ((((t.tbl + 1) * 7919 + (i + 1) * 104729 + (d + 1) * 1299709)
-        |            % 1000003 % 2001) / 1000.0 - 1.0)
-        |          FOR d IN range(0, 64)]), 0.0) > 0
-        |      THEN 1::BIGINT << i ELSE 0 END FOR i IN range(0, 6)]), 0) AS BIGINT) AS sig
-        |  FROM e CROSS JOIN t),
-        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
-        |qd AS (SELECT q.vec_id, t.tbl, u.i,
-        |    coalesce(list_sum([q.v[d + 1] *
-        |      ((((t.tbl + 1) * 7919 + (u.i + 1) * 104729 + (d + 1) * 1299709)
-        |        % 1000003 % 2001) / 1000.0 - 1.0)
-        |      FOR d IN range(0, 64)]), 0.0) AS dot
-        |  FROM q CROSS JOIN t CROSS JOIN (SELECT unnest(range(0, 6)) AS i) u),
-        |qs AS (SELECT vec_id, tbl,
-        |    CAST(coalesce(sum(CASE WHEN dot > 0 THEN 1::BIGINT << i ELSE 0 END), 0)
-        |      AS BIGINT) AS base
-        |  FROM qd GROUP BY 1, 2),
-        |qr AS (SELECT vec_id, tbl, i,
-        |    row_number() OVER (PARTITION BY vec_id, tbl ORDER BY abs(dot), i) AS rn
-        |  FROM qd),
-        |probes AS (
-        |  SELECT vec_id, tbl, base AS sig FROM qs
-        |  UNION ALL
-        |  SELECT r.vec_id, r.tbl, xor(s.base, CAST(1::BIGINT << r.i AS BIGINT)) AS sig
-        |  FROM qr r JOIN qs s ON r.vec_id = s.vec_id AND r.tbl = s.tbl
-        |  WHERE r.rn <= 2),
-        |cand AS (SELECT DISTINCT p.vec_id AS qid, c.vec_id AS nid
-        |  FROM probes p JOIN csig c
-        |    ON p.tbl = c.tbl AND p.sig = c.sig AND c.vec_id <> p.vec_id),
-        |sc AS (SELECT cand.qid, cand.nid,
-        |    list_cosine_similarity(a.v, b.v) AS cos
-        |  FROM cand JOIN e a ON a.vec_id = cand.qid
-        |            JOIN e b ON b.vec_id = cand.nid),
-        |rk AS (SELECT qid, nid, cos,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-        |  FROM sc)
-        |SELECT qid AS query_id, nid AS neighbor_id,
-        |  ROUND(cos + 1e-9, 6) + 0.0 AS cosine, rank
-        |FROM rk WHERE rank <= 5""".stripMargin,
+    "q_ann_lsh_mp" -> LshMpOracle,
+    // the persisted (tbl, sig)-partitioned index must be row-invisible:
+    // the pruned search shares the in-memory search's oracle verbatim
+    "q_ann_lsh_layout" -> LshMpOracle,
     // line-level dedup: frequency threshold ceil(0.78·n_docs) computed in
     // the same IEEE double arithmetic as the Spark side's math.ceil
     "q_line_dedup" ->

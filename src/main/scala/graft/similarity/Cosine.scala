@@ -255,22 +255,44 @@ object LshAnn {
       s"multiProbe=$multiProbe must be in [0, numBits=$numBits]")
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     // corpus bucketed once per table — one native signature pass; THE
-    // corpus-proportional side (at lake scale: persisted, appended to)
-    val csig = corpus
+    // corpus-proportional side (at lake scale: persisted, appended to —
+    // [[writeIndex]]/[[searchIndex]])
+    val csig = bucketedCorpus(corpus, idCol, vecCol, numBits, numTables, dim)
+    val qprobes = probeFrame(queries, idCol, vecCol,
+      numBits, numTables, multiProbe, dim)
+    // query batches too large to broadcast (each query emits
+    // numTables·(1 + multiProbe) probe rows): broadcastQueries = false
+    // shuffles BOTH sides on (tbl, sig) — the bucketed corpus side is
+    // exactly the persistable layout, so at lake scale that shuffle is
+    // amortized by writing the signatures partitioned by (tbl, sig)
+    val qside = if (broadcastQueries) broadcast(qprobes) else qprobes
+    rerank(csig.join(qside, Seq("tbl", "sig")), k, excludeSelf)
+  }
+
+  /** `(neighbor_id, cv, tbl, sig)` — the corpus side of the bucket
+    * join, one native signature pass. */
+  private def bucketedCorpus(corpus: DataFrame, idCol: String,
+      vecCol: String, numBits: Int, numTables: Int, dim: Int): DataFrame =
+    corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         posexplode(signatures(col(vecCol), numBits, numTables, dim)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "sig")
-    // query side: signatures + all tables' per-plane dots (margins) in
-    // two native passes; everything after is query-proportional
+
+  /** `(query_id, qv, tbl, sig)` — one row per probe: each query's own
+    * bucket per table plus its `multiProbe` lowest-margin single-bit
+    * flips. Signatures + all tables' per-plane dots (margins) come
+    * from two native passes; everything else is per-probe-row algebra.
+    */
+  private def probeFrame(queries: DataFrame, idCol: String, vecCol: String,
+      numBits: Int, numTables: Int, multiProbe: Int, dim: Int): DataFrame = {
     val flat = (0 until numTables).flatMap(t => (0 until numBits).map(i =>
       (0 until dim).map(d => hcomp(t, i, d))))
     val pows = typedLit((0 until numBits).map(i => 1L << i))
-    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      org.apache.spark.sql.graft.VecFunctions.vec_project(
-        col(vecCol).cast("array<double>"), flat, 1.0).as("__dots"),
-      signatures(col(vecCol), numBits, numTables, dim).as("__sigs"))
-    val qprobes = q0
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        org.apache.spark.sql.graft.VecFunctions.vec_project(
+          col(vecCol).cast("array<double>"), flat, 1.0).as("__dots"),
+        signatures(col(vecCol), numBits, numTables, dim).as("__sigs"))
       .select(col("query_id"), col("qv"), col("__dots"),
         posexplode(col("__sigs")))
       .withColumnRenamed("pos", "tbl")
@@ -288,13 +310,12 @@ object LshAnn {
           transform(col("__flips"), f => col("__base")
             .bitwiseXOR(element_at(pows, f.getField("b") + 1)))))
           .as("sig"))
-    // query batches too large to broadcast (each query emits
-    // numTables·(1 + multiProbe) probe rows): broadcastQueries = false
-    // shuffles BOTH sides on (tbl, sig) — the bucketed corpus side is
-    // exactly the persistable layout, so at lake scale that shuffle is
-    // amortized by writing the signatures partitioned by (tbl, sig)
-    val qside = if (broadcastQueries) broadcast(qprobes) else qprobes
-    val cand = csig.join(qside, Seq("tbl", "sig"))
+  }
+
+  /** Shared tail: dedup pair collisions, exact cosine, dense top-k. */
+  private def rerank(joined: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val cand = joined
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
         else lit(true))
       // a pair can collide in several tables/probes — once is enough
@@ -305,6 +326,75 @@ object LshAnn {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Persists the table-bucketed signature index as a hive-partitioned
+    * layout under `path`: one row per (table, signature) membership,
+    * `partitionBy (tbl, sig)` so a probed search opens ONLY the probed
+    * bucket directories (the [[graft.sources.Layout]] posture the ANN
+    * cell index already proves; `q_ann_lsh_layout` proves it for LSH).
+    * Write once, search many query batches; append deltas with
+    * [[graft.sources.Layout.appendPartitioned]] (signatures are
+    * deterministic in the vector, so appends never rewrite) and compact
+    * with [[graft.sources.Layout.compact]].
+    *
+    * Directory-count sizing: `numTables · 2^numBits` leaf directories.
+    * Fine to ~10^5; for wider signatures partition by (tbl, high bits)
+    * and sort within files by sig so row-group stats prune the rest.
+    */
+  def writeIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      numBits: Int = 8,
+      numTables: Int = 4): Unit = {
+    require(numBits >= 1 && numBits <= 62 && numTables >= 1,
+      s"bad shape numBits=$numBits numTables=$numTables")
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    graft.sources.Layout.writePartitioned(
+      bucketedCorpus(corpus, idCol, vecCol, numBits, numTables, dim),
+      path, partitionBy = Seq("tbl", "sig"), sortBy = Seq("neighbor_id"))
+  }
+
+  /** Multi-probe top-k over a persisted [[writeIndex]] layout. The probe
+    * (tbl, sig) set is collected (bounded:
+    * |queries| · numTables · (1 + multiProbe) pairs — the query batch is
+    * small by the same contract as [[search]]'s broadcast) and pushed as
+    * a LITERAL partition predicate, so the scan opens only the probed
+    * directories — `PartitionFilters` in the plan, no full-index read
+    * (spec-pinned). Row-identical to [[search]] over the same corpus.
+    */
+  def searchIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numBits: Int = 8,
+      numTables: Int = 4,
+      multiProbe: Int = 0,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0 && numBits >= 1 && numBits <= 62 && numTables >= 1,
+      s"bad shape k=$k numBits=$numBits numTables=$numTables")
+    require(multiProbe >= 0 && multiProbe <= numBits,
+      s"multiProbe=$multiProbe must be in [0, numBits=$numBits]")
+    val dim = queries.select(size(col(vecCol))).first().getInt(0)
+    val qprobes = probeFrame(queries, idCol, vecCol,
+      numBits, numTables, multiProbe, dim)
+      .localCheckpoint(true) // consumed twice: probe collect + the join
+    // bounded collect, then per-table IN-lists: partition pruning needs
+    // literals at plan time (a join would need runtime DPP; the literal
+    // form is deterministic and visible in PartitionFilters)
+    val probeSet = qprobes.select(col("tbl"), col("sig")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val idx = graft.sources.Layout.read(spark, path)
+    val pred = probeSet.groupBy(_._1).map { case (t, sigs) =>
+      col("tbl") === t && col("sig").isin(sigs.map(_._2).toSeq: _*)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    rerank(idx.filter(pred).join(broadcast(qprobes), Seq("tbl", "sig")),
+      k, excludeSelf)
   }
 }
 

@@ -78,6 +78,26 @@ class MultiProbeLshSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("persisted signature index: pruned search ≡ in-memory search") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lshidx").toString + "/idx"
+    LshAnn.writeIndex(corpus, "vec_id", "embedding", path,
+      numBits = 6, numTables = 2)
+    val fromIndex = LshAnn.searchIndex(spark, path, queries, "vec_id",
+      "embedding", k = 3, numBits = 6, numTables = 2, multiProbe = 2)
+    val inMemory = LshAnn.search(corpus, queries, "vec_id", "embedding",
+      k = 3, numBits = 6, numTables = 2, multiProbe = 2)
+    assert(fromIndex.exceptAll(inMemory).count() == 0 &&
+      inMemory.exceptAll(fromIndex).count() == 0)
+    // the scan carries a non-empty partition predicate: only probed
+    // (tbl, sig) directories are listed, not the whole index
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)].*", "$1")
+        .trim.nonEmpty,
+      s"expected a partition predicate on the index scan:\n$plan")
+  }
+
   test("multiProbe = numBits probes every Hamming-1 bucket") {
     // with numBits = 4 and multiProbe = 4, every query emits 5 probe
     // signatures per table: its own bucket + all 4 single-bit flips
