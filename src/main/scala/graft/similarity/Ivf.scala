@@ -121,12 +121,17 @@ object IvfAnn {
       k: Int,
       model: Model,
       nprobe: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       model.cell(col(vecCol)).as("cell"))
-    val q = broadcast(queries
+    // broadcastQueries = false is the documented big-query-batch path:
+    // both sides hash on `cell`, i.e. the co-located inverted-file
+    // layout (persist the corpus bucketed by cell to amortize it)
+    val q0 = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(model.probes(col(vecCol), nprobe)).as("cell")))
+        explode(model.probes(col(vecCol), nprobe)).as("cell"))
+    val q = if (broadcastQueries) broadcast(q0) else q0
     val scored = c.join(q,
         c("cell") === q("cell") &&
           (if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)))

@@ -280,6 +280,14 @@ class PipelineSpecs extends SparkSuite {
     val cells = vecs.select(m.cell(col("embedding").cast("array<double>")))
       .as[Int].collect()
     assert(cells.forall(c => c >= 0 && c < 8))
+
+    // the big-query-batch path (both sides hashed on cell, no broadcast)
+    // is row-identical to the broadcast path
+    val shuffled = rows(IvfAnn.search(vecs, queries, "vec_id", "embedding",
+      k = 4, m, nprobe = 2, broadcastQueries = false))
+    val bcast = rows(IvfAnn.search(vecs, queries, "vec_id", "embedding",
+      k = 4, m, nprobe = 2))
+    assert(shuffled == bcast)
   }
 
   test("ivf ann: k-means-trained quantizer recovers separated clusters") {
