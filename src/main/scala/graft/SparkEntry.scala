@@ -2699,6 +2699,23 @@ object SparkEntry {
           r6m(col("doc_share")).as("doc_share"),
           r6m(col("weight_share")).as("weight_share"))
 
+  /** Curation-funnel attrition report ([[graft.core.Funnel]]): one
+    * corpus pass attributes every document to the first gate it fails
+    * (language → token floor → char floor → source blocklist) and
+    * emits the per-stage entering/failed/surviving table — the
+    * removal-rate report public curation pipelines publish
+    * (Gopher/RefinedWeb-style), as a first-class oracle-checked
+    * result. Predicates are row-local by design (join-shaped gates
+    * belong in the pipeline; see the Funnel scaladoc).
+    */
+  private val q_funnel: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.core.Funnel(docs(s, dir), Seq(
+        "lang_en"    -> (col("lang") === "en"),
+        "min_tokens" -> (size(graft.text.Shingles.tokens(col("text"))) >= 30),
+        "min_chars"  -> (length(col("text")) >= 150),
+        "src_ok"     -> (col("source") =!= "src0")))
+
   private val q_quality_gate: (SparkSession, String) => DataFrame =
     (s, dir) => {
       val t = QualityFilter.GopherThresholds(
@@ -3960,6 +3977,7 @@ object SparkEntry {
     "q_collocations"        -> q_collocations,
     "q_text_stats"          -> q_text_stats,
     "q_quality_gate"        -> q_quality_gate,
+    "q_funnel"              -> q_funnel,
     "q_sample_temperature"  -> q_sample_temperature,
     "q_text_repetition"     -> q_text_repetition,
     "q_contamination"       -> q_contamination,
@@ -5701,6 +5719,31 @@ object SparkEntry {
         |SELECT doc_id AS did, w AS term, tf, df,
         |       ROUND(tfidf + 1e-9, 6) + 0.0 AS tfidf
         |FROM r WHERE rn <= 3""".stripMargin,
+    // funnel replay: the same first-fail CASE chain, per-stage counts,
+    // and the cumulative entering subtraction over the stage table
+    "q_funnel" ->
+      s"""WITH ff AS (SELECT CASE
+        |    WHEN NOT coalesce(lang = 'en', FALSE) THEN 0
+        |    WHEN NOT coalesce(len($ToksExpr) >= 30, FALSE) THEN 1
+        |    WHEN NOT coalesce(len(text) >= 150, FALSE) THEN 2
+        |    WHEN NOT coalesce(source <> 'src0', FALSE) THEN 3
+        |    ELSE 4 END AS f
+        |  FROM documents),
+        |c AS (SELECT f, count(*) AS n FROM ff GROUP BY f),
+        |s AS (SELECT * FROM (VALUES (0, 'lang_en'), (1, 'min_tokens'),
+        |    (2, 'min_chars'), (3, 'src_ok')) t(stage_idx, stage)),
+        |tot AS (SELECT coalesce(sum(n), 0)::BIGINT AS t FROM c),
+        |j AS (SELECT s.stage_idx, s.stage, coalesce(c.n, 0) AS failed
+        |  FROM s LEFT JOIN c ON c.f = s.stage_idx),
+        |e AS (SELECT stage_idx, stage, failed,
+        |    ((SELECT t FROM tot) - coalesce(sum(failed) OVER (
+        |      ORDER BY stage_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+        |      AS entering
+        |  FROM j)
+        |SELECT stage_idx, stage, entering, failed,
+        |  entering - failed AS surviving
+        |FROM e""".stripMargin,
     "q_quality_gate" ->
       s"""WITH d AS (SELECT doc_id, text, $ToksExpr AS tk FROM documents),
         |s AS (

@@ -1,0 +1,61 @@
+package graft
+
+import graft.core.Funnel
+import org.apache.spark.sql.functions._
+
+/** The curation funnel: first-fail attribution, conservation
+  * (entering = failed + surviving, chained), null-fails-the-gate,
+  * zero-failure stages visible, empty input, repartition determinism.
+  */
+class FunnelSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, "good long text here", 10),
+    (2L, "", 10),                    // fails nonempty
+    (3L, "short", 10),               // fails minlen
+    (4L, "good enough text!!", -1),  // fails score
+    (5L, "also a fine doc yes", 3),
+    (6L, null.asInstanceOf[String], 9) // null text: fails FIRST gate
+  ).toDF("id", "text", "score")
+
+  private val stages = Seq(
+    "nonempty" -> (length(col("text")) > 0),
+    "minlen"   -> (length(col("text")) >= 10),
+    "score"    -> (col("score") > 0))
+
+  test("first-fail attribution and conservation") {
+    val out = Funnel(df, stages).orderBy("stage_idx").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out === Array(
+      ("nonempty", 6L, 2L, 4L),  // "" and null both fail the first gate
+      ("minlen", 4L, 1L, 3L),
+      ("score", 3L, 1L, 2L)))
+    // chain conservation: surviving(i) = entering(i+1)
+    out.sliding(2).foreach { case Array(a, b) => assert(a._4 == b._2) }
+  }
+
+  test("zero-failure stages stay visible; all-pass input") {
+    val allPass = Seq((1L, "a long enough text", 5),
+      (2L, "another long text!", 6)).toDF("id", "text", "score")
+    val out = Funnel(allPass, stages).orderBy("stage_idx").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out === Array((2L, 0L, 2L), (2L, 0L, 2L), (2L, 0L, 2L)))
+  }
+
+  test("empty input yields an all-zero funnel") {
+    val out = Funnel(df.filter(lit(false)), stages)
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out === Array((0L, 0L, 0L), (0L, 0L, 0L), (0L, 0L, 0L)))
+  }
+
+  test("deterministic under repartitioning; duplicate names refused") {
+    val a = Funnel(df.repartition(7), stages).collect().toSet
+    val b = Funnel(df, stages).collect().toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Funnel(df, Seq("x" -> lit(true), "x" -> lit(false)))
+    }
+  }
+}
