@@ -34,6 +34,21 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** First failing stage index of a row (`stages.length` = passed every
+    * gate); null predicates FAIL their gate — quarantine, not
+    * passthrough. A plain nested-CASE projection: stateless, so it
+    * serves batch and streaming plans identically
+    * ([[graft.streaming.StreamingOps.streamingFunnel]] groups it under
+    * a watermarked window for the live attrition feed).
+    */
+  def firstFailStage(stages: Seq[(String, Column)]): Column = {
+    require(stages.nonEmpty, "need at least one stage")
+    stages.zipWithIndex.foldRight(lit(stages.length): Column) {
+      case (((_, p), i), rest) =>
+        when(!coalesce(p, lit(false)), lit(i)).otherwise(rest)
+    }
+  }
+
   def apply(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
     require(stages.nonEmpty, "need at least one stage")
     require(stages.map(_._1).distinct.length == stages.length,
@@ -41,13 +56,7 @@ object Funnel {
     val spark = df.sparkSession
     import spark.implicits._
     val n = stages.length
-    // first failing stage index (n = passed every gate); null-failing
-    // rows fail the gate that saw them — quarantine, not passthrough
-    val firstFail = stages.zipWithIndex.foldRight(lit(n): Column) {
-      case (((_, p), i), rest) =>
-        when(!coalesce(p, lit(false)), lit(i)).otherwise(rest)
-    }
-    val counts = df.select(firstFail.as("__ff"))
+    val counts = df.select(firstFailStage(stages).as("__ff"))
       .groupBy(col("__ff")).agg(count(lit(1)).as("__c"))
     // the stage table is literal and tiny; left join keeps zero-failure
     // stages visible. The windows below run on <= n rows partitioned by

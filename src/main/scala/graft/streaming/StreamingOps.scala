@@ -26,6 +26,35 @@ case class Trend(window_start: java.sql.Timestamp, token: String,
   */
 object StreamingOps {
 
+  /** Live curation-funnel feed: the batch [[graft.core.Funnel]]'s
+    * first-fail attribution (a stateless nested-CASE projection —
+    * identical semantics, same Column) grouped under a watermarked
+    * tumbling window, so an ingest pipeline sees per-window
+    * `(stage, rows)` attrition as a stream — gate drift (a broken
+    * upstream feed suddenly failing the language gate) surfaces within
+    * one window instead of at the next batch report. `stage_idx =
+    * stages.length` rows are the survivors ("kept"). State is one
+    * count per (window, stage) — bounded by the watermark, never the
+    * stream.
+    */
+  def streamingFunnel(
+      stream: DataFrame,
+      timeCol: String,
+      stages: Seq[(String, org.apache.spark.sql.Column)],
+      watermark: String,
+      windowDur: String): DataFrame = {
+    require(stages.map(_._1).distinct.length == stages.length,
+      "stage names must be unique")
+    val names = stages.map(_._1) :+ "kept"
+    stream.withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), windowDur).as("win"),
+        graft.core.Funnel.firstFailStage(stages).as("stage_idx"))
+      .agg(count(lit(1)).as("rows"))
+      .select(col("win.start").as("win_start"), col("stage_idx"),
+        element_at(typedLit(names), col("stage_idx") + 1).as("stage"),
+        col("rows"))
+  }
+
   /** Streaming analog of `group_intervals` on point events: per-entity
     * session windows with inactivity gap `gap` — events closer than the
     * gap coalesce into one session, exactly single-linkage clustering

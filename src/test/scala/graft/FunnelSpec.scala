@@ -50,6 +50,36 @@ class FunnelSpec extends SparkSuite {
     assert(out === Array((0L, 0L, 0L), (0L, 0L, 0L), (0L, 0L, 0L)))
   }
 
+  test("streaming funnel: per-window attrition matches the batch CASE") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String): Timestamp = Timestamp.valueOf(s)
+    val input = MemoryStream[(Timestamp, String, Int)]
+    val stream = input.toDF().toDF("ts", "text", "score")
+    val out = graft.streaming.StreamingOps.streamingFunnel(
+      stream, "ts", stages, watermark = "10 minutes", windowDur = "1 hour")
+    val q = out.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:05:00"), "", 5),                  // nonempty
+        (ts("2024-01-01 00:10:00"), "short", 5),             // minlen
+        (ts("2024-01-01 00:20:00"), "long enough text", -1), // score
+        (ts("2024-01-01 00:30:00"), "long enough text", 2),  // kept
+        (ts("2024-01-01 01:10:00"), "second window doc", 9)) // kept, w2
+      q.processAllAvailable()
+      val rows = spark.table("funnel_stream")
+        .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3)))
+        .toSet
+      val w1 = ts("2024-01-01 00:00:00")
+      val w2 = ts("2024-01-01 01:00:00")
+      assert(rows == Set(
+        (w1, "nonempty", 1L), (w1, "minlen", 1L), (w1, "score", 1L),
+        (w1, "kept", 1L), (w2, "kept", 1L)))
+    } finally q.stop()
+  }
+
   test("deterministic under repartitioning; duplicate names refused") {
     val a = Funnel(df.repartition(7), stages).collect().toSet
     val b = Funnel(df, stages).collect().toSet
