@@ -98,6 +98,39 @@ class MultiProbeLshSpec extends SparkSuite {
       s"expected a partition predicate on the index scan:\n$plan")
   }
 
+  test("index maintenance: append + compact are search-invisible") {
+    // signatures are deterministic in the vector (no trained model), so
+    // the delta path needs no model freezing: base write + delta append
+    // must equal a full rebuild, and compaction must change nothing
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lshidx_app").toString
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+    val delta = corpus.filter(col("vec_id") % 5 === 0)
+    LshAnn.writeIndex(base, "vec_id", "embedding", s"$dir/inc",
+      numBits = 6, numTables = 2)
+    val dimD = delta.select(size(col("embedding"))).first().getInt(0)
+    graft.sources.Layout.appendPartitioned(
+      delta.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"),
+        posexplode(LshAnn.signatures(col("embedding"), 6, 2, dimD)))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig"),
+      s"$dir/inc", partitionBy = Seq("tbl", "sig"),
+      sortBy = Seq("neighbor_id"))
+    LshAnn.writeIndex(corpus, "vec_id", "embedding", s"$dir/full",
+      numBits = 6, numTables = 2)
+    def res(p: String) = LshAnn.searchIndex(spark, p, queries, "vec_id",
+      "embedding", k = 3, numBits = 6, numTables = 2, multiProbe = 2)
+    val (inc, full) = (res(s"$dir/inc"), res(s"$dir/full"))
+    assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0)
+    // compaction rewrites only over-fragmented buckets, invisibly
+    graft.sources.Layout.compact(spark, s"$dir/inc",
+      partitionBy = Seq("tbl", "sig"), sortBy = Seq("neighbor_id"),
+      maxFragments = 1)
+    val compacted = res(s"$dir/inc")
+    assert(compacted.exceptAll(full).count() == 0 &&
+      full.exceptAll(compacted).count() == 0)
+  }
+
   test("multiProbe = numBits probes every Hamming-1 bucket") {
     // with numBits = 4 and multiProbe = 4, every query emits 5 probe
     // signatures per table: its own bucket + all 4 single-bit flips
