@@ -2041,41 +2041,7 @@ object SparkEntry {
        |ipq AS (SELECT qid, nid FROM (
        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
        |      ORDER BY adist, nid) AS rn FROM ipadc) WHERE rn <= 10),
-       |mp_e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |mp_t AS (SELECT unnest(range(0, 2)) AS tbl),
-       |mp_csig AS (
-       |  SELECT e.vec_id, t.tbl,
-       |    CAST(coalesce(list_sum([CASE WHEN
-       |        coalesce(list_sum([e.v[d + 1] *
-       |          ((((t.tbl + 1) * 7919 + (i + 1) * 104729 + (d + 1) * 1299709)
-       |            % 1000003 % 2001) / 1000.0 - 1.0)
-       |          FOR d IN range(0, 64)]), 0.0) > 0
-       |      THEN 1::BIGINT << i ELSE 0 END FOR i IN range(0, 6)]), 0) AS BIGINT) AS sig
-       |  FROM mp_e e CROSS JOIN mp_t t),
-       |mp_qd AS (SELECT q.vec_id, t.tbl, u.i,
-       |    coalesce(list_sum([q.v[d + 1] *
-       |      ((((t.tbl + 1) * 7919 + (u.i + 1) * 104729 + (d + 1) * 1299709)
-       |        % 1000003 % 2001) / 1000.0 - 1.0)
-       |      FOR d IN range(0, 64)]), 0.0) AS dot
-       |  FROM mp_e q CROSS JOIN mp_t t
-       |  CROSS JOIN (SELECT unnest(range(0, 6)) AS i) u
-       |  WHERE q.vec_id < 10),
-       |mp_qs AS (SELECT vec_id, tbl,
-       |    CAST(coalesce(sum(CASE WHEN dot > 0 THEN 1::BIGINT << i ELSE 0 END), 0)
-       |      AS BIGINT) AS base
-       |  FROM mp_qd GROUP BY 1, 2),
-       |mp_qr AS (SELECT vec_id, tbl, i,
-       |    row_number() OVER (PARTITION BY vec_id, tbl ORDER BY abs(dot), i) AS rn
-       |  FROM mp_qd),
-       |mp_probes AS (
-       |  SELECT vec_id, tbl, base AS sig FROM mp_qs
-       |  UNION ALL
-       |  SELECT r.vec_id, r.tbl, xor(s.base, CAST(1::BIGINT << r.i AS BIGINT)) AS sig
-       |  FROM mp_qr r JOIN mp_qs s ON r.vec_id = s.vec_id AND r.tbl = s.tbl
-       |  WHERE r.rn <= 2),
-       |mp_cand AS (SELECT DISTINCT p.vec_id AS qid, c.vec_id AS nid
-       |  FROM mp_probes p JOIN mp_csig c
-       |    ON p.tbl = c.tbl AND p.sig = c.sig AND c.vec_id <> p.vec_id),
+       |${lshMpCtes("mp_")},
        |mtop AS (SELECT qid, nid FROM (
        |    SELECT c.qid, c.nid,
        |      row_number() OVER (PARTITION BY c.qid
@@ -2105,51 +2071,64 @@ object SparkEntry {
   /** Shared by q_ann_lsh_mp and q_ann_lsh_layout (the persisted
     * index must be row-invisible): the full multi-probe replay.
     */
+  /** The multi-probe candidate CTE chain (2 tables x 6 bits x 2
+    * probes over the standard vec_id < 10 queries), CTE names prefixed
+    * with `px` so callers can compose it: emits `${px}e` (null-guarded
+    * corpus), `${px}csig` (corpus signatures), and `${px}cand`
+    * (distinct exclude-self candidate pairs). ONE definition of the
+    * probe recipe on the SQL side — q_ann_lsh_mp / q_ann_lsh_layout
+    * rerank it at k = 5, the recall harness intersects it with the
+    * exact top-10. */
+  private def lshMpCtes(px: String): String =
+    s"""${px}e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |${px}t AS (SELECT unnest(range(0, 2)) AS tbl),
+       |${px}csig AS (
+       |  SELECT e.vec_id, t.tbl,
+       |    CAST(coalesce(list_sum([CASE WHEN
+       |        coalesce(list_sum([e.v[d + 1] *
+       |          ((((t.tbl + 1) * 7919 + (i + 1) * 104729 + (d + 1) * 1299709)
+       |            % 1000003 % 2001) / 1000.0 - 1.0)
+       |          FOR d IN range(0, 64)]), 0.0) > 0
+       |      THEN 1::BIGINT << i ELSE 0 END FOR i IN range(0, 6)]), 0) AS BIGINT) AS sig
+       |  FROM ${px}e e CROSS JOIN ${px}t t),
+       |${px}qd AS (SELECT q.vec_id, t.tbl, u.i,
+       |    coalesce(list_sum([q.v[d + 1] *
+       |      ((((t.tbl + 1) * 7919 + (u.i + 1) * 104729 + (d + 1) * 1299709)
+       |        % 1000003 % 2001) / 1000.0 - 1.0)
+       |      FOR d IN range(0, 64)]), 0.0) AS dot
+       |  FROM ${px}e q CROSS JOIN ${px}t t
+       |  CROSS JOIN (SELECT unnest(range(0, 6)) AS i) u
+       |  WHERE q.vec_id < 10),
+       |${px}qs AS (SELECT vec_id, tbl,
+       |    CAST(coalesce(sum(CASE WHEN dot > 0 THEN 1::BIGINT << i ELSE 0 END), 0)
+       |      AS BIGINT) AS base
+       |  FROM ${px}qd GROUP BY 1, 2),
+       |${px}qr AS (SELECT vec_id, tbl, i,
+       |    row_number() OVER (PARTITION BY vec_id, tbl ORDER BY abs(dot), i) AS rn
+       |  FROM ${px}qd),
+       |${px}probes AS (
+       |  SELECT vec_id, tbl, base AS sig FROM ${px}qs
+       |  UNION ALL
+       |  SELECT r.vec_id, r.tbl, xor(s.base, CAST(1::BIGINT << r.i AS BIGINT)) AS sig
+       |  FROM ${px}qr r JOIN ${px}qs s ON r.vec_id = s.vec_id AND r.tbl = s.tbl
+       |  WHERE r.rn <= 2),
+       |${px}cand AS (SELECT DISTINCT p.vec_id AS qid, c.vec_id AS nid
+       |  FROM ${px}probes p JOIN ${px}csig c
+       |    ON p.tbl = c.tbl AND p.sig = c.sig AND c.vec_id <> p.vec_id)""".stripMargin
+
   private lazy val LshMpOracle: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |t AS (SELECT unnest(range(0, 2)) AS tbl),
-        |csig AS (
-        |  SELECT e.vec_id, t.tbl,
-        |    CAST(coalesce(list_sum([CASE WHEN
-        |        coalesce(list_sum([e.v[d + 1] *
-        |          ((((t.tbl + 1) * 7919 + (i + 1) * 104729 + (d + 1) * 1299709)
-        |            % 1000003 % 2001) / 1000.0 - 1.0)
-        |          FOR d IN range(0, 64)]), 0.0) > 0
-        |      THEN 1::BIGINT << i ELSE 0 END FOR i IN range(0, 6)]), 0) AS BIGINT) AS sig
-        |  FROM e CROSS JOIN t),
-        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
-        |qd AS (SELECT q.vec_id, t.tbl, u.i,
-        |    coalesce(list_sum([q.v[d + 1] *
-        |      ((((t.tbl + 1) * 7919 + (u.i + 1) * 104729 + (d + 1) * 1299709)
-        |        % 1000003 % 2001) / 1000.0 - 1.0)
-        |      FOR d IN range(0, 64)]), 0.0) AS dot
-        |  FROM q CROSS JOIN t CROSS JOIN (SELECT unnest(range(0, 6)) AS i) u),
-        |qs AS (SELECT vec_id, tbl,
-        |    CAST(coalesce(sum(CASE WHEN dot > 0 THEN 1::BIGINT << i ELSE 0 END), 0)
-        |      AS BIGINT) AS base
-        |  FROM qd GROUP BY 1, 2),
-        |qr AS (SELECT vec_id, tbl, i,
-        |    row_number() OVER (PARTITION BY vec_id, tbl ORDER BY abs(dot), i) AS rn
-        |  FROM qd),
-        |probes AS (
-        |  SELECT vec_id, tbl, base AS sig FROM qs
-        |  UNION ALL
-        |  SELECT r.vec_id, r.tbl, xor(s.base, CAST(1::BIGINT << r.i AS BIGINT)) AS sig
-        |  FROM qr r JOIN qs s ON r.vec_id = s.vec_id AND r.tbl = s.tbl
-        |  WHERE r.rn <= 2),
-        |cand AS (SELECT DISTINCT p.vec_id AS qid, c.vec_id AS nid
-        |  FROM probes p JOIN csig c
-        |    ON p.tbl = c.tbl AND p.sig = c.sig AND c.vec_id <> p.vec_id),
-        |sc AS (SELECT cand.qid, cand.nid,
-        |    list_cosine_similarity(a.v, b.v) AS cos
-        |  FROM cand JOIN e a ON a.vec_id = cand.qid
-        |            JOIN e b ON b.vec_id = cand.nid),
-        |rk AS (SELECT qid, nid, cos,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-        |  FROM sc)
-        |SELECT qid AS query_id, nid AS neighbor_id,
-        |  ROUND(cos + 1e-9, 6) + 0.0 AS cosine, rank
-        |FROM rk WHERE rank <= 5""".stripMargin
+    s"""WITH ${lshMpCtes("")},
+       |sc AS (SELECT cand.qid, cand.nid,
+       |    list_cosine_similarity(a.v, b.v) AS cos
+       |  FROM cand JOIN e a ON a.vec_id = cand.qid
+       |            JOIN e b ON b.vec_id = cand.nid),
+       |rk AS (SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM sc)
+       |SELECT qid AS query_id, nid AS neighbor_id,
+       |  ROUND(cos + 1e-9, 6) + 0.0 AS cosine, rank
+       |FROM rk WHERE rank <= 5""".stripMargin
 
 
   /** Full replay of [[q_lsh_advise]]: md5-rank sample → 3-gram shingles
@@ -6363,7 +6342,8 @@ object SparkEntry {
     // in every engine); candidates = pairs sharing a 6-bit signature in
     // any of the 8 tables, kept when exact cosine >= 0.3
     "q_ann_lsh" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
         |t AS (SELECT unnest(range(0, 8)) AS tbl),
         |sig AS (
         |  SELECT e.vec_id, t.tbl,

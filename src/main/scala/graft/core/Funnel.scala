@@ -61,24 +61,20 @@ object Funnel {
     // the stage table is literal and tiny; left join keeps zero-failure
     // stages visible. The windows below run on <= n rows partitioned by
     // a constant — stage-count-bounded, not corpus-bounded.
-    // a sentinel row for the all-gates-passed bucket keeps the total
-    // derivable from the joined frame alone (without it, a run where
-    // every row survives would join nothing and lose the total)
+    // a sentinel row for the all-gates-passed bucket makes the math one
+    // reverse-cumulative window: every row entering stage i either
+    // fails at some j >= i or survives everything (the sentinel's
+    // "failed"), so entering(i) = sum(failed) over rows i..n
     val stageLit = (stages.zipWithIndex
       .map { case ((name, _), i) => (i, name) } :+ (n -> "__graft_kept"))
       .toDF("stage_idx", "stage")
-    val total = counts.select(sum(col("__c")).over(
-        Window.partitionBy(lit(1))).as("__total"), col("__ff"), col("__c"))
     val joined = stageLit
-      .join(total, col("stage_idx") === col("__ff"), "left")
+      .join(counts, col("stage_idx") === col("__ff"), "left")
       .withColumn("failed", coalesce(col("__c"), lit(0L)))
-    val wPrev = Window.partitionBy(lit(1)).orderBy(col("stage_idx"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val wFrom = Window.partitionBy(lit(1)).orderBy(col("stage_idx"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     joined
-      .withColumn("__tot", coalesce(
-        max(col("__total")).over(Window.partitionBy(lit(1))), lit(0L)))
-      .withColumn("entering",
-        col("__tot") - coalesce(sum(col("failed")).over(wPrev), lit(0L)))
+      .withColumn("entering", sum(col("failed")).over(wFrom))
       .withColumn("surviving", col("entering") - col("failed"))
       .filter(col("stage_idx") < n)
       .select(col("stage_idx"), col("stage"), col("entering"),

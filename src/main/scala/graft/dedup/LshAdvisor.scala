@@ -96,23 +96,16 @@ object LshAdvisor {
     require(bands.nonEmpty && bands.forall(b => b > 0 && numHashes % b == 0),
       s"every band candidate must divide numHashes=$numHashes")
 
-    // deterministic, engine-portable sample: md5-rank bottom ids
-    val base = corpus.filter(col(textCol).isNotNull)
-    val qIds = base
-      .select(col(idCol), md5(col(idCol).cast("string")).as("__r"))
-      .orderBy(col("__r"), col(idCol))
-      .limit(sampleDocs)
-      .select(col(idCol))
-    // the sampled (id, text) rows PINNED behind a checkpoint barrier —
-    // without it Catalyst pushes the `size(sh) > 0` filter (with the
-    // whole gram expression substituted in) below the semi join onto
-    // the CORPUS side, evaluating shingles for every corpus row instead
-    // of the 256 sampled ones (measured: 33 s vs 0.5 s at sf1 — the
+    // deterministic, engine-portable sample, pinned behind a checkpoint
+    // barrier (see Sampling.md5RankPinned — without the barrier
+    // Catalyst pushes the `size(sh) > 0` filter, gram expression
+    // substituted in, below the semi join onto the CORPUS side: the
     // only corpus-proportional stage this advisor is allowed is the
     // sample scan itself)
-    val sampled = base.join(qIds, Seq(idCol), "left_semi")
+    val base = corpus.filter(col(textCol).isNotNull)
+    val sampled = graft.sample.Sampling
+      .md5RankPinned(base, idCol, sampleDocs)
       .select(col(idCol).as("id"), col(textCol).as("__text"))
-      .localCheckpoint(true)
     // distinct shingle strings per sampled doc; docs with no shingles
     // drop out (nothing to compare) — cached: feeds the exact pair set
     // AND the signature computation

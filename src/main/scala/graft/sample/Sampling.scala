@@ -61,6 +61,29 @@ object Sampling {
       Seq("__graft_one"), idCol, n, seed)
       .drop("__graft_one")
 
+  /** The advisors' deterministic corpus sample
+    * ([[graft.similarity.AnnAdvisor]], [[graft.dedup.LshAdvisor]]):
+    * the md5-rank bottom `n` ids — BARE `md5(id::VARCHAR)`, the exact
+    * spelling the DuckDB oracles replay — re-joined left-semi and
+    * PINNED behind an eager checkpoint barrier. The barrier is
+    * load-bearing twice over: (1) without it Catalyst pushes a
+    * downstream expression filter (with the expression substituted in)
+    * below the semi join onto the CORPUS side — measured 33 s vs 0.5 s
+    * at sf1 when LshAdvisor's shingle filter migrated under the join;
+    * (2) advisors re-consume the sample once per measured
+    * configuration, and the pin keeps that from re-running the
+    * corpus orderBy-limit per plan.
+    */
+  def md5RankPinned(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val ids = df
+      .select(col(idCol), md5(col(idCol).cast("string")).as("__graft_r"))
+      .orderBy(col("__graft_r"), col(idCol))
+      .limit(n)
+      .select(col(idCol))
+    df.join(ids, Seq(idCol), "left_semi").localCheckpoint(true)
+  }
+
   /** Deterministic source-mixture rebalancing — the "data mixing" step of
     * a training-data pipeline: sample so the output approaches the target
     * stratum proportions. Stratum `s` keeps `floor(total · weight(s))`

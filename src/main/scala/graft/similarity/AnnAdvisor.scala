@@ -63,17 +63,11 @@ object AnnAdvisor {
     // the cosine kernels take array<double>; accept float embeddings
     val base = corpus.filter(col(vecCol).isNotNull)
       .withColumn(vecCol, col(vecCol).cast("array<double>"))
-    // deterministic, engine-portable sample: md5-rank bottom ids
-    val qIds = base
-      .select(col(idCol), md5(col(idCol).cast("string")).as("__r"))
-      .orderBy(col("__r"), col(idCol))
-      .limit(sampleQueries)
-      .select(col(idCol))
-    // pinned: every configuration's search re-consumes the query set —
-    // without the barrier each re-execution re-runs the md5-rank
-    // sample selection (an orderBy-limit over the corpus) per config
-    val queries = base.join(qIds, Seq(idCol), "left_semi")
-      .localCheckpoint(true)
+    // deterministic, engine-portable sample, pinned so the per-config
+    // searches reuse it instead of re-running the corpus orderBy-limit
+    // (see Sampling.md5RankPinned)
+    val queries = graft.sample.Sampling
+      .md5RankPinned(base, idCol, sampleQueries)
 
     // ground truth computed ONCE (≤ sampleQueries·k rows), shared by
     // every configuration's intersection

@@ -355,6 +355,44 @@ object LshAnn {
     graft.sources.Layout.writePartitioned(
       bucketedCorpus(corpus, idCol, vecCol, numBits, numTables, dim),
       path, partitionBy = Seq("tbl", "sig"), sortBy = Seq("neighbor_id"))
+    // parameter sidecar: a search with different (numBits, numTables)
+    // lives in a different signature space and would silently return
+    // near-empty results — searchIndex fails loudly on mismatch instead
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, MetaFile), true)
+    try out.write(
+      s"""{"numBits":$numBits,"numTables":$numTables}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private val MetaFile = "_graft_lsh_meta.json"
+
+  /** Fails loudly when a [[writeIndex]] sidecar disagrees with the
+    * caller's parameters; indexes written before the sidecar existed
+    * (no file) pass through. */
+  private def checkIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, numBits: Int, numTables: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def field(k: String): Option[Int] =
+        s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toInt)
+      (field("numBits"), field("numTables")) match {
+        case (Some(b), Some(t)) =>
+          require(b == numBits && t == numTables,
+            s"index at $path was written with numBits=$b numTables=$t; " +
+              s"searched with numBits=$numBits numTables=$numTables — " +
+              "signatures live in different spaces")
+        case _ => // unreadable sidecar: fall through (best-effort check)
+      }
+    }
   }
 
   /** Multi-probe top-k over a persisted [[writeIndex]] layout. The probe
@@ -380,6 +418,7 @@ object LshAnn {
       s"bad shape k=$k numBits=$numBits numTables=$numTables")
     require(multiProbe >= 0 && multiProbe <= numBits,
       s"multiProbe=$multiProbe must be in [0, numBits=$numBits]")
+    checkIndexMeta(spark, path, numBits, numTables)
     val dim = queries.select(size(col(vecCol))).first().getInt(0)
     val qprobes = probeFrame(queries, idCol, vecCol,
       numBits, numTables, multiProbe, dim)

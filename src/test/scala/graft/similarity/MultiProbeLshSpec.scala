@@ -131,6 +131,18 @@ class MultiProbeLshSpec extends SparkSuite {
       full.exceptAll(compacted).count() == 0)
   }
 
+  test("parameter sidecar: mismatched search fails loudly") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lshidx_meta").toString + "/idx"
+    LshAnn.writeIndex(corpus, "vec_id", "embedding", path,
+      numBits = 6, numTables = 2)
+    val e = intercept[IllegalArgumentException] {
+      LshAnn.searchIndex(spark, path, queries, "vec_id", "embedding",
+        k = 3, numBits = 8, numTables = 2).count()
+    }
+    assert(e.getMessage.contains("different spaces"))
+  }
+
   test("multiProbe = numBits probes every Hamming-1 bucket") {
     // with numBits = 4 and multiProbe = 4, every query emits 5 probe
     // signatures per table: its own bucket + all 4 single-bit flips
