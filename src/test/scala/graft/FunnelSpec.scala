@@ -80,6 +80,35 @@ class FunnelSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("property: conservation holds across random corpora and stages") {
+    for (seed <- Seq(31, 32, 33)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50 + rnd.nextInt(100)
+      val rows = (0 until n).map(i => (i.toLong,
+        rnd.nextInt(40), rnd.nextInt(40), rnd.nextInt(40)))
+      val data = rows.toDF("id", "a", "b", "c")
+      val (ta, tb, tc) = (rnd.nextInt(40), rnd.nextInt(40), rnd.nextInt(40))
+      val st = Seq("ga" -> (col("a") >= ta), "gb" -> (col("b") >= tb),
+        "gc" -> (col("c") >= tc))
+      val out = Funnel(data, st).orderBy("stage_idx").collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+      // total enters stage 0; each stage conserves; chain links up
+      assert(out.head._1 == n)
+      out.foreach { case (e, f, s) => assert(e == f + s && f >= 0 && s >= 0) }
+      out.sliding(2).foreach { case Array(x, y) => assert(x._3 == y._1)
+                               case _ => () }
+      // survivors equal a direct conjunction count
+      val direct = rows.count { case (_, a, b, c) =>
+        a >= ta && b >= tb && c >= tc }
+      assert(out.last._3 == direct, s"seed=$seed")
+      // per-stage failed equals the sequential first-fail count
+      val ff = rows.groupBy { case (_, a, b, c) =>
+        if (a < ta) 0 else if (b < tb) 1 else if (c < tc) 2 else 3 }
+      out.zipWithIndex.foreach { case ((_, f, _), i) =>
+        assert(f == ff.getOrElse(i, Nil).size.toLong, s"seed=$seed stage=$i") }
+    }
+  }
+
   test("deterministic under repartitioning; duplicate names refused") {
     val a = Funnel(df.repartition(7), stages).collect().toSet
     val b = Funnel(df, stages).collect().toSet
