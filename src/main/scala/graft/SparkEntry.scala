@@ -1677,22 +1677,28 @@ object SparkEntry {
 
   /** The recall-targeted parameter ADVISOR as a first-class query: for
     * every candidate (nlist, nprobe) the advisor measures recall@5 of
-    * seed-IVF search against the exact brute top-5 on the
-    * deterministic md5-rank 8-query sample, then picks the cheapest
-    * configuration (minimum probed fraction, ties to larger nlist then
-    * higher recall) meeting the 0.6 floor — `q_ann_recall`'s
-    * measurement turned into a decision procedure, oracle-replayed end
-    * to end (sampling, both quantizers, every search, the exact
-    * baseline, the integer intersections, and the choice itself). */
+    * IVF search against the exact brute top-5 on the deterministic
+    * md5-rank 8-query sample — for the two SEED quantizers AND (new
+    * round 12) the integer-Lloyd-TRAINED nlist=8 quantizer, so the
+    * decision procedure can pick the production floor its own recall
+    * analysis recommends — then picks the cheapest configuration
+    * (minimum probed fraction, ties to larger nlist then higher
+    * recall, exact cross-family ties to the trained quantizer) meeting
+    * the 0.6 floor — `q_ann_recall`'s measurement turned into a
+    * decision procedure, oracle-replayed end to end (sampling, all
+    * three quantizers incl. the Lloyd training, every search, the
+    * exact baseline, the integer intersections, and the choice
+    * itself). */
   private val q_ann_advise: (SparkSession, String) => DataFrame =
     (s, dir) => {
       import s.implicits._
       val a = graft.similarity.AnnAdvisor.advise(
         emb(s, dir), "vec_id", "embedding", k = 5, recallFloor = 0.6,
-        nlists = Seq(8, 16), nprobes = Seq(1, 2, 4), sampleQueries = 8)
-      a.table.map(m => (m.nlist, m.nprobe, m.recall,
+        nlists = Seq(8, 16), nprobes = Seq(1, 2, 4), sampleQueries = 8,
+        trainedNlists = Seq(8))
+      a.table.map(m => (m.quantizer, m.nlist, m.nprobe, m.recall,
           if (a.chosen.contains(m)) 1 else 0))
-        .toDF("nlist", "nprobe", "recall", "chosen")
+        .toDF("quantizer", "nlist", "nprobe", "recall", "chosen")
     }
 
   /** Index COMPACTION — the maintenance step after [[q_ann_layout_append]]'s
@@ -1755,11 +1761,21 @@ object SparkEntry {
     * slow-oracle differential method
     * (`/root/reference/tests/util.py:272-293`) applied to approximate
     * retrieval.
+    *
+    * Query sample: the UNBIASED md5-rank bottom-10 ids
+    * ([[graft.sample.Sampling.md5RankPinned]] — the advisors' sample).
+    * The previous `vec_id < 10` sample coincides with [[IvfAnn.fit]]'s
+    * seed centroids (cells 0..15 ARE vectors 0..15), so those queries
+    * sit at cell centers and flatter IVF recall — `q_ann_advise`
+    * measured 0.83–0.99 biased vs 0.18–0.68 unbiased at sf0.1. One
+    * biased row (`ivf_n1_biased`) is kept as the documented contrast;
+    * every other row is an expectation, not an upper bound.
     */
   private val q_ann_recall: (SparkSession, String) => DataFrame =
     (s, dir) => {
       val e = emb(s, dir)
-      val q = e.filter(col("vec_id") < 10)
+      val q = graft.sample.Sampling.md5RankPinned(
+        e.filter(col("embedding").isNotNull), "vec_id", 10)
       // the ground truth is computed ONCE (localCheckpoint: ≤ 10·k rows)
       val exact = CosineTopK(e, q, "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id"))
@@ -1771,13 +1787,16 @@ object SparkEntry {
         e.filter(col("embedding").isNotNull).select(col("vec_id"),
           coarse.cell(col("embedding").cast("array<double>")).as("cell")),
         "vec_id")
-      def recallRow(name: String, approx: DataFrame): DataFrame =
+      def recallRowOn(truth: DataFrame)(name: String,
+          approx: DataFrame): DataFrame =
         approx.select(col("query_id"), col("neighbor_id"))
-          .join(exact, Seq("query_id", "neighbor_id"))
+          .join(truth, Seq("query_id", "neighbor_id"))
           .agg(count(lit(1)).as("hits"))
-          .crossJoin(exact.agg(count(lit(1)).as("possible")))
+          .crossJoin(truth.agg(count(lit(1)).as("possible")))
           .select(lit(name).as("method"), col("hits"), col("possible"),
             (col("hits").cast("double") / col("possible")).as("recall"))
+      def recallRow(name: String, approx: DataFrame): DataFrame =
+        recallRowOn(exact)(name, approx)
       val ivfs = Seq(1, 2, 4).map(np => recallRow(s"ivf_n$np",
         IvfAnn.search(e, q, "vec_id", "embedding", k = 10, coarse,
           nprobe = np)))
@@ -1814,7 +1833,17 @@ object SparkEntry {
       // recall bought on the query side (the q_ann_lsh_mp machinery)
       val lshMp = recallRow("lsh_mp", LshAnn.search(e, q, "vec_id",
         "embedding", k = 10, numBits = 6, numTables = 2, multiProbe = 2))
-      (ivfs :+ pq :+ ivfpq :+ ivfpqRes :+ ivfpqResKm :+ lshMp)
+      // the documented CONTRAST row: the old vec_id < 10 sample, which
+      // coincides with the nlist=16 seed centroids — kept so the bias
+      // q_ann_advise discovered stays measured next to the unbiased rows
+      val qb = e.filter(col("vec_id") < 10)
+      val exactB = CosineTopK(e, qb, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      val ivfBiased = recallRowOn(exactB)("ivf_n1_biased",
+        IvfAnn.search(e, qb, "vec_id", "embedding", k = 10, coarse,
+          nprobe = 1))
+      (ivfs :+ pq :+ ivfpq :+ ivfpqRes :+ ivfpqResKm :+ lshMp :+ ivfBiased)
         .reduce(_ unionByName _)
     }
 
@@ -1973,33 +2002,41 @@ object SparkEntry {
 
   /** q_ann_recall's replay: the exact brute top-10, every approximate
     * method's top-10 (IVF at nprobe 1/2/4, brute ADC over PqCte's
-    * trained codes, IVF-PQ), and the integer intersection counts. */
+    * trained codes, IVF-PQ), and the integer intersection counts — all
+    * over the UNBIASED md5-rank query sample (`rq`, the advisors'
+    * spelling), plus the one retained `ivf_n1_biased` contrast row over
+    * the old `vec_id < 10` sample with its own biased baseline. */
   private lazy val AnnRecallOracle: String = {
+    val RqPred = "vec_id IN (SELECT vec_id FROM rq)"
     def ivfTop(np: Int): String =
       s"""iv${np}s AS (SELECT pr.qid, c.vec_id AS nid,
          |    list_cosine_similarity(pr.qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
          |  FROM (SELECT vec_id AS qid, embedding AS qv, cell FROM rasg
-         |        WHERE vec_id < 10 AND rn <= $np) pr
+         |        WHERE $RqPred AND rn <= $np) pr
          |  JOIN rcorp c ON pr.cell = c.cell AND c.vec_id <> pr.qid),
          |iv$np AS (SELECT qid, nid FROM (
          |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
          |      ORDER BY cos DESC, nid) AS rn2 FROM iv${np}s)
          |  WHERE rn2 <= 10)""".stripMargin
-    def rec(name: String, cte: String): String =
+    def rec(name: String, cte: String, ex: String = "ex"): String =
       s"""SELECT '$name' AS method,
-         |  (SELECT count(*) FROM $cte a JOIN ex USING (qid, nid)) AS hits,
-         |  (SELECT count(*) FROM ex) AS possible""".stripMargin
+         |  (SELECT count(*) FROM $cte a JOIN $ex USING (qid, nid)) AS hits,
+         |  (SELECT count(*) FROM $ex) AS possible""".stripMargin
     s"""$PqCte,
+       |rq AS (SELECT vec_id FROM (
+       |    SELECT vec_id, md5(vec_id::VARCHAR) AS r FROM embeddings
+       |    WHERE embedding IS NOT NULL ORDER BY r, vec_id LIMIT 10)),
        |exs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
        |    list_cosine_similarity(q.embedding::DOUBLE[],
        |      c.embedding::DOUBLE[]) AS cos
        |  FROM embeddings q CROSS JOIN embeddings c
-       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |  WHERE q.$RqPred AND c.vec_id <> q.vec_id),
        |ex AS (SELECT qid, nid FROM (
        |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
        |      ORDER BY cos DESC, nid) AS rn FROM exs) WHERE rn <= 10),
        |$IvfCellCte,
-       |$PqResCte,
+       |${pqResCteP("r", SeedCentQuantBody,
+        asg = "rasg", corp = "rcorp", nprobe = 4, qPred = RqPred)},
        |rtop AS (SELECT query_id AS qid, neighbor_id AS nid FROM rres
        |         WHERE rank <= 10),
        |${KMeansCte.stripPrefix("WITH ")},
@@ -2014,7 +2051,7 @@ object SparkEntry {
        |kcorp AS (SELECT vec_id, cell FROM kasg WHERE rn = 1),
        |${pqResCteP("k",
         "SELECT cluster AS cell, d // 8 AS s, d % 8 AS w, v FROM c3",
-        asg = "kasg", corp = "kcorp", nprobe = 2)},
+        asg = "kasg", corp = "kcorp", nprobe = 2, qPred = RqPred)},
        |ktop AS (SELECT query_id AS qid, neighbor_id AS nid FROM kres
        |         WHERE rank <= 10),
        |${ivfTop(1)},
@@ -2023,7 +2060,7 @@ object SparkEntry {
        |pqadc AS (SELECT qd.vec_id AS qid, nc.vec_id AS nid,
        |    CAST(sum(qd.dist) AS BIGINT) AS adist
        |  FROM fdist qd JOIN fcodes nc ON qd.s = nc.s AND qd.code = nc.code
-       |  WHERE qd.vec_id < 10 AND nc.vec_id <> qd.vec_id
+       |  WHERE qd.$RqPred AND nc.vec_id <> qd.vec_id
        |  GROUP BY 1, 2),
        |pqb AS (SELECT qid, nid FROM (
        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
@@ -2034,20 +2071,37 @@ object SparkEntry {
        |  JOIN fcodes nc ON qd.s = nc.s AND qd.code = nc.code
        |  JOIN rcorp cc ON cc.vec_id = nc.vec_id
        |  JOIN (SELECT vec_id AS qid2, cell FROM rasg
-       |        WHERE vec_id < 10 AND rn <= 4) qp
+       |        WHERE $RqPred AND rn <= 4) qp
        |    ON qp.qid2 = qd.vec_id AND qp.cell = cc.cell
        |  WHERE nc.vec_id <> qd.vec_id
        |  GROUP BY 1, 2),
        |ipq AS (SELECT qid, nid FROM (
        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
        |      ORDER BY adist, nid) AS rn FROM ipadc) WHERE rn <= 10),
-       |${lshMpCtes("mp_")},
+       |${lshMpCtes("mp_", qPred = s"q.$RqPred")},
        |mtop AS (SELECT qid, nid FROM (
        |    SELECT c.qid, c.nid,
        |      row_number() OVER (PARTITION BY c.qid
        |        ORDER BY x.cos DESC, c.nid) AS rn
        |    FROM mp_cand c JOIN exs x ON x.qid = c.qid AND x.nid = c.nid)
        |  WHERE rn <= 10),
+       |bexs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |    list_cosine_similarity(q.embedding::DOUBLE[],
+       |      c.embedding::DOUBLE[]) AS cos
+       |  FROM embeddings q CROSS JOIN embeddings c
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |bex AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid) AS rn FROM bexs) WHERE rn <= 10),
+       |bivs AS (SELECT pr.qid, c.vec_id AS nid,
+       |    list_cosine_similarity(pr.qv::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+       |  FROM (SELECT vec_id AS qid, embedding AS qv, cell FROM rasg
+       |        WHERE vec_id < 10 AND rn <= 1) pr
+       |  JOIN rcorp c ON pr.cell = c.cell AND c.vec_id <> pr.qid),
+       |biv AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid) AS rn2 FROM bivs)
+       |  WHERE rn2 <= 10),
        |rec AS (
        |  ${rec("ivf_n1", "iv1")}
        |  UNION ALL ${rec("ivf_n2", "iv2")}
@@ -2056,7 +2110,8 @@ object SparkEntry {
        |  UNION ALL ${rec("ivfpq", "ipq")}
        |  UNION ALL ${rec("ivfpq_res", "rtop")}
        |  UNION ALL ${rec("ivfpq_res_km", "ktop")}
-       |  UNION ALL ${rec("lsh_mp", "mtop")})
+       |  UNION ALL ${rec("lsh_mp", "mtop")}
+       |  UNION ALL ${rec("ivf_n1_biased", "biv", ex = "bex")})
        |SELECT method, hits, possible,
        |  hits::DOUBLE / possible AS recall
        |FROM rec""".stripMargin
@@ -2077,9 +2132,11 @@ object SparkEntry {
     * corpus), `${px}csig` (corpus signatures), and `${px}cand`
     * (distinct exclude-self candidate pairs). ONE definition of the
     * probe recipe on the SQL side — q_ann_lsh_mp / q_ann_lsh_layout
-    * rerank it at k = 5, the recall harness intersects it with the
-    * exact top-10. */
-  private def lshMpCtes(px: String): String =
+    * rerank it at k = 5, the recall harness (which swaps `qPred` for
+    * its unbiased md5-rank sample) intersects it with the exact
+    * top-10. */
+  private def lshMpCtes(px: String,
+      qPred: String = "q.vec_id < 10"): String =
     s"""${px}e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |  WHERE embedding IS NOT NULL),
        |${px}t AS (SELECT unnest(range(0, 2)) AS tbl),
@@ -2099,7 +2156,7 @@ object SparkEntry {
        |      FOR d IN range(0, 64)]), 0.0) AS dot
        |  FROM ${px}e q CROSS JOIN ${px}t t
        |  CROSS JOIN (SELECT unnest(range(0, 6)) AS i) u
-       |  WHERE q.vec_id < 10),
+       |  WHERE $qPred),
        |${px}qs AS (SELECT vec_id, tbl,
        |    CAST(coalesce(sum(CASE WHEN dot > 0 THEN 1::BIGINT << i ELSE 0 END), 0)
        |      AS BIGINT) AS base
@@ -2144,7 +2201,9 @@ object SparkEntry {
     s"""WITH samp AS (SELECT doc_id, text FROM documents
        |    WHERE text IS NOT NULL
        |    ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 256),
-       |dd AS (SELECT doc_id, $ToksExpr AS tk FROM samp),
+       |dd AS (SELECT doc_id, tk FROM
+       |    (SELECT doc_id, $ToksExpr AS tk FROM samp)
+       |    WHERE len(tk) >= 1),
        |gg AS (SELECT doc_id, sh FROM (
        |    SELECT doc_id, list_distinct(
        |      [list_aggregate(tk[i:i+2], 'string_agg', ' ')
@@ -2195,6 +2254,13 @@ object SparkEntry {
        |FROM tbl t""".stripMargin
   }
 
+  /** q_ann_advise's replay: the md5-rank query sample, the exact brute
+    * top-5 baseline, BOTH seed quantizers (nlist 8/16), the
+    * integer-Lloyd-TRAINED nlist=8 quantizer (KMeansCte — the
+    * q_ann_ivf_trained training replayed inside the advisor), every
+    * configuration's hit count, and the choice rule itself (min probed
+    * fraction meeting the 0.6 floor; ties to larger nlist, higher
+    * recall, then the trained family). */
   private lazy val AnnAdviseOracle: String = {
     val nlists = Seq(8, 16)
     val nprobes = Seq(1, 2, 4)
@@ -2226,9 +2292,29 @@ object SparkEntry {
          |  WHERE t.rn <= 5) s
          |  JOIN advex ON s.qid = advex.qid AND s.nid = advex.nid)"""
         .stripMargin).mkString(",\n")
-    val rows = (for (nl <- nlists; np <- nprobes) yield
-      s"SELECT $nl AS nlist, $np AS nprobe, " +
-        s"(SELECT hits FROM a${nl}_$np) AS hits").mkString("\n  UNION ALL ")
+    // trained-quantizer legs: KMeansCte's c3 centroids (k=8, 3 integer
+    // Lloyd iterations — q_ann_ivf_trained's training) as cosine cells
+    val trainedLegs = nprobes.map { np =>
+      s"""t8_$np AS (SELECT count(*) AS hits FROM (
+         |  SELECT t.qid, t.nid FROM (
+         |    SELECT pr.qid, c.vec_id AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY pr.qid ORDER BY
+         |        list_cosine_similarity(pr.qv, c.embedding::DOUBLE[]) DESC,
+         |        c.vec_id) AS rn
+         |    FROM (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, cell
+         |          FROM tkasg WHERE rn <= $np
+         |            AND vec_id IN (SELECT vec_id FROM advq)) pr
+         |    JOIN tkcorp c ON pr.cell = c.cell AND c.vec_id <> pr.qid) t
+         |  WHERE t.rn <= 5) s
+         |  JOIN advex ON s.qid = advex.qid AND s.nid = advex.nid)"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = ((for (nl <- nlists; np <- nprobes) yield
+      s"SELECT 'seed' AS quantizer, $nl AS nlist, $np AS nprobe, " +
+        s"(SELECT hits FROM a${nl}_$np) AS hits") ++
+      nprobes.map(np =>
+        s"SELECT 'kmeans' AS quantizer, 8 AS nlist, $np AS nprobe, " +
+          s"(SELECT hits FROM t8_$np) AS hits")).mkString("\n  UNION ALL ")
     s"""WITH advq AS (SELECT vec_id FROM (
        |    SELECT vec_id, md5(vec_id::VARCHAR) AS r FROM embeddings
        |    WHERE embedding IS NOT NULL ORDER BY r, vec_id LIMIT 8)),
@@ -2242,17 +2328,30 @@ object SparkEntry {
        |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
        |      ORDER BY cos DESC, nid) AS rn FROM advexs) WHERE rn <= 5),
        |$quantizers,
+       |${KMeansCte.stripPrefix("WITH ")},
+       |tkcent AS (SELECT cluster AS cell, list(v::DOUBLE ORDER BY d) AS cv
+       |           FROM c3 GROUP BY cluster),
+       |tkasg AS (SELECT e.vec_id, e.embedding, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+       |               c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN tkcent c
+       |  WHERE e.embedding IS NOT NULL),
+       |tkcorp AS (SELECT vec_id, embedding, cell FROM tkasg WHERE rn = 1),
        |$legs,
+       |$trainedLegs,
        |tbl AS ($rows),
-       |res AS (SELECT nlist, nprobe,
+       |res AS (SELECT quantizer, nlist, nprobe,
        |    hits::DOUBLE / (SELECT count(*) FROM advex) AS recall FROM tbl),
-       |ch AS (SELECT nlist, nprobe FROM res WHERE recall >= 0.6
-       |       ORDER BY nprobe::DOUBLE / nlist ASC, nlist DESC, recall DESC
+       |ch AS (SELECT quantizer, nlist, nprobe FROM res WHERE recall >= 0.6
+       |       ORDER BY nprobe::DOUBLE / nlist ASC, nlist DESC, recall DESC,
+       |         quantizer ASC
        |       LIMIT 1)
-       |SELECT r.nlist, r.nprobe, r.recall,
+       |SELECT r.quantizer, r.nlist, r.nprobe, r.recall,
        |  (CASE WHEN c.nlist IS NOT NULL THEN 1 ELSE 0 END) AS chosen
        |FROM res r LEFT JOIN ch c
-       |  ON r.nlist = c.nlist AND r.nprobe = c.nprobe""".stripMargin
+       |  ON r.quantizer = c.quantizer AND r.nlist = c.nlist
+       |    AND r.nprobe = c.nprobe""".stripMargin
   }
 
   /** Shared cosine cell assignment (nlist = 16 seed centroids): corpus
@@ -2278,12 +2377,16 @@ object SparkEntry {
     * scan (`rres`). Assumes `pqpts`/`pqseeds` (from PqCte) and
     * `rasg`/`rcorp` (from IvfCellCte) are in scope.
     */
-  private val PqResCte: String = pqResCteP("r",
+  /** Quantized nlist=16 seed centroids as (cell, s, w, v) — the `cqBody`
+    * both residual instantiations over [[IvfCellCte]]'s cells share. */
+  private val SeedCentQuantBody: String =
     """SELECT cell, d // 8 AS s, d % 8 AS w,
       |    CAST(floor(x::DOUBLE * 1048576) AS BIGINT) AS v
       |  FROM (SELECT vec_id AS cell, unnest(range(0, len(embedding))) AS d,
       |          unnest(embedding) AS x
-      |        FROM embeddings WHERE vec_id < 16)""".stripMargin,
+      |        FROM embeddings WHERE vec_id < 16)""".stripMargin
+
+  private val PqResCte: String = pqResCteP("r", SeedCentQuantBody,
     asg = "rasg", corp = "rcorp", nprobe = 4)
 
   /** Parameterized residual-PQ replay: every CTE name carries prefix
@@ -2291,9 +2394,12 @@ object SparkEntry {
     * cells — the `ivfpq_res` / `ivfpq_res_km` recall legs) coexist in
     * one statement. `cqBody` yields the quantized coarse centroids as
     * (cell, s, w, v); `asg`/`corp` name the cell-rank and corpus-cell
-    * CTEs in scope; assumes `pqpts`/`pqseeds` from PqCte. */
+    * CTEs in scope; `qPred` selects the query ids (the recall harness
+    * swaps in its unbiased md5-rank sample); assumes `pqpts`/`pqseeds`
+    * from PqCte. */
   private def pqResCteP(p: String, cqBody: String, asg: String,
-                        corp: String, nprobe: Int): String = {
+                        corp: String, nprobe: Int,
+                        qPred: String = "vec_id < 10"): String = {
     val iters = (1 to 2).map { i =>
       val prev = s"${p}cb${i - 1}"
       s"""${p}pdist$i AS (SELECT p.vec_id, c.s, c.code,
@@ -2329,7 +2435,7 @@ object SparkEntry {
        |${p}qlut AS (SELECT qp.qid, qp.cell, c.s, c.code,
        |    sum((p.q - cq.v - c.v) * (p.q - cq.v - c.v)) AS dist
        |  FROM (SELECT vec_id AS qid, cell FROM $asg
-       |        WHERE vec_id < 10 AND rn <= $nprobe) qp
+       |        WHERE ($qPred) AND rn <= $nprobe) qp
        |  JOIN pqpts p ON p.vec_id = qp.qid
        |  JOIN ${p}cq cq ON cq.cell = qp.cell AND cq.s = p.s AND cq.w = p.w
        |  JOIN ${p}cb2 c ON c.s = p.s AND c.w = p.w

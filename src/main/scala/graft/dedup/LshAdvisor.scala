@@ -111,6 +111,12 @@ object LshAdvisor {
     // AND the signature computation
     val grams = sampled
       .select(col("id"), Shingles.tokens(col("__text")).as("tk"))
+      // zero-token docs (whitespace-only text) are dropped BEFORE
+      // shingling: the sliding-window gram over an empty token array
+      // yields a single "" shingle, which would make two blank docs an
+      // exact dup pair (Jaccard 1) — and diverge from engines whose
+      // list-aggregate over an empty slice is NULL (the DuckDB oracle)
+      .filter(size(col("tk")) >= 1)
       // tokens staged first: the sliding-window lambda re-evaluates a
       // non-column input per gram (Shingles.wordNGramsFromTokens doc)
       .select(col("id"),

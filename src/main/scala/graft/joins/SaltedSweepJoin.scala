@@ -144,39 +144,82 @@ object SaltedSweepJoin {
            targetRowsPerTask: Long = 0L,
            slicesCap: Int = 32,
            maxHotKeys: Int = 10000,
-           nullSafeKeys: Boolean = false): DataFrame = {
+           nullSafeKeys: Boolean = false): DataFrame =
+    autoProbed(left, right, leftOn, rightOn, leftSpec, rightSpec,
+      dangerL = None, dangerR = None, keep, rightOrderCol, minHotRows,
+      targetRowsPerTask, slicesCap, maxHotKeys, nullSafeKeys)
+      .getOrElse(throw new IllegalStateException(
+        "autoProbed returned danger with no danger predicates"))
+
+  /** [[auto]] with an existence probe FOLDED INTO the stats pass: when
+    * `dangerL`/`dangerR` are given, the same single aggregation that
+    * detects hot keys also answers "does any input row satisfy the
+    * danger predicate?" — and the call returns `None` instead of a
+    * result when one does. This exists for the rule-planned dispatch
+    * ([[org.apache.spark.sql.graft.AutoSaltedSweepDispatchExec]]),
+    * whose semantics guard (rows the operator ingress filter drops but
+    * the raw conjuncts can match) previously cost a SEPARATE existence
+    * scan of both inputs before this method's stats scan — the two
+    * input passes fold to one. The danger branch wastes the stats
+    * aggregation, but that branch abandons the operator chain anyway
+    * (the caller re-plans as the raw sweep) and is the rare case by
+    * construction.
+    *
+    * Each danger predicate is evaluated against its ORIGINAL side
+    * (pre-validity-filter — danger rows are exactly rows the validity
+    * filter would drop); per-key stats are masked to valid rows, so the
+    * slicing decisions are identical to [[auto]]'s.
+    */
+  def autoProbed(left: DataFrame, right: DataFrame,
+           leftOn: Seq[String], rightOn: Seq[String],
+           leftSpec: IntervalSpec, rightSpec: IntervalSpec,
+           dangerL: Option[Column], dangerR: Option[Column],
+           keep: String = "all",
+           rightOrderCol: Option[String] = None,
+           minHotRows: Long = 65536L,
+           targetRowsPerTask: Long = 0L,
+           slicesCap: Int = 32,
+           maxHotKeys: Int = 10000,
+           nullSafeKeys: Boolean = false): Option[DataFrame] = {
     checkArgs(leftOn, rightOn, leftSpec, rightSpec, slices = 2)
     require(left.columns.map(_.toLowerCase).toSet
         .intersect(right.columns.map(_.toLowerCase).toSet).isEmpty,
       "auto needs disjoint column names across sides (the sweep requires " +
         "it anyway; right-side slicing re-projects by name)")
 
-    val lValid = left.filter(graft.core.Intervals.nonEmpty(left, leftSpec))
-    val rValid = right.filter(graft.core.Intervals.nonEmpty(right, rightSpec))
-
-    // one pass, both sides: per-key counts + slicing stats per side
-    val lTagged = lValid.select(
-      (leftOn.map(col) :+ lit(0).as("__ss_side") :+
-        metric(left, leftSpec.start.get).as("__ss_s") :+
-        (metric(left, leftSpec.stop.get) -
-          metric(left, leftSpec.start.get)).as("__ss_dur")): _*)
-    val rTagged = rValid.select(
-      (rightOn.zip(leftOn).map { case (rc, lc) => col(rc).as(lc) } :+
-        lit(1).as("__ss_side") :+
-        metric(right, rightSpec.start.get).as("__ss_s") :+
-        (metric(right, rightSpec.stop.get) -
-          metric(right, rightSpec.start.get)).as("__ss_dur")): _*)
+    // one pass, both sides, UNFILTERED inputs: per-key counts + slicing
+    // stats per side (masked to validity-passing rows — identical
+    // numbers to aggregating the filtered sides) + the danger flag
+    def tagged(df: DataFrame, on: Seq[Column], spec: IntervalSpec,
+        side: Int, danger: Option[Column]): DataFrame = {
+      val valid = graft.core.Intervals.nonEmpty(df, spec)
+      df.select(
+        (on :+ lit(side).as("__ss_side") :+
+          when(valid, metric(df, spec.start.get)).as("__ss_s") :+
+          when(valid, metric(df, spec.stop.get) -
+            metric(df, spec.start.get)).as("__ss_dur") :+
+          coalesce(danger.getOrElse(lit(false)), lit(false))
+            .as("__ss_dgr")): _*)
+    }
+    val lTagged = tagged(left, leftOn.map(col), leftSpec, 0, dangerL)
+    val rTagged = tagged(right,
+      rightOn.zip(leftOn).map { case (rc, lc) => col(rc).as(lc) },
+      rightSpec, 1, dangerR)
     def sideAgg(side: Int, c: Column => Column): Column =
       c(when(col("__ss_side") === side, col("__ss_s")))
+    def validCount(side: Int): Column = sum(
+      when(col("__ss_side") === side && col("__ss_s").isNotNull, 1L)
+        .otherwise(0L))
     val stats = lTagged.unionByName(rTagged)
       .groupBy(leftOn.map(col): _*)
       .agg(
-        sum(when(col("__ss_side") === 0, 1L).otherwise(0L)).as("__ss_nl"),
-        sum(when(col("__ss_side") === 1, 1L).otherwise(0L)).as("__ss_nr"),
+        validCount(0).as("__ss_nl"),
+        validCount(1).as("__ss_nr"),
         sideAgg(0, min).as("__ss_lmn"), sideAgg(0, max).as("__ss_lmx"),
         max(when(col("__ss_side") === 0, col("__ss_dur"))).as("__ss_ld"),
         sideAgg(1, min).as("__ss_rmn"), sideAgg(1, max).as("__ss_rmx"),
-        max(when(col("__ss_side") === 1, col("__ss_dur"))).as("__ss_rd"))
+        max(when(col("__ss_side") === 1, col("__ss_dur"))).as("__ss_rd"),
+        max(col("__ss_dgr")).as("__ss_anydgr"))
 
     val parallelism = math.max(1, left.sparkSession.sparkContext.defaultParallelism)
     // derived threshold needs the totals — fold them into the same
@@ -184,7 +227,9 @@ object SaltedSweepJoin {
     // totals are two cheap selects on the SAME shuffled stats frame
     // (reused scan, no extra pass over the data)
     val statsCk = stats.localCheckpoint()
-    val totals = statsCk.agg(sum("__ss_nl"), sum("__ss_nr")).head()
+    val totals = statsCk
+      .agg(sum("__ss_nl"), sum("__ss_nr"), max("__ss_anydgr")).head()
+    if (!totals.isNullAt(2) && totals.getBoolean(2)) return None
     val (totL, totR) =
       (if (totals.isNullAt(0)) 0L else totals.getLong(0),
         if (totals.isNullAt(1)) 0L else totals.getLong(1))
@@ -202,9 +247,9 @@ object SaltedSweepJoin {
       s"more than $maxHotKeys keys exceed the derived hot threshold " +
         s"$threshold — that is not skew; repartition or raise minHotRows")
     if (hotRows.isEmpty)
-      return SweepJoin(left, right, leftOn, rightOn, leftSpec, rightSpec,
-        nullSafeKeys = nullSafeKeys, keep = keep,
-        rightOrderCol = rightOrderCol)
+      return Some(SweepJoin(left, right, leftOn, rightOn, leftSpec,
+        rightSpec, nullSafeKeys = nullSafeKeys, keep = keep,
+        rightOrderCol = rightOrderCol))
 
     val hotL = hotRows.map(_.getLong(hotRows.head.fieldIndex("__ss_nl"))).sum
     val hotR = hotRows.map(_.getLong(hotRows.head.fieldIndex("__ss_nr"))).sum
@@ -224,9 +269,10 @@ object SaltedSweepJoin {
         (leftOn.zip(rightOn).map { case (lc, rc) => col(lc).as(rc) } :+
           col("__ss_rmn").as("__ss_mn") :+ col("__ss_rmx").as("__ss_mx") :+
           col("__ss_rd").as("__ss_d")): _*)
-      salted(right, left, rightOn, leftOn, rightSpec, leftSpec, hot, slices,
-        keep = "all", rightOrderCol = None, nullSafeKeys = nullSafeKeys)
-        .select((left.columns ++ right.columns).map(col): _*)
+      Some(salted(right, left, rightOn, leftOn, rightSpec, leftSpec, hot,
+        slices, keep = "all", rightOrderCol = None,
+        nullSafeKeys = nullSafeKeys)
+        .select((left.columns ++ right.columns).map(col): _*))
     } else {
       val hot = hotAll
         .filter(finite(col("__ss_lmn")) && finite(col("__ss_lmx")) &&
@@ -235,8 +281,8 @@ object SaltedSweepJoin {
         (leftOn.map(col) :+
           col("__ss_lmn").as("__ss_mn") :+ col("__ss_lmx").as("__ss_mx") :+
           col("__ss_ld").as("__ss_d")): _*)
-      salted(left, right, leftOn, rightOn, leftSpec, rightSpec, hot, slices,
-        keep, rightOrderCol, nullSafeKeys)
+      Some(salted(left, right, leftOn, rightOn, leftSpec, rightSpec, hot,
+        slices, keep, rightOrderCol, nullSafeKeys))
     }
   }
 

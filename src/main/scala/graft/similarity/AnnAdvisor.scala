@@ -19,9 +19,16 @@ import org.apache.spark.sql.functions._
   * Everything follows the repo determinism contract: the query sample
   * is the md5-rank bottom `sampleQueries` ids (engine-portable, no
   * RNG), the coarse quantizers are the deterministic seed models
-  * ([[IvfAnn.fit]] — smallest-id vectors), and recall counts are exact
-  * integers, so the advice is reproducible bit-for-bit under any
-  * partitioning.
+  * ([[IvfAnn.fit]] — smallest-id vectors) plus, for each entry in
+  * `trainedNlists`, the integer-Lloyd-TRAINED quantizer
+  * ([[KMeans.fit]] — `q_ann_ivf_trained`'s production path, equally
+  * deterministic: fixed-point training is bit-identical in any
+  * engine), and recall counts are exact integers, so the advice is
+  * reproducible bit-for-bit under any partitioning. Without the
+  * trained candidates the advisor could only pick among seed
+  * quantizers while the repo's own recall analysis says trained cells
+  * are the production floor — the decision procedure must be able to
+  * choose the thing the analysis recommends.
   *
   * Cost/scale posture: ONE exact brute pass over (sample × corpus) —
   * the ground truth every candidate shares — then one probed search
@@ -32,8 +39,9 @@ import org.apache.spark.sql.functions._
   */
 object AnnAdvisor {
 
-  /** One measured configuration. */
-  final case class Measured(nlist: Int, nprobe: Int,
+  /** One measured configuration; `quantizer` is "seed" ([[IvfAnn.fit]])
+    * or "kmeans" (integer-Lloyd-trained cells). */
+  final case class Measured(quantizer: String, nlist: Int, nprobe: Int,
       recall: Double, probedFraction: Double)
 
   /** The advice: the winning configuration plus the full measured
@@ -42,10 +50,14 @@ object AnnAdvisor {
   final case class Advice(chosen: Option[Measured], table: Seq[Measured])
 
   /** @param recallFloor   minimum acceptable recall@k (0, 1]
-    * @param nlists        candidate cell counts (each must be ≤ corpus)
+    * @param nlists        candidate SEED cell counts (each ≤ corpus)
     * @param nprobes       candidate probe counts; per nlist only values
-    *                      ≤ nlist are measured
+    *                      ≤ nlist are measured (shared by both families)
     * @param sampleQueries deterministic query-sample size
+    * @param trainedNlists cell counts to ALSO measure with the
+    *                      integer-Lloyd-trained quantizer (empty = seed
+    *                      only, the pre-round-12 behavior)
+    * @param trainedIters  Lloyd iterations for the trained candidates
     */
   def advise(
       corpus: DataFrame,
@@ -55,7 +67,9 @@ object AnnAdvisor {
       recallFloor: Double,
       nlists: Seq[Int] = Seq(8, 16, 32),
       nprobes: Seq[Int] = Seq(1, 2, 4, 8),
-      sampleQueries: Int = 16): Advice = {
+      sampleQueries: Int = 16,
+      trainedNlists: Seq[Int] = Nil,
+      trainedIters: Int = 3): Advice = {
     require(k > 0 && sampleQueries > 0, "k > 0, sampleQueries > 0")
     require(recallFloor > 0 && recallFloor <= 1, "recallFloor in (0, 1]")
     require(nlists.nonEmpty && nprobes.nonEmpty, "need candidates")
@@ -77,20 +91,38 @@ object AnnAdvisor {
     val possible = exact.count()
     require(possible > 0, "empty ground truth — corpus too small for k")
 
-    val table = for {
-      nlist <- nlists.sorted
-      model = IvfAnn.fit(base, idCol, vecCol, nlist = nlist)
-      np <- nprobes.sorted if np <= nlist
-    } yield {
+    def measure(quantizer: String, nlist: Int, model: IvfAnn.Model,
+        np: Int): Measured = {
       val hits = IvfAnn.search(base, queries, idCol, vecCol, k = k,
           model, nprobe = np)
         .select(col("query_id"), col("neighbor_id"))
         .join(exact, Seq("query_id", "neighbor_id"))
         .count()
-      Measured(nlist, np, hits.toDouble / possible, np.toDouble / nlist)
+      Measured(quantizer, nlist, np,
+        hits.toDouble / possible, np.toDouble / nlist)
     }
+    val seedRows = for {
+      nlist <- nlists.sorted
+      model = IvfAnn.fit(base, idCol, vecCol, nlist = nlist)
+      np <- nprobes.sorted if np <= nlist
+    } yield measure("seed", nlist, model, np)
+    val trainedRows = for {
+      nlist <- trainedNlists.sorted
+      // integer Lloyd (bit-replayable; cosine is scale-invariant so the
+      // fixed-point centroids feed the cosine quantizer directly — the
+      // q_ann_ivf_trained spelling)
+      model = IvfAnn.Model(
+        KMeans.fit(base, idCol, vecCol, k = nlist, iters = trainedIters)
+          ._1.centroids.map(_.map(_.toDouble)))
+      np <- nprobes.sorted if np <= nlist
+    } yield measure("kmeans", nlist, model, np)
+    val table = seedRows ++ trainedRows
+    // choice rule unchanged: cheapest probed fraction meeting the
+    // floor, ties to larger nlist then higher recall; the one NEW
+    // tiebreak (exact tie across families) prefers the trained
+    // quantizer ("kmeans" < "seed" — the production floor)
     val chosen = table.filter(_.recall >= recallFloor)
-      .sortBy(m => (m.probedFraction, -m.nlist, -m.recall))
+      .sortBy(m => (m.probedFraction, -m.nlist, -m.recall, m.quantizer))
       .headOption
     Advice(chosen, table)
   }

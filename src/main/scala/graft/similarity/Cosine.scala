@@ -128,6 +128,22 @@ object CosineTopK {
   */
 object LshAnn {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Dimension of the vector column, probed from the first NON-NULL row
+    * (fixtures do contain null embeddings; `Row.getInt` on `size(null)`
+    * would NPE if the null happened to sort first). One tiny job —
+    * constant per dataset. Fails loudly when every row is null: there is
+    * no dimension to learn and every downstream signature would be null.
+    */
+  private def vecDim(df: DataFrame, vecCol: String): Int = {
+    val rows = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1)
+    require(rows.nonEmpty,
+      s"cannot infer vector dimension: column '$vecCol' is null in every row")
+    rows(0).getInt(0)
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1) for
     * (table, bit, dimension) — computed DRIVER-side and shipped as
     * literal arrays, so executors do plain multiply-adds instead of
@@ -182,8 +198,7 @@ object LshAnn {
       numTables: Int = 4,
       threshold: Double = 0.9): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // one tiny job to learn the dimension (constant per dataset)
-    val dim = base.select(size(col("v"))).first().getInt(0)
+    val dim = vecDim(base, "v")
     // all tables' signatures in ONE scan (posexplode), not per-table unions
     val sigs = base
       .select(col("id"), posexplode(signatures(col("v"), numBits, numTables, dim)))
@@ -253,7 +268,7 @@ object LshAnn {
       s"bad shape k=$k numBits=$numBits numTables=$numTables")
     require(multiProbe >= 0 && multiProbe <= numBits,
       s"multiProbe=$multiProbe must be in [0, numBits=$numBits]")
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val dim = vecDim(corpus, vecCol)
     // corpus bucketed once per table — one native signature pass; THE
     // corpus-proportional side (at lake scale: persisted, appended to —
     // [[writeIndex]]/[[searchIndex]])
@@ -351,7 +366,7 @@ object LshAnn {
       numTables: Int = 4): Unit = {
     require(numBits >= 1 && numBits <= 62 && numTables >= 1,
       s"bad shape numBits=$numBits numTables=$numTables")
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val dim = vecDim(corpus, vecCol)
     graft.sources.Layout.writePartitioned(
       bucketedCorpus(corpus, idCol, vecCol, numBits, numTables, dim),
       path, partitionBy = Seq("tbl", "sig"), sortBy = Seq("neighbor_id"))
@@ -371,8 +386,10 @@ object LshAnn {
   private val MetaFile = "_graft_lsh_meta.json"
 
   /** Fails loudly when a [[writeIndex]] sidecar disagrees with the
-    * caller's parameters; indexes written before the sidecar existed
-    * (no file) pass through. */
+    * caller's parameters. A degraded check (pre-sidecar index with no
+    * file, or a corrupt/hand-edited sidecar) passes through — but WARNS,
+    * so the silent near-empty-result failure mode the sidecar exists to
+    * prevent is at least visible in the logs. */
   private def checkIndexMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, numBits: Int, numTables: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, MetaFile)
@@ -390,9 +407,15 @@ object LshAnn {
             s"index at $path was written with numBits=$b numTables=$t; " +
               s"searched with numBits=$numBits numTables=$numTables — " +
               "signatures live in different spaces")
-        case _ => // unreadable sidecar: fall through (best-effort check)
+        case _ => log.warn(
+          s"LSH index sidecar $p exists but is unparseable — parameter " +
+            s"check SKIPPED; a (numBits, numTables) mismatch would return " +
+            "near-empty results silently")
       }
-    }
+    } else log.warn(
+      s"LSH index at $path has no $MetaFile sidecar (pre-sidecar index?) " +
+        "— parameter check SKIPPED; a (numBits, numTables) mismatch " +
+        "would return near-empty results silently")
   }
 
   /** Multi-probe top-k over a persisted [[writeIndex]] layout. The probe
@@ -419,7 +442,7 @@ object LshAnn {
     require(multiProbe >= 0 && multiProbe <= numBits,
       s"multiProbe=$multiProbe must be in [0, numBits=$numBits]")
     checkIndexMeta(spark, path, numBits, numTables)
-    val dim = queries.select(size(col(vecCol))).first().getInt(0)
+    val dim = vecDim(queries, vecCol)
     val qprobes = probeFrame(queries, idCol, vecCol,
       numBits, numTables, multiProbe, dim)
       .localCheckpoint(true) // consumed twice: probe collect + the join

@@ -173,19 +173,22 @@ case class AutoSaltedSweepDispatchExec(@transient join: AutoSaltedSweepJoin)
     val rSpec = IntervalSpec(Some(rsName), Some(reName),
       join.rClosedStart, join.rClosedEnd)
 
-    // one existence probe over both sides: any non-null-endpoint EMPTY
-    // interval anywhere -> the operator chain's ingress filter would
-    // drop rows the raw conjuncts can match -> fall back. For closed
-    // point probes the full probe is provably redundant EXCEPT for NaN
-    // left endpoints under floating types (see
-    // [[AutoSaltedSweepJoin.closedPointProbe]]): integral/date/
-    // timestamp probes skip entirely (the common as-of shape pays zero
-    // extra scans beyond auto's own stats pass); float/double probes
-    // pay one cheap left-only NaN existence scan.
+    // semantics probe, FOLDED into the stats pass (round 12 — was a
+    // separate existence scan of both inputs, i.e. the inputs were read
+    // twice before the join): any non-null-endpoint EMPTY interval
+    // anywhere -> the operator chain's ingress filter would drop rows
+    // the raw conjuncts can match -> autoProbed returns None and the
+    // dispatch falls back. For closed point probes the full probe is
+    // provably redundant EXCEPT for NaN left endpoints under floating
+    // types (see [[AutoSaltedSweepJoin.closedPointProbe]]):
+    // integral/date/timestamp probes fold in nothing (the common as-of
+    // shape pays zero checks beyond auto's own stats pass);
+    // float/double probes fold a left-only NaN check into the same
+    // aggregation.
     def dangerCol(df: DataFrame, spec: IntervalSpec) =
       not(Intervals.nonEmpty(df, spec)) &&
         col(spec.start.get).isNotNull && col(spec.stop.get).isNotNull
-    val hasDanger =
+    val (dangerL, dangerR) =
       if (join.closedPointProbe) {
         import org.apache.spark.sql.functions.isnan
         import org.apache.spark.sql.types.{DoubleType, FloatType}
@@ -193,36 +196,42 @@ case class AutoSaltedSweepDispatchExec(@transient join: AutoSaltedSweepJoin)
           join.lStart.dataType -> lsName, join.lEnd.dataType -> leName)
           .collect { case (t, n) if t == DoubleType || t == FloatType =>
             isnan(col(n)) }
-        join.leftEndpointsFloating &&
-          lDf.filter(nanChecks.reduce(_ || _)).limit(1).count() > 0
+        (if (join.leftEndpointsFloating) Some(nanChecks.reduce(_ || _))
+         else None,
+          None)
       } else {
-        lDf.select(dangerCol(lDf, lSpec).as("d"))
-          .unionByName(rDf.select(dangerCol(rDf, rSpec).as("d")))
-          .filter(col("d")).limit(1).count() > 0
+        (Some(dangerCol(lDf, lSpec)), Some(dangerCol(rDf, rSpec)))
       }
 
-    if (hasDanger) {
-      // exact fallback: the raw sweep node over the ORIGINAL plans —
-      // conjunct-exact semantics; a pruned requiredOutput becomes a
-      // Project over the raw node (same boundary width both paths)
-      val raw = join.toRawSweep
-      val rawPlan: LogicalPlan =
-        if (output.length == raw.output.length) raw else Project(output, raw)
-      SweepPlanBuilder.ofRows(spark, rawPlan).queryExecution.toRdd
-    } else {
-      val res = graft.joins.SaltedSweepJoin.auto(lDf, rDf,
-        lKeyNames, rKeyNames,
-        lSpec, rSpec, nullSafeKeys = join.matchNullKeys)
-      // positional re-projection pruned to this node's declared output:
-      // ordinals (and types) line up attribute-for-attribute, and only
-      // the columns the parent consumes cross the leaf-exec boundary
-      val synthName: Map[Long, String] =
-        (join.left.output.zipWithIndex.map { case (a, i) =>
-          a.exprId.id -> s"__asl_c$i" } ++
-          join.right.output.zipWithIndex.map { case (a, i) =>
-            a.exprId.id -> s"__asr_c$i" }).toMap
-      val outNames = output.map(a => synthName(a.exprId.id))
-      res.select(outNames.map(col): _*).queryExecution.toRdd
+    graft.joins.SaltedSweepJoin.autoProbed(lDf, rDf,
+      lKeyNames, rKeyNames, lSpec, rSpec,
+      dangerL = dangerL, dangerR = dangerR,
+      nullSafeKeys = join.matchNullKeys) match {
+      case None =>
+        // exact fallback: the raw sweep node over the ORIGINAL plans —
+        // conjunct-exact semantics; a pruned requiredOutput becomes a
+        // Project over the raw node (same boundary width both paths)
+        val raw = join.toRawSweep
+        val rawPlan: LogicalPlan =
+          if (output.length == raw.output.length) raw
+          else Project(output, raw)
+        SweepPlanBuilder.ofRows(spark, rawPlan).queryExecution.toRdd
+      case Some(res) =>
+        // positional re-projection pruned to this node's declared
+        // output: ordinals (and types) line up attribute-for-attribute,
+        // and only the columns the parent consumes cross the leaf-exec
+        // boundary. When the declared output IS the nested result —
+        // full width, bare-column keys/endpoints (no extra alias
+        // columns) — the projection is skipped outright: no per-match-
+        // row copy at the boundary.
+        val synthName: Map[Long, String] =
+          (join.left.output.zipWithIndex.map { case (a, i) =>
+            a.exprId.id -> s"__asl_c$i" } ++
+            join.right.output.zipWithIndex.map { case (a, i) =>
+              a.exprId.id -> s"__asr_c$i" }).toMap
+        val outNames = output.map(a => synthName(a.exprId.id))
+        if (outNames == res.columns.toSeq) res.queryExecution.toRdd
+        else res.select(outNames.map(col): _*).queryExecution.toRdd
     }
   }
 }

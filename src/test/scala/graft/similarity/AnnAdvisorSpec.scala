@@ -57,6 +57,24 @@ class AnnAdvisorSpec extends SparkSuite {
     assert(a.chosen == b.chosen)
   }
 
+  test("trained candidates are measured beside the seed family") {
+    val a = AnnAdvisor.advise(corpus, "vec_id", "embedding", k = 5,
+      recallFloor = 0.9, nlists = Seq(4), nprobes = Seq(1, 2),
+      sampleQueries = 10, trainedNlists = Seq(4))
+    assert(a.table.count(_.quantizer == "seed") == 2)
+    assert(a.table.count(_.quantizer == "kmeans") == 2)
+    // the trained quantizer's cells converge to the cluster means on
+    // the separated fixture: one probe must already meet the floor
+    val k1 = a.table
+      .find(m => m.quantizer == "kmeans" && m.nprobe == 1)
+      .getOrElse(fail(s"no kmeans nprobe=1 row: ${a.table}"))
+    assert(k1.recall >= 0.9, s"trained one-probe recall too low: $k1")
+    // the chosen row qualifies and is minimal across BOTH families
+    val c = a.chosen.getOrElse(fail("nothing met the floor"))
+    assert(a.table.filter(_.recall >= 0.9)
+      .forall(_.probedFraction >= c.probedFraction))
+  }
+
   test("impossible floor: chosen is None, the table still reports") {
     val a = AnnAdvisor.advise(corpus, "vec_id", "embedding", k = 5,
       recallFloor = 1.0, nlists = Seq(4), nprobes = Seq(1),
