@@ -862,59 +862,70 @@ object SparkEntry {
     * (doc × pack) overlap rows — every stage's membership and the
     * packing boundaries all feed the hash, so any drift anywhere in the
     * chain fails the oracle. */
+  /** q_pipeline5's gate stages 1-6 (everything that DROPS rows; 7-8 are
+    * transforms), shared with [[q_funnel_pipeline]]: returns the input
+    * corpus `d0` and the ordered (name, surviving frame) list. */
+  private def pipeline5Stages(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(String, DataFrame)]) = {
+    import s.implicits._
+    val raw = docs(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val d0 = raw.unionByName(
+      raw.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+    // 1 ── quality gate
+    val q1 = QualityFilter.keep(d0, "text",
+      QualityFilter.GopherThresholds(
+        minTokens = 12, maxTokens = 1000,
+        minMeanLen = 2.5, maxMeanLen = 6.0, minStopwords = 1))
+    // 2 ── URL blocklist
+    val blocked = Seq("site.co.uk", "cdn.media.org", "news.com")
+      .toDF("entry")
+    val q2 = graft.text.UrlFilter(
+      q1.withColumn("url", synUrl(col("doc_id"))), "url",
+      blocked, "entry").drop("url")
+    // 3 ── exact dedup survivors
+    val q3 = ExactDedup.survivors(q2, Seq("text"), "doc_id")
+      .localCheckpoint(false)
+    // 4 ── anchor2 near-dup canonicals (+ observed recall loss)
+    val pairs = MinHashDedup(q3, "text", "doc_id",
+      numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.8,
+      pairing = "anchor2", observeDropped = Some("graft_p5_minhash"))
+    val q4 = DuplicateClusters(q3, "doc_id", pairs, "id_l", "id_r")
+      .filter(col("is_canonical") === 1)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // 5 ── SemDedup on the survivors' embeddings
+    val e5 = emb(s, dir).join(
+      q4.select((col("doc_id") % 100000L).as("__p5_k")),
+      col("vec_id") === col("__p5_k"), "left_semi")
+    val model = IvfAnn.fit(e5, "vec_id", "embedding", nlist = 8)
+    val semCanon = SemDedup(e5, "vec_id", "embedding", model,
+      threshold = 0.3)
+      .filter(col("is_canonical") === 1).select(col("vec_id"))
+    val q5 = q4.join(semCanon,
+      col("doc_id") % 100000L === col("vec_id"), "left_semi")
+    // 6 ── decontamination gate (eval = raw corpus, doc_id % 50 = 0).
+    // 4-grams, not q_contamination's 3-grams: the eval gram set grows
+    // with the corpus, and at sf0.1 the 3-gram overlap rate (mean
+    // frac 0.17) would flunk ~97% of survivors — the whole chain
+    // downstream of this gate would be empty. 4-grams filter at
+    // every scale tested (drops 2/490 at sf0.01, 88/4900 at sf0.1)
+    // without zeroing the corpus.
+    val keys = graft.text.Contamination.evalGramKeys(
+      raw.filter(col("doc_id") % 50 === 0), "text", n = 4)
+    val q6 = graft.text.Contamination.perRow(
+      q5.filter(col("doc_id") % 50 =!= 0), "text", keys, n = 4)
+      .filter(col("contamination_frac") <= 0.05)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .localCheckpoint(false)
+    (d0, Seq("quality" -> q1, "url_blocklist" -> q2, "exact_dedup" -> q3,
+      "neardup_cluster" -> q4, "semdedup" -> q5, "decontamination" -> q6))
+  }
+
   private val q_pipeline5: (SparkSession, String) => DataFrame =
     (s, dir) => {
-      import s.implicits._
-      val raw = docs(s, dir)
-        .select(col("doc_id"), col("text"), col("lang"), col("source"))
-      val d0 = raw.unionByName(
-        raw.filter(col("doc_id") % 7 === 0)
-          .withColumn("doc_id", col("doc_id") + 100000L))
-      // 1 ── quality gate
-      val q1 = QualityFilter.keep(d0, "text",
-        QualityFilter.GopherThresholds(
-          minTokens = 12, maxTokens = 1000,
-          minMeanLen = 2.5, maxMeanLen = 6.0, minStopwords = 1))
-      // 2 ── URL blocklist
-      val blocked = Seq("site.co.uk", "cdn.media.org", "news.com")
-        .toDF("entry")
-      val q2 = graft.text.UrlFilter(
-        q1.withColumn("url", synUrl(col("doc_id"))), "url",
-        blocked, "entry").drop("url")
-      // 3 ── exact dedup survivors
-      val q3 = ExactDedup.survivors(q2, Seq("text"), "doc_id")
-        .localCheckpoint(false)
-      // 4 ── anchor2 near-dup canonicals (+ observed recall loss)
-      val pairs = MinHashDedup(q3, "text", "doc_id",
-        numHashes = 32, numBands = 16, shingleN = 3, threshold = 0.8,
-        pairing = "anchor2", observeDropped = Some("graft_p5_minhash"))
-      val q4 = DuplicateClusters(q3, "doc_id", pairs, "id_l", "id_r")
-        .filter(col("is_canonical") === 1)
-        .select(col("doc_id"), col("text"), col("lang"), col("source"))
-      // 5 ── SemDedup on the survivors' embeddings
-      val e5 = emb(s, dir).join(
-        q4.select((col("doc_id") % 100000L).as("__p5_k")),
-        col("vec_id") === col("__p5_k"), "left_semi")
-      val model = IvfAnn.fit(e5, "vec_id", "embedding", nlist = 8)
-      val semCanon = SemDedup(e5, "vec_id", "embedding", model,
-        threshold = 0.3)
-        .filter(col("is_canonical") === 1).select(col("vec_id"))
-      val q5 = q4.join(semCanon,
-        col("doc_id") % 100000L === col("vec_id"), "left_semi")
-      // 6 ── decontamination gate (eval = raw corpus, doc_id % 50 = 0).
-      // 4-grams, not q_contamination's 3-grams: the eval gram set grows
-      // with the corpus, and at sf0.1 the 3-gram overlap rate (mean
-      // frac 0.17) would flunk ~97% of survivors — the whole chain
-      // downstream of this gate would be empty. 4-grams filter at
-      // every scale tested (drops 2/490 at sf0.01, 88/4900 at sf0.1)
-      // without zeroing the corpus.
-      val keys = graft.text.Contamination.evalGramKeys(
-        raw.filter(col("doc_id") % 50 === 0), "text", n = 4)
-      val q6 = graft.text.Contamination.perRow(
-        q5.filter(col("doc_id") % 50 =!= 0), "text", keys, n = 4)
-        .filter(col("contamination_frac") <= 0.05)
-        .select(col("doc_id"), col("text"), col("lang"), col("source"))
-        .localCheckpoint(false)
+      val (_, stages) = pipeline5Stages(s, dir)
+      val q6 = stages.last._2
       // 7 ── tokenizer trained on the curated corpus, applied to it
       val words = q6
         .select(explode(Shingles.tokens(col("text"))).as("word"))
@@ -1478,6 +1489,41 @@ object SparkEntry {
         s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
       LshAnn.writeIndex(e, "vec_id", "embedding", path,
         numBits = 6, numTables = 2)
+      LshAnn.searchIndex(s, path, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, numBits = 6, numTables = 2,
+        multiProbe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          r6m(col("cosine")).as("cosine"), col("rank"))
+    }
+
+  /** The LSH signature index's FULL LIFECYCLE in one query — the
+    * maintenance story q_ann_layout_append/_compact prove for the IVF
+    * cell index, mirrored for the LSH layout: write the index on the
+    * base corpus (vec_id % 5 ≠ 0), append the remaining rows in three
+    * delta batches (fragmenting the touched (tbl, sig) buckets),
+    * compact past the 1-fragment threshold, and multi-probe-search the
+    * result. Signatures are deterministic in the vector, so append is
+    * bit-identical to a full rebuild — this query therefore shares
+    * q_ann_lsh_mp's oracle VERBATIM (the full-corpus replay): append
+    * and compact must both be search-invisible, which the spec
+    * (MultiProbeLshSpec) pins in-session and this row pins against
+    * DuckDB. */
+  private val q_ann_lsh_lifecycle: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = emb(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lshidx_" +
+        s"${s.sparkContext.applicationId}_life_" +
+        Integer.toHexString(dir.hashCode)
+      LshAnn.writeIndex(e.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", path, numBits = 6, numTables = 2)
+      // three delta batches (% 15 ∈ {0,5,10} ⟺ % 5 = 0) fragment the
+      // touched buckets so compact has real work
+      for (slice <- Seq(0, 5, 10))
+        LshAnn.appendIndex(e.filter(col("vec_id") % 15 === slice),
+          "vec_id", "embedding", path, numBits = 6, numTables = 2)
+      graft.sources.Layout.compact(s, path,
+        partitionBy = Seq("tbl", "sig"), sortBy = Seq("neighbor_id"),
+        maxFragments = 1)
       LshAnn.searchIndex(s, path, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, numBits = 6, numTables = 2,
         multiProbe = 2)
@@ -2487,6 +2533,133 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, adist, rank
        |FROM ares WHERE rank <= 5""".stripMargin
 
+  /** q_pipeline5's stage CTEs (d0 and the six gate survivors q1..q6),
+    * shared verbatim by the chain rollup's oracle and the funnel
+    * re-aggregation (`q_funnel_pipeline` — agreement pins both the
+    * memberships and the attrition arithmetic). Callers must open with
+    * `WITH RECURSIVE` (reach/reach5). Stage CTEs are MATERIALIZED:
+    * each is referenced 2-3× downstream, and inlining re-evaluates the
+    * whole chain below it per reference (measured: the un-hinted plan
+    * exhausts the fd limit re-opening the parquet). */
+  private lazy val Pipeline5StageCtes: String =
+    s"""d0 AS (SELECT doc_id, text, lang, source FROM documents
+      |       UNION ALL
+      |       SELECT doc_id + 100000, text, lang, source
+      |       FROM documents WHERE doc_id % 7 = 0),
+      |qt AS (SELECT doc_id, text, lang, source, $ToksExpr AS tk,
+      |         list_filter(list_transform(string_split(text, chr(10)),
+      |           x -> trim(x)), x -> len(x) > 0) AS lns
+      |       FROM d0),
+      |qs AS (SELECT doc_id, text, lang, source, len(tk) AS nt,
+      |         CASE WHEN len(tk) = 0 THEN 0.0
+      |              ELSE list_aggregate(list_transform(tk, x -> len(x)),
+      |                     'sum')::DOUBLE / len(tk) END AS mtl,
+      |         (len(text) - len(replace(text, '#', ''))
+      |           + len(regexp_extract_all(text, '\\.{3}|…')))::DOUBLE
+      |           / GREATEST(len(tk), 1) AS sr,
+      |         len(list_filter(lns, x -> regexp_matches(x, '^[-*•]')))::DOUBLE
+      |           / GREATEST(len(lns), 1) AS bf,
+      |         len(list_filter(lns, x -> regexp_matches(x, '(\\.\\.\\.|…)$$')))::DOUBLE
+      |           / GREATEST(len(lns), 1) AS ef,
+      |         len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+      |           / GREATEST(len(tk), 1) AS af,
+      |         len(list_filter(['the','a','an','and','or','of','to','in','is',
+      |           'are','was','for','on','with','as','by','at','it','that',
+      |           'this'], w -> list_contains(tk, w))) AS nsw
+      |       FROM qt),
+      |q1 AS MATERIALIZED (SELECT doc_id, text, lang, source FROM qs
+      |       WHERE nt BETWEEN 12 AND 1000 AND mtl >= 2.5 AND mtl <= 6.0
+      |         AND sr <= 0.1 AND bf <= 0.9 AND ef <= 0.3
+      |         AND af >= 0.8 AND nsw >= 1),
+      |syn AS (SELECT doc_id,
+      |    (CASE doc_id % 3 WHEN 0 THEN 'HTTP://' WHEN 1 THEN 'https://' ELSE 'http://' END) ||
+      |    (CASE doc_id % 4 WHEN 0 THEN 'WWW.News' WHEN 1 THEN 'blog.Site' WHEN 2 THEN 'cdn.media' ELSE 'Docs.Portal' END) ||
+      |    (CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' WHEN 2 THEN '.org' WHEN 3 THEN '.com.au' ELSE '.io' END) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '/p/' || doc_id::VARCHAR END) AS url
+      |  FROM q1),
+      |h AS (SELECT doc_id,
+      |    lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+      |  FROM syn),
+      |hd AS (SELECT doc_id, host,
+      |    CASE WHEN regexp_matches(host, '\\.(co|com|net|org|ac|gov|edu)\\.[a-z][a-z]$$')
+      |              AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+      |         THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+      |         WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) <> ''
+      |         THEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+      |         ELSE host END AS dom
+      |  FROM h),
+      |bl(entry) AS (VALUES ('site.co.uk'), ('cdn.media.org'), ('news.com')),
+      |q2 AS MATERIALIZED (SELECT q1.* FROM q1 JOIN hd USING (doc_id)
+      |       WHERE NOT EXISTS (SELECT 1 FROM bl WHERE bl.entry = hd.host)
+      |         AND NOT EXISTS (SELECT 1 FROM bl WHERE bl.entry = hd.dom)),
+      |sv AS (SELECT MIN(doc_id) AS doc_id FROM q2 GROUP BY text),
+      |q3 AS MATERIALIZED (SELECT q2.* FROM q2 JOIN sv USING (doc_id)),
+      |dt AS (SELECT doc_id, $ToksExpr AS tk FROM q3),
+      |dk AS (SELECT doc_id, list_distinct(
+      |        [list_aggregate(tk[i:i+2], 'string_agg', ' ')
+      |         FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS sh FROM dt),
+      |p4 AS (SELECT a.doc_id AS u, b.doc_id AS v
+      |      FROM dk a JOIN dk b ON a.doc_id < b.doc_id
+      |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      |e4 AS (SELECT u, v FROM p4 UNION SELECT v, u FROM p4),
+      |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e4) t
+      |                UNION SELECT r.u, ed.v FROM reach r JOIN e4 ed ON r.v = ed.u),
+      |comp AS (SELECT u AS node, MIN(v) AS comp FROM reach GROUP BY u),
+      |q4 AS MATERIALIZED (SELECT q3.* FROM q3 LEFT JOIN comp ON q3.doc_id = comp.node
+      |       WHERE q3.doc_id = COALESCE(comp.comp, q3.doc_id)),
+      |em AS (SELECT e.vec_id, e.embedding FROM embeddings e
+      |       WHERE EXISTS (SELECT 1 FROM q4
+      |                     WHERE e.vec_id = q4.doc_id % 100000)),
+      |ctr AS (SELECT vec_id AS ctrid, embedding::DOUBLE[] AS c
+      |        FROM em ORDER BY vec_id LIMIT 8),
+      |asg AS (SELECT em.vec_id, em.embedding, c.ctrid,
+      |          ROW_NUMBER() OVER (PARTITION BY em.vec_id
+      |            ORDER BY list_cosine_similarity(em.embedding::DOUBLE[], c.c)
+      |              DESC, c.ctrid) AS rk
+      |        FROM em CROSS JOIN ctr c),
+      |cell AS (SELECT vec_id, embedding, ctrid AS cell FROM asg WHERE rk = 1),
+      |p5 AS (SELECT a.vec_id AS u, b.vec_id AS v
+      |      FROM cell a JOIN cell b
+      |        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |      WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+      |              b.embedding::DOUBLE[]) >= 0.3),
+      |e5 AS (SELECT u, v FROM p5 UNION SELECT v, u FROM p5),
+      |reach5(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e5) t
+      |                 UNION SELECT r.u, ed.v FROM reach5 r JOIN e5 ed ON r.v = ed.u),
+      |comp5 AS (SELECT u AS node, MIN(v) AS comp FROM reach5 GROUP BY u),
+      |q5 AS MATERIALIZED (SELECT q4.* FROM q4
+      |       JOIN cell ON cell.vec_id = q4.doc_id % 100000
+      |       LEFT JOIN comp5 ON comp5.node = q4.doc_id % 100000
+      |       WHERE q4.doc_id % 100000
+      |             = COALESCE(comp5.comp, q4.doc_id % 100000)),
+      |ge0 AS (SELECT doc_id, $ToksExpr AS toks FROM documents
+      |        WHERE doc_id % 50 = 0),
+      |ge AS (SELECT DISTINCT gram FROM (SELECT unnest(
+      |         CASE WHEN len(toks) = 0 THEN []
+      |              WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+      |              ELSE [array_to_string(toks[i:i+3], ' ')
+      |                    for i in range(1, len(toks) - 2)]
+      |         END) AS gram FROM ge0)),
+      |gt0 AS (SELECT doc_id, $ToksExpr AS toks FROM q5
+      |        WHERE doc_id % 50 <> 0),
+      |gc AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, unnest(
+      |         CASE WHEN len(toks) = 0 THEN []
+      |              WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+      |              ELSE [array_to_string(toks[i:i+3], ' ')
+      |                    for i in range(1, len(toks) - 2)]
+      |         END) AS gram FROM gt0)),
+      |tot AS (SELECT doc_id, COUNT(*) AS n FROM gc GROUP BY 1),
+      |hit AS (SELECT gc.doc_id, COUNT(*) AS hh FROM gc JOIN ge USING (gram)
+      |        GROUP BY 1),
+      |q6 AS MATERIALIZED (SELECT q5.doc_id, q5.text, q5.lang, q5.source FROM q5
+      |       LEFT JOIN tot ON tot.doc_id = q5.doc_id
+      |       LEFT JOIN hit ON hit.doc_id = q5.doc_id
+      |       WHERE q5.doc_id % 50 <> 0
+      |         AND (CASE WHEN COALESCE(tot.n, 0) = 0 THEN 0.0
+      |              ELSE COALESCE(hit.hh, 0)::DOUBLE / tot.n END) <= 0.05)"""
+      .stripMargin
+
   /** q_ann_ivfpq_res's standalone replay: PqCte's quantized points +
     * the shared cell CTEs + the residual chain, top-5. */
   private lazy val IvfPqResOracle: String =
@@ -2800,6 +2973,53 @@ object SparkEntry {
         "min_tokens" -> (size(graft.text.Shingles.tokens(col("text"))) >= 30),
         "min_chars"  -> (length(col("text")) >= 150),
         "src_ok"     -> (col("source") =!= "src0")))
+
+  /** The funnel over the REAL pipeline — q_pipeline5's six row-dropping
+    * stages as the gates. These gates are join-shaped (dedup
+    * canonicality, blocklist anti-joins, decontamination), exactly the
+    * case the [[graft.core.Funnel]] scaladoc defers to precomputed flag
+    * columns: each stage's surviving id set becomes a left-joined flag
+    * on the input corpus, and the funnel's one-scan first-fail
+    * attribution runs over the flags. Because each stage's survivors
+    * are a subset of the previous stage's, the first null flag IS the
+    * first failed gate. The oracle re-aggregates the SAME stage CTEs
+    * q_pipeline5's oracle replays — agreement pins both the memberships
+    * and the attrition arithmetic. Note: the `decontamination` stage
+    * also drops the eval holdout rows (doc_id % 50 = 0), matching the
+    * pipeline itself. */
+  private val q_funnel_pipeline: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val (d0, stages) = pipeline5Stages(s, dir)
+      val flagged = stages.zipWithIndex.foldLeft(
+        d0.select(col("doc_id"))) { case (acc, ((_, df), i)) =>
+          acc.join(df.select(col("doc_id"), lit(true).as(s"__f$i")),
+            Seq("doc_id"), "left")
+        }
+      graft.core.Funnel(flagged, stages.zipWithIndex.map {
+        case ((name, _), i) => name -> col(s"__f$i")
+      })
+    }
+
+  /** The STREAMING funnel as a driver query, executed in batch (the
+    * q_contamination_perrow / q_dedup_simhash_stream move):
+    * [[graft.streaming.StreamingOps.streamingFunnel]] is a stateless
+    * first-fail projection under a watermarked windowed count, so the
+    * identical plan runs bounded here — same four gates as q_funnel,
+    * event time synthesized from doc_id, 2-minute windows. The oracle
+    * replays window bucketing, the gate CASE, and the counts; the
+    * MemoryStream spec drives the same plan incrementally. */
+  private val q_funnel_stream: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.streaming.StreamingOps.streamingFunnel(
+        docs(s, dir).withColumn("ts", timestamp_seconds(col("doc_id"))),
+        "ts", Seq(
+          "lang_en"    -> (col("lang") === "en"),
+          "min_tokens" -> (size(graft.text.Shingles.tokens(col("text"))) >= 30),
+          "min_chars"  -> (length(col("text")) >= 150),
+          "src_ok"     -> (col("source") =!= "src0")),
+        watermark = "1 hour", windowDur = "2 minutes")
+        .select(col("win_start").cast("long").as("win_start"),
+          col("stage_idx"), col("stage"), col("rows").as("n_rows"))
 
   private val q_quality_gate: (SparkSession, String) => DataFrame =
     (s, dir) => {
@@ -4011,6 +4231,7 @@ object SparkEntry {
     "q_ann_lsh"             -> q_ann_lsh,
     "q_ann_lsh_mp"          -> q_ann_lsh_mp,
     "q_ann_lsh_layout"      -> q_ann_lsh_layout,
+    "q_ann_lsh_lifecycle"   -> q_ann_lsh_lifecycle,
     "q_kmeans"              -> q_kmeans,
     "q_ann_ivf"             -> q_ann_ivf,
     "q_ann_pq"              -> q_ann_pq,
@@ -4063,6 +4284,8 @@ object SparkEntry {
     "q_text_stats"          -> q_text_stats,
     "q_quality_gate"        -> q_quality_gate,
     "q_funnel"              -> q_funnel,
+    "q_funnel_pipeline"     -> q_funnel_pipeline,
+    "q_funnel_stream"       -> q_funnel_stream,
     "q_sample_temperature"  -> q_sample_temperature,
     "q_text_repetition"     -> q_text_repetition,
     "q_contamination"       -> q_contamination,
@@ -4723,122 +4946,7 @@ object SparkEntry {
       // longest-match walk (observed: every word degrades to [UNK]).
       val bpe5 = bpeCteFrom("q6").stripPrefix("WITH ")
       s"""WITH RECURSIVE
-        |d0 AS (SELECT doc_id, text, lang, source FROM documents
-        |       UNION ALL
-        |       SELECT doc_id + 100000, text, lang, source
-        |       FROM documents WHERE doc_id % 7 = 0),
-        |qt AS (SELECT doc_id, text, lang, source, $ToksExpr AS tk,
-        |         list_filter(list_transform(string_split(text, chr(10)),
-        |           x -> trim(x)), x -> len(x) > 0) AS lns
-        |       FROM d0),
-        |qs AS (SELECT doc_id, text, lang, source, len(tk) AS nt,
-        |         CASE WHEN len(tk) = 0 THEN 0.0
-        |              ELSE list_aggregate(list_transform(tk, x -> len(x)),
-        |                     'sum')::DOUBLE / len(tk) END AS mtl,
-        |         (len(text) - len(replace(text, '#', ''))
-        |           + len(regexp_extract_all(text, '\\.{3}|…')))::DOUBLE
-        |           / GREATEST(len(tk), 1) AS sr,
-        |         len(list_filter(lns, x -> regexp_matches(x, '^[-*•]')))::DOUBLE
-        |           / GREATEST(len(lns), 1) AS bf,
-        |         len(list_filter(lns, x -> regexp_matches(x, '(\\.\\.\\.|…)$$')))::DOUBLE
-        |           / GREATEST(len(lns), 1) AS ef,
-        |         len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))::DOUBLE
-        |           / GREATEST(len(tk), 1) AS af,
-        |         len(list_filter(['the','a','an','and','or','of','to','in','is',
-        |           'are','was','for','on','with','as','by','at','it','that',
-        |           'this'], w -> list_contains(tk, w))) AS nsw
-        |       FROM qt),
-        |q1 AS MATERIALIZED (SELECT doc_id, text, lang, source FROM qs
-        |       WHERE nt BETWEEN 12 AND 1000 AND mtl >= 2.5 AND mtl <= 6.0
-        |         AND sr <= 0.1 AND bf <= 0.9 AND ef <= 0.3
-        |         AND af >= 0.8 AND nsw >= 1),
-        |syn AS (SELECT doc_id,
-        |    (CASE doc_id % 3 WHEN 0 THEN 'HTTP://' WHEN 1 THEN 'https://' ELSE 'http://' END)
-        |    || (CASE doc_id % 4 WHEN 0 THEN 'WWW.News' WHEN 1 THEN 'blog.Site' WHEN 2 THEN 'cdn.media' ELSE 'Docs.Portal' END)
-        |    || (CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' WHEN 2 THEN '.org' WHEN 3 THEN '.com.au' ELSE '.io' END)
-        |    || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '/p/' || doc_id::VARCHAR END) AS url
-        |  FROM q1),
-        |h AS (SELECT doc_id,
-        |    lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
-        |  FROM syn),
-        |hd AS (SELECT doc_id, host,
-        |    CASE WHEN regexp_matches(host, '\\.(co|com|net|org|ac|gov|edu)\\.[a-z][a-z]$$')
-        |              AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
-        |         THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
-        |         WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) <> ''
-        |         THEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
-        |         ELSE host END AS dom
-        |  FROM h),
-        |bl(entry) AS (VALUES ('site.co.uk'), ('cdn.media.org'), ('news.com')),
-        |q2 AS MATERIALIZED (SELECT q1.* FROM q1 JOIN hd USING (doc_id)
-        |       WHERE NOT EXISTS (SELECT 1 FROM bl WHERE bl.entry = hd.host)
-        |         AND NOT EXISTS (SELECT 1 FROM bl WHERE bl.entry = hd.dom)),
-        |sv AS (SELECT MIN(doc_id) AS doc_id FROM q2 GROUP BY text),
-        |q3 AS MATERIALIZED (SELECT q2.* FROM q2 JOIN sv USING (doc_id)),
-        |dt AS (SELECT doc_id, $ToksExpr AS tk FROM q3),
-        |dk AS (SELECT doc_id, list_distinct(
-        |        [list_aggregate(tk[i:i+2], 'string_agg', ' ')
-        |         FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS sh FROM dt),
-        |p4 AS (SELECT a.doc_id AS u, b.doc_id AS v
-        |      FROM dk a JOIN dk b ON a.doc_id < b.doc_id
-        |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
-        |e4 AS (SELECT u, v FROM p4 UNION SELECT v, u FROM p4),
-        |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e4) t
-        |                UNION SELECT r.u, ed.v FROM reach r JOIN e4 ed ON r.v = ed.u),
-        |comp AS (SELECT u AS node, MIN(v) AS comp FROM reach GROUP BY u),
-        |q4 AS MATERIALIZED (SELECT q3.* FROM q3 LEFT JOIN comp ON q3.doc_id = comp.node
-        |       WHERE q3.doc_id = COALESCE(comp.comp, q3.doc_id)),
-        |em AS (SELECT e.vec_id, e.embedding FROM embeddings e
-        |       WHERE EXISTS (SELECT 1 FROM q4
-        |                     WHERE e.vec_id = q4.doc_id % 100000)),
-        |ctr AS (SELECT vec_id AS ctrid, embedding::DOUBLE[] AS c
-        |        FROM em ORDER BY vec_id LIMIT 8),
-        |asg AS (SELECT em.vec_id, em.embedding, c.ctrid,
-        |          ROW_NUMBER() OVER (PARTITION BY em.vec_id
-        |            ORDER BY list_cosine_similarity(em.embedding::DOUBLE[], c.c)
-        |              DESC, c.ctrid) AS rk
-        |        FROM em CROSS JOIN ctr c),
-        |cell AS (SELECT vec_id, embedding, ctrid AS cell FROM asg WHERE rk = 1),
-        |p5 AS (SELECT a.vec_id AS u, b.vec_id AS v
-        |      FROM cell a JOIN cell b
-        |        ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |      WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-        |              b.embedding::DOUBLE[]) >= 0.3),
-        |e5 AS (SELECT u, v FROM p5 UNION SELECT v, u FROM p5),
-        |reach5(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e5) t
-        |                 UNION SELECT r.u, ed.v FROM reach5 r JOIN e5 ed ON r.v = ed.u),
-        |comp5 AS (SELECT u AS node, MIN(v) AS comp FROM reach5 GROUP BY u),
-        |q5 AS MATERIALIZED (SELECT q4.* FROM q4
-        |       JOIN cell ON cell.vec_id = q4.doc_id % 100000
-        |       LEFT JOIN comp5 ON comp5.node = q4.doc_id % 100000
-        |       WHERE q4.doc_id % 100000
-        |             = COALESCE(comp5.comp, q4.doc_id % 100000)),
-        |ge0 AS (SELECT doc_id, $ToksExpr AS toks FROM documents
-        |        WHERE doc_id % 50 = 0),
-        |ge AS (SELECT DISTINCT gram FROM (SELECT unnest(
-        |         CASE WHEN len(toks) = 0 THEN []
-        |              WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
-        |              ELSE [array_to_string(toks[i:i+3], ' ')
-        |                    for i in range(1, len(toks) - 2)]
-        |         END) AS gram FROM ge0)),
-        |gt0 AS (SELECT doc_id, $ToksExpr AS toks FROM q5
-        |        WHERE doc_id % 50 <> 0),
-        |gc AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, unnest(
-        |         CASE WHEN len(toks) = 0 THEN []
-        |              WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
-        |              ELSE [array_to_string(toks[i:i+3], ' ')
-        |                    for i in range(1, len(toks) - 2)]
-        |         END) AS gram FROM gt0)),
-        |tot AS (SELECT doc_id, COUNT(*) AS n FROM gc GROUP BY 1),
-        |hit AS (SELECT gc.doc_id, COUNT(*) AS hh FROM gc JOIN ge USING (gram)
-        |        GROUP BY 1),
-        |q6 AS MATERIALIZED (SELECT q5.doc_id, q5.text, q5.lang, q5.source FROM q5
-        |       LEFT JOIN tot ON tot.doc_id = q5.doc_id
-        |       LEFT JOIN hit ON hit.doc_id = q5.doc_id
-        |       WHERE q5.doc_id % 50 <> 0
-        |         AND (CASE WHEN COALESCE(tot.n, 0) = 0 THEN 0.0
-        |              ELSE COALESCE(hit.hh, 0)::DOUBLE / tot.n END) <= 0.05),
+        |$Pipeline5StageCtes,
         |$bpe5,
         |pb AS (SELECT replace(syms[i], '</w>', '') AS body, (i > 1) AS cont
         |  FROM (SELECT syms, unnest(range(1, len(syms) + 1)) AS i FROM v3)),
@@ -5829,6 +5937,49 @@ object SparkEntry {
         |SELECT stage_idx, stage, entering, failed,
         |  entering - failed AS surviving
         |FROM e""".stripMargin,
+    // the pipeline funnel re-aggregates the SAME stage CTEs the
+    // q_pipeline5 oracle replays: entering(i) = |stage i-1 survivors|,
+    // surviving(i) = |stage i survivors|
+    "q_funnel_pipeline" ->
+      s"""WITH RECURSIVE
+        |$Pipeline5StageCtes,
+        |n AS (SELECT
+        |    (SELECT count(*) FROM d0) AS n0,
+        |    (SELECT count(*) FROM q1) AS n1,
+        |    (SELECT count(*) FROM q2) AS n2,
+        |    (SELECT count(*) FROM q3) AS n3,
+        |    (SELECT count(*) FROM q4) AS n4,
+        |    (SELECT count(*) FROM q5) AS n5,
+        |    (SELECT count(*) FROM q6) AS n6)
+        |SELECT t.stage_idx, t.stage, t.entering,
+        |  t.entering - t.surviving AS failed, t.surviving
+        |FROM (
+        |  SELECT 0 AS stage_idx, 'quality' AS stage,
+        |         n0 AS entering, n1 AS surviving FROM n
+        |  UNION ALL SELECT 1, 'url_blocklist', n1, n2 FROM n
+        |  UNION ALL SELECT 2, 'exact_dedup', n2, n3 FROM n
+        |  UNION ALL SELECT 3, 'neardup_cluster', n3, n4 FROM n
+        |  UNION ALL SELECT 4, 'semdedup', n4, n5 FROM n
+        |  UNION ALL SELECT 5, 'decontamination', n5, n6 FROM n) t"""
+        .stripMargin,
+    // the streaming funnel replay: window start = floor(doc_id / 120) *
+    // 120 (event time is timestamp_seconds(doc_id), 2-minute tumbling
+    // windows), the same first-fail CASE as q_funnel, counts per
+    // (window, stage)
+    "q_funnel_stream" ->
+      s"""WITH ff AS (SELECT (doc_id // 120) * 120 AS win_start, CASE
+        |    WHEN NOT coalesce(lang = 'en', FALSE) THEN 0
+        |    WHEN NOT coalesce(len($ToksExpr) >= 30, FALSE) THEN 1
+        |    WHEN NOT coalesce(len(text) >= 150, FALSE) THEN 2
+        |    WHEN NOT coalesce(source <> 'src0', FALSE) THEN 3
+        |    ELSE 4 END AS stage_idx
+        |  FROM documents)
+        |SELECT win_start, stage_idx,
+        |  (CASE stage_idx WHEN 0 THEN 'lang_en' WHEN 1 THEN 'min_tokens'
+        |    WHEN 2 THEN 'min_chars' WHEN 3 THEN 'src_ok'
+        |    ELSE 'kept' END) AS stage,
+        |  count(*) AS n_rows
+        |FROM ff GROUP BY 1, 2""".stripMargin,
     "q_quality_gate" ->
       s"""WITH d AS (SELECT doc_id, text, $ToksExpr AS tk FROM documents),
         |s AS (
@@ -6477,6 +6628,9 @@ object SparkEntry {
     // the persisted (tbl, sig)-partitioned index must be row-invisible:
     // the pruned search shares the in-memory search's oracle verbatim
     "q_ann_lsh_layout" -> LshMpOracle,
+    // append + compact must be search-invisible: the lifecycle query
+    // replays exactly like the in-session multi-probe search
+    "q_ann_lsh_lifecycle" -> LshMpOracle,
     // line-level dedup: frequency threshold ceil(0.78·n_docs) computed in
     // the same IEEE double arithmetic as the Spark side's math.ceil
     "q_line_dedup" ->

@@ -383,6 +383,34 @@ object LshAnn {
     finally out.close()
   }
 
+  /** Appends a delta corpus to a [[writeIndex]] layout — the index
+    * MAINTENANCE path (the [[graft.sources.Layout.appendPartitioned]]
+    * contract): signatures are deterministic in the vector, so the
+    * appended index is bit-identical to a full rebuild over the union —
+    * no re-signing of existing rows, O(delta) write. The sidecar check
+    * fails loudly if the delta is signed with different parameters
+    * (appending foreign-space signatures would silently poison the
+    * buckets). Compact fragmented buckets periodically with
+    * [[graft.sources.Layout.compact]] (partitionBy (tbl, sig)) — the
+    * root sidecar survives both operations (append adds files; compact
+    * overwrites only partition directories).
+    */
+  def appendIndex(
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      numBits: Int = 8,
+      numTables: Int = 4): Unit = {
+    require(numBits >= 1 && numBits <= 62 && numTables >= 1,
+      s"bad shape numBits=$numBits numTables=$numTables")
+    checkIndexMeta(delta.sparkSession, path, numBits, numTables)
+    val dim = vecDim(delta, vecCol)
+    graft.sources.Layout.appendPartitioned(
+      bucketedCorpus(delta, idCol, vecCol, numBits, numTables, dim),
+      path, partitionBy = Seq("tbl", "sig"), sortBy = Seq("neighbor_id"))
+  }
+
   private val MetaFile = "_graft_lsh_meta.json"
 
   /** Fails loudly when a [[writeIndex]] sidecar disagrees with the

@@ -108,16 +108,17 @@ class MultiProbeLshSpec extends SparkSuite {
     val delta = corpus.filter(col("vec_id") % 5 === 0)
     LshAnn.writeIndex(base, "vec_id", "embedding", s"$dir/inc",
       numBits = 6, numTables = 2)
-    val dimD = delta.select(size(col("embedding"))).first().getInt(0)
-    graft.sources.Layout.appendPartitioned(
-      delta.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("cv"),
-        posexplode(LshAnn.signatures(col("embedding"), 6, 2, dimD)))
-        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig"),
-      s"$dir/inc", partitionBy = Seq("tbl", "sig"),
-      sortBy = Seq("neighbor_id"))
+    LshAnn.appendIndex(delta, "vec_id", "embedding", s"$dir/inc",
+      numBits = 6, numTables = 2)
     LshAnn.writeIndex(corpus, "vec_id", "embedding", s"$dir/full",
       numBits = 6, numTables = 2)
+    // appending with foreign parameters would poison the buckets —
+    // the sidecar check fails loudly instead
+    val mism = intercept[IllegalArgumentException] {
+      LshAnn.appendIndex(delta, "vec_id", "embedding", s"$dir/inc",
+        numBits = 8, numTables = 2)
+    }
+    assert(mism.getMessage.contains("different spaces"))
     def res(p: String) = LshAnn.searchIndex(spark, p, queries, "vec_id",
       "embedding", k = 3, numBits = 6, numTables = 2, multiProbe = 2)
     val (inc, full) = (res(s"$dir/inc"), res(s"$dir/full"))
