@@ -1475,6 +1475,23 @@ object SparkEntry {
           r6m(col("cosine")).as("cosine"), col("rank"))
     }
 
+  /** SECOND-ORDER multi-probe (the multi-bit prefix of the Lv et al.
+    * perturbation sequence): candidate perturbations are all single
+    * bits AND all two-bit sets, ranked by total |margin|, so a cheap
+    * pair outranks an expensive single — on ONE table at a 6-probe
+    * budget. Whether this closes on brute force at fixed budget (or
+    * flattens) is measured in SCALING.md; this query pins the probe
+    * SEQUENCE itself against DuckDB (the oracle replays the scored
+    * set ranking and the multi-bit XOR). */
+  private val q_ann_lsh_mp2: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = emb(s, dir)
+      LshAnn.search(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, numBits = 6, numTables = 1, multiProbe = 6, probeOrder = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          r6m(col("cosine")).as("cosine"), col("rank"))
+    }
+
   /** The PERSISTED signature index behind the same multi-probe search:
     * signatures written once as a (tbl, sig)-partitioned layout, the
     * probe set pushed as a literal partition predicate so only probed
@@ -2172,20 +2189,55 @@ object SparkEntry {
   /** Shared by q_ann_lsh_mp and q_ann_lsh_layout (the persisted
     * index must be row-invisible): the full multi-probe replay.
     */
-  /** The multi-probe candidate CTE chain (2 tables x 6 bits x 2
-    * probes over the standard vec_id < 10 queries), CTE names prefixed
-    * with `px` so callers can compose it: emits `${px}e` (null-guarded
-    * corpus), `${px}csig` (corpus signatures), and `${px}cand`
-    * (distinct exclude-self candidate pairs). ONE definition of the
-    * probe recipe on the SQL side — q_ann_lsh_mp / q_ann_lsh_layout
-    * rerank it at k = 5, the recall harness (which swaps `qPred` for
-    * its unbiased md5-rank sample) intersects it with the exact
-    * top-10. */
+  /** The multi-probe candidate CTE chain (default: 2 tables x 6 bits x
+    * 2 single-bit probes over the standard vec_id < 10 queries), CTE
+    * names prefixed with `px` so callers can compose it: emits `${px}e`
+    * (null-guarded corpus), `${px}csig` (corpus signatures), and
+    * `${px}cand` (distinct exclude-self candidate pairs). ONE
+    * definition of the probe recipe on the SQL side — q_ann_lsh_mp /
+    * q_ann_lsh_layout / q_ann_lsh_lifecycle rerank it at k = 5, the
+    * recall harness (which swaps `qPred` for its unbiased md5-rank
+    * sample) intersects it with the exact top-10, and q_ann_lsh_mp2
+    * instantiates `order = 2` (perturbation sets = singles ∪ pairs
+    * ranked by total |margin| — the multi-bit Lv et al. prefix, XOR of
+    * the whole set). */
   private def lshMpCtes(px: String,
-      qPred: String = "q.vec_id < 10"): String =
+      qPred: String = "q.vec_id < 10",
+      tables: Int = 2, bits: Int = 6, probes: Int = 2,
+      order: Int = 1): String = {
+    val probeCte =
+      if (order == 1)
+        s"""${px}qr AS (SELECT vec_id, tbl, i,
+           |    row_number() OVER (PARTITION BY vec_id, tbl ORDER BY abs(dot), i) AS rn
+           |  FROM ${px}qd),
+           |${px}probes AS (
+           |  SELECT vec_id, tbl, base AS sig FROM ${px}qs
+           |  UNION ALL
+           |  SELECT r.vec_id, r.tbl, xor(s.base, CAST(1::BIGINT << r.i AS BIGINT)) AS sig
+           |  FROM ${px}qr r JOIN ${px}qs s ON r.vec_id = s.vec_id AND r.tbl = s.tbl
+           |  WHERE r.rn <= $probes)""".stripMargin
+      else
+        s"""${px}ps AS (
+           |  SELECT vec_id, tbl, [i] AS bs, abs(dot) AS m FROM ${px}qd
+           |  UNION ALL
+           |  SELECT a.vec_id, a.tbl, [a.i, b.i] AS bs,
+           |    abs(a.dot) + abs(b.dot) AS m
+           |  FROM ${px}qd a JOIN ${px}qd b
+           |    ON a.vec_id = b.vec_id AND a.tbl = b.tbl AND a.i < b.i),
+           |${px}qr AS (SELECT vec_id, tbl, bs,
+           |    row_number() OVER (PARTITION BY vec_id, tbl ORDER BY m, bs) AS rn
+           |  FROM ${px}ps),
+           |${px}probes AS (
+           |  SELECT vec_id, tbl, base AS sig FROM ${px}qs
+           |  UNION ALL
+           |  SELECT r.vec_id, r.tbl,
+           |    xor(s.base, CAST(coalesce(list_sum(
+           |      [1::BIGINT << b FOR b IN r.bs]), 0) AS BIGINT)) AS sig
+           |  FROM ${px}qr r JOIN ${px}qs s ON r.vec_id = s.vec_id AND r.tbl = s.tbl
+           |  WHERE r.rn <= $probes)""".stripMargin
     s"""${px}e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |  WHERE embedding IS NOT NULL),
-       |${px}t AS (SELECT unnest(range(0, 2)) AS tbl),
+       |${px}t AS (SELECT unnest(range(0, $tables)) AS tbl),
        |${px}csig AS (
        |  SELECT e.vec_id, t.tbl,
        |    CAST(coalesce(list_sum([CASE WHEN
@@ -2193,7 +2245,7 @@ object SparkEntry {
        |          ((((t.tbl + 1) * 7919 + (i + 1) * 104729 + (d + 1) * 1299709)
        |            % 1000003 % 2001) / 1000.0 - 1.0)
        |          FOR d IN range(0, 64)]), 0.0) > 0
-       |      THEN 1::BIGINT << i ELSE 0 END FOR i IN range(0, 6)]), 0) AS BIGINT) AS sig
+       |      THEN 1::BIGINT << i ELSE 0 END FOR i IN range(0, $bits)]), 0) AS BIGINT) AS sig
        |  FROM ${px}e e CROSS JOIN ${px}t t),
        |${px}qd AS (SELECT q.vec_id, t.tbl, u.i,
        |    coalesce(list_sum([q.v[d + 1] *
@@ -2201,27 +2253,35 @@ object SparkEntry {
        |        % 1000003 % 2001) / 1000.0 - 1.0)
        |      FOR d IN range(0, 64)]), 0.0) AS dot
        |  FROM ${px}e q CROSS JOIN ${px}t t
-       |  CROSS JOIN (SELECT unnest(range(0, 6)) AS i) u
+       |  CROSS JOIN (SELECT unnest(range(0, $bits)) AS i) u
        |  WHERE $qPred),
        |${px}qs AS (SELECT vec_id, tbl,
        |    CAST(coalesce(sum(CASE WHEN dot > 0 THEN 1::BIGINT << i ELSE 0 END), 0)
        |      AS BIGINT) AS base
        |  FROM ${px}qd GROUP BY 1, 2),
-       |${px}qr AS (SELECT vec_id, tbl, i,
-       |    row_number() OVER (PARTITION BY vec_id, tbl ORDER BY abs(dot), i) AS rn
-       |  FROM ${px}qd),
-       |${px}probes AS (
-       |  SELECT vec_id, tbl, base AS sig FROM ${px}qs
-       |  UNION ALL
-       |  SELECT r.vec_id, r.tbl, xor(s.base, CAST(1::BIGINT << r.i AS BIGINT)) AS sig
-       |  FROM ${px}qr r JOIN ${px}qs s ON r.vec_id = s.vec_id AND r.tbl = s.tbl
-       |  WHERE r.rn <= 2),
+       |$probeCte,
        |${px}cand AS (SELECT DISTINCT p.vec_id AS qid, c.vec_id AS nid
        |  FROM ${px}probes p JOIN ${px}csig c
        |    ON p.tbl = c.tbl AND p.sig = c.sig AND c.vec_id <> p.vec_id)""".stripMargin
+  }
 
   private lazy val LshMpOracle: String =
     s"""WITH ${lshMpCtes("")},
+       |sc AS (SELECT cand.qid, cand.nid,
+       |    list_cosine_similarity(a.v, b.v) AS cos
+       |  FROM cand JOIN e a ON a.vec_id = cand.qid
+       |            JOIN e b ON b.vec_id = cand.nid),
+       |rk AS (SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM sc)
+       |SELECT qid AS query_id, nid AS neighbor_id,
+       |  ROUND(cos + 1e-9, 6) + 0.0 AS cosine, rank
+       |FROM rk WHERE rank <= 5""".stripMargin
+
+  /** q_ann_lsh_mp2's replay: the order-2 probe chain (1 table, 6 bits,
+    * 6 scored perturbation sets), then the same rerank tail. */
+  private lazy val LshMp2Oracle: String =
+    s"""WITH ${lshMpCtes("", tables = 1, probes = 6, order = 2)},
        |sc AS (SELECT cand.qid, cand.nid,
        |    list_cosine_similarity(a.v, b.v) AS cos
        |  FROM cand JOIN e a ON a.vec_id = cand.qid
@@ -2537,7 +2597,12 @@ object SparkEntry {
     * shared verbatim by the chain rollup's oracle and the funnel
     * re-aggregation (`q_funnel_pipeline` — agreement pins both the
     * memberships and the attrition arithmetic). Callers must open with
-    * `WITH RECURSIVE` (reach/reach5). Stage CTEs are MATERIALIZED:
+    * `WITH RECURSIVE` (reach/reach5). CAUTION: callers interpolate this
+    * (already-stripped) text into their own `.stripMargin` strings, so
+    * no rendered line here may begin with whitespace-then-`|` — the
+    * outer strip would eat one pipe (the `||` concatenations in `syn`
+    * sit at end-of-line for exactly that reason). Stage CTEs are
+    * MATERIALIZED:
     * each is referenced 2-3× downstream, and inlining re-evaluates the
     * whole chain below it per reference (measured: the un-hinted plan
     * exhausts the fd limit re-opening the parquet). */
@@ -3657,6 +3722,33 @@ object SparkEntry {
         .select(col("id_l"), col("id_r"), col("hamming"))
     }
 
+  /** DCT pHash beside aHash — the perceptual family completed for the
+    * jitter aHash is brittle under: groups of five CONTRAST-jittered
+    * copies (integer gains ±25%, [[Media.contrastDupImages]]; gains > 1
+    * clamp the bright tail — a NON-uniform distortion). Measured on
+    * this fixture (`graft.MediaHashProbe`): planted-pair aHash Hamming
+    * reaches 8 while distinct bases come as close as 4 — NO aHash
+    * threshold separates; pHash (sign-of-DCT-coefficient over the same
+    * integer grid, exact Long arithmetic against the quantized
+    * [[Media.DctTable]] basis) keeps planted pairs ≤ 5 with distinct
+    * bases ≥ 7 — threshold 5 recovers every planted pair with zero
+    * false positives, which is exactly what this query's oracle pins
+    * (pixel formulas → integer gains → DCT with the embedded basis
+    * literals → sign bits → full Hamming join). Blocking is the same
+    * pigeonhole machinery (6 blocks over 63 bits at Hamming ≤ 5). */
+  private val q_media_phash: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      import s.implicits._
+      val media = Media.contrastDupImages(s, docs(s, dir))
+      val fp = media.mapPartitions { it =>
+        it.grouped(Media.BatchSize).flatMap(_.flatMap(m =>
+          Media.pHash64(m.kind, m.content).map(h => (m.media_id, h))))
+      }.toDF("id", "fp")
+      SimHashDedup.fromFingerprints(fp, "fp", "id",
+        maxHamming = 5, fpBits = 63)
+        .select(col("id_l"), col("id_r"), col("hamming"))
+    }
+
   /** The streaming media gate executed in batch:
     * [[graft.streaming.StreamingOps.streamingMediaDedup]] is a
     * stateless decode+fingerprint stage plus a keyed first-arrival
@@ -4232,6 +4324,7 @@ object SparkEntry {
     "q_ann_lsh_mp"          -> q_ann_lsh_mp,
     "q_ann_lsh_layout"      -> q_ann_lsh_layout,
     "q_ann_lsh_lifecycle"   -> q_ann_lsh_lifecycle,
+    "q_ann_lsh_mp2"         -> q_ann_lsh_mp2,
     "q_kmeans"              -> q_kmeans,
     "q_ann_ivf"             -> q_ann_ivf,
     "q_ann_pq"              -> q_ann_pq,
@@ -4303,6 +4396,7 @@ object SparkEntry {
     "q_media_frames"        -> q_media_frames,
     "q_media_features"      -> q_media_features,
     "q_media_dedup"         -> q_media_dedup,
+    "q_media_phash"         -> q_media_phash,
     "q_media_dedup_stream"  -> q_media_dedup_stream,
     "q_line_dedup"          -> q_line_dedup,
     "q_sample_weighted"     -> q_sample_weighted,
@@ -6485,6 +6579,39 @@ object SparkEntry {
         |  bit_count(xor(a.f, b.f))::INT AS hamming
         |FROM fp a JOIN fp b ON a.id < b.id
         |WHERE bit_count(xor(a.f, b.f)) <= 2""".stripMargin,
+    // contrast-jitter pHash: pixel formula → integer gains (clamped) →
+    // 8×8 integer luminance cells → exact Long 2-D DCT against the
+    // EMBEDDED quantized basis literals (Media.DctTable — computed once
+    // driver-side, so no cross-engine cos) → 63 sign bits (DC excluded)
+    // → full Hamming-≤5 join (pigeonhole blocking is recall-exact)
+    "q_media_phash" -> {
+      val dctVals = (0 until 8).flatMap(k => (0 until 8).map(u =>
+        s"($k, $u, ${graft.multimodal.Media.DctTable(k)(u)})"))
+        .mkString(", ")
+      s"""WITH img AS (SELECT doc_id AS id, doc_id - (doc_id % 15) AS base,
+        |               (doc_id % 15) // 3 AS gi
+        |             FROM documents WHERE doc_id % 3 = 0),
+        |gains(gi, gn, gd) AS (VALUES (0,1,1),(1,9,8),(2,5,4),(3,4,5),(4,7,8)),
+        |dct(k, u, t) AS (VALUES $dctVals),
+        |px AS (SELECT i.id, y.y // 4 AS r, x.x // 4 AS c,
+        |         SUM(LEAST(255, ((i.base*31 + x.x*7  + y.y*13) % 256) * g.gn // g.gd)
+        |           + LEAST(255, ((i.base*17 + x.x*11 + y.y*5 ) % 256) * g.gn // g.gd)
+        |           + LEAST(255, ((i.base*23 + x.x*3  + y.y*19) % 256) * g.gn // g.gd))::BIGINT AS lum
+        |       FROM img i JOIN gains g USING (gi),
+        |            generate_series(0,31) AS x(x), generate_series(0,31) AS y(y)
+        |       GROUP BY 1, 2, 3),
+        |coef AS (SELECT p.id, tu.u AS u, tv.u AS v,
+        |           SUM(p.lum * tu.t * tv.t)::BIGINT AS cv
+        |         FROM px p JOIN dct tu ON tu.k = p.r JOIN dct tv ON tv.k = p.c
+        |         GROUP BY 1, 2, 3),
+        |fp AS (SELECT id, bit_or(CASE WHEN cv > 0
+        |         THEN 1::BIGINT << (u*8 + v - 1)::INT ELSE 0 END)::BIGINT AS f
+        |       FROM coef WHERE NOT (u = 0 AND v = 0) GROUP BY 1)
+        |SELECT a.id AS id_l, b.id AS id_r,
+        |  bit_count(xor(a.f, b.f))::INT AS hamming
+        |FROM fp a JOIN fp b ON a.id < b.id
+        |WHERE bit_count(xor(a.f, b.f)) <= 5""".stripMargin
+    },
     // the streaming gate in batch: first arrival (min media_id — event
     // time is monotone in it) per aHash, same pixel/fingerprint replay
     // as q_media_dedup
@@ -6631,6 +6758,7 @@ object SparkEntry {
     // append + compact must be search-invisible: the lifecycle query
     // replays exactly like the in-session multi-probe search
     "q_ann_lsh_lifecycle" -> LshMpOracle,
+    "q_ann_lsh_mp2" -> LshMp2Oracle,
     // line-level dedup: frequency threshold ceil(0.78·n_docs) computed in
     // the same IEEE double arithmetic as the Spark side's math.ceil
     "q_line_dedup" ->

@@ -407,6 +407,132 @@ object Media {
     }
   }
 
+  /** Integer-quantized DCT basis for [[pHash64]]:
+    * `DctTable(k)(u) = floor(cos(π(2k+1)u/16) · 2^14)` — computed ONCE
+    * driver-side (so no cross-engine `cos` agreement is ever needed:
+    * the DuckDB oracle embeds these 64 integers as literals) and used
+    * as exact Long factors in the DCT sums.
+    */
+  val DctTableScale: Long = 1L << 14
+  lazy val DctTable: IndexedSeq[IndexedSeq[Long]] =
+    (0 until 8).map(k => (0 until 8).map(u =>
+      math.floor(math.cos(math.Pi * (2 * k + 1) * u / 16.0)
+        * DctTableScale).toLong))
+
+  /** 63-bit DCT perceptual hash (the classic pHash recipe on the same
+    * integer grid machinery as [[aHash64]]): decode → 8×8 integer
+    * luminance grid → exact Long 2-D DCT-II against the quantized
+    * [[DctTable]] basis → bit `u·8+v−1` set iff coefficient
+    * `C(u,v) > 0`, DC (0,0) excluded. Sign-of-coefficient bits are
+    * EXACTLY invariant to uniform luminance gain (DCT is linear, gain
+    * scales every coefficient positively) and to uniform brightness
+    * shifts (a constant image is DC-only) — the transforms that flip
+    * [[aHash64]]'s mean-threshold bits once clamping makes them
+    * non-uniform; the low-frequency coefficients carry large exact
+    * magnitudes, so clamp distortion rarely crosses zero. All
+    * arithmetic is exact Long (max |term| ≈ 12k·2^28, ×64 terms —
+    * far inside Long), so DuckDB replays the hash bit-for-bit from
+    * the pixel formulas and the embedded basis literals. `None` for
+    * non-image/undecodable payloads. Stateless — streaming-legal.
+    */
+  def pHash64(kind: String, content: Array[Byte]): Option[Long] = {
+    val img = if (kind == "image") decodeImage(content) else None
+    img.map { im =>
+      val h = im.getHeight
+      val w = im.getWidth
+      val lum = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val r = math.min(y * 8 / h, 7)
+        var x = 0
+        while (x < w) {
+          val j = r * 8 + math.min(x * 8 / w, 7)
+          val rgb = im.getRGB(x, y)
+          lum(j) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      var bits = 0L
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          if (u != 0 || v != 0) {
+            var cuv = 0L
+            var r = 0
+            while (r < 8) {
+              var c = 0
+              while (c < 8) {
+                cuv += lum(r * 8 + c) * DctTable(r)(u) * DctTable(c)(v)
+                c += 1
+              }
+              r += 1
+            }
+            if (cuv > 0) bits |= 1L << (u * 8 + v - 1)
+          }
+          v += 1
+        }
+        u += 1
+      }
+      bits
+    }
+  }
+
+  /** [[encodePng]] with a per-replica integer CONTRAST gain: each
+    * channel becomes `min(255, ch · num / den)` (exact integer
+    * truncating division — replayable in any engine, unlike a float
+    * gamma curve). Gains > 1 CLAMP the bright tail, which is the
+    * non-uniform distortion that separates the mean-threshold aHash
+    * from the sign-of-DCT pHash.
+    */
+  def encodePngContrast(id: Long, num: Int, den: Int, w: Int,
+      h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        def g(ch: Int): Int = math.min(255, ch * num / den)
+        img.setRGB(x, y,
+          (g(pxR(id, 0, x, y)) << 16) | (g(pxG(id, 0, x, y)) << 8) |
+            g(pxB(id, 0, x, y)))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false)
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Contrast gains of the [[contrastDupImages]] fixture, by replica
+    * index 0..4: identity, +12.5%, +25%, −20%, −12.5%. */
+  val ContrastGains: IndexedSeq[(Int, Int)] =
+    IndexedSeq((1, 1), (9, 8), (5, 4), (4, 5), (7, 8))
+
+  /** Contrast-jittered near-dup image fixture (the [[nearDupImages]]
+    * grouping with [[encodePngContrast]] replicas): groups of five
+    * image ids share one base picture, each re-encoded under its own
+    * integer gain — perceptually near-identical, byte-distinct, and
+    * (for gains > 1) clamp-distorted in the bright tail.
+    */
+  def contrastDupImages(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val base = id - id % 15
+          val (num, den) = ContrastGains(((id % 15) / 3).toInt)
+          MediaRow(id, "image", encodePngContrast(base, num, den, ImgW, ImgH),
+            ImgW, ImgH, 0, 0)
+        }
+      }
+  }
+
   /** [[encodePng]] with a per-replica brightness jitter on row 0: each
     * channel of the `y = 0` pixels is brightened by `delta` (clamped at
     * 255) — a REAL re-encoded PNG whose bytes differ from the base

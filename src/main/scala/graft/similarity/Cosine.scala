@@ -263,18 +263,18 @@ object LshAnn {
       numTables: Int = 4,
       multiProbe: Int = 0,
       excludeSelf: Boolean = true,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true,
+      probeOrder: Int = 1): DataFrame = {
     require(k > 0 && numBits >= 1 && numBits <= 62 && numTables >= 1,
       s"bad shape k=$k numBits=$numBits numTables=$numTables")
-    require(multiProbe >= 0 && multiProbe <= numBits,
-      s"multiProbe=$multiProbe must be in [0, numBits=$numBits]")
+    checkProbeShape(multiProbe, numBits, probeOrder)
     val dim = vecDim(corpus, vecCol)
     // corpus bucketed once per table — one native signature pass; THE
     // corpus-proportional side (at lake scale: persisted, appended to —
     // [[writeIndex]]/[[searchIndex]])
     val csig = bucketedCorpus(corpus, idCol, vecCol, numBits, numTables, dim)
     val qprobes = probeFrame(queries, idCol, vecCol,
-      numBits, numTables, multiProbe, dim)
+      numBits, numTables, multiProbe, dim, probeOrder)
     // query batches too large to broadcast (each query emits
     // numTables·(1 + multiProbe) probe rows): broadcastQueries = false
     // shuffles BOTH sides on (tbl, sig) — the bucketed corpus side is
@@ -295,16 +295,30 @@ object LshAnn {
       .withColumnRenamed("col", "sig")
 
   /** `(query_id, qv, tbl, sig)` — one row per probe: each query's own
-    * bucket per table plus its `multiProbe` lowest-margin single-bit
-    * flips. Signatures + all tables' per-plane dots (margins) come
-    * from two native passes; everything else is per-probe-row algebra.
+    * bucket per table plus its `multiProbe` best perturbations.
+    * Signatures + all tables' per-plane dots (margins) come from two
+    * native passes; everything else is per-probe-row algebra.
+    *
+    * `probeOrder = 1` (the default everywhere): perturbations are
+    * single-bit flips in |margin| order — the first-order prefix of
+    * the Lv et al. sequence. `probeOrder = 2` extends the candidate
+    * pool with every TWO-bit set, scored by the SUM of its bits'
+    * |margins| (the Lv et al. score model: the chance a neighbor sits
+    * across BOTH hyperplanes falls with the total margin crossed), and
+    * takes the `multiProbe` best sets overall — so a cheap pair like
+    * {b1, b2} outranks an expensive single {b5}, exactly the sequence
+    * prefix. Ties break to the lexicographically smaller bit set; the
+    * scores are exact by the [[hcomp]] integer recipe, so the oracle
+    * replays the whole ranking bit-for-bit.
     */
-  private def probeFrame(queries: DataFrame, idCol: String, vecCol: String,
-      numBits: Int, numTables: Int, multiProbe: Int, dim: Int): DataFrame = {
+  private[similarity] def probeFrame(queries: DataFrame, idCol: String,
+      vecCol: String, numBits: Int, numTables: Int, multiProbe: Int,
+      dim: Int, probeOrder: Int = 1): DataFrame = {
     val flat = (0 until numTables).flatMap(t => (0 until numBits).map(i =>
       (0 until dim).map(d => hcomp(t, i, d))))
     val pows = typedLit((0 until numBits).map(i => 1L << i))
-    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    val based = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         org.apache.spark.sql.graft.VecFunctions.vec_project(
           col(vecCol).cast("array<double>"), flat, 1.0).as("__dots"),
         signatures(col(vecCol), numBits, numTables, dim).as("__sigs"))
@@ -314,17 +328,54 @@ object LshAnn {
       .withColumnRenamed("col", "__base")
       .withColumn("__tdots",
         slice(col("__dots"), col("tbl") * lit(numBits) + lit(1), lit(numBits)))
+    def margin(i: Column): Column = abs(element_at(col("__tdots"), i + 1))
+    if (probeOrder <= 1) based
       // bits ranked by |margin| ascending, ties to the smaller bit —
       // struct sort order, replayed verbatim by the oracle
       .withColumn("__flips",
         slice(array_sort(transform(sequence(lit(0), lit(numBits - 1)),
-          i => struct(abs(element_at(col("__tdots"), i + 1)).as("m"),
-            i.as("b")))), 1, multiProbe))
+          i => struct(margin(i).as("m"), i.as("b")))), 1, multiProbe))
       .select(col("query_id"), col("qv"), col("tbl"),
         explode(concat(array(col("__base")),
           transform(col("__flips"), f => col("__base")
             .bitwiseXOR(element_at(pows, f.getField("b") + 1)))))
           .as("sig"))
+    else {
+      // order 2: candidate sets = all singles ∪ all pairs, ranked by
+      // total |margin| (struct sort: score, then the bit set)
+      val singles = transform(sequence(lit(0), lit(numBits - 1)),
+        i => struct(margin(i).as("m"), array(i).as("bs")))
+      val pairs = flatten(transform(sequence(lit(0), lit(numBits - 2)),
+        i => transform(sequence(i + 1, lit(numBits - 1)),
+          j => struct((margin(i) + margin(j)).as("m"),
+            array(i, j).as("bs")))))
+      based
+        .withColumn("__flips",
+          slice(array_sort(concat(singles, pairs)), 1, multiProbe))
+        .select(col("query_id"), col("qv"), col("tbl"),
+          explode(concat(array(col("__base")),
+            transform(col("__flips"), f => col("__base")
+              .bitwiseXOR(aggregate(f.getField("bs"), lit(0L),
+                (acc, b) => acc + element_at(pows, b + 1))))))
+            .as("sig"))
+    }
+  }
+
+  /** Probe-budget validation shared by [[search]]/[[searchIndex]]:
+    * order 1 allows up to `numBits` single-bit perturbations, order 2
+    * up to singles + pairs. */
+  private def checkProbeShape(multiProbe: Int, numBits: Int,
+      probeOrder: Int): Unit = {
+    require(probeOrder == 1 || probeOrder == 2,
+      s"probeOrder=$probeOrder must be 1 (single-bit) or 2 (+pairs)")
+    require(probeOrder == 1 || numBits >= 2,
+      "probeOrder=2 needs numBits >= 2 (no pairs exist otherwise)")
+    val cap =
+      if (probeOrder == 1) numBits
+      else numBits + numBits * (numBits - 1) / 2
+    require(multiProbe >= 0 && multiProbe <= cap,
+      s"multiProbe=$multiProbe must be in [0, $cap] at " +
+        s"numBits=$numBits probeOrder=$probeOrder")
   }
 
   /** Shared tail: dedup pair collisions, exact cosine, dense top-k. */
@@ -464,15 +515,15 @@ object LshAnn {
       numBits: Int = 8,
       numTables: Int = 4,
       multiProbe: Int = 0,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      probeOrder: Int = 1): DataFrame = {
     require(k > 0 && numBits >= 1 && numBits <= 62 && numTables >= 1,
       s"bad shape k=$k numBits=$numBits numTables=$numTables")
-    require(multiProbe >= 0 && multiProbe <= numBits,
-      s"multiProbe=$multiProbe must be in [0, numBits=$numBits]")
+    checkProbeShape(multiProbe, numBits, probeOrder)
     checkIndexMeta(spark, path, numBits, numTables)
     val dim = vecDim(queries, vecCol)
     val qprobes = probeFrame(queries, idCol, vecCol,
-      numBits, numTables, multiProbe, dim)
+      numBits, numTables, multiProbe, dim, probeOrder)
       .localCheckpoint(true) // consumed twice: probe collect + the join
     // bounded collect, then per-table IN-lists: partition pruning needs
     // literals at plan time (a join would need runtime DPP; the literal

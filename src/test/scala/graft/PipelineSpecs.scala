@@ -909,6 +909,50 @@ class PipelineSpecs extends SparkSuite {
       Set(a, b).intersect(Set(10L, 11L, 12L)).nonEmpty })
   }
 
+  test("media: pHash separates contrast-jittered copies where aHash " +
+      "cannot") {
+    import graft.dedup.SimHashDedup
+    // 30 base images × 5 integer-gain replicas each (pure JVM — no
+    // Spark needed for the separation witness)
+    val nBases = 30
+    def payload(base: Long, gi: Int) = {
+      val (n, d) = Media.ContrastGains(gi)
+      Media.encodePngContrast(base, n, d, 32, 32)
+    }
+    val ph = (0 until nBases).map(b => (0 until 5).map(g =>
+      Media.pHash64("image", payload(b * 15L, g)).get))
+    val ah = (0 until nBases).map(b => (0 until 5).map(g =>
+      Media.aHash64("image", payload(b * 15L, g)).get))
+    def planted(h: Seq[Seq[Long]]) = for {
+      g <- h; i <- g.indices; j <- (i + 1) until g.size
+    } yield java.lang.Long.bitCount(g(i) ^ g(j))
+    def cross(h: Seq[Seq[Long]]) = for {
+      i <- h.indices; j <- (i + 1) until h.size
+      a <- h(i); b <- h(j)
+    } yield java.lang.Long.bitCount(a ^ b)
+    // pHash: a clean margin exists — every planted pair closer than any
+    // cross-base pair (threshold 5 from graft.MediaHashProbe)
+    assert(planted(ph).max <= 5, s"planted pHash max ${planted(ph).max}")
+    assert(cross(ph).min > 5, s"cross pHash min ${cross(ph).min}")
+    // aHash: NO threshold separates on this fixture — the bright-tail
+    // clamp of gains > 1 is a non-uniform distortion its mean threshold
+    // cannot absorb (the brittleness pHash exists to fix)
+    assert(planted(ah).max > cross(ah).min,
+      s"expected aHash overlap: planted max ${planted(ah).max} vs " +
+        s"cross min ${cross(ah).min}")
+    // end-to-end: the pigeonhole pipeline recovers exactly the planted
+    // pairs (C(5,2) per base), zero false positives
+    val rows = for (b <- 0 until 4; g <- 0 until 5)
+      yield (b * 15L + g, Media.pHash64("image", payload(b * 15L, g)).get)
+    val got = SimHashDedup.fromFingerprints(rows.toDF("id", "fp"), "fp",
+        "id", maxHamming = 5, fpBits = 63)
+      .select("id_l", "id_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for { b <- 0 until 4; i <- 0 until 5; j <- (i + 1) until 5 }
+      yield (b * 15L + i, b * 15L + j)).toSet
+    assert(got == want, s"recovered $got != planted $want")
+  }
+
   test("media: fromFingerprints narrow-width blocking loses no pairs " +
       "(16-bit fingerprints, pigeonhole over the REAL bits)") {
     import graft.dedup.SimHashDedup

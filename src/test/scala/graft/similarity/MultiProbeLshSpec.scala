@@ -144,6 +144,68 @@ class MultiProbeLshSpec extends SparkSuite {
     assert(e.getMessage.contains("different spaces"))
   }
 
+  test("order-2 probe set follows the scored perturbation sequence") {
+    val numBits = 4; val dim = 8
+    // chosen so the score ranking INTERLEAVES: the pair {0,1} outranks
+    // the single {2} (margins 0.41, 0.45, 0.86 vs 1.02)
+    val v = (0 until dim).map(d => ((d * 7) % 19 - 9) / 10.0)
+    val q = Seq((0L, v)).toDF("vec_id", "embedding")
+    val probes = LshAnn.probeFrame(q, "vec_id", "embedding",
+        numBits, 1, multiProbe = 4, dim = dim, probeOrder = 2)
+      .select("sig").collect().map(_.getLong(0)).toSeq
+    // replicate the contract: per-plane dots (ascending-index sum — the
+    // VecProject order), base signature, then perturbation sets =
+    // singles ∪ pairs ranked by total |margin|
+    val dots = (0 until numBits).map(i =>
+      (0 until dim).map(d => v(d) * LshAnn.hcomp(0, i, d)).sum)
+    val base = (0 until numBits)
+      .map(i => if (dots(i) > 0) 1L << i else 0L).sum
+    val sets = (0 until numBits).map(i => (math.abs(dots(i)), Seq(i))) ++
+      (for { i <- 0 until numBits; j <- (i + 1) until numBits }
+        yield (math.abs(dots(i)) + math.abs(dots(j)), Seq(i, j)))
+    assert(sets.map(_._1).distinct.length == sets.length,
+      "fixture must have distinct scores for an unambiguous order")
+    val expected = base +: sets.sortBy(_._1).take(4).map { case (_, bs) =>
+      bs.foldLeft(base)((acc, b) => acc ^ (1L << b)) }
+    assert(probes == expected,
+      s"probe sequence $probes != expected $expected (dots: $dots)")
+    // the sequence genuinely interleaves: with these margins a PAIR
+    // must appear before the costliest single in the first 4 probes
+    assert(sets.sortBy(_._1).take(4).exists(_._2.length == 2),
+      s"fixture should rank a pair into the prefix: ${sets.sortBy(_._1)}")
+  }
+
+  test("order-2 at full budget covers order-1 at full budget") {
+    val cap1 = 8 // numBits
+    val cap2 = 8 + 8 * 7 / 2
+    val r1 = recallVsExact(LshAnn.search(corpus, queries, "vec_id",
+      "embedding", k = 5, numBits = 8, numTables = 1, multiProbe = cap1))
+    val r2 = recallVsExact(LshAnn.search(corpus, queries, "vec_id",
+      "embedding", k = 5, numBits = 8, numTables = 1, multiProbe = cap2,
+      probeOrder = 2))
+    assert(r2 >= r1,
+      s"order-2 full budget ($r2) must cover order-1 full budget ($r1)")
+  }
+
+  test("probe-shape validation: budget caps and order bounds") {
+    intercept[IllegalArgumentException] {
+      LshAnn.search(corpus, queries, "vec_id", "embedding", k = 5,
+        numBits = 4, numTables = 1, multiProbe = 5) // > numBits at order 1
+    }
+    intercept[IllegalArgumentException] {
+      LshAnn.search(corpus, queries, "vec_id", "embedding", k = 5,
+        numBits = 4, numTables = 1, multiProbe = 11, probeOrder = 2) // > 4+6
+    }
+    intercept[IllegalArgumentException] {
+      LshAnn.search(corpus, queries, "vec_id", "embedding", k = 5,
+        numBits = 1, numTables = 1, multiProbe = 1, probeOrder = 2)
+    }
+    intercept[IllegalArgumentException] {
+      LshAnn.search(corpus, queries, "vec_id", "embedding", k = 5,
+        numBits = 4, numTables = 1, multiProbe = 1, probeOrder = 3)
+    }
+  }
+
   test("multiProbe = numBits probes every Hamming-1 bucket") {
     // with numBits = 4 and multiProbe = 4, every query emits 5 probe
     // signatures per table: its own bucket + all 4 single-bit flips
