@@ -65,6 +65,7 @@ def main():
     parts = [rest[i::chunks] for i in range(chunks)]
 
     merged = {}
+    drift = {}
     loads = []
     start_loads = []
     gate_waits = []
@@ -77,6 +78,10 @@ def main():
                            "SPARK_GRAFT_PROBE_RUNS": "0",
                            "SPARK_GRAFT_ONLY": ",".join(part)})
         merged.update(d["queries"])
+        # each chunk JVM reprobes its own drifting queries (vs the
+        # SPARK_GRAFT_PREV artifact, absolute path — the sf1 drift
+        # protocol); carry the triples through the merge
+        drift.update(d.get("drift", {}))
         loads.append(d.get("load_avg", -1))
         start_loads.append(d.get("load_avg_start", -1))
         gate_waits.append(d.get("load_gate_waited_sec", -1))
@@ -96,11 +101,12 @@ def main():
     print(f"[probes] {pd_['probe_median']}, load {pd_.get('load_avg')}",
           flush=True)
 
+    drift.update(pd_.get("drift", {}))
     failed = [k for k, v in merged.items() if v < 0]
     total = sum(v for v in merged.values() if v >= 0)
     result = {
         "metric": "total", "value": round(total, 3), "unit": "sec",
-        "queries": merged, "failed": failed, "runs": 2,
+        "queries": merged, "drift": drift, "failed": failed, "runs": 2,
         "agg": "min", "protocol": f"chunked x{chunks} + dedicated probe JVM",
         "probe_passes": pd_.get("probe_passes", {}),
         "probe_median": pd_.get("probe_median", {}),
