@@ -30,14 +30,20 @@ object MediaHashProbe {
       xs.groupBy(identity).toSeq.sortBy(_._1)
         .map { case (d, g) => s"$d:${g.size}" }.mkString(" ")
     val (a, p) = (aAll.result(), pAll.result())
-    // cross-base separation: the nearest NON-planted pair bounds the
-    // usable threshold from above
-    val aBase = (0 until nBases).map(b => Media.aHash64("image",
-      Media.encodePngContrast(b * 15L, 1, 1, Media.ImgW, Media.ImgH)).get)
-    val pBase = (0 until nBases).map(b => Media.pHash64("image",
-      Media.encodePngContrast(b * 15L, 1, 1, Media.ImgW, Media.ImgH)).get)
-    val aX = dist(aBase).min
-    val pX = dist(pBase).min
+    // cross-base separation over ALL replica pairs of DIFFERENT bases
+    // (every gain × gain combination, not just the identity replicas) —
+    // the true nearest non-planted pair bounds the threshold from above
+    def crossMin(hash: (String, Array[Byte]) => Option[Long]): Int = {
+      val byBase = (0 until nBases).map(b =>
+        Media.ContrastGains.map { case (n, d) => hash("image",
+          Media.encodePngContrast(b * 15L, n, d, Media.ImgW, Media.ImgH)).get })
+      (for {
+        i <- byBase.indices; j <- (i + 1) until byBase.size
+        x <- byBase(i); y <- byBase(j)
+      } yield java.lang.Long.bitCount(x ^ y)).min
+    }
+    val aX = crossMin(Media.aHash64(_, _))
+    val pX = crossMin(Media.pHash64)
     println(s"""{"probe":"media_hash_contrast","pairs":${a.size},""" +
       s""""ahash_max":${a.max},"phash_max":${p.max},""" +
       s""""ahash_cross_min":$aX,"phash_cross_min":$pX,""" +

@@ -873,17 +873,25 @@ object SparkEntry {
     val d0 = raw.unionByName(
       raw.filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 100000L))
+    // every stage frame is (lazily) checkpointed — the Spark analog of
+    // the oracle's MATERIALIZED stage CTEs: each stage is referenced
+    // 2-3× downstream (the next stage, q_pipeline5's tail, AND
+    // q_funnel_pipeline's flag joins), and without the pin each
+    // reference re-evaluates the whole chain below it (the MinHash
+    // clustering would run twice per funnel query)
     // 1 ── quality gate
     val q1 = QualityFilter.keep(d0, "text",
       QualityFilter.GopherThresholds(
         minTokens = 12, maxTokens = 1000,
         minMeanLen = 2.5, maxMeanLen = 6.0, minStopwords = 1))
+      .localCheckpoint(false)
     // 2 ── URL blocklist
     val blocked = Seq("site.co.uk", "cdn.media.org", "news.com")
       .toDF("entry")
     val q2 = graft.text.UrlFilter(
       q1.withColumn("url", synUrl(col("doc_id"))), "url",
       blocked, "entry").drop("url")
+      .localCheckpoint(false)
     // 3 ── exact dedup survivors
     val q3 = ExactDedup.survivors(q2, Seq("text"), "doc_id")
       .localCheckpoint(false)
@@ -894,6 +902,7 @@ object SparkEntry {
     val q4 = DuplicateClusters(q3, "doc_id", pairs, "id_l", "id_r")
       .filter(col("is_canonical") === 1)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .localCheckpoint(false)
     // 5 ── SemDedup on the survivors' embeddings
     val e5 = emb(s, dir).join(
       q4.select((col("doc_id") % 100000L).as("__p5_k")),
@@ -904,6 +913,7 @@ object SparkEntry {
       .filter(col("is_canonical") === 1).select(col("vec_id"))
     val q5 = q4.join(semCanon,
       col("doc_id") % 100000L === col("vec_id"), "left_semi")
+      .localCheckpoint(false)
     // 6 ── decontamination gate (eval = raw corpus, doc_id % 50 = 0).
     // 4-grams, not q_contamination's 3-grams: the eval gram set grows
     // with the corpus, and at sf0.1 the 3-gram overlap rate (mean
@@ -3726,12 +3736,13 @@ object SparkEntry {
     * jitter aHash is brittle under: groups of five CONTRAST-jittered
     * copies (integer gains ±25%, [[Media.contrastDupImages]]; gains > 1
     * clamp the bright tail — a NON-uniform distortion). Measured on
-    * this fixture (`graft.MediaHashProbe`): planted-pair aHash Hamming
-    * reaches 8 while distinct bases come as close as 4 — NO aHash
+    * this fixture (`graft.MediaHashProbe`, cross-base minimum taken
+    * over EVERY gain×gain replica pair): planted-pair aHash Hamming
+    * reaches 8 while distinct bases come as close as 2 — NO aHash
     * threshold separates; pHash (sign-of-DCT-coefficient over the same
     * integer grid, exact Long arithmetic against the quantized
     * [[Media.DctTable]] basis) keeps planted pairs ≤ 5 with distinct
-    * bases ≥ 7 — threshold 5 recovers every planted pair with zero
+    * bases ≥ 6 — threshold 5 recovers every planted pair with zero
     * false positives, which is exactly what this query's oracle pins
     * (pixel formulas → integer gains → DCT with the embedded basis
     * literals → sign bits → full Hamming join). Blocking is the same

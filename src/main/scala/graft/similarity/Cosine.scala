@@ -140,7 +140,8 @@ object LshAnn {
     val rows = df.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol))).head(1)
     require(rows.nonEmpty,
-      s"cannot infer vector dimension: column '$vecCol' is null in every row")
+      s"cannot infer vector dimension: the input has no row with a " +
+        s"non-null '$vecCol' (empty input, or every embedding null)")
     rows(0).getInt(0)
   }
 
@@ -421,15 +422,17 @@ object LshAnn {
     graft.sources.Layout.writePartitioned(
       bucketedCorpus(corpus, idCol, vecCol, numBits, numTables, dim),
       path, partitionBy = Seq("tbl", "sig"), sortBy = Seq("neighbor_id"))
-    // parameter sidecar: a search with different (numBits, numTables)
-    // lives in a different signature space and would silently return
-    // near-empty results — searchIndex fails loudly on mismatch instead
+    // parameter sidecar: a search/append with different (numBits,
+    // numTables) — or a different vector DIMENSION, which parameterizes
+    // the hyperplanes just as much — lives in a different signature
+    // space and would silently return near-empty results; searchIndex
+    // and appendIndex fail loudly on mismatch instead
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       corpus.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(path, MetaFile), true)
     try out.write(
-      s"""{"numBits":$numBits,"numTables":$numTables}"""
+      s"""{"numBits":$numBits,"numTables":$numTables,"dim":$dim}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -455,8 +458,8 @@ object LshAnn {
       numTables: Int = 4): Unit = {
     require(numBits >= 1 && numBits <= 62 && numTables >= 1,
       s"bad shape numBits=$numBits numTables=$numTables")
-    checkIndexMeta(delta.sparkSession, path, numBits, numTables)
     val dim = vecDim(delta, vecCol)
+    checkIndexMeta(delta.sparkSession, path, numBits, numTables, Some(dim))
     graft.sources.Layout.appendPartitioned(
       bucketedCorpus(delta, idCol, vecCol, numBits, numTables, dim),
       path, partitionBy = Seq("tbl", "sig"), sortBy = Seq("neighbor_id"))
@@ -465,12 +468,16 @@ object LshAnn {
   private val MetaFile = "_graft_lsh_meta.json"
 
   /** Fails loudly when a [[writeIndex]] sidecar disagrees with the
-    * caller's parameters. A degraded check (pre-sidecar index with no
-    * file, or a corrupt/hand-edited sidecar) passes through — but WARNS,
-    * so the silent near-empty-result failure mode the sidecar exists to
-    * prevent is at least visible in the logs. */
+    * caller's parameters — numBits, numTables, and (when the caller
+    * knows it: [[appendIndex]]/[[searchIndex]]) the vector DIMENSION,
+    * which parameterizes the hyperplanes just as much as the bit
+    * count. A degraded check (pre-sidecar index with no file, a
+    * pre-dim sidecar, or a corrupt/hand-edited one) passes through —
+    * but WARNS, so the silent near-empty-result failure mode the
+    * sidecar exists to prevent is at least visible in the logs. */
   private def checkIndexMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String, numBits: Int, numTables: Int): Unit = {
+      path: String, numBits: Int, numTables: Int,
+      dim: Option[Int] = None): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
@@ -486,6 +493,18 @@ object LshAnn {
             s"index at $path was written with numBits=$b numTables=$t; " +
               s"searched with numBits=$numBits numTables=$numTables — " +
               "signatures live in different spaces")
+          (field("dim"), dim) match {
+            case (Some(d0), Some(d)) =>
+              require(d0 == d,
+                s"index at $path was written over dimension-$d0 vectors; " +
+                  s"this call carries dimension-$d vectors — the " +
+                  "hyperplanes (and so the signatures) differ")
+            case (None, Some(_)) => log.warn(
+              s"LSH index sidecar $p predates the dim field — dimension " +
+                "check SKIPPED; a dimension mismatch would land rows in " +
+                "a foreign signature space silently")
+            case _ => ()
+          }
         case _ => log.warn(
           s"LSH index sidecar $p exists but is unparseable — parameter " +
             s"check SKIPPED; a (numBits, numTables) mismatch would return " +
@@ -520,8 +539,8 @@ object LshAnn {
     require(k > 0 && numBits >= 1 && numBits <= 62 && numTables >= 1,
       s"bad shape k=$k numBits=$numBits numTables=$numTables")
     checkProbeShape(multiProbe, numBits, probeOrder)
-    checkIndexMeta(spark, path, numBits, numTables)
     val dim = vecDim(queries, vecCol)
+    checkIndexMeta(spark, path, numBits, numTables, Some(dim))
     val qprobes = probeFrame(queries, idCol, vecCol,
       numBits, numTables, multiProbe, dim, probeOrder)
       .localCheckpoint(true) // consumed twice: probe collect + the join

@@ -119,6 +119,15 @@ class MultiProbeLshSpec extends SparkSuite {
         numBits = 8, numTables = 2)
     }
     assert(mism.getMessage.contains("different spaces"))
+    // ... and so would a delta of a DIFFERENT vector dimension (the
+    // hyperplanes are dimension-parameterized): sidecar-checked too
+    val wrongDim = delta.select(col("vec_id"),
+      slice(col("embedding"), 1, 8).as("embedding"))
+    val dimMism = intercept[IllegalArgumentException] {
+      LshAnn.appendIndex(wrongDim, "vec_id", "embedding", s"$dir/inc",
+        numBits = 6, numTables = 2)
+    }
+    assert(dimMism.getMessage.contains("dimension"))
     def res(p: String) = LshAnn.searchIndex(spark, p, queries, "vec_id",
       "embedding", k = 3, numBits = 6, numTables = 2, multiProbe = 2)
     val (inc, full) = (res(s"$dir/inc"), res(s"$dir/full"))
