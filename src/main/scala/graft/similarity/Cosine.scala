@@ -474,10 +474,21 @@ object LshAnn {
     * count. A degraded check (pre-sidecar index with no file, a
     * pre-dim sidecar, or a corrupt/hand-edited one) passes through —
     * but WARNS, so the silent near-empty-result failure mode the
-    * sidecar exists to prevent is at least visible in the logs. */
+    * sidecar exists to prevent is at least visible in the logs — or
+    * FAILS, when the session opts into
+    * `spark.graft.lsh.strictIndexMeta=true` (deployments where every
+    * index is known to carry a sidecar should refuse degraded checks
+    * outright). */
   private def checkIndexMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, numBits: Int, numTables: Int,
       dim: Option[Int] = None): Unit = {
+    val strict = spark.conf
+      .get("spark.graft.lsh.strictIndexMeta", "false").toBoolean
+    def degraded(msg: String): Unit =
+      if (strict) throw new IllegalStateException(
+        s"$msg (spark.graft.lsh.strictIndexMeta=true refuses degraded " +
+          "parameter checks)")
+      else log.warn(msg)
     val p = new org.apache.hadoop.fs.Path(path, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
@@ -499,18 +510,18 @@ object LshAnn {
                 s"index at $path was written over dimension-$d0 vectors; " +
                   s"this call carries dimension-$d vectors — the " +
                   "hyperplanes (and so the signatures) differ")
-            case (None, Some(_)) => log.warn(
+            case (None, Some(_)) => degraded(
               s"LSH index sidecar $p predates the dim field — dimension " +
                 "check SKIPPED; a dimension mismatch would land rows in " +
                 "a foreign signature space silently")
             case _ => ()
           }
-        case _ => log.warn(
+        case _ => degraded(
           s"LSH index sidecar $p exists but is unparseable — parameter " +
             s"check SKIPPED; a (numBits, numTables) mismatch would return " +
             "near-empty results silently")
       }
-    } else log.warn(
+    } else degraded(
       s"LSH index at $path has no $MetaFile sidecar (pre-sidecar index?) " +
         "— parameter check SKIPPED; a (numBits, numTables) mismatch " +
         "would return near-empty results silently")

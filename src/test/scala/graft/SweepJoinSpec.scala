@@ -493,6 +493,37 @@ class SweepJoinSpec extends SparkSuite {
       "no skew -> the plain sweep plan, zero salting overhead")
   }
 
+  test("autoProbed: folded danger probe returns None on danger, " +
+      "else exactly auto's rows") {
+    import graft.joins.SaltedSweepJoin
+    val l = (0 until 600).map(i =>
+      (i % 5L, i.toLong, (i % 50).toDouble, (i % 50) + 10.0))
+      .toDF("grp", "lid", "ls", "le")
+    val r = (0 until 600).map(i =>
+      (i % 5L, 1000L + i, (i % 60).toDouble, (i % 60) + 5.0))
+      .toDF("g2", "rid", "rs", "re")
+    val lSpec = IntervalSpec.closed("ls", "le")
+    val rSpec = IntervalSpec.closed("rs", "re")
+    def probed(lf: org.apache.spark.sql.DataFrame) =
+      SaltedSweepJoin.autoProbed(lf, r, Seq("grp"), Seq("g2"),
+        lSpec, rSpec,
+        dangerL = Some(!graft.core.Intervals.nonEmpty(lf, lSpec) &&
+          col("ls").isNotNull && col("le").isNotNull),
+        dangerR = None)
+    // no danger: the probed call is Some and row-identical to auto
+    val want = SaltedSweepJoin.auto(l, r, Seq("grp"), Seq("g2"),
+      lSpec, rSpec).select("lid", "rid").as[(Long, Long)].collect().toSet
+    val got = probed(l).getOrElse(fail("no danger yet autoProbed = None"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    // ONE inverted (non-null-endpoint empty) interval → None: the
+    // caller must fall back to the conjunct-exact raw plan
+    val poisoned = l.unionByName(
+      Seq((0L, 9999L, 50.0, 3.0)).toDF("grp", "lid", "ls", "le"))
+    assert(probed(poisoned).isEmpty,
+      "danger row present but autoProbed returned a result")
+  }
+
   test("auto salted sweep ≡ plain sweep (randomized: skew side × keep × closedness)") {
     import graft.joins.SaltedSweepJoin
     for (seed <- 1 to 4) {

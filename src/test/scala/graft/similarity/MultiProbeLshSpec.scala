@@ -215,6 +215,27 @@ class MultiProbeLshSpec extends SparkSuite {
     }
   }
 
+  test("strict sidecar mode refuses degraded checks; default warns") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lshidx_strict").toString + "/idx"
+    LshAnn.writeIndex(corpus, "vec_id", "embedding", path,
+      numBits = 6, numTables = 2)
+    // remove the sidecar: default mode degrades to a warning and works
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_lsh_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+    assert(LshAnn.searchIndex(spark, path, queries, "vec_id", "embedding",
+      k = 3, numBits = 6, numTables = 2).count() > 0)
+    spark.conf.set("spark.graft.lsh.strictIndexMeta", "true")
+    try {
+      val e = intercept[IllegalStateException] {
+        LshAnn.searchIndex(spark, path, queries, "vec_id", "embedding",
+          k = 3, numBits = 6, numTables = 2).count()
+      }
+      assert(e.getMessage.contains("strictIndexMeta"))
+    } finally spark.conf.unset("spark.graft.lsh.strictIndexMeta")
+  }
+
   test("multiProbe = numBits probes every Hamming-1 bucket") {
     // with numBits = 4 and multiProbe = 4, every query emits 5 probe
     // signatures per table: its own bucket + all 4 single-bit flips
