@@ -3760,6 +3760,25 @@ object SparkEntry {
         .select(col("id_l"), col("id_r"), col("hamming"))
     }
 
+  /** VIDEO near-dup — the perceptual family extended to the third media
+    * kind the fixture carries: groups of five re-encoded
+    * brightness-jittered replicas of each base clip
+    * ([[Media.nearDupVideos]] — pairwise-distinct BYTES, per-frame
+    * jitter, so exact dedup finds nothing) are recovered through
+    * per-frame DCT pHash → pigeonhole-blocked frame pairs → exact
+    * MIN-over-frame-pairs Hamming per clip pair
+    * ([[graft.multimodal.VideoDedup]]). Threshold 5 from
+    * [[graft.VideoHashProbe]]: planted pairs reach min-Hamming 4 while
+    * foreign clips stay ≥ 7 — a clean margin, with 45% of planted
+    * pairs at nonzero distance (exact fingerprint dedup would miss
+    * them). The oracle replays frames → jittered pixels → normalized
+    * cell means → DCT sign bits → quadratic min-Hamming. */
+  private val q_media_video_dedup: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.multimodal.VideoDedup(
+        Media.nearDupVideos(s, docs(s, dir)), maxHamming = 5)
+        .select(col("id_l"), col("id_r"), col("min_hamming"))
+
   /** The streaming media gate executed in batch:
     * [[graft.streaming.StreamingOps.streamingMediaDedup]] is a
     * stateless decode+fingerprint stage plus a keyed first-arrival
@@ -4408,6 +4427,7 @@ object SparkEntry {
     "q_media_features"      -> q_media_features,
     "q_media_dedup"         -> q_media_dedup,
     "q_media_phash"         -> q_media_phash,
+    "q_media_video_dedup"   -> q_media_video_dedup,
     "q_media_dedup_stream"  -> q_media_dedup_stream,
     "q_line_dedup"          -> q_line_dedup,
     "q_sample_weighted"     -> q_sample_weighted,
@@ -6591,10 +6611,13 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.id < b.id
         |WHERE bit_count(xor(a.f, b.f)) <= 2""".stripMargin,
     // contrast-jitter pHash: pixel formula → integer gains (clamped) →
-    // 8×8 integer luminance cells → exact Long 2-D DCT against the
-    // EMBEDDED quantized basis literals (Media.DctTable — computed once
-    // driver-side, so no cross-engine cos) → 63 sign bits (DC excluded)
-    // → full Hamming-≤5 join (pigeonhole blocking is recall-exact)
+    // 8×8 integer luminance cells → per-cell fixed-point MEAN
+    // (floor(sum · 2^16 / cnt) — Media.MeanScale; cell-count-normalized
+    // so brightness-shift invariance holds for dims that don't divide
+    // 8) → exact Long 2-D DCT against the EMBEDDED quantized basis
+    // literals (Media.DctTable — computed once driver-side, so no
+    // cross-engine cos) → 63 sign bits (DC excluded) → full Hamming-≤5
+    // join (pigeonhole blocking is recall-exact)
     "q_media_phash" -> {
       val dctVals = (0 until 8).flatMap(k => (0 until 8).map(u =>
         s"($k, $u, ${graft.multimodal.Media.DctTable(k)(u)})"))
@@ -6605,9 +6628,10 @@ object SparkEntry {
         |gains(gi, gn, gd) AS (VALUES (0,1,1),(1,9,8),(2,5,4),(3,4,5),(4,7,8)),
         |dct(k, u, t) AS (VALUES $dctVals),
         |px AS (SELECT i.id, y.y // 4 AS r, x.x // 4 AS c,
-        |         SUM(LEAST(255, ((i.base*31 + x.x*7  + y.y*13) % 256) * g.gn // g.gd)
+        |         (SUM(LEAST(255, ((i.base*31 + x.x*7  + y.y*13) % 256) * g.gn // g.gd)
         |           + LEAST(255, ((i.base*17 + x.x*11 + y.y*5 ) % 256) * g.gn // g.gd)
-        |           + LEAST(255, ((i.base*23 + x.x*3  + y.y*19) % 256) * g.gn // g.gd))::BIGINT AS lum
+        |           + LEAST(255, ((i.base*23 + x.x*3  + y.y*19) % 256) * g.gn // g.gd))::BIGINT
+        |          * ${graft.multimodal.Media.MeanScale}) // COUNT(*) AS lum
         |       FROM img i JOIN gains g USING (gi),
         |            generate_series(0,31) AS x(x), generate_series(0,31) AS y(y)
         |       GROUP BY 1, 2, 3),
@@ -6622,6 +6646,50 @@ object SparkEntry {
         |  bit_count(xor(a.f, b.f))::INT AS hamming
         |FROM fp a JOIN fp b ON a.id < b.id
         |WHERE bit_count(xor(a.f, b.f)) <= 5""".stripMargin
+    },
+    // video near-dup: per-clip jittered pixel formulas (vxR/vxG/vxB —
+    // id-dependent spatial gradients) → per-frame 8×8 normalized cell
+    // means → exact Long DCT against the embedded basis → 63 sign bits
+    // per frame → quadratic MIN-over-frame-pairs Hamming ≤ 5 (the
+    // pigeonhole frame blocking is recall-exact, so LSH == brute here)
+    "q_media_video_dedup" -> {
+      val dctVals = (0 until 8).flatMap(k => (0 until 8).map(u =>
+        s"($k, $u, ${graft.multimodal.Media.DctTable(k)(u)})"))
+        .mkString(", ")
+      s"""WITH vids AS (SELECT doc_id AS id, doc_id - (doc_id % 15) + 2 AS base,
+        |        ((doc_id % 15) - 2) // 3 AS delta
+        |      FROM documents WHERE doc_id % 3 = 2),
+        |dct(k, u, t) AS (VALUES $dctVals),
+        |px AS (SELECT v.id, f.f, y.y // 4 AS r, x.x // 4 AS c,
+        |         (SUM(
+        |            LEAST(255, (v.base*31 + f.f*29 + x.x*(7 + v.base % 5)
+        |                        + y.y*(13 + v.base % 7)) % 256
+        |              + CASE WHEN y.y < 4 THEN v.delta * 8 ELSE 0 END)
+        |          + LEAST(255, (v.base*17 + f.f*41 + x.x*(11 + v.base % 3)
+        |                        + y.y*(5 + v.base % 11)) % 256
+        |              + CASE WHEN y.y < 4 THEN v.delta * 8 ELSE 0 END)
+        |          + LEAST(255, (v.base*23 + f.f*59 + x.x*(3 + v.base % 13)
+        |                        + y.y*(19 + v.base % 2)) % 256
+        |              + CASE WHEN y.y < 4 THEN v.delta * 8 ELSE 0 END))::BIGINT
+        |          * ${graft.multimodal.Media.MeanScale}) // COUNT(*) AS lum
+        |       FROM vids v
+        |       JOIN generate_series(0, 5) AS f(f)
+        |         ON f.f < (v.base // 15) % 3 + 4,
+        |       generate_series(0,31) AS x(x), generate_series(0,31) AS y(y)
+        |       GROUP BY 1, 2, 3, 4),
+        |coef AS (SELECT p.id, p.f, tu.u AS u, tv.u AS v,
+        |           SUM(p.lum * tu.t * tv.t)::BIGINT AS cv
+        |         FROM px p JOIN dct tu ON tu.k = p.r JOIN dct tv ON tv.k = p.c
+        |         GROUP BY 1, 2, 3, 4),
+        |fp AS (SELECT id, f, bit_or(CASE WHEN cv > 0
+        |         THEN 1::BIGINT << (u*8 + v - 1)::INT ELSE 0 END)::BIGINT AS fp
+        |       FROM coef WHERE NOT (u = 0 AND v = 0) GROUP BY 1, 2),
+        |mh AS (SELECT a.id AS id_l, b.id AS id_r,
+        |         MIN(bit_count(xor(a.fp, b.fp)))::INT AS min_hamming
+        |       FROM fp a JOIN fp b ON a.id < b.id
+        |       GROUP BY 1, 2)
+        |SELECT id_l, id_r, min_hamming FROM mh
+        |WHERE min_hamming <= 5""".stripMargin
     },
     // the streaming gate in batch: first arrival (min media_id — event
     // time is monotone in it) per aHash, same pixel/fingerprint replay

@@ -548,7 +548,7 @@ object SimHashDedup {
     * shared-zero high bits (which would put the whole corpus in one
     * bucket).
     */
-  private def blockStream(fp: DataFrame, maxHamming: Int,
+  private[graft] def blockStream(fp: DataFrame, maxHamming: Int,
       fpBits: Int = 64): DataFrame = {
     val blocks = maxHamming + 1
     val bits = fpBits / blocks

@@ -380,6 +380,10 @@ object Media {
     img.map { im =>
       val h = im.getHeight
       val w = im.getWidth
+      require(w.toLong * h <= MaxAHashPixels,
+        s"aHash input claims $w x $h = ${w.toLong * h} pixels " +
+          s"(> $MaxAHashPixels): the cross-multiplied threshold " +
+          "comparison would overflow Long — refusing to hash wrong")
       val lum = new Array[Long](gw * gh)
       val cnt = new Array[Long](gw * gh)
       var y = 0
@@ -419,64 +423,115 @@ object Media {
       math.floor(math.cos(math.Pi * (2 * k + 1) * u / 16.0)
         * DctTableScale).toLong))
 
-  /** 63-bit DCT perceptual hash (the classic pHash recipe on the same
-    * integer grid machinery as [[aHash64]]): decode → 8×8 integer
-    * luminance grid → exact Long 2-D DCT-II against the quantized
+  /** Fixed-point scale of the per-cell mean luminance feeding the DCT:
+    * `mean_j = floor(lum_j · 2^16 / cnt_j)`. Normalizing by the CELL
+    * pixel count (not the raw sum) is what makes the brightness-shift
+    * invariance hold for image dims that do not divide 8 — with raw
+    * sums a constant shift adds `3·δ·cnt_j`, which varies by cell when
+    * cells are uneven and is therefore NOT DC-only. With floored
+    * scaled means the shift is exactly equivariant even under the
+    * truncation: `floor((lum_j + 3·δ·cnt_j)·S / cnt_j) =
+    * floor(lum_j·S / cnt_j) + 3·δ·S` (the added term is divisible by
+    * `cnt_j`), a constant across cells ⇒ DC-only ⇒ the 63 AC sign
+    * bits are untouched (spec-pinned on a 10×10 image).
+    */
+  val MeanScale: Long = 1L << 16
+
+  /** Pixel-count ceiling for [[pHash64]]/[[pHashImage]] (2^34 ≈ 17
+    * gigapixels): keeps `lum_j · MeanScale` exact —
+    * `765 · 2^34 · 2^16 < 2^60` — with the API still accepting any
+    * real decoded image. Payloads above it fail LOUDLY (a require,
+    * not a wrong hash): a decoded claim of > 17 GP is malformed, not
+    * merely large.
+    */
+  val MaxPHashPixels: Long = 1L << 34
+
+  /** [[MaxPHashPixels]] analog for [[aHash64]], whose threshold
+    * comparison `lum_j · n_px > total · cnt_j` is quadratic in the
+    * pixel count: `765 · (2^26)^2 < 2^63` — 67 MP, guarded loudly.
+    */
+  val MaxAHashPixels: Long = 1L << 26
+
+  /** 63-bit DCT perceptual hash of one DECODED image (the classic
+    * pHash recipe on the same integer grid machinery as [[aHash64]]):
+    * 8×8 integer luminance grid → per-cell fixed-point MEAN
+    * (`floor(lum_j · MeanScale / cnt_j)` — see [[MeanScale]] for why
+    * means, not sums) → exact Long 2-D DCT-II against the quantized
     * [[DctTable]] basis → bit `u·8+v−1` set iff coefficient
     * `C(u,v) > 0`, DC (0,0) excluded. Sign-of-coefficient bits are
-    * EXACTLY invariant to uniform luminance gain (DCT is linear, gain
-    * scales every coefficient positively) and to uniform brightness
-    * shifts (a constant image is DC-only) — the transforms that flip
-    * [[aHash64]]'s mean-threshold bits once clamping makes them
-    * non-uniform; the low-frequency coefficients carry large exact
-    * magnitudes, so clamp distortion rarely crosses zero. All
-    * arithmetic is exact Long (max |term| ≈ 12k·2^28, ×64 terms —
-    * far inside Long), so DuckDB replays the hash bit-for-bit from
-    * the pixel formulas and the embedded basis literals. `None` for
-    * non-image/undecodable payloads. Stateless — streaming-legal.
+    * EXACTLY invariant to uniform brightness shifts for ANY image
+    * dims (shift ⇒ +`3·δ·MeanScale` on every cell mean ⇒ DC-only;
+    * exact under the floor, see [[MeanScale]]) and invariant to
+    * uniform luminance gain up to the floor rounding (DCT is linear;
+    * a gain scales every mean, and so every coefficient, positively) —
+    * the transforms that flip [[aHash64]]'s mean-threshold bits once
+    * clamping makes them non-uniform; the low-frequency coefficients
+    * carry large exact magnitudes, so clamp distortion rarely crosses
+    * zero. All arithmetic is exact Long (|mean| ≤ 765·2^16 < 2^26,
+    * ×2^28 basis factors ×64 terms < 2^60), so DuckDB replays the
+    * hash bit-for-bit from the pixel formulas and the embedded basis
+    * literals.
+    */
+  def pHashImage(im: BufferedImage): Long = {
+    val h = im.getHeight
+    val w = im.getWidth
+    require(w.toLong * h <= MaxPHashPixels,
+      s"pHash input claims $w x $h = ${w.toLong * h} pixels " +
+        s"(> $MaxPHashPixels): the exact-Long DCT bound would overflow " +
+        "— refusing to hash wrong")
+    val lum = new Array[Long](64)
+    val cnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val r = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val j = r * 8 + math.min(x * 8 / w, 7)
+        val rgb = im.getRGB(x, y)
+        lum(j) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        cnt(j) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val mean = new Array[Long](64)
+    var j = 0
+    while (j < 64) {
+      mean(j) = if (cnt(j) == 0) 0L else lum(j) * MeanScale / cnt(j)
+      j += 1
+    }
+    var bits = 0L
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          var cuv = 0L
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              cuv += mean(r * 8 + c) * DctTable(r)(u) * DctTable(c)(v)
+              c += 1
+            }
+            r += 1
+          }
+          if (cuv > 0) bits |= 1L << (u * 8 + v - 1)
+        }
+        v += 1
+      }
+      u += 1
+    }
+    bits
+  }
+
+  /** [[pHashImage]] over an encoded payload: `None` for
+    * non-image/undecodable payloads (quarantine, not failure).
+    * Stateless — streaming-legal.
     */
   def pHash64(kind: String, content: Array[Byte]): Option[Long] = {
     val img = if (kind == "image") decodeImage(content) else None
-    img.map { im =>
-      val h = im.getHeight
-      val w = im.getWidth
-      val lum = new Array[Long](64)
-      var y = 0
-      while (y < h) {
-        val r = math.min(y * 8 / h, 7)
-        var x = 0
-        while (x < w) {
-          val j = r * 8 + math.min(x * 8 / w, 7)
-          val rgb = im.getRGB(x, y)
-          lum(j) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-          x += 1
-        }
-        y += 1
-      }
-      var bits = 0L
-      var u = 0
-      while (u < 8) {
-        var v = 0
-        while (v < 8) {
-          if (u != 0 || v != 0) {
-            var cuv = 0L
-            var r = 0
-            while (r < 8) {
-              var c = 0
-              while (c < 8) {
-                cuv += lum(r * 8 + c) * DctTable(r)(u) * DctTable(c)(v)
-                c += 1
-              }
-              r += 1
-            }
-            if (cuv > 0) bits |= 1L << (u * 8 + v - 1)
-          }
-          v += 1
-        }
-        u += 1
-      }
-      bits
-    }
+    img.map(pHashImage)
   }
 
   /** [[encodePng]] with a per-replica integer CONTRAST gain: each
@@ -582,9 +637,136 @@ object Media {
       }
   }
 
+  /** Per-clip pixel formulas of the [[nearDupVideos]] fixture: the
+    * shared [[pxR]]/[[pxG]]/[[pxB]] formulas carry ONE spatial
+    * gradient for every id (only the mod-256 offset varies), so
+    * foreign clips frequently land within pHash Hamming 2 of each
+    * other -- no separating threshold exists (measured by
+    * [[graft.VideoHashProbe]]). These variants make the gradient
+    * itself id-dependent, decorrelating foreign clips while staying
+    * pure integer arithmetic the DuckDB oracle replays verbatim.
+    */
+  def vxR(id: Long, f: Int, x: Int, y: Int): Int =
+    Math.floorMod(id * 31 + f * 29 + x * (7 + id % 5) + y * (13 + id % 7),
+      256).toInt
+  def vxG(id: Long, f: Int, x: Int, y: Int): Int =
+    Math.floorMod(id * 17 + f * 41 + x * (11 + id % 3) + y * (5 + id % 11),
+      256).toInt
+  def vxB(id: Long, f: Int, x: Int, y: Int): Int =
+    Math.floorMod(id * 23 + f * 59 + x * (3 + id % 13) + y * (19 + id % 2),
+      256).toInt
+
+  /** Framed-PNG clip of the [[vxR]]-family pixels with a per-replica
+    * brightness jitter of `8 * delta` on the top 4 rows of EVERY frame
+    * (strong enough that the DCT sign bits actually move -- a
+    * row-0-only nudge leaves all five replicas hash-IDENTICAL, which
+    * would let exact fingerprint dedup pass the fixture; measured by
+    * [[graft.VideoHashProbe]]): a REAL re-encoded payload whose bytes
+    * differ from the base video while every frame stays perceptually
+    * near-identical. The near-dup fixture generator for the video
+    * dedup query/specs.
+    */
+  def encodeVideoJitter(id: Long, delta: Int, nFrames: Int, w: Int,
+      h: Int): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val d = if (y < 4) delta * 8 else 0
+          img.setRGB(x, y,
+            (math.min(255, vxR(id, f, x, y) + d) << 16) |
+              (math.min(255, vxG(id, f, x, y) + d) << 8) |
+              math.min(255, vxB(id, f, x, y) + d))
+          x += 1
+        }
+        y += 1
+      }
+      val fb = new ByteArrayOutputStream()
+      ImageIO.setUseCache(false)
+      ImageIO.write(img, "png", fb)
+      val png = fb.toByteArray
+      baos.write(png.length >>> 24); baos.write((png.length >>> 16) & 0xff)
+      baos.write((png.length >>> 8) & 0xff); baos.write(png.length & 0xff)
+      baos.write(png, 0, png.length)
+      f += 1
+    }
+    baos.toByteArray
+  }
+
+  /** Near-dup VIDEO fixture over the documents table (the
+    * [[nearDupImages]] grouping on the video-kind ids): the video ids
+    * (`doc_id % 3 = 2`) form groups of five consecutive video ids
+    * (`base = doc_id − doc_id mod 15 + 2`) sharing ONE base clip of
+    * `(base/15 mod 3) + 4` formula frames; each replica re-encodes it
+    * with its own per-frame row-0 brightness jitter
+    * (`delta = (doc_id mod 15 − 2) / 3` ∈ 0..4) — five perceptually
+    * near-identical framed-PNG payloads with pairwise-distinct bytes,
+    * so exact dedup finds nothing and the per-frame perceptual path
+    * must.
+    */
+  def nearDupVideos(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val base = id - id % 15 + 2
+          val delta = ((id % 15 - 2) / 3).toInt
+          val nFrames = (base / 15 % 3 + 4).toInt
+          MediaRow(id, "video",
+            encodeVideoJitter(base, delta, nFrames, VideoW, VideoH),
+            VideoW, VideoH, 0, nFrames)
+        }
+      }
+  }
+
+  /** Frame-count ceiling for [[frameHashes]]'s composite frame id
+    * (`media_id · MaxHashFrames + frame_idx` must round-trip): 4096
+    * frames ≈ 2¼ min at 30 fps of KEY frames — sample longer videos
+    * down with [[sampleFrames]] first.
+    */
+  val MaxHashFrames = 4096
+
+  /** Per-frame [[pHashImage]] fingerprints of the video-kind rows:
+    * `(fid, media_id, fp)`, one row per decoded frame, where
+    * `fid = media_id · MaxHashFrames + frame_idx` (a single Long so
+    * the pigeonhole pair machinery — which carries Long ids through
+    * its bounded min-k state — applies unchanged; decode back with
+    * div/mod). Batched `mapPartitions` like every decode stage;
+    * undecodable payloads yield zero rows (quarantine). Non-video
+    * rows are filtered OUT — image-kind fingerprints belong to
+    * [[pHash64]]'s single-frame path.
+    */
+  def frameHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.flatMap { m =>
+        val frames = decodeVideoFrames(m.content)
+        require(frames.size <= MaxHashFrames,
+          s"media ${m.media_id} decodes to ${frames.size} frames " +
+            s"(> $MaxHashFrames); sampleFrames longer videos first")
+        frames.zipWithIndex.map { case (img, f) =>
+          (m.media_id * MaxHashFrames + f, m.media_id, pHashImage(img))
+        }
+      })
+    }.toDF("fid", "media_id", "fp")
+  }
+
   /** Image dimensions of the synthesized test fixtures. */
   val ImgW = 32
   val ImgH = 32
+  /** Frame dimensions of the [[nearDupVideos]] fixture: full 32x32
+    * formula frames (the 8x8 [[fromDocuments]] key frames are one
+    * pixel per pHash grid cell -- too little luminance surface for the
+    * sign bits to separate foreign clips; measured by
+    * [[graft.VideoHashProbe]]).
+    */
+  val VideoW = 32
+  val VideoH = 32
   /** Video key frames are small (8×8) so a 30-frame payload stays a few
     * KB.
     */

@@ -977,6 +977,71 @@ class PipelineSpecs extends SparkSuite {
     assert(e.getMessage.contains("fpBits"))
   }
 
+  test("media: pHash brightness-shift invariance holds on uneven cells " +
+      "(10x10 image — cell-count-normalized means)") {
+    // 10 does not divide 8: the grid cells carry 1 or 2 pixels per
+    // axis, so an UNNORMALIZED cell sum turns a constant shift into a
+    // cell-VARYING (non-DC) perturbation; the fixed-point cell means
+    // (Media.MeanScale) keep the shift exactly DC-only
+    def img(shift: Int) = {
+      val im = new java.awt.image.BufferedImage(10, 10,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 10; x <- 0 until 10) {
+        // channel values <= 200 so a +40 shift never clamps (the
+        // invariance claim is about UNCLAMPED uniform shifts)
+        def ch(a: Int, b: Int, c: Int) = (a * x + b * y + c) % 201
+        im.setRGB(x, y, ((ch(37, 11, 3) + shift) << 16) |
+          ((ch(13, 29, 7) + shift) << 8) | (ch(5, 23, 17) + shift))
+      }
+      im
+    }
+    assert(Media.pHashImage(img(0)) == Media.pHashImage(img(40)),
+      "brightness shift must be DC-only on uneven cells")
+    // witness that normalization does real work here: the cells have
+    // UNEQUAL pixel populations (floor(y*8/10) buckets of 1 and 2 rows),
+    // so the raw-sum recipe's +3*shift*cnt_j perturbation is non-uniform
+    val cellPx = (for (y <- 0 until 10; x <- 0 until 10)
+      yield (math.min(y * 8 / 10, 7), math.min(x * 8 / 10, 7)))
+      .groupBy(identity).map(_._2.size).toSet
+    assert(cellPx.size > 1, s"expected uneven cells, got sizes $cellPx")
+    // oversized dimension claims fail loudly instead of hashing wrong
+    assert(Media.MaxPHashPixels == (1L << 34) &&
+      Media.MaxAHashPixels == (1L << 26))
+  }
+
+  test("media: video near-dup recovers planted jittered clips " +
+      "(per-frame pHash, min-Hamming, pigeonhole == brute)") {
+    import graft.multimodal.VideoDedup
+    // two replica groups on the fixture geometry: video ids step 3
+    // inside a 15-block, five jitter replicas per base clip
+    val clips = for (b <- Seq(2L, 17L); d <- 0 until 5) yield {
+      val nFrames = (b / 15 % 3 + 4).toInt
+      MediaRow(b + 3 * d, "video",
+        Media.encodeVideoJitter(b, d, nFrames, Media.VideoW, Media.VideoH),
+        Media.VideoW, Media.VideoH, 0, nFrames)
+    }
+    // bytes pairwise distinct: exact payload dedup would find nothing
+    assert(clips.map(_.content.toSeq).toSet.size == clips.size)
+    val got = VideoDedup(clips.toDS(), maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute ground truth over the plain-JVM frame hashes
+    val hashes = clips.map(m => m.media_id ->
+      Media.decodeVideoFrames(m.content).map(Media.pHashImage)).toMap
+    val ids = hashes.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      mh = (for (a <- hashes(i); b <- hashes(j))
+        yield java.lang.Long.bitCount(a ^ b)).min
+      if mh <= 5
+    } yield (i, j, mh)).toSet
+    assert(got == brute, s"pigeonhole != brute: $got vs $brute")
+    // exactly the planted groups, zero cross-group false positives
+    val want = (for {
+      b <- Seq(2L, 17L); i <- 0 until 5; j <- (i + 1) until 5
+    } yield (b + 3 * i, b + 3 * j)).toSet
+    assert(got.map(t => (t._1, t._2)) == want)
+  }
+
   test("media: batched feature extraction is deterministic, resize, frames") {
     val media = Seq(
       MediaRow(0L, "image", Media.encodePng(0L, 0, 32, 32), 32, 32, 0, 0),
