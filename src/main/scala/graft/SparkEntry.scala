@@ -1768,7 +1768,12 @@ object SparkEntry {
       val a = graft.similarity.AnnAdvisor.advise(
         emb(s, dir), "vec_id", "embedding", k = 5, recallFloor = 0.6,
         nlists = Seq(8, 16), nprobes = Seq(1, 2, 4), sampleQueries = 8,
-        trainedNlists = Seq(8))
+        trainedNlists = Seq(8),
+        // the shipped q_ann_lsh_mp shape, priced in the same
+        // probed-fraction unit (nlist = 2^6 buckets, nprobe = 2·3
+        // probed buckets) so the choice rule ranks hash-probe against
+        // both cell-probe families
+        lshConfigs = Seq((6, 2, 2)))
       a.table.map(m => (m.quantizer, m.nlist, m.nprobe, m.recall,
           if (a.chosen.contains(m)) 1 else 0))
         .toDF("quantizer", "nlist", "nprobe", "recall", "chosen")
@@ -2373,10 +2378,12 @@ object SparkEntry {
   /** q_ann_advise's replay: the md5-rank query sample, the exact brute
     * top-5 baseline, BOTH seed quantizers (nlist 8/16), the
     * integer-Lloyd-TRAINED nlist=8 quantizer (KMeansCte — the
-    * q_ann_ivf_trained training replayed inside the advisor), every
-    * configuration's hit count, and the choice rule itself (min probed
-    * fraction meeting the 0.6 floor; ties to larger nlist, higher
-    * recall, then the trained family). */
+    * q_ann_ivf_trained training replayed inside the advisor), the
+    * HASH-probe family (lshMpCtes over the same sample — the shipped
+    * 2-table/6-bit/2-probe multi-probe chain, exact-cosine reranked),
+    * every configuration's hit count, and the choice rule itself (min
+    * probed fraction meeting the 0.6 floor; ties to larger nlist,
+    * higher recall, then quantizer name). */
   private lazy val AnnAdviseOracle: String = {
     val nlists = Seq(8, 16)
     val nprobes = Seq(1, 2, 4)
@@ -2425,12 +2432,29 @@ object SparkEntry {
          |  JOIN advex ON s.qid = advex.qid AND s.nid = advex.nid)"""
         .stripMargin
     }.mkString(",\n")
+    // the hash-probe leg: the shipped q_ann_lsh_mp probe chain
+    // (lshMpCtes, prefix av_) instantiated over the advisor's md5-rank
+    // sample, exact-cosine reranked at k = 5, intersected with the
+    // shared exact baseline — quantizer = 'lsh_mp', priced as
+    // nlist = 2^6, nprobe = 2·(1+2)
+    val lshLeg =
+      s"""l_6_2_2 AS (SELECT count(*) AS hits FROM (
+         |  SELECT t.qid, t.nid FROM (
+         |    SELECT c.qid, c.nid, ROW_NUMBER() OVER (PARTITION BY c.qid
+         |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, c.nid) AS rn
+         |    FROM av_cand c JOIN av_e a ON a.vec_id = c.qid
+         |                   JOIN av_e b ON b.vec_id = c.nid) t
+         |  WHERE t.rn <= 5) s
+         |  JOIN advex ON s.qid = advex.qid AND s.nid = advex.nid)"""
+        .stripMargin
     val rows = ((for (nl <- nlists; np <- nprobes) yield
       s"SELECT 'seed' AS quantizer, $nl AS nlist, $np AS nprobe, " +
         s"(SELECT hits FROM a${nl}_$np) AS hits") ++
       nprobes.map(np =>
         s"SELECT 'kmeans' AS quantizer, 8 AS nlist, $np AS nprobe, " +
-          s"(SELECT hits FROM t8_$np) AS hits")).mkString("\n  UNION ALL ")
+          s"(SELECT hits FROM t8_$np) AS hits") ++
+      Seq("SELECT 'lsh_mp' AS quantizer, 64 AS nlist, 6 AS nprobe, " +
+        "(SELECT hits FROM l_6_2_2) AS hits")).mkString("\n  UNION ALL ")
     s"""WITH advq AS (SELECT vec_id FROM (
        |    SELECT vec_id, md5(vec_id::VARCHAR) AS r FROM embeddings
        |    WHERE embedding IS NOT NULL ORDER BY r, vec_id LIMIT 8)),
@@ -2454,8 +2478,11 @@ object SparkEntry {
        |  FROM embeddings e CROSS JOIN tkcent c
        |  WHERE e.embedding IS NOT NULL),
        |tkcorp AS (SELECT vec_id, embedding, cell FROM tkasg WHERE rn = 1),
+       |${lshMpCtes("av_",
+          qPred = "q.vec_id IN (SELECT vec_id FROM advq)")},
        |$legs,
        |$trainedLegs,
+       |$lshLeg,
        |tbl AS ($rows),
        |res AS (SELECT quantizer, nlist, nprobe,
        |    hits::DOUBLE / (SELECT count(*) FROM advex) AS recall FROM tbl),

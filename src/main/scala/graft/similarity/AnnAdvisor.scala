@@ -3,18 +3,21 @@ package graft.similarity
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Recall-targeted IVF parameter advisor — the decision procedure on
-  * top of the recall harness (`q_ann_recall` measures; this PICKS).
+/** Recall-targeted CROSS-FAMILY ANN advisor — the decision procedure
+  * on top of the recall harness (`q_ann_recall` measures; this PICKS).
   *
-  * For a corpus and a recall floor, the advisor measures recall@k of
-  * IVF search against the exact brute top-k for every candidate
-  * `(nlist, nprobe)` configuration, on a deterministic query sample,
-  * and returns the configuration that meets the floor at the SMALLEST
+  * For a corpus and a recall floor, the advisor measures recall@k
+  * against the exact brute top-k for every candidate configuration —
+  * seed-IVF and trained-IVF cells (cell-probe) AND random-hyperplane
+  * multi-probe LSH (hash-probe) — on a deterministic query sample, and
+  * returns the configuration that meets the floor at the SMALLEST
   * probed fraction `nprobe / nlist` — the quantity that prices a query
   * at lake scale (a cell-partitioned index opens `nprobe/nlist` of its
-  * directories per query batch; see `q_ann_layout`). Ties prefer the
-  * larger `nlist` (same probed fraction, smaller individual cells ⇒
-  * cheaper per-cell scans and finer future pruning).
+  * directories per query batch, and a bucketed signature index scans
+  * an expected `probes/2^bits` of its rows; see `q_ann_layout` /
+  * `q_ann_lsh_layout`). Ties prefer the larger `nlist` (same probed
+  * fraction, smaller individual cells ⇒ cheaper per-cell scans and
+  * finer future pruning).
   *
   * Everything follows the repo determinism contract: the query sample
   * is the md5-rank bottom `sampleQueries` ids (engine-portable, no
@@ -39,8 +42,17 @@ import org.apache.spark.sql.functions._
   */
 object AnnAdvisor {
 
-  /** One measured configuration; `quantizer` is "seed" ([[IvfAnn.fit]])
-    * or "kmeans" (integer-Lloyd-trained cells). */
+  /** One measured configuration; `quantizer` is "seed" ([[IvfAnn.fit]]),
+    * "kmeans" (integer-Lloyd-trained cells), or "lsh_mp"
+    * (random-hyperplane multi-probe, [[LshAnn.search]] — the HASH-probe
+    * family measured beside the two CELL-probe families). For lsh_mp,
+    * `nlist = 2^numBits` (buckets per table) and
+    * `nprobe = numTables·(1 + multiProbe)` (probed buckets per query),
+    * so `probedFraction = nprobe/nlist` is the expected fraction of
+    * the corpus scanned as candidates per query under the
+    * uniform-bucket expectation — the SAME unit as the IVF families'
+    * `nprobe/nlist`, which is what makes cell-probe vs hash-probe one
+    * sort instead of two incomparable reports. */
   final case class Measured(quantizer: String, nlist: Int, nprobe: Int,
       recall: Double, probedFraction: Double)
 
@@ -58,6 +70,17 @@ object AnnAdvisor {
     *                      integer-Lloyd-trained quantizer (empty = seed
     *                      only, the pre-round-12 behavior)
     * @param trainedIters  Lloyd iterations for the trained candidates
+    * @param lshConfigs    hash-probe candidates to ALSO measure: each
+    *                      `(numBits, numTables, multiProbe)` is an
+    *                      [[LshAnn.search]] configuration, reported as
+    *                      quantizer = "lsh_mp" (see [[Measured]] for
+    *                      the nlist/nprobe mapping that prices it in
+    *                      the same probed-fraction unit as IVF) — the
+    *                      first question a lake-scale deployment asks
+    *                      is WHICH family meets the recall floor at
+    *                      the smallest scanned fraction, and without
+    *                      these rows the advisor could only rank cells
+    *                      against cells
     */
   def advise(
       corpus: DataFrame,
@@ -69,7 +92,8 @@ object AnnAdvisor {
       nprobes: Seq[Int] = Seq(1, 2, 4, 8),
       sampleQueries: Int = 16,
       trainedNlists: Seq[Int] = Nil,
-      trainedIters: Int = 3): Advice = {
+      trainedIters: Int = 3,
+      lshConfigs: Seq[(Int, Int, Int)] = Nil): Advice = {
     require(k > 0 && sampleQueries > 0, "k > 0, sampleQueries > 0")
     require(recallFloor > 0 && recallFloor <= 1, "recallFloor in (0, 1]")
     require(nlists.nonEmpty && nprobes.nonEmpty, "need candidates")
@@ -116,11 +140,25 @@ object AnnAdvisor {
           ._1.centroids.map(_.map(_.toDouble)))
       np <- nprobes.sorted if np <= nlist
     } yield measure("kmeans", nlist, model, np)
-    val table = seedRows ++ trainedRows
+    val lshRows = for ((bits, tables, mp) <- lshConfigs) yield {
+      require(bits >= 1 && bits <= 30 && tables >= 1 && mp >= 0,
+        s"bad lsh shape numBits=$bits numTables=$tables multiProbe=$mp")
+      val hits = LshAnn.search(base, queries, idCol, vecCol, k = k,
+          numBits = bits, numTables = tables, multiProbe = mp)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .count()
+      val nlist = 1 << bits
+      val nprobe = tables * (1 + mp)
+      Measured("lsh_mp", nlist, nprobe,
+        hits.toDouble / possible, nprobe.toDouble / nlist)
+    }
+    val table = seedRows ++ trainedRows ++ lshRows
     // choice rule unchanged: cheapest probed fraction meeting the
-    // floor, ties to larger nlist then higher recall; the one NEW
-    // tiebreak (exact tie across families) prefers the trained
-    // quantizer ("kmeans" < "seed" — the production floor)
+    // floor, ties to larger nlist then higher recall; exact ties
+    // across families resolve alphabetically ("kmeans" < "lsh_mp" <
+    // "seed" — the trained cell quantizer, the production floor, wins
+    // a dead heat)
     val chosen = table.filter(_.recall >= recallFloor)
       .sortBy(m => (m.probedFraction, -m.nlist, -m.recall, m.quantizer))
       .headOption

@@ -75,6 +75,33 @@ class AnnAdvisorSpec extends SparkSuite {
       .forall(_.probedFraction >= c.probedFraction))
   }
 
+  test("lsh_mp candidates are measured beside both cell families, in " +
+      "the same probed-fraction unit") {
+    val a = AnnAdvisor.advise(corpus, "vec_id", "embedding", k = 5,
+      recallFloor = 0.5, nlists = Seq(4), nprobes = Seq(1, 2),
+      sampleQueries = 10, trainedNlists = Seq(4),
+      lshConfigs = Seq((6, 2, 2), (6, 2, 6)))
+    val lsh = a.table.filter(_.quantizer == "lsh_mp")
+    assert(lsh.size == 2)
+    // the mapping contract: nlist = 2^bits, nprobe = tables·(1+probes),
+    // probedFraction = nprobe/nlist — the unit shared with IVF rows
+    assert(lsh.map(m => (m.nlist, m.nprobe)).toSet ==
+      Set((64, 6), (64, 14)))
+    assert(lsh.forall(m =>
+      m.probedFraction == m.nprobe.toDouble / m.nlist &&
+        m.recall >= 0 && m.recall <= 1))
+    // more probes at the same banding never lose recall (supersets of
+    // probed buckets)
+    val r6 = lsh.find(_.nprobe == 6).get.recall
+    val r14 = lsh.find(_.nprobe == 14).get.recall
+    assert(r14 >= r6, s"probe monotonicity violated: $r6 -> $r14")
+    // the chosen row is minimal across ALL THREE families
+    val c = a.chosen.getOrElse(fail("nothing met the floor"))
+    assert(a.table.filter(_.recall >= 0.5)
+      .forall(_.probedFraction >= c.probedFraction),
+      s"chosen $c not minimal in ${a.table}")
+  }
+
   test("impossible floor: chosen is None, the table still reports") {
     val a = AnnAdvisor.advise(corpus, "vec_id", "embedding", k = 5,
       recallFloor = 1.0, nlists = Seq(4), nprobes = Seq(1),
