@@ -1523,6 +1523,29 @@ object SparkEntry {
           r6m(col("cosine")).as("cosine"), col("rank"))
     }
 
+  /** The persisted signature index under SECOND-ORDER multi-probe:
+    * q_ann_lsh_mp2's exact search shape (1 table, 6 bits, 6 scored
+    * order-2 perturbation sets) over a [[LshAnn.writeIndex]] layout —
+    * the probe set here spans 10 queries × up to 7 buckets each, so
+    * the literal partition predicate is exercised at a 20+-bucket
+    * width (the pruned-listing count is spec-pinned against the probe
+    * set in MultiProbeLshSpec). Shares q_ann_lsh_mp2's oracle
+    * VERBATIM: the layout must be row-invisible at order 2 too. */
+  private val q_ann_lsh_mp2_layout: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = emb(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lshidx_" +
+        s"${s.sparkContext.applicationId}_mp2_" +
+        Integer.toHexString(dir.hashCode)
+      LshAnn.writeIndex(e, "vec_id", "embedding", path,
+        numBits = 6, numTables = 1)
+      LshAnn.searchIndex(s, path, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, numBits = 6, numTables = 1,
+        multiProbe = 6, probeOrder = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          r6m(col("cosine")).as("cosine"), col("rank"))
+    }
+
   /** The LSH signature index's FULL LIFECYCLE in one query — the
     * maintenance story q_ann_layout_append/_compact prove for the IVF
     * cell index, mirrored for the LSH layout: write the index on the
@@ -4382,6 +4405,7 @@ object SparkEntry {
     "q_ann_lsh_layout"      -> q_ann_lsh_layout,
     "q_ann_lsh_lifecycle"   -> q_ann_lsh_lifecycle,
     "q_ann_lsh_mp2"         -> q_ann_lsh_mp2,
+    "q_ann_lsh_mp2_layout"  -> q_ann_lsh_mp2_layout,
     "q_kmeans"              -> q_kmeans,
     "q_ann_ivf"             -> q_ann_ivf,
     "q_ann_pq"              -> q_ann_pq,
@@ -6865,6 +6889,8 @@ object SparkEntry {
     // replays exactly like the in-session multi-probe search
     "q_ann_lsh_lifecycle" -> LshMpOracle,
     "q_ann_lsh_mp2" -> LshMp2Oracle,
+    // the persisted order-2 index must be row-invisible: same replay
+    "q_ann_lsh_mp2_layout" -> LshMp2Oracle,
     // line-level dedup: frequency threshold ceil(0.78·n_docs) computed in
     // the same IEEE double arithmetic as the Spark side's math.ceil
     "q_line_dedup" ->

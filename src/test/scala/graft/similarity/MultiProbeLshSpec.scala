@@ -98,6 +98,65 @@ class MultiProbeLshSpec extends SparkSuite {
       s"expected a partition predicate on the index scan:\n$plan")
   }
 
+  test("persisted index at probe order 2: pruned listing equals the " +
+      "probed bucket set at a 20+-bucket width") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lshidx_mp2").toString + "/idx"
+    // 10 signature bits and THREE queries at an 8-probe order-2
+    // budget: the pushed literal probe set is wide (3 x 9 >= 20
+    // buckets) while the clustered corpus occupies buckets the probes
+    // do NOT all cover -- so the pin can check both the exact pruned
+    // count and that pruning actually happened
+    val q3 = corpus.filter(col("vec_id") < 3)
+    LshAnn.writeIndex(corpus, "vec_id", "embedding", path,
+      numBits = 10, numTables = 1)
+    val fromIndex = LshAnn.searchIndex(spark, path, q3, "vec_id",
+      "embedding", k = 5, numBits = 10, numTables = 1, multiProbe = 8,
+      probeOrder = 2)
+    val inMemory = LshAnn.search(corpus, q3, "vec_id", "embedding",
+      k = 5, numBits = 10, numTables = 1, multiProbe = 8, probeOrder = 2)
+    assert(fromIndex.exceptAll(inMemory).count() == 0 &&
+      inMemory.exceptAll(fromIndex).count() == 0)
+    // the probe set this search pushes as a literal partition predicate
+    val dim = 16
+    val probed = LshAnn.probeFrame(q3, "vec_id", "embedding",
+        numBits = 10, numTables = 1, multiProbe = 8, dim = dim,
+        probeOrder = 2)
+      .select(col("tbl"), col("sig")).distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(probed.size >= 20, s"probe set too narrow: ${probed.size}")
+    // buckets that actually exist on disk (a probed-but-empty signature
+    // has no directory to open)
+    val existing = LshAnn.signatures(col("embedding"), 10, 1, dim)
+    val corpusBuckets = corpus
+      .select(posexplode(existing)).select(col("pos"), col("col"))
+      .distinct().collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val expectDirs = probed.intersect(corpusBuckets).size
+    // the scan's pruned listing must open EXACTLY the probed existing
+    // directories — not the whole index
+    fromIndex.collect()
+    // AQE wraps executed stages: unwrap to the final adaptive plan and
+    // its materialized query stages before looking for the file scan
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val scan = scans(fromIndex.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no FileSourceScanExec in the index-search plan"))
+    val pruned = scan.metrics("numPartitions").value
+    assert(pruned == expectDirs,
+      s"pruned listing $pruned != probed existing buckets $expectDirs " +
+        s"(probe set ${probed.size}, corpus buckets ${corpusBuckets.size})")
+    assert(pruned < corpusBuckets.size,
+      "order-2 probing must still prune (read less than the full index)")
+  }
+
   test("index maintenance: append + compact are search-invisible") {
     // signatures are deterministic in the vector (no trained model), so
     // the delta path needs no model freezing: base write + delta append
