@@ -130,19 +130,33 @@ object LshAnn {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Dimension of the vector column, probed from the first NON-NULL row
-    * (fixtures do contain null embeddings; `Row.getInt` on `size(null)`
-    * would NPE if the null happened to sort first). One tiny job —
-    * constant per dataset. Fails loudly when every row is null: there is
-    * no dimension to learn and every downstream signature would be null.
+  /** Dimension of the vector column, probed from the first BOUNDED
+    * batch of non-null rows (fixtures do contain null embeddings;
+    * `Row.getInt` on `size(null)` would NPE if the null happened to
+    * sort first). One tiny job over ≤ 1024 rows — constant per
+    * dataset, NOT a full scan: a ragged vector column would silently
+    * sign other-dimension rows against the wrong hyperplane set, so
+    * the probe asserts min(size) == max(size) over its batch (catches
+    * real raggedness immediately — mixed-model corpora are ragged from
+    * row one), while exhaustive validation past the batch stays the
+    * caller's contract (a per-call full scan of a 100 TB corpus to
+    * re-prove a schema invariant is the wrong trade). Fails loudly
+    * when every row is null: there is no dimension to learn and every
+    * downstream signature would be null.
     */
   private def vecDim(df: DataFrame, vecCol: String): Int = {
     val rows = df.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).head(1)
-    require(rows.nonEmpty,
+      .select(size(col(vecCol)).as("__sz")).limit(1024)
+      .agg(min(col("__sz")), max(col("__sz"))).head(1)
+    require(rows.nonEmpty && !rows(0).isNullAt(0),
       s"cannot infer vector dimension: the input has no row with a " +
         s"non-null '$vecCol' (empty input, or every embedding null)")
-    rows(0).getInt(0)
+    val (lo, hi) = (rows(0).getInt(0), rows(0).getInt(1))
+    require(lo == hi,
+      s"ragged vector column '$vecCol': sizes $lo..$hi in the probed " +
+        "batch — signatures of mixed-dimension vectors live in " +
+        "different hyperplane spaces; normalize the column first")
+    lo
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1) for
@@ -427,8 +441,15 @@ object LshAnn {
     // the hyperplanes just as much — lives in a different signature
     // space and would silently return near-empty results; searchIndex
     // and appendIndex fail loudly on mismatch instead
+    writeMeta(corpus.sparkSession, path, numBits, numTables, dim)
+  }
+
+  /** (Over)writes the parameter sidecar — shared by [[writeIndex]] and
+    * [[appendIndex]]'s degraded-check self-heal. */
+  private def writeMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, numBits: Int, numTables: Int, dim: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-      corpus.sparkSession.sparkContext.hadoopConfiguration)
+      spark.sparkContext.hadoopConfiguration)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(path, MetaFile), true)
     try out.write(
@@ -459,10 +480,24 @@ object LshAnn {
     require(numBits >= 1 && numBits <= 62 && numTables >= 1,
       s"bad shape numBits=$numBits numTables=$numTables")
     val dim = vecDim(delta, vecCol)
-    checkIndexMeta(delta.sparkSession, path, numBits, numTables, Some(dim))
+    val healthy =
+      checkIndexMeta(delta.sparkSession, path, numBits, numTables, Some(dim))
     graft.sources.Layout.appendPartitioned(
       bucketedCorpus(delta, idCol, vecCol, numBits, numTables, dim),
       path, partitionBy = Seq("tbl", "sig"), sortBy = Seq("neighbor_id"))
+    // self-heal: after a SUCCESSFUL degraded-check append (missing /
+    // pre-dim / unparseable sidecar), the appending caller's full
+    // parameters are the freshest truth about the index — write them,
+    // so every future append/search is strict-checkable instead of
+    // warning forever. Only appends heal (a search is a read; it
+    // should not write into the index directory).
+    if (!healthy) {
+      writeMeta(delta.sparkSession, path, numBits, numTables, dim)
+      log.warn(s"backfilled LSH index sidecar at $path from the " +
+        s"appending caller's parameters (numBits=$numBits " +
+        s"numTables=$numTables dim=$dim) — the index self-healed to " +
+        "strict-checkable")
+    }
   }
 
   private val MetaFile = "_graft_lsh_meta.json"
@@ -478,17 +513,24 @@ object LshAnn {
     * FAILS, when the session opts into
     * `spark.graft.lsh.strictIndexMeta=true` (deployments where every
     * index is known to carry a sidecar should refuse degraded checks
-    * outright). */
+    * outright).
+    *
+    * @return true when the check ran at full strength for this
+    *         caller's knowledge (parseable sidecar, numBits/numTables
+    *         verified, and dim verified whenever the caller passed
+    *         one); false when any part was degraded — the signal
+    *         [[appendIndex]] uses to self-heal the sidecar after a
+    *         successful append. */
   private def checkIndexMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, numBits: Int, numTables: Int,
-      dim: Option[Int] = None): Unit = {
+      dim: Option[Int] = None): Boolean = {
     val strict = spark.conf
       .get("spark.graft.lsh.strictIndexMeta", "false").toBoolean
-    def degraded(msg: String): Unit =
+    def degraded(msg: String): Boolean =
       if (strict) throw new IllegalStateException(
         s"$msg (spark.graft.lsh.strictIndexMeta=true refuses degraded " +
           "parameter checks)")
-      else log.warn(msg)
+      else { log.warn(msg); false }
     val p = new org.apache.hadoop.fs.Path(path, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
@@ -510,11 +552,12 @@ object LshAnn {
                 s"index at $path was written over dimension-$d0 vectors; " +
                   s"this call carries dimension-$d vectors — the " +
                   "hyperplanes (and so the signatures) differ")
+              true
             case (None, Some(_)) => degraded(
               s"LSH index sidecar $p predates the dim field — dimension " +
                 "check SKIPPED; a dimension mismatch would land rows in " +
                 "a foreign signature space silently")
-            case _ => ()
+            case _ => true
           }
         case _ => degraded(
           s"LSH index sidecar $p exists but is unparseable — parameter " +

@@ -212,6 +212,48 @@ class MultiProbeLshSpec extends SparkSuite {
     assert(e.getMessage.contains("different spaces"))
   }
 
+  test("degraded append self-heals the sidecar; ragged vectors refused") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lshidx_heal").toString
+    val path = s"$dir/idx"
+    LshAnn.writeIndex(corpus.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", path, numBits = 6, numTables = 2)
+    // simulate a pre-sidecar index: delete the meta file
+    val meta = new java.io.File(path, "_graft_lsh_meta.json")
+    assert(meta.delete(), "fixture sidecar should exist")
+    // the degraded append succeeds (warn path) AND backfills the
+    // sidecar from the appending caller's parameters
+    LshAnn.appendIndex(corpus.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", path, numBits = 6, numTables = 2)
+    assert(meta.exists(), "append must self-heal the missing sidecar")
+    val txt = new String(java.nio.file.Files.readAllBytes(meta.toPath))
+    assert(txt.contains("\"numBits\":6") && txt.contains("\"dim\":16"))
+    // healed index is strict-checkable again: a foreign-parameter
+    // search fails loudly instead of warning
+    val e = intercept[IllegalArgumentException] {
+      LshAnn.searchIndex(spark, path, queries, "vec_id", "embedding",
+        k = 3, numBits = 8, numTables = 2).count()
+    }
+    assert(e.getMessage.contains("different spaces"))
+    // ... and the healed result is search-identical to a full rebuild
+    LshAnn.writeIndex(corpus, "vec_id", "embedding", s"$dir/full",
+      numBits = 6, numTables = 2)
+    def res(p: String) = LshAnn.searchIndex(spark, p, queries, "vec_id",
+      "embedding", k = 3, numBits = 6, numTables = 2, multiProbe = 2)
+    assert(res(path).exceptAll(res(s"$dir/full")).count() == 0 &&
+      res(s"$dir/full").exceptAll(res(path)).count() == 0)
+    // a ragged vector column is refused at the dimension probe (mixed
+    // dimensions sign against different hyperplane spaces)
+    val ragged = corpus.withColumn("embedding",
+      when(col("vec_id") % 2 === 0, col("embedding"))
+        .otherwise(slice(col("embedding"), 1, 8)))
+    val r = intercept[IllegalArgumentException] {
+      LshAnn.search(ragged, queries, "vec_id", "embedding", k = 3,
+        numBits = 6, numTables = 1)
+    }
+    assert(r.getMessage.contains("ragged"))
+  }
+
   test("order-2 probe set follows the scored perturbation sequence") {
     val numBits = 4; val dim = 8
     // chosen so the score ranking INTERLEAVES: the pair {0,1} outranks
