@@ -3129,20 +3129,27 @@ object SparkEntry {
     * q_contamination_perrow / q_dedup_simhash_stream move):
     * [[graft.streaming.StreamingOps.streamingFunnel]] is a stateless
     * first-fail projection under a watermarked windowed count, so the
-    * identical plan runs bounded here — same four gates as q_funnel,
-    * event time synthesized from doc_id, 2-minute windows. The oracle
-    * replays window bucketing, the gate CASE, and the counts; the
-    * MemoryStream spec drives the same plan incrementally. */
+    * identical plan runs bounded here. Event time is REAL this round —
+    * the events table's `ts` column (the sessionize input), not a
+    * synthetic stamp derived from an id: out-of-order arrival under
+    * the watermark is the property a streaming funnel exists for, and
+    * the MemoryStream spec (FunnelSpec) feeds late-but-inside-watermark
+    * rows against it. Gates are event-shaped (error quarantine →
+    * engagement → value floor), 1-day windows over the fixture's 30
+    * days. The oracle replays the epoch-floor window bucketing, the
+    * gate CASE, and the counts. */
   private val q_funnel_stream: (SparkSession, String) => DataFrame =
     (s, dir) =>
       graft.streaming.StreamingOps.streamingFunnel(
-        docs(s, dir).withColumn("ts", timestamp_seconds(col("doc_id"))),
+        // parquet timestamps read back NTZ; the UTC session makes the
+        // LTZ cast wall-time-preserving, so win_start.cast(long) is the
+        // same epoch-second DuckDB's epoch(ts) computes
+        t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp")),
         "ts", Seq(
-          "lang_en"    -> (col("lang") === "en"),
-          "min_tokens" -> (size(graft.text.Shingles.tokens(col("text"))) >= 30),
-          "min_chars"  -> (length(col("text")) >= 150),
-          "src_ok"     -> (col("source") =!= "src0")),
-        watermark = "1 hour", windowDur = "2 minutes")
+          "not_error" -> (col("event_type") =!= "error"),
+          "engaged"   -> col("event_type").isin("click", "purchase", "signup"),
+          "valued"    -> (col("value") >= 10.0)),
+        watermark = "1 hour", windowDur = "1 day")
         .select(col("win_start").cast("long").as("win_start"),
           col("stage_idx"), col("stage"), col("rows").as("n_rows"))
 
@@ -6138,22 +6145,23 @@ object SparkEntry {
         |  UNION ALL SELECT 4, 'semdedup', n4, n5 FROM n
         |  UNION ALL SELECT 5, 'decontamination', n5, n6 FROM n) t"""
         .stripMargin,
-    // the streaming funnel replay: window start = floor(doc_id / 120) *
-    // 120 (event time is timestamp_seconds(doc_id), 2-minute tumbling
-    // windows), the same first-fail CASE as q_funnel, counts per
-    // (window, stage)
+    // the streaming funnel replay on REAL event time: window start =
+    // floor(epoch(ts) / 86400) * 86400 (1-day tumbling windows over the
+    // events table's timestamps), the event-shaped first-fail CASE,
+    // counts per (window, stage)
     "q_funnel_stream" ->
-      s"""WITH ff AS (SELECT (doc_id // 120) * 120 AS win_start, CASE
-        |    WHEN NOT coalesce(lang = 'en', FALSE) THEN 0
-        |    WHEN NOT coalesce(len($ToksExpr) >= 30, FALSE) THEN 1
-        |    WHEN NOT coalesce(len(text) >= 150, FALSE) THEN 2
-        |    WHEN NOT coalesce(source <> 'src0', FALSE) THEN 3
-        |    ELSE 4 END AS stage_idx
-        |  FROM documents)
+      """WITH ff AS (SELECT
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS win_start,
+        |    CASE
+        |    WHEN NOT coalesce(event_type <> 'error', FALSE) THEN 0
+        |    WHEN NOT coalesce(event_type IN ('click', 'purchase', 'signup'),
+        |                      FALSE) THEN 1
+        |    WHEN NOT coalesce("value" >= 10.0, FALSE) THEN 2
+        |    ELSE 3 END AS stage_idx
+        |  FROM events)
         |SELECT win_start, stage_idx,
-        |  (CASE stage_idx WHEN 0 THEN 'lang_en' WHEN 1 THEN 'min_tokens'
-        |    WHEN 2 THEN 'min_chars' WHEN 3 THEN 'src_ok'
-        |    ELSE 'kept' END) AS stage,
+        |  (CASE stage_idx WHEN 0 THEN 'not_error' WHEN 1 THEN 'engaged'
+        |    WHEN 2 THEN 'valued' ELSE 'kept' END) AS stage,
         |  count(*) AS n_rows
         |FROM ff GROUP BY 1, 2""".stripMargin,
     "q_quality_gate" ->

@@ -50,7 +50,8 @@ class FunnelSpec extends SparkSuite {
     assert(out === Array((0L, 0L, 0L), (0L, 0L, 0L), (0L, 0L, 0L)))
   }
 
-  test("streaming funnel: per-window attrition matches the batch CASE") {
+  test("streaming funnel: per-window attrition matches the batch CASE, " +
+      "and out-of-order rows inside the watermark update closed windows") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -69,14 +70,29 @@ class FunnelSpec extends SparkSuite {
         (ts("2024-01-01 00:30:00"), "long enough text", 2),  // kept
         (ts("2024-01-01 01:10:00"), "second window doc", 9)) // kept, w2
       q.processAllAvailable()
-      val rows = spark.table("funnel_stream")
-        .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3)))
-        .toSet
       val w1 = ts("2024-01-01 00:00:00")
       val w2 = ts("2024-01-01 01:00:00")
-      assert(rows == Set(
+      def rows() = spark.table("funnel_stream")
+        .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(rows() == Set(
         (w1, "nonempty", 1L), (w1, "minlen", 1L), (w1, "score", 1L),
         (w1, "kept", 1L), (w2, "kept", 1L)))
+      // OUT-OF-ORDER arrival — the property the watermark exists for:
+      // after batch 1 the watermark sits at max(ts) − 10 min = 01:00,
+      // which CLOSES w1 (window end 01:00 ≤ watermark) but leaves w2
+      // open. A 01:05 straggler (5 min older than anything seen) must
+      // still land in the already-emitted w2 window (update mode
+      // re-emits it with the larger count), while a 00:45 row whose
+      // window is closed is dropped — no stage count of w1 may change
+      input.addData(
+        (ts("2024-01-01 01:05:00"), "late but window open", 3),  // kept, w2
+        (ts("2024-01-01 00:45:00"), "", 9)) // w1 closed: dropped
+      q.processAllAvailable()
+      assert(rows().contains((w2, "kept", 2L)),
+        s"late in-watermark row must update w2: ${rows()}")
+      assert(!rows().contains((w1, "nonempty", 2L)),
+        s"closed-window row must be dropped: ${rows()}")
     } finally q.stop()
   }
 
