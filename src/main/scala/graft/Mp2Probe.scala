@@ -66,6 +66,14 @@ object Mp2Probe {
     for (t <- Seq(2, 4, 8)) run(t, 6, 0, order = 1)
     // the shipped q_ann_lsh_mp shape
     run(2, 6, 2, order = 1)
+    // the probes×tables FRONTIER: order-2 ladders at 2 and 4 tables,
+    // budget-matched to the single-table rows (buckets = T·(1+mp); the
+    // 16- and 22-bucket columns line up across T = 1/2/4, with 4T
+    // bracketing 22 at 20 and 24) — where does an extra TABLE (which
+    // multiplies the persisted index) beat an extra PROBE (which only
+    // adds query-side rows)? The knee is the production answer.
+    for (mp <- Seq(2, 4, 7, 10)) run(2, 6, mp, order = 2)
+    for (mp <- Seq(1, 3, 4, 5)) run(4, 6, mp, order = 2)
     spark.stop()
   }
 }

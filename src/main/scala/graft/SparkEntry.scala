@@ -1492,7 +1492,10 @@ object SparkEntry {
     * budget. Whether this closes on brute force at fixed budget (or
     * flattens) is measured in SCALING.md; this query pins the probe
     * SEQUENCE itself against DuckDB (the oracle replays the scored
-    * set ranking and the multi-bit XOR). */
+    * set ranking and the multi-bit XOR). Queries here are the BIASED
+    * `vec_id < 10` set — fine for a correctness row (deterministic,
+    * oracle-replayed); RECALL measurements use the unbiased md5-rank
+    * sample (`Mp2Probe`, `q_ann_recall`). */
   private val q_ann_lsh_mp2: (SparkSession, String) => DataFrame =
     (s, dir) => {
       val e = emb(s, dir)
@@ -1557,7 +1560,8 @@ object SparkEntry {
     * q_ann_lsh_mp's oracle VERBATIM (the full-corpus replay): append
     * and compact must both be search-invisible, which the spec
     * (MultiProbeLshSpec) pins in-session and this row pins against
-    * DuckDB. */
+    * DuckDB. Queries are the biased `vec_id < 10` correctness set, not
+    * the unbiased measurement sample (see q_ann_lsh_mp2's note). */
   private val q_ann_lsh_lifecycle: (SparkSession, String) => DataFrame =
     (s, dir) => {
       val e = emb(s, dir)
