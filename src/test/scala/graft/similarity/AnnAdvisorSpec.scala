@@ -102,6 +102,25 @@ class AnnAdvisorSpec extends SparkSuite {
       s"chosen $c not minimal in ${a.table}")
   }
 
+  test("cross-family flip: when the floor is low enough for lsh_mp, the " +
+      "cheapest probed fraction wins regardless of family") {
+    // a 16-bucket banding probes 2/16 = 0.125 of the corpus, far below
+    // any IVF row's 1/4 minimum on these candidates — so whenever the
+    // lsh row meets the floor, the choice rule MUST flip families
+    val a = AnnAdvisor.advise(corpus, "vec_id", "embedding", k = 5,
+      recallFloor = 0.05, nlists = Seq(4), nprobes = Seq(1, 2),
+      sampleQueries = 10, lshConfigs = Seq((4, 1, 1)))
+    val lsh = a.table.find(_.quantizer == "lsh_mp").get
+    assert(lsh.probedFraction == 0.125)
+    assert(a.table.filter(_.quantizer != "lsh_mp")
+      .forall(_.probedFraction > lsh.probedFraction))
+    val c = a.chosen.getOrElse(fail("nothing met the 0.05 floor"))
+    if (lsh.recall >= 0.05)
+      assert(c.quantizer == "lsh_mp",
+        s"cheapest qualifying row is lsh_mp, chose $c in ${a.table}")
+    else assert(c.probedFraction >= lsh.probedFraction)
+  }
+
   test("impossible floor: chosen is None, the table still reports") {
     val a = AnnAdvisor.advise(corpus, "vec_id", "embedding", k = 5,
       recallFloor = 1.0, nlists = Seq(4), nprobes = Seq(1),
