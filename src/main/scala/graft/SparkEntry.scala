@@ -3840,6 +3840,23 @@ object SparkEntry {
         Media.nearDupVideos(s, docs(s, dir)), maxHamming = 5)
         .select(col("id_l"), col("id_r"), col("min_hamming"))
 
+  /** The streaming VIDEO gate executed in batch
+    * ([[graft.streaming.StreamingOps.streamingVideoDedup]]): stateless
+    * decode → per-frame pHash → sorted-fingerprint md5 digest, then
+    * keyed first arrival. Event time is monotone in media_id, so
+    * first-arrival == min(media_id) per digest — what the oracle
+    * computes from the arithmetic frame replay (md5 over the
+    * comma-joined sorted BIGINT fingerprints is engine-portable).
+    * Exact perceptual equality only; min-Hamming near-dup is the
+    * batch operator's job (q_media_video_dedup). */
+  private val q_media_video_stream: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.streaming.StreamingOps.streamingVideoDedup(
+        Media.nearDupVideos(s, docs(s, dir)).toDF()
+          .withColumn("ts", timestamp_seconds(col("media_id"))),
+        "ts", watermark = "1 hour")
+        .select(col("media_id").as("did"), col("vdigest"))
+
   /** The streaming media gate executed in batch:
     * [[graft.streaming.StreamingOps.streamingMediaDedup]] is a
     * stateless decode+fingerprint stage plus a keyed first-arrival
@@ -4490,6 +4507,7 @@ object SparkEntry {
     "q_media_dedup"         -> q_media_dedup,
     "q_media_phash"         -> q_media_phash,
     "q_media_video_dedup"   -> q_media_video_dedup,
+    "q_media_video_stream"  -> q_media_video_stream,
     "q_media_dedup_stream"  -> q_media_dedup_stream,
     "q_line_dedup"          -> q_line_dedup,
     "q_sample_weighted"     -> q_sample_weighted,
@@ -6753,6 +6771,47 @@ object SparkEntry {
         |       GROUP BY 1, 2)
         |SELECT id_l, id_r, min_hamming FROM mh
         |WHERE min_hamming <= 5""".stripMargin
+    },
+    // the streaming VIDEO gate in batch: per-frame pHash (same replay
+    // CTEs as q_media_video_dedup) -> sorted-fp md5 digest -> first
+    // arrival = min(media_id) per digest (event time monotone in id)
+    "q_media_video_stream" -> {
+      val dctVals = (0 until 8).flatMap(k => (0 until 8).map(u =>
+        s"($k, $u, ${graft.multimodal.Media.DctTable(k)(u)})"))
+        .mkString(", ")
+      s"""WITH vids AS (SELECT doc_id AS id, doc_id - (doc_id % 15) + 2 AS base,
+        |        ((doc_id % 15) - 2) // 3 AS delta
+        |      FROM documents WHERE doc_id % 3 = 2),
+        |dct(k, u, t) AS (VALUES $dctVals),
+        |px AS (SELECT v.id, f.f, y.y // 4 AS r, x.x // 4 AS c,
+        |         (SUM(
+        |            LEAST(255, (v.base*31 + f.f*29 + x.x*(7 + v.base % 5)
+        |                        + y.y*(13 + v.base % 7)) % 256
+        |              + CASE WHEN y.y < 4 THEN v.delta * 8 ELSE 0 END)
+        |          + LEAST(255, (v.base*17 + f.f*41 + x.x*(11 + v.base % 3)
+        |                        + y.y*(5 + v.base % 11)) % 256
+        |              + CASE WHEN y.y < 4 THEN v.delta * 8 ELSE 0 END)
+        |          + LEAST(255, (v.base*23 + f.f*59 + x.x*(3 + v.base % 13)
+        |                        + y.y*(19 + v.base % 2)) % 256
+        |              + CASE WHEN y.y < 4 THEN v.delta * 8 ELSE 0 END))::BIGINT
+        |          * ${graft.multimodal.Media.MeanScale}) // COUNT(*) AS lum
+        |       FROM vids v
+        |       JOIN generate_series(0, 5) AS f(f)
+        |         ON f.f < (v.base // 15) % 3 + 4,
+        |       generate_series(0,31) AS x(x), generate_series(0,31) AS y(y)
+        |       GROUP BY 1, 2, 3, 4),
+        |coef AS (SELECT p.id, p.f, tu.u AS u, tv.u AS v,
+        |           SUM(p.lum * tu.t * tv.t)::BIGINT AS cv
+        |         FROM px p JOIN dct tu ON tu.k = p.r JOIN dct tv ON tv.k = p.c
+        |         GROUP BY 1, 2, 3, 4),
+        |fp AS (SELECT id, f, bit_or(CASE WHEN cv > 0
+        |         THEN 1::BIGINT << (u*8 + v - 1)::INT ELSE 0 END)::BIGINT AS fp
+        |       FROM coef WHERE NOT (u = 0 AND v = 0) GROUP BY 1, 2),
+        |dig AS (SELECT id,
+        |         md5(string_agg(fp::VARCHAR, ',' ORDER BY fp)) AS vdigest
+        |       FROM fp GROUP BY 1)
+        |SELECT min(id) AS did, vdigest FROM dig GROUP BY vdigest"""
+        .stripMargin
     },
     // the streaming gate in batch: first arrival (min media_id — event
     // time is monotone in it) per aHash, same pixel/fingerprint replay

@@ -337,6 +337,67 @@ object StreamingOps {
         .filter(col("__graft_rn") === 1).drop("__graft_rn")
   }
 
+  /** Streaming first-arrival VIDEO gate — the media gate extended to
+    * the third media kind: each arriving clip is decoded
+    * ([[graft.multimodal.Media.decodeVideoFrames]]), per-frame DCT
+    * pHashed ([[graft.multimodal.Media.pHashImage]]), and keyed by the
+    * md5 digest of its SORTED frame-fingerprint list — exact
+    * perceptual equality (same pictures in any per-frame hash order),
+    * robust to byte-level re-encoding but NOT a near-dup gate: a
+    * Hamming ball is not a keyed equality, so min-Hamming video
+    * near-dup stays with the batch operator
+    * ([[graft.multimodal.VideoDedup]]), exactly as the SimHash gate
+    * defers to its batch pair search. The decode+digest stage is
+    * stateless (streaming-legal); state is one digest per kept clip,
+    * evicted by the watermark. Non-video or undecodable payloads are
+    * quarantined (no row).
+    *
+    * On a BATCH frame the identical digest path runs with the
+    * deterministic first-arrival analog (earliest `timeCol` per
+    * digest, ties broken by media_id) — how the driver query puts this
+    * gate under the DuckDB oracle (md5 over the comma-joined sorted
+    * BIGINT fingerprints is engine-portable).
+    *
+    * @param media (media_id long, kind string, content binary,
+    *              `timeCol`) — extra columns are dropped
+    * @return (media_id, `timeCol`, vdigest) — the kept survivors
+    */
+  def streamingVideoDedup(
+      media: DataFrame,
+      timeCol: String,
+      watermark: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val typed = media.select(col("media_id").cast("long"),
+        col("kind").cast("string"), col("content"),
+        col(timeCol).cast("timestamp"))
+      .as[(Long, String, Array[Byte], java.sql.Timestamp)]
+    val fp = typed.mapPartitions { it =>
+      it.flatMap { case (id, kind, content, ts) =>
+        if (kind != "video") None
+        else {
+          val frames = graft.multimodal.Media.decodeVideoFrames(content)
+          if (frames.isEmpty) None
+          else {
+            val fps = frames.map(graft.multimodal.Media.pHashImage).sorted
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(fps.mkString(",")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            Some((id, ts, md.map("%02x".format(_)).mkString))
+          }
+        }
+      }
+    }.toDF("media_id", timeCol, "vdigest")
+    if (fp.isStreaming)
+      fp.withWatermark(timeCol, watermark)
+        .dropDuplicatesWithinWatermark(Seq("vdigest"))
+    else
+      fp.withColumn("__graft_rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("vdigest").orderBy(col(timeCol), col("media_id"))))
+        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+  }
+
   /** Streaming incremental MinHash near-dup gate: each arriving
     * document's near-duplicates (true Jaccard ≥ `threshold`) in a
     * STATIC banded corpus — [[graft.dedup.MinHashDedup.incremental]]'s

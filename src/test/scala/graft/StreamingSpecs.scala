@@ -307,6 +307,56 @@ class StreamingSpecs extends SparkSuite {
       Media.aHash64("image", Media.encodePng(999L, 0, 32, 32)).get)
   }
 
+  test("streaming video gate collapses identical-pixel re-encodes; " +
+      "near-identical (jittered) clips pass -- exact gate by design") {
+    import graft.multimodal.Media
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Array[Byte], Timestamp)]
+    val stream = input.toDF().toDF("media_id", "kind", "content", "ts")
+    val out = StreamingOps.streamingVideoDedup(stream, "ts",
+      watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("video_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "video", Media.encodeVideoJitter(2L, 0, 4, 32, 32), ts("2024-01-01 00:00:00")),
+        (2L, "video", Media.encodeVideo(77L, 4, 32, 32), ts("2024-01-01 00:01:00")),
+        (3L, "audio", Media.encodePcm(5L, 64), ts("2024-01-01 00:01:30")))
+      q.processAllAvailable()
+      // SECOND micro-batch: media 4 re-encodes media 1's exact pixels
+      // (delta 0 -- byte-identical payload would be caught by exact
+      // dedup; the gate keys on the DECODED frame hashes, so even a
+      // different container encoding of the same pictures collapses);
+      // media 5 is a JITTERED near-dup whose sign bits moved -- the
+      // exact gate passes it through (min-Hamming near-dup is the
+      // batch operator's job)
+      input.addData(
+        (4L, "video", Media.encodeVideoJitter(2L, 0, 4, 32, 32), ts("2024-01-01 00:02:00")),
+        (5L, "video", Media.encodeVideoJitter(2L, 4, 4, 32, 32), ts("2024-01-01 00:02:30")),
+        (6L, "video", "corrupt".getBytes, ts("2024-01-01 00:03:00")))
+      q.processAllAvailable()
+      val ids = spark.table("video_stream").select("media_id")
+        .collect().map(_.getLong(0)).toSet
+      // 4 collapsed onto 1; 5 kept only if its digest genuinely moved
+      val d1 = Media.decodeVideoFrames(
+        Media.encodeVideoJitter(2L, 0, 4, 32, 32)).map(Media.pHashImage).sorted
+      val d5 = Media.decodeVideoFrames(
+        Media.encodeVideoJitter(2L, 4, 4, 32, 32)).map(Media.pHashImage).sorted
+      val expect = if (d1 == d5) Set(1L, 2L) else Set(1L, 2L, 5L)
+      assert(ids == expect, s"ids=$ids d1==d5: ${d1 == d5}")
+    } finally q.stop()
+
+    // batch parity: earliest-time row kept per digest
+    val batch = Seq(
+      (7L, "video", Media.encodeVideoJitter(2L, 0, 4, 32, 32), ts("2024-01-01 00:00:30")),
+      (2L, "video", Media.encodeVideoJitter(2L, 0, 4, 32, 32), ts("2024-01-01 00:00:00")),
+      (3L, "video", Media.encodeVideo(77L, 4, 32, 32), ts("2024-01-01 00:02:00")))
+      .toDF("media_id", "kind", "content", "ts")
+    val kept = StreamingOps.streamingVideoDedup(batch, "ts", "1 hour")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), kept.toString) // first arrival wins
+  }
+
   test("streaming minhash vs static corpus: matches across micro-batches, " +
       "band hits collapsed, batch parity") {
     implicit val sqlCtx = spark.sqlContext
