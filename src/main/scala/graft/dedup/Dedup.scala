@@ -165,9 +165,16 @@ object MinHashDedup {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val r = numHashes / numBands
 
-    // the cache is the barrier that keeps `h0` materialized (HOF lambdas
-    // are interpreted, with no CSE); reused by banding and verification
-    val shingled = hashedShingles(df, textCol, idCol, shingleN).cache()
+    // the eager localCheckpoint is the barrier that keeps `h0`
+    // materialized (HOF lambdas are interpreted, with no CSE); reused by
+    // banding and verification. localCheckpoint, not cache: checkpoint
+    // blocks are freed by the ContextCleaner once the frame is
+    // unreachable, where a CacheManager entry pins storage until an
+    // explicit unpersist — repeated operator calls in a long-lived
+    // session must not accumulate dead cached frames (SCALING.md
+    // "operator pinning" convention)
+    val shingled = hashedShingles(df, textCol, idCol, shingleN)
+      .localCheckpoint(true)
     val exploded = bandBuckets(shingled, numBands, r)
 
     // Candidate pairs per bucket, skew-guarded COUNT-FIRST: bucket sizes
@@ -241,8 +248,11 @@ object MinHashDedup {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val r = numHashes / numBands
 
-    val bSh = hashedShingles(batch, textCol, idCol, shingleN).cache()
-    val cSh = hashedShingles(corpus, textCol, idCol, shingleN).cache()
+    // eager localCheckpoint, not cache — see [[apply]]'s barrier note
+    val bSh = hashedShingles(batch, textCol, idCol, shingleN)
+      .localCheckpoint(true)
+    val cSh = hashedShingles(corpus, textCol, idCol, shingleN)
+      .localCheckpoint(true)
     val bEx = bandBuckets(bSh, numBands, r)
       .select(col("id").as("id_b"), col("band"), col("bucket"))
     val cEx = bandBuckets(cSh, numBands, r)
@@ -586,7 +596,9 @@ object SimHashDedup {
       pairing: String = "all"): DataFrame = {
     require(fpBits >= maxHamming + 1 && fpBits <= 64,
       s"fpBits=$fpBits must be in [maxHamming + 1, 64]")
-    val cached = df.select(col(idCol).as("id"), col(fpCol).as("sh64")).cache()
+    // eager localCheckpoint, not cache — see MinHashDedup.apply's note
+    val cached = df.select(col(idCol).as("id"), col(fpCol).as("sh64"))
+      .localCheckpoint(true)
     pairsOfFingerprints(cached, maxHamming, fpBits, maxBucket, pairing)
   }
 
@@ -638,8 +650,10 @@ object SimHashDedup {
       tokenHash: Column => Column = (t: Column) => xxhash64(t),
       maxBucket: Int = 1000,
       pairing: String = "all"): DataFrame = {
-    // fingerprints reused by blocking + verify
-    val cached = fingerprints(df, textCol, idCol, tokenHash).cache()
+    // fingerprints reused by blocking + verify; eager localCheckpoint,
+    // not cache — see MinHashDedup.apply's note
+    val cached = fingerprints(df, textCol, idCol, tokenHash)
+      .localCheckpoint(true)
     pairsOfFingerprints(cached, maxHamming, fpBits = 64, maxBucket, pairing)
   }
 

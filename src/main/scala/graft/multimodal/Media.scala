@@ -726,31 +726,48 @@ object Media {
 
   /** Frame-count ceiling for [[frameHashes]]'s composite frame id
     * (`media_id · MaxHashFrames + frame_idx` must round-trip): 4096
-    * frames ≈ 2¼ min at 30 fps of KEY frames — sample longer videos
-    * down with [[sampleFrames]] first.
+    * frames ≈ 2¼ min at 30 fps of KEY frames. Longer clips are NOT a
+    * job killer: [[frameHashes]] stride-samples them down to the cap
+    * deterministically (see there) — callers that want every frame of
+    * a long clip pre-split it instead.
     */
   val MaxHashFrames = 4096
 
   /** Per-frame [[pHashImage]] fingerprints of the video-kind rows:
-    * `(fid, media_id, fp)`, one row per decoded frame, where
-    * `fid = media_id · MaxHashFrames + frame_idx` (a single Long so
+    * `(fid, media_id, fp)`, one row per KEPT decoded frame, where
+    * `fid = media_id · MaxHashFrames + frame_ordinal` (a single Long so
     * the pigeonhole pair machinery — which carries Long ids through
     * its bounded min-k state — applies unchanged; decode back with
     * div/mod). Batched `mapPartitions` like every decode stage;
-    * undecodable payloads yield zero rows (quarantine). Non-video
+    * null/undecodable payloads yield zero rows (quarantine — one
+    * poison row in a crawl batch must not kill the stage). Non-video
     * rows are filtered OUT — image-kind fingerprints belong to
     * [[pHash64]]'s single-frame path.
+    *
+    * Oversized clips (> [[MaxHashFrames]] decoded frames) are
+    * stride-sampled down to the cap instead of failing the job:
+    * `stride = ceil(frames / MaxHashFrames)`, keeping frame indices
+    * `0, stride, 2·stride, …` — deterministic in the payload alone, so
+    * retries/speculation and a differential oracle replay the same
+    * kept set. The ordinal of a kept frame (its rank among kept
+    * frames, < MaxHashFrames by construction) feeds the composite id.
+    * A near-dup verdict needs SOME matching frame pair, not all, so
+    * sampling trades recall on sub-second overlaps for a bounded
+    * per-clip cost — the audited-drop convention, not a `require`.
     */
   def frameHashes(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").mapPartitions { it =>
       it.grouped(BatchSize).flatMap(_.flatMap { m =>
-        val frames = decodeVideoFrames(m.content)
-        require(frames.size <= MaxHashFrames,
-          s"media ${m.media_id} decodes to ${frames.size} frames " +
-            s"(> $MaxHashFrames); sampleFrames longer videos first")
-        frames.zipWithIndex.map { case (img, f) =>
-          (m.media_id * MaxHashFrames + f, m.media_id, pHashImage(img))
+        val frames =
+          if (m.content == null) Seq.empty else decodeVideoFrames(m.content)
+        val stride =
+          if (frames.size <= MaxHashFrames) 1
+          else (frames.size + MaxHashFrames - 1) / MaxHashFrames
+        frames.zipWithIndex.collect {
+          case (img, f) if f % stride == 0 =>
+            (m.media_id * MaxHashFrames + f / stride, m.media_id,
+              pHashImage(img))
         }
       })
     }.toDF("fid", "media_id", "fp")

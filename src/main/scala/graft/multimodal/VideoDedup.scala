@@ -32,11 +32,15 @@ import graft.dedup.{Buckets, SimHashDedup}
   * frame-paired form read 37–58 s while the distinct-fingerprint form
   * reads ~3 s at identical output. The fingerprint doubles as the pair
   * id, so candidate Hamming is computed straight from the id columns —
-  * no hash join-back. Membership fan-out (fp → videos) and the blocks
-  * themselves are count-first bounded ([[graft.dedup.Buckets
-  * .boundedPairs]]' min-k state): hot boilerplate fingerprints (test
-  * cards, identical intros) are refused whole and auditable, never a
-  * task-killing bucket.
+  * no hash join-back. EVERY fan-out is bounded by `maxBucket`: the
+  * pigeonhole blocks and the distance-0 buckets via
+  * [[graft.dedup.Buckets.boundedPairs]]' min-k state, and the
+  * fp → videos membership itself count-first — a fingerprint shared by
+  * more than `maxBucket` videos (a test card, an identical intro) is
+  * refused WHOLE from both the distance-0 and the nonzero path, so a
+  * boilerplate frame can never fan a Hamming-neighbor pair out
+  * quadratically. Refused fingerprints are boilerplate mass for
+  * [[graft.dedup.ExactDedup]]; [[droppedFingerprints]] surfaces them.
   *
   * @param maxHamming frame-pair Hamming threshold (the video pair's
   *                   min distance must reach it)
@@ -49,6 +53,40 @@ import graft.dedup.{Buckets, SimHashDedup}
   */
 object VideoDedup {
 
+  /** The deduplicated `(fp, vid)` membership frame with fingerprints
+    * shared by more than `maxBucket` videos refused whole — eagerly
+    * pinned (`localCheckpoint`, not `cache`: checkpoint blocks are
+    * freed by the ContextCleaner once the frame is unreachable, where
+    * CacheManager entries pin storage until an explicit unpersist —
+    * the leak a long-lived session would otherwise accumulate per
+    * call). Consumed three times downstream (distance-0 buckets,
+    * distinct-fp blocking, the two nonzero join-backs).
+    */
+  private def boundedMembers(media: Dataset[MediaRow],
+      maxBucket: Int): DataFrame = {
+    val members = Media.frameHashes(media)
+      .select(col("fp"), col("media_id").as("vid"))
+      .distinct()
+    val bounded =
+      if (maxBucket == Int.MaxValue) members
+      else members.join(
+        Buckets.hotKeys(members, Seq("fp"), maxBucket).select(col("fp")),
+        Seq("fp"), "left_anti")
+    bounded.localCheckpoint(true)
+  }
+
+  /** The fingerprints [[apply]] refuses at this `maxBucket` —
+    * `(fp, members)` with `members` = how many videos share the
+    * fingerprint. The dropped-recall audit (same contract as
+    * [[graft.dedup.SimHashDedup.droppedBlocks]]).
+    */
+  def droppedFingerprints(media: Dataset[MediaRow],
+      maxBucket: Int = 1000): DataFrame =
+    Buckets.hotKeys(
+      Media.frameHashes(media)
+        .select(col("fp"), col("media_id").as("vid")).distinct(),
+      Seq("fp"), maxBucket)
+
   def apply(
       media: Dataset[MediaRow],
       maxHamming: Int = 5,
@@ -56,13 +94,13 @@ object VideoDedup {
     require(maxHamming >= 0 && maxHamming <= 62,
       s"maxHamming=$maxHamming out of [0, 62]")
     // (fp, vid) memberships, deduplicated — the collapse that keeps the
-    // block population at |distinct fps|, not |frames|
-    val members = Media.frameHashes(media)
-      .select(col("fp"), col("media_id").as("vid"))
-      .distinct().cache()
-    // distance-0 pairs: videos sharing one exact fingerprint (bounded
-    // per-fp — a fingerprint shared by > maxBucket videos is refused
-    // whole, the ExactDedup-first contract)
+    // block population at |distinct fps|, not |frames| — with hot
+    // boilerplate fingerprints refused whole (symmetric across the
+    // distance-0 AND nonzero paths)
+    val members = boundedMembers(media, maxBucket)
+    // distance-0 pairs: videos sharing one exact fingerprint (the
+    // per-fp bound is redundant after boundedMembers but kept — the
+    // min-k state ceiling is the operator's memory contract)
     val zero = Buckets.boundedPairs(members, Seq("fp"), "vid",
         maxBucket, "all")
       .select(col("id_l").as("vid_l"), col("id_r").as("vid_r"),

@@ -143,6 +143,12 @@ object LshAnn {
     * re-prove a schema invariant is the wrong trade). Fails loudly
     * when every row is null: there is no dimension to learn and every
     * downstream signature would be null.
+    *
+    * Best-effort by design: WHICH rows land in the `limit(1024)` batch
+    * is plan/partition-order dependent, so a corpus whose raggedness
+    * starts past the batch can pass on one run and fail on another —
+    * a flaky raggedness failure here means the DATA is ragged (the
+    * probe's sample moved), not that the data drifted between runs.
     */
   private def vecDim(df: DataFrame, vecCol: String): Int = {
     val rows = df.filter(col(vecCol).isNotNull)

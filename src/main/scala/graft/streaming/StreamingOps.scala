@@ -374,7 +374,10 @@ object StreamingOps {
       .as[(Long, String, Array[Byte], java.sql.Timestamp)]
     val fp = typed.mapPartitions { it =>
       it.flatMap { case (id, kind, content, ts) =>
-        if (kind != "video") None
+        // null content would NPE inside the decode — a poison row must
+        // quarantine (no row), not kill the streaming query permanently
+        // (the image gate's contract)
+        if (kind != "video" || content == null) None
         else {
           val frames = graft.multimodal.Media.decodeVideoFrames(content)
           if (frames.isEmpty) None

@@ -1042,6 +1042,86 @@ class PipelineSpecs extends SparkSuite {
     assert(got.map(t => (t._1, t._2)) == want)
   }
 
+  test("media: oversized clips are stride-sampled to the frame cap and " +
+      "null payloads quarantine — never a job kill") {
+    import graft.multimodal.VideoDedup
+    val over = Media.MaxHashFrames + 1 // stride 2 → 2049 kept frames
+    val clips = Seq(
+      MediaRow(1L, "video", Media.encodeVideo(1L, over, 4, 4), 4, 4, 0, over),
+      MediaRow(2L, "video", null, 4, 4, 0, 0), // poison row
+      MediaRow(3L, "video", Array[Byte](1, 2, 3), 4, 4, 0, 0)) // undecodable
+    val got = Media.frameHashes(clips.toDS())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // null/corrupt rows yield zero rows; the oversized clip keeps every
+    // stride-2 frame under fresh dense ordinals
+    assert(got.forall(_._2 == 1L))
+    assert(got.length == (over + 1) / 2)
+    val byFid = got.map(t => t._1 -> t._3).toMap
+    assert(byFid.keySet == (0 until (over + 1) / 2)
+      .map(j => 1L * Media.MaxHashFrames + j).toSet)
+    // kept ordinal j is ORIGINAL frame 2j — deterministic in the payload
+    val frames = Media.decodeVideoFrames(clips.head.content)
+    for (j <- Seq(0, 1, 1024)) {
+      assert(byFid(1L * Media.MaxHashFrames + j) ==
+        Media.pHashImage(frames(2 * j)))
+    }
+    // the batch operator and the streaming gate's batch frame both
+    // complete over the poison rows
+    VideoDedup(clips.toDS(), maxHamming = 0).collect()
+    val gate = graft.streaming.StreamingOps.streamingVideoDedup(
+      clips.toDF().withColumn("ts", timestamp_seconds(col("media_id"))),
+      "ts", "1 hour").collect()
+    assert(gate.map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("media: a fingerprint shared by more videos than maxBucket is " +
+      "refused from BOTH the distance-0 and the Hamming-neighbor path") {
+    import graft.multimodal.VideoDedup
+    // four byte-identical single-frame clips (one hot fp shared by 4
+    // videos) + two jittered near-dup clips that must still pair
+    val hot = (0 until 4).map(i => MediaRow(10L + i, "video",
+      Media.encodeVideo(99L, 1, Media.VideoW, Media.VideoH),
+      Media.VideoW, Media.VideoH, 0, 1))
+    val near = Seq(0, 1).map(d => MediaRow(20L + d, "video",
+      Media.encodeVideoJitter(2L, d, 4, Media.VideoW, Media.VideoH),
+      Media.VideoW, Media.VideoH, 0, 4))
+    val ds = (hot ++ near).toDS()
+    val pairs = VideoDedup(ds, maxHamming = 5, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hot clips pair with NOTHING (refused whole — distance 0 AND
+    // any Hamming-ball neighbor fan-out); the near pair survives
+    assert(pairs == Set((20L, 21L)), s"got $pairs")
+    // the audit surfaces exactly the refused fingerprint mass
+    val dropped = VideoDedup.droppedFingerprints(ds, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hotFps = Media.decodeVideoFrames(hot.head.content)
+      .map(Media.pHashImage).toSet
+    assert(dropped.map(_._1).toSet == hotFps && dropped.forall(_._2 == 4L))
+    // unbounded cap recovers the hot clique (sanity: the bound, not the
+    // blocking, is what refused it)
+    val all = VideoDedup(ds, maxHamming = 5, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((for (i <- 10 until 14; j <- (i + 1) until 14)
+      yield (i.toLong, j.toLong)).toSet.subsetOf(all))
+  }
+
+  test("media: operators leave no CacheManager entries behind " +
+      "(localCheckpoint pinning, not cache) — session hygiene") {
+    import graft.multimodal.VideoDedup
+    spark.catalog.clearCache()
+    val clips = for (d <- 0 until 3) yield MediaRow(2L + 3 * d, "video",
+      Media.encodeVideoJitter(2L, d, 4, Media.VideoW, Media.VideoH),
+      Media.VideoW, Media.VideoH, 0, 4)
+    VideoDedup(clips.toDS(), maxHamming = 5).collect()
+    val docs = Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ff"),
+      (3L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    graft.dedup.MinHashDedup(docs, "text", "doc_id", threshold = 0.1)
+      .collect()
+    graft.dedup.SimHashDedup(docs, "text", "doc_id").collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "an operator left a CacheManager entry pinned after its action")
+  }
+
   test("media: batched feature extraction is deterministic, resize, frames") {
     val media = Seq(
       MediaRow(0L, "image", Media.encodePng(0L, 0, 32, 32), 32, 32, 0, 0),
