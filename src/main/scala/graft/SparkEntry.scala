@@ -3873,6 +3873,40 @@ object SparkEntry {
         "ts", watermark = "1 hour")
         .select(col("media_id").as("did"), col("ahash").as("ah"))
 
+  /** AUDIO near-dup — the perceptual family completed for the last
+    * media kind the fixture carries: groups of five amplitude-gain
+    * replicas of each base clip ([[Media.nearDupAudio]] — integer
+    * gains ±25%, pairwise-distinct BYTES, so exact dedup finds
+    * nothing) are recovered through the 63-bit envelope band-sign
+    * fingerprint ([[Media.audioFingerprint]]: |amplitude| envelope
+    * bins → per-bin fixed-point mean → exact Long DCT signs) and the
+    * pigeonhole pair search ([[graft.multimodal.AudioDedup]]).
+    * Threshold 5 from [[graft.AudioHashProbe]]: planted pairs stay
+    * ≤ 1 while foreign clips stay ≥ 16 over every gain×gain pair at
+    * 400 bases — a wide margin. The oracle replays samples → envelope
+    * hash → bin means → DCT sign bits → full Hamming join. */
+  private val q_audio_dedup: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.multimodal.AudioDedup(
+        Media.nearDupAudio(s, docs(s, dir)), maxHamming = 5)
+        .select(col("id_l"), col("id_r"), col("hamming"))
+
+  /** The streaming AUDIO gate executed in batch
+    * ([[graft.streaming.StreamingOps.streamingAudioDedup]]): stateless
+    * PCM decode → envelope fingerprint, then keyed first arrival.
+    * Event time is monotone in media_id, so first-arrival ==
+    * min(media_id) per fingerprint — what the oracle computes from the
+    * arithmetic sample replay. Exact perceptual equality only;
+    * Hamming-ball near-dup is the batch operator's job
+    * (q_audio_dedup). */
+  private val q_audio_dedup_stream: (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      graft.streaming.StreamingOps.streamingAudioDedup(
+        Media.nearDupAudio(s, docs(s, dir)).toDF()
+          .withColumn("ts", timestamp_seconds(col("media_id"))),
+        "ts", watermark = "1 hour")
+        .select(col("media_id").as("did"), col("afp"))
+
   // ───────── baseline-shape throughput probes (BASELINE.md rows 1, 5) ──
   //
   // The reference's only published numbers are a 10M×1M equality+
@@ -4509,6 +4543,8 @@ object SparkEntry {
     "q_media_video_dedup"   -> q_media_video_dedup,
     "q_media_video_stream"  -> q_media_video_stream,
     "q_media_dedup_stream"  -> q_media_dedup_stream,
+    "q_audio_dedup"         -> q_audio_dedup,
+    "q_audio_dedup_stream"  -> q_audio_dedup_stream,
     "q_line_dedup"          -> q_line_dedup,
     "q_sample_weighted"     -> q_sample_weighted,
     "q_normalize"           -> q_normalize,
@@ -6837,6 +6873,74 @@ object SparkEntry {
         |                ELSE 1::BIGINT << p.j::INT END)::BIGINT AS f
         |       FROM px p JOIN tot t USING (id) GROUP BY 1)
         |SELECT min(id) AS did, f AS ah FROM fp GROUP BY f""".stripMargin,
+    // audio near-dup: gain-replica PCM fixture (two-stage integer
+    // envelope hash × pseudo-noise magnitude, exact truncating
+    // divisions) → 64 envelope-bin sums → fixed-point means
+    // (Media.AudioMeanScale = 2^11, 16 samples/bin exactly) → exact
+    // Long DCT against the embedded basis → 63 sign bits → full
+    // Hamming-≤5 join (pigeonhole blocking is recall-exact)
+    "q_audio_dedup" -> {
+      val dctVals = (0 until 8).flatMap(k => (0 until 8).map(u =>
+        s"($k, $u, ${graft.multimodal.Media.DctTable(k)(u)})"))
+        .mkString(", ")
+      s"""WITH aud AS (SELECT doc_id AS id, doc_id - (doc_id % 15) + 1 AS base,
+        |               ((doc_id % 15) - 1) // 3 AS gi
+        |             FROM documents WHERE doc_id % 3 = 1),
+        |gains(gi, gn, gd) AS (VALUES (0,1,1),(1,9,8),(2,5,4),(3,4,5),(4,7,8)),
+        |dct(k, u, t) AS (VALUES $dctVals),
+        |smp AS (SELECT a.id, i.i // 16 AS j,
+        |          SUM((((a.base*7919 + i.i*104729) % 4096)
+        |            * (((((a.base*(i.i//16 + 1))*7919 + (i.i//16)*104729) % 4093)
+        |                 * 1299709 + a.base*31) % 251 + 2)
+        |            // 64) * g.gn // g.gd
+        |            + CASE WHEN i.i // 16 < 8 THEN 16 * a.gi ELSE 0 END)::BIGINT AS ssum
+        |        FROM aud a JOIN gains g USING (gi),
+        |             generate_series(0, 1023) AS i(i)
+        |        GROUP BY 1, 2),
+        |coef AS (SELECT m.id, tu.u AS u, tv.u AS v,
+        |           SUM(((m.ssum * 2048) // 16) * tu.t * tv.t)::BIGINT AS cv
+        |         FROM smp m JOIN dct tu ON tu.k = m.j // 8
+        |                    JOIN dct tv ON tv.k = m.j % 8
+        |         GROUP BY 1, 2, 3),
+        |fp AS (SELECT id, bit_or(CASE WHEN cv > 0
+        |         THEN 1::BIGINT << (u*8 + v - 1)::INT ELSE 0 END)::BIGINT AS f
+        |       FROM coef WHERE NOT (u = 0 AND v = 0) GROUP BY 1)
+        |SELECT a.id AS id_l, b.id AS id_r,
+        |  bit_count(xor(a.f, b.f))::INT AS hamming
+        |FROM fp a JOIN fp b ON a.id < b.id
+        |WHERE bit_count(xor(a.f, b.f)) <= 5""".stripMargin
+    },
+    // the streaming AUDIO gate in batch: envelope fingerprint (same
+    // replay CTEs as q_audio_dedup) -> first arrival = min(media_id)
+    // per fingerprint (event time monotone in id)
+    "q_audio_dedup_stream" -> {
+      val dctVals = (0 until 8).flatMap(k => (0 until 8).map(u =>
+        s"($k, $u, ${graft.multimodal.Media.DctTable(k)(u)})"))
+        .mkString(", ")
+      s"""WITH aud AS (SELECT doc_id AS id, doc_id - (doc_id % 15) + 1 AS base,
+        |               ((doc_id % 15) - 1) // 3 AS gi
+        |             FROM documents WHERE doc_id % 3 = 1),
+        |gains(gi, gn, gd) AS (VALUES (0,1,1),(1,9,8),(2,5,4),(3,4,5),(4,7,8)),
+        |dct(k, u, t) AS (VALUES $dctVals),
+        |smp AS (SELECT a.id, i.i // 16 AS j,
+        |          SUM((((a.base*7919 + i.i*104729) % 4096)
+        |            * (((((a.base*(i.i//16 + 1))*7919 + (i.i//16)*104729) % 4093)
+        |                 * 1299709 + a.base*31) % 251 + 2)
+        |            // 64) * g.gn // g.gd
+        |            + CASE WHEN i.i // 16 < 8 THEN 16 * a.gi ELSE 0 END)::BIGINT AS ssum
+        |        FROM aud a JOIN gains g USING (gi),
+        |             generate_series(0, 1023) AS i(i)
+        |        GROUP BY 1, 2),
+        |coef AS (SELECT m.id, tu.u AS u, tv.u AS v,
+        |           SUM(((m.ssum * 2048) // 16) * tu.t * tv.t)::BIGINT AS cv
+        |         FROM smp m JOIN dct tu ON tu.k = m.j // 8
+        |                    JOIN dct tv ON tv.k = m.j % 8
+        |         GROUP BY 1, 2, 3),
+        |fp AS (SELECT id, bit_or(CASE WHEN cv > 0
+        |         THEN 1::BIGINT << (u*8 + v - 1)::INT ELSE 0 END)::BIGINT AS f
+        |       FROM coef WHERE NOT (u = 0 AND v = 0) GROUP BY 1)
+        |SELECT min(id) AS did, f AS afp FROM fp GROUP BY f""".stripMargin
+    },
     // winnowing fingerprints over md5-hex gram hashes (k=4 token grams,
     // window w=5, min per window, sorted distinct) — md5 makes the hash
     // engine-portable, and string min/sort orders agree byte-wise

@@ -500,6 +500,17 @@ object Media {
       mean(j) = if (cnt(j) == 0) 0L else lum(j) * MeanScale / cnt(j)
       j += 1
     }
+    dctSignBits63(mean)
+  }
+
+  /** Shared tail of [[pHashImage]] and [[audioFingerprint]]: exact Long
+    * 2-D DCT-II of a 64-entry fixed-point mean grid (row-major 8×8)
+    * against the quantized [[DctTable]] basis, folded to the 63 AC
+    * coefficient sign bits (DC excluded). Exact under the callers'
+    * overflow envelopes: |mean| < 2^26 ⇒ |coefficient| < 2^26 · 2^28 ·
+    * 64 = 2^60.
+    */
+  private def dctSignBits63(mean: Array[Long]): Long = {
     var bits = 0L
     var u = 0
     while (u < 8) {
@@ -720,6 +731,179 @@ object Media {
           MediaRow(id, "video",
             encodeVideoJitter(base, delta, nFrames, VideoW, VideoH),
             VideoW, VideoH, 0, nFrames)
+        }
+      }
+  }
+
+  // ── audio perceptual fingerprint ───────────────────────────────────
+
+  /** Envelope bins of [[audioFingerprint]] — an 8×8 DCT grid, the same
+    * transform machinery as the image pHash. */
+  val AudioBins = 64
+
+  /** Fixed-point scale of the per-bin mean |amplitude| feeding the
+    * audio DCT: `mean_j = floor(Σ|s| · 2^11 / cnt_j)`. 2^11 (not the
+    * image path's 2^16) keeps the exact-Long DCT bound with 16-bit
+    * samples: |s| ≤ 2^15 ⇒ mean ≤ 2^26, ×2^28 basis factors ×64 terms
+    * < 2^60 — the same overflow envelope as [[pHashImage]]. The
+    * cnt-normalization buys the same invariances as for images: a
+    * uniform amplitude GAIN scales every bin mean (and so every DCT
+    * coefficient) positively ⇒ the sign bits hold up to floor
+    * rounding, and sample-count drift (re-sampled copies) keeps the
+    * envelope shape because bins are fractional positions, not
+    * absolute offsets.
+    */
+  val AudioMeanScale: Long = 1L << 11
+
+  /** 63-bit perceptual fingerprint of a PCM sample array — the audio
+    * member of the perceptual family ([[aHash64]]/[[pHashImage]] for
+    * images, [[frameHashes]] for video): the |amplitude| envelope over
+    * [[AudioBins]] time bins (bin `j` = samples `i` with
+    * `floor(i·64/n) = j`, the [[decodeFeatures]] binning), per-bin
+    * fixed-point MEAN (`floor(Σ|s| · AudioMeanScale / cnt_j)`),
+    * reshaped row-major 8×8 and pushed through the exact Long 2-D DCT
+    * against the quantized [[DctTable]] basis — bit `u·8+v−1` set iff
+    * coefficient `C(u,v) > 0`, DC excluded. Row index = coarse
+    * position in the clip, column = fine position, so the sign bits
+    * capture the envelope's time-frequency structure (the
+    * band-sign recipe of classic robust audio fingerprints, on this
+    * repo's exact-integer discipline: every step is Long arithmetic a
+    * SQL oracle replays bit-for-bit from the embedded basis literals).
+    *
+    * Overflow: Σ|s| ≤ 2^15·n with n ≤ 2^30 (a 2 GB payload), so
+    * `Σ|s| · AudioMeanScale` < 2^56 — exact for any real payload.
+    */
+  def audioFingerprint(samples: Array[Int]): Long = {
+    val n = samples.length
+    val sum = new Array[Long](AudioBins)
+    val cnt = new Array[Long](AudioBins)
+    var i = 0
+    while (i < n) {
+      val j = (i.toLong * AudioBins / n).toInt
+      sum(j) += math.abs(samples(i))
+      cnt(j) += 1
+      i += 1
+    }
+    val mean = new Array[Long](AudioBins)
+    var j = 0
+    while (j < AudioBins) {
+      mean(j) = if (cnt(j) == 0) 0L else sum(j) * AudioMeanScale / cnt(j)
+      j += 1
+    }
+    dctSignBits63(mean)
+  }
+
+  /** [[audioFingerprint]] over an encoded payload: `None` for
+    * non-audio, null, or empty payloads (quarantine, not failure).
+    * Stateless — streaming-legal.
+    */
+  def audioHash64(kind: String, content: Array[Byte]): Option[Long] = {
+    if (kind != "audio" || content == null) None
+    else {
+      val samples = decodePcm(content)
+      if (samples.isEmpty) None else Some(audioFingerprint(samples))
+    }
+  }
+
+  /** Per-clip envelope amplitude of the [[nearDupAudio]] fixture, bin
+    * `j` of clip `base`: a two-stage integer hash
+    * `x = (base·(j+1)·7919 + j·104729) mod 4093`, then
+    * `(x·1299709 + base·31) mod 251 + 2` ∈ [2, 252]. Both stages are
+    * load-bearing ([[vxR]]-class lessons, each measured at 400 bases):
+    * any formula AFFINE in (base, j) gives some foreign base pair a
+    * per-bin difference that is CONSTANT, and the sign-of-DCT
+    * fingerprint is shift-invariant BY DESIGN, so those pairs hash
+    * within 0–2 bits (first cut: cross_min = 0); and the single-mod
+    * product form `x` alone is an arithmetic progression in `j`, so
+    * base pairs whose slopes differ by ε small drift apart by only
+    * ε·(j+1) — a near-DC tilt the signs also ignore (second cut:
+    * cross_min = 1, 1455 foreign pairs within Hamming 6). The second
+    * multiply-mod layer scrambles that locality: per-bin differences
+    * sweep the whole residue range, foreign envelopes are
+    * pseudo-independent, and the measured cross distribution sits at
+    * the 63/2 binomial mode with cross_min = 16 over every gain×gain
+    * pair ([[graft.AudioHashProbe]]) against planted_max = 1.
+    */
+  def axAmp(base: Long, j: Int): Long = {
+    // 4093L, not 4093: floorMod(Long, Int) narrows to Int and the
+    // x·1299709 product then overflows Int32 — caught by the stream
+    // oracle's raw-fingerprint compare (the Hamming-only batch query
+    // cannot see a consistent re-hash of the envelope)
+    val x = Math.floorMod(base * (j + 1) * 7919 + j.toLong * 104729, 4093L)
+    Math.floorMod(x * 1299709 + base * 31, 251L) + 2
+  }
+
+  /** Pseudo-noise magnitude of sample `i` of clip `base`: uniform-ish
+    * in [0, 4096). */
+  def axMag(base: Long, i: Int): Long =
+    Math.floorMod(base * 7919 + i.toLong * 104729, 4096)
+
+  /** Sample count of the [[nearDupAudio]] fixture clips: 64 ms at
+    * 16 kHz, 16 samples per envelope bin (1024/[[AudioBins]] exactly,
+    * so the oracle's bin arithmetic is `i // 16`). */
+  val AudioFixtureSamples = 1024
+
+  /** s16le PCM of the fixture formula with a per-replica integer
+    * amplitude GAIN: sample `i` is
+    * `((axMag·axAmp / 64) · num) / den` (exact truncating division
+    * on nonnegative values — replayable in any engine). Max value
+    * 4095·252/64·5/4 = 20155 < 2^15, so no clamping ever fires:
+    * gains are pure positive scalings whose only fingerprint
+    * distortion is the per-sample floor — the audio analog of
+    * [[encodePngContrast]]'s jitter.
+    *
+    * Replicas additionally BOOST the first 8 envelope bins by `boost`
+    * per sample (a bin-local loudness nudge — NOT a DC shift, so it
+    * does move AC coefficient signs): pure gains alone leave all five
+    * replicas hash-IDENTICAL (measured planted_max = 0 — exact
+    * fingerprint dedup would pass the fixture, the
+    * [[encodeVideoJitter]] lesson), while the boost pushes replica
+    * pairs to small nonzero distances the near-dup path must bridge.
+    */
+  def encodePcmGain(base: Long, num: Int, den: Int,
+      n: Int = AudioFixtureSamples, boost: Int = 0): Array[Byte] = {
+    val out = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val j = (i.toLong * AudioBins / n).toInt
+      val m = axMag(base, i) * axAmp(base, j) / 64
+      val s = (m * num / den + (if (j < 8) boost else 0)).toInt
+      out(2 * i) = (s & 0xff).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Per-replica-step boost of the [[nearDupAudio]] fixture (replica
+    * `gi` boosts its first 8 bins by `AudioBoost · gi` per sample):
+    * sized by [[graft.AudioHashProbe]] so planted pairs land at small
+    * NONZERO fingerprint distances (exact-fp dedup must fail) while
+    * staying far under the cross-base floor. */
+  val AudioBoost = 16
+
+  /** Near-dup AUDIO fixture over the documents table (the
+    * [[nearDupImages]] grouping on the audio-kind ids): the audio ids
+    * (`doc_id % 3 = 1`) form groups of five consecutive audio ids
+    * (`base = doc_id − doc_id mod 15 + 1`) sharing ONE base clip; each
+    * replica re-encodes it under its own integer amplitude gain
+    * ([[ContrastGains]], index `(doc_id mod 15 − 1) / 3` ∈ 0..4) —
+    * five perceptually near-identical PCM payloads with
+    * pairwise-distinct bytes, so exact dedup finds nothing and the
+    * envelope fingerprint must.
+    */
+  def nearDupAudio(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val base = id - id % 15 + 1
+          val gi = ((id % 15 - 1) / 3).toInt
+          val (num, den) = ContrastGains(gi)
+          MediaRow(id, "audio",
+            encodePcmGain(base, num, den, boost = AudioBoost * gi),
+            0, 0, 16000, 0)
         }
       }
   }

@@ -337,6 +337,55 @@ object StreamingOps {
         .filter(col("__graft_rn") === 1).drop("__graft_rn")
   }
 
+  /** Streaming first-arrival AUDIO gate — the media gate family's
+    * fourth member (image aHash / video digest / semantic / this):
+    * keep the first arriving clip per 63-bit envelope fingerprint
+    * ([[graft.multimodal.Media.audioHash64]]: PCM decode → |amplitude|
+    * envelope bins → exact-Long DCT band signs) within the watermark
+    * horizon, so re-encoded / gain-adjusted copies of already-seen
+    * material are suppressed on ingest. The decode+fingerprint stage
+    * is stateless (streaming-legal); state is one fingerprint per kept
+    * clip, evicted by the watermark. Non-audio, null and empty
+    * payloads quarantine (no row). Exact-fingerprint equality only —
+    * Hamming-ball near-dup stays with the batch operator
+    * ([[graft.multimodal.AudioDedup]]), the standard gate trade
+    * documented on [[streamingSimHashDedup]].
+    *
+    * On a BATCH frame the identical path runs with the deterministic
+    * first-arrival analog (earliest `timeCol` per fingerprint, ties by
+    * media_id) — how the driver query puts this gate under the DuckDB
+    * oracle.
+    *
+    * @param media (media_id long, kind string, content binary,
+    *              `timeCol`) — extra columns are dropped
+    * @return (media_id, `timeCol`, afp) — the kept survivors
+    */
+  def streamingAudioDedup(
+      media: DataFrame,
+      timeCol: String,
+      watermark: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val typed = media.select(col("media_id").cast("long"),
+        col("kind").cast("string"), col("content"),
+        col(timeCol).cast("timestamp"))
+      .as[(Long, String, Array[Byte], java.sql.Timestamp)]
+    val fp = typed.mapPartitions { it =>
+      it.flatMap { case (id, kind, content, ts) =>
+        graft.multimodal.Media.audioHash64(kind, content)
+          .map(h => (id, ts, h))
+      }
+    }.toDF("media_id", timeCol, "afp")
+    if (fp.isStreaming)
+      fp.withWatermark(timeCol, watermark)
+        .dropDuplicatesWithinWatermark(Seq("afp"))
+    else
+      fp.withColumn("__graft_rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("afp").orderBy(col(timeCol), col("media_id"))))
+        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+  }
+
   /** Streaming first-arrival VIDEO gate — the media gate extended to
     * the third media kind: each arriving clip is decoded
     * ([[graft.multimodal.Media.decodeVideoFrames]]), per-frame DCT

@@ -1042,6 +1042,50 @@ class PipelineSpecs extends SparkSuite {
     assert(got.map(t => (t._1, t._2)) == want)
   }
 
+  test("media: audio near-dup recovers planted gain+boost replicas " +
+      "(envelope band-sign fingerprint, pigeonhole == brute)") {
+    import graft.multimodal.AudioDedup
+    // two replica groups on the fixture geometry: audio ids step 3
+    // inside a 15-block, five gain+boost replicas per base clip.
+    // Base 241 is chosen because its replicas include a NONZERO-distance
+    // pair (measured: max planted distance 1) — the near-dup assertion
+    // below needs one
+    val clips = for (b <- Seq(1L, 241L); gi <- 0 until 5) yield {
+      val (num, den) = Media.ContrastGains(gi)
+      MediaRow(b + 3 * gi, "audio",
+        Media.encodePcmGain(b, num, den, boost = Media.AudioBoost * gi),
+        0, 0, 16000, 0)
+    }
+    // bytes pairwise distinct: exact payload dedup would find nothing
+    assert(clips.map(_.content.toSeq).toSet.size == clips.size)
+    // poison rows flow through as quarantined, not as a crash
+    val poison = Seq(
+      MediaRow(90L, "audio", null, 0, 0, 16000, 0),
+      MediaRow(91L, "audio", Array.empty[Byte], 0, 0, 16000, 0),
+      MediaRow(92L, "image", Media.encodePng(5L, 0, 8, 8), 8, 8, 0, 0))
+    val got = AudioDedup((clips ++ poison).toDS(), maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute ground truth over the plain-JVM fingerprints
+    val fps = clips.map(m => m.media_id ->
+      Media.audioFingerprint(Media.decodePcm(m.content))).toMap
+    val ids = fps.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      d = java.lang.Long.bitCount(fps(i) ^ fps(j))
+      if d <= 5
+    } yield (i, j, d)).toSet
+    assert(got == brute, s"pigeonhole != brute: $got vs $brute")
+    // exactly the planted groups, zero cross-group false positives,
+    // and at least one pair at NONZERO distance (exact-fp dedup would
+    // miss it — the boost is doing its job)
+    val want = (for {
+      b <- Seq(1L, 241L); i <- 0 until 5; j <- (i + 1) until 5
+    } yield (b + 3 * i, b + 3 * j)).toSet
+    assert(got.map(t => (t._1, t._2)) == want)
+    assert(got.exists(_._3 > 0), "all planted pairs at distance 0 — " +
+      "the fixture no longer exercises the near-dup path")
+  }
+
   test("media: oversized clips are stride-sampled to the frame cap and " +
       "null payloads quarantine — never a job kill") {
     import graft.multimodal.VideoDedup

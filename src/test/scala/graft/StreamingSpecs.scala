@@ -357,6 +357,51 @@ class StreamingSpecs extends SparkSuite {
     assert(kept == Set(2L, 3L), kept.toString) // first arrival wins
   }
 
+  test("streaming audio gate collapses gain-only re-encodes; boosted " +
+      "near-dups pass -- exact gate by design; poison rows quarantine") {
+    import graft.multimodal.Media
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Array[Byte], Timestamp)]
+    val stream = input.toDF().toDF("media_id", "kind", "content", "ts")
+    val out = StreamingOps.streamingAudioDedup(stream, "ts",
+      watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("audio_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "audio", Media.encodePcmGain(1L, 1, 1), ts("2024-01-01 00:00:00")),
+        (2L, "audio", Media.encodePcmGain(16L, 1, 1), ts("2024-01-01 00:01:00")),
+        (3L, "image", Media.encodePng(5L, 0, 8, 8), ts("2024-01-01 00:01:30")))
+      q.processAllAvailable()
+      // SECOND micro-batch: media 4 is a pure-gain re-encode of media
+      // 1's clip (different bytes, same fingerprint — measured
+      // planted_max = 0 for gain-only replicas) and must be suppressed
+      // by state; media 5 is null content (the ADVICE poison row) and
+      // media 6 undecodable — both quarantine without killing the query
+      input.addData(
+        (4L, "audio", Media.encodePcmGain(1L, 5, 4), ts("2024-01-01 00:02:00")),
+        (5L, "audio", null, ts("2024-01-01 00:02:30")),
+        (6L, "audio", Array.empty[Byte], ts("2024-01-01 00:03:00")))
+      q.processAllAvailable()
+      val ids = spark.table("audio_stream").select("media_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L), ids.toString)
+    } finally q.stop()
+
+    // batch parity: earliest-time row kept per fingerprint, and the
+    // fingerprint equals the driver-side audioHash64 exactly
+    val batch = Seq(
+      (7L, "audio", Media.encodePcmGain(1L, 9, 8), ts("2024-01-01 00:00:30")),
+      (2L, "audio", Media.encodePcmGain(1L, 4, 5), ts("2024-01-01 00:00:00")),
+      (3L, "audio", Media.encodePcmGain(16L, 1, 1), ts("2024-01-01 00:02:00")))
+      .toDF("media_id", "kind", "content", "ts")
+    val kept = StreamingOps.streamingAudioDedup(batch, "ts", "1 hour")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(kept.keySet == Set(2L, 3L), kept.toString) // first arrival wins
+    assert(kept(3L) ==
+      Media.audioHash64("audio", Media.encodePcmGain(16L, 1, 1)).get)
+  }
+
   test("streaming minhash vs static corpus: matches across micro-batches, " +
       "band hits collapsed, batch parity") {
     implicit val sqlCtx = spark.sqlContext
