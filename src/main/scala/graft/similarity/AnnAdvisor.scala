@@ -37,8 +37,12 @@ import org.apache.spark.sql.functions._
   * the ground truth every candidate shares — then one probed search
   * per configuration; the driver collects |configs| count rows plus
   * the ≤ `sampleQueries`·k ground-truth pairs (localCheckpointed,
-  * reused). Run it on a corpus SAMPLE in production; the advice is a
-  * property of the data distribution, not the row count.
+  * reused). The lsh_mp leg's corpus-proportional signing pass runs
+  * ONCE per distinct `numBits` (at the widest table count requested
+  * there), not once per (tables, probes) candidate — the pinned
+  * [[LshAnn.bucketed]] frame serves the whole grid through the
+  * table-prefix filter. Run it on a corpus SAMPLE in production; the
+  * advice is a property of the data distribution, not the row count.
   */
 object AnnAdvisor {
 
@@ -140,18 +144,38 @@ object AnnAdvisor {
           ._1.centroids.map(_.map(_.toDouble)))
       np <- nprobes.sorted if np <= nlist
     } yield measure("kmeans", nlist, model, np)
-    val lshRows = for ((bits, tables, mp) <- lshConfigs) yield {
+    // the corpus is signed ONCE per bit width, at the widest table
+    // count any candidate at that width asks for, and every (tables,
+    // probes) candidate reuses the pinned frame through the tbl < T
+    // prefix filter (LshAnn.bucketed's contract) — a grid of 4–6 lsh
+    // candidates used to pay 4–6 corpus-proportional signing passes
+    // (measured 1.8× at sf1 with ONE candidate; SCALING.md), now one
+    // per distinct numBits
+    lshConfigs.foreach { case (bits, tables, mp) =>
       require(bits >= 1 && bits <= 30 && tables >= 1 && mp >= 0,
         s"bad lsh shape numBits=$bits numTables=$tables multiProbe=$mp")
-      val hits = LshAnn.search(base, queries, idCol, vecCol, k = k,
-          numBits = bits, numTables = tables, multiProbe = mp)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(exact, Seq("query_id", "neighbor_id"))
-        .count()
-      val nlist = 1 << bits
-      val nprobe = tables * (1 + mp)
-      Measured("lsh_mp", nlist, nprobe,
-        hits.toDouble / possible, nprobe.toDouble / nlist)
+    }
+    val lshRows = lshConfigs.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (bits, configs) =>
+        val maxTables = configs.map(_._2).max
+        val csig = LshAnn.bucketed(base, idCol, vecCol,
+          numBits = bits, numTables = maxTables).localCheckpoint(true)
+        val rows = configs.map { case (_, tables, mp) =>
+          val hits = LshAnn.searchBucketed(csig, queries, idCol, vecCol,
+              k = k, numBits = bits, numTables = tables, multiProbe = mp)
+            .select(col("query_id"), col("neighbor_id"))
+            .join(exact, Seq("query_id", "neighbor_id"))
+            .count()
+          val nlist = 1 << bits
+          val nprobe = tables * (1 + mp)
+          Measured("lsh_mp", nlist, nprobe,
+            hits.toDouble / possible, nprobe.toDouble / nlist)
+        }
+        // the checkpointed signature blocks are freed by the
+        // ContextCleaner once csig goes unreachable (the repo's
+        // operator-pinning convention; Dataset.unpersist only covers
+        // CacheManager entries)
+        rows
     }
     val table = seedRows ++ trainedRows ++ lshRows
     // choice rule unchanged: cheapest probed fraction meeting the

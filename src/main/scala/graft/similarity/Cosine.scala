@@ -305,6 +305,57 @@ object LshAnn {
     rerank(csig.join(qside, Seq("tbl", "sig")), k, excludeSelf)
   }
 
+  /** The corpus side of the bucket join, signed ONCE for `numTables`
+    * tables at `numBits` bits: `(neighbor_id, cv, tbl, sig)` — exposed
+    * so callers that probe SEVERAL (tables, probes) configurations at
+    * one bit width (the cross-family advisor's lsh grid) pay ONE
+    * corpus-proportional signing pass instead of one per
+    * configuration. The prefix property that makes the reuse sound:
+    * [[hcomp]] depends on the table INDEX, never on the table count,
+    * so the `numTables`-table frame filtered to `tbl < T` is
+    * bit-identical to signing with `T` tables (spec-pinned). Pin the
+    * returned frame (eager localCheckpoint) before fanning searches
+    * out, or each search re-runs the signature scan.
+    */
+  def bucketed(corpus: DataFrame, idCol: String, vecCol: String,
+      numBits: Int, numTables: Int): DataFrame = {
+    require(numBits >= 1 && numBits <= 62 && numTables >= 1,
+      s"bad shape numBits=$numBits numTables=$numTables")
+    val dim = vecDim(corpus, vecCol)
+    bucketedCorpus(corpus, idCol, vecCol, numBits, numTables, dim)
+  }
+
+  /** [[search]] over a pre-signed [[bucketed]] corpus frame: filters
+    * the frame to its first `numTables` tables (the prefix property —
+    * see [[bucketed]]) and runs the identical probe join + rerank, so
+    * `searchBucketed(bucketed(c, …, maxT), …, T, mp)` ≡
+    * `search(c, …, T, mp)` for any `T ≤ maxT` while the signing cost
+    * is paid once across the whole grid. The query-side dimension is
+    * probed from `queries` (same-space contract as the corpus).
+    */
+  def searchBucketed(
+      csig: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numBits: Int,
+      numTables: Int,
+      multiProbe: Int = 0,
+      excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true,
+      probeOrder: Int = 1): DataFrame = {
+    require(k > 0 && numBits >= 1 && numBits <= 62 && numTables >= 1,
+      s"bad shape k=$k numBits=$numBits numTables=$numTables")
+    checkProbeShape(multiProbe, numBits, probeOrder)
+    val dim = vecDim(queries, vecCol)
+    val qprobes = probeFrame(queries, idCol, vecCol,
+      numBits, numTables, multiProbe, dim, probeOrder)
+    val qside = if (broadcastQueries) broadcast(qprobes) else qprobes
+    rerank(csig.filter(col("tbl") < numTables)
+      .join(qside, Seq("tbl", "sig")), k, excludeSelf)
+  }
+
   /** `(neighbor_id, cv, tbl, sig)` — the corpus side of the bucket
     * join, one native signature pass. */
   private def bucketedCorpus(corpus: DataFrame, idCol: String,

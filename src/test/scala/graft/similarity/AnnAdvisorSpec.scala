@@ -121,6 +121,56 @@ class AnnAdvisorSpec extends SparkSuite {
     else assert(c.probedFraction >= lsh.probedFraction)
   }
 
+  test("lsh grid amortization: one signing pass serves every (tables, " +
+      "probes) candidate at a bit width — prefix property + pinned plan") {
+    // the cosine kernels take array<double> (the advisor casts at
+    // ingress; this spec drives LshAnn directly)
+    val dcorpus = corpus.withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    val queries = dcorpus.filter(col("vec_id") < 8)
+    // ≥3 candidates at ONE bit width, mixed table counts (the VERDICT
+    // shape): the advisor signs once at maxTables = 4
+    val grid = Seq((6, 1, 4), (6, 2, 2), (6, 4, 1), (6, 4, 5))
+    val csig = LshAnn.bucketed(dcorpus, "vec_id", "embedding",
+      numBits = 6, numTables = 4).localCheckpoint(true)
+    // the pinned frame is a checkpoint scan: NO signature expression
+    // survives in the plan the per-candidate searches consume, so
+    // re-signing is structurally impossible (the one-pass claim)
+    val planStr = csig.filter(col("tbl") < 2)
+      .queryExecution.optimizedPlan.toString
+    assert(!planStr.contains("vec_lsh_signatures"),
+      s"signature expression still in the pinned plan:\n$planStr")
+    assert(planStr.contains("LogicalRDD") || planStr.contains("Scan"),
+      s"expected a checkpoint scan:\n$planStr")
+    for ((bits, tables, mp) <- grid) {
+      val viaGrid = LshAnn.searchBucketed(csig, queries, "vec_id",
+          "embedding", k = 5, numBits = bits, numTables = tables,
+          multiProbe = mp)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val direct = LshAnn.search(dcorpus, queries, "vec_id", "embedding",
+          k = 5, numBits = bits, numTables = tables, multiProbe = mp)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // tbl < T prefix of the 4-table frame ≡ signing with T tables
+      assert(viaGrid == direct,
+        s"prefix reuse diverged at T=$tables mp=$mp")
+    }
+    // and the advisor's grid path returns the same rows as per-config
+    // direct measurement (same corpus, same sample, same ground truth)
+    val grouped = AnnAdvisor.advise(corpus, "vec_id", "embedding", k = 5,
+      recallFloor = 0.5, nlists = Seq(4), nprobes = Seq(1),
+      sampleQueries = 10, lshConfigs = grid)
+    val single = grid.map { case cfg =>
+      AnnAdvisor.advise(corpus, "vec_id", "embedding", k = 5,
+        recallFloor = 0.5, nlists = Seq(4), nprobes = Seq(1),
+        sampleQueries = 10, lshConfigs = Seq(cfg))
+        .table.filter(_.quantizer == "lsh_mp")
+    }
+    assert(grouped.table.filter(_.quantizer == "lsh_mp").toSet ==
+      single.flatten.toSet)
+  }
+
   test("impossible floor: chosen is None, the table still reports") {
     val a = AnnAdvisor.advise(corpus, "vec_id", "embedding", k = 5,
       recallFloor = 1.0, nlists = Seq(4), nprobes = Seq(1),
