@@ -173,12 +173,27 @@ object Bench {
     // quoting main-pass (ungated) timings as probe-grade.
     val probeGateWait =
       sys.env.getOrElse("SPARK_GRAFT_PROBE_LOAD_WAIT", "240").toInt
+    // ── STRICT probe gate (round-13 lesson: the driver's probe passes
+    // executed at loads 1.81-1.99 against the 2.0 gate — admitted, but
+    // 1.6× hotter than the committed same-code twin, and the headline
+    // ratio moved 0.50× → 0.82× on load alone. 2.0 was calibrated for
+    // chunk starts; a probe pass IS the artifact-of-record number and
+    // needs a quieter bar). Each probe pass first waits for the 1-min
+    // load to drop under SPARK_GRAFT_PROBE_MAX_LOAD (default 1.2);
+    // passes that only clear the coarse maxLoad gate still RUN and are
+    // recorded (an artifact with some number beats probe_gate_failed),
+    // but the reported probe MEDIAN prefers strict-gated passes when at
+    // least two exist — so a host that quiets down mid-run decides the
+    // headline with its quiet passes, and the per-pass loads say which
+    // passes those were.
+    val probeStrict = math.min(maxLoad,
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_MAX_LOAD", "1.2").toDouble)
     val probePassLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     var probeSkipped = 0
     val probeTimings = (1 to probeRuns).map { pass =>
       System.gc()
       var gateWaited = 0
-      while (loadAvg1() > maxLoad && gateWaited < probeGateWait) {
+      while (loadAvg1() > probeStrict && gateWaited < probeGateWait) {
         Thread.sleep(5000)
         gateWaited += 5
       }
@@ -189,6 +204,9 @@ object Bench {
           f"$passLoad%.2f > $maxLoad%.2f after ${gateWaited}s wait")
         Map.empty[String, Double]
       } else {
+        if (passLoad > probeStrict)
+          System.err.println(f"[bench] probe pass $pass UNGATED-STRICT: " +
+            f"load $passLoad%.2f > $probeStrict%.2f (<= $maxLoad%.2f)")
         probePassLoads += passLoad
         headline.filter(names.contains).map(time(_, s"probe-$pass")).toMap
       }
@@ -261,6 +279,8 @@ object Bench {
       s""""load_gate_max":${fmt(maxLoad)},""" +
       s""""probe_pass_loads":${probePassLoads.map(fmt).mkString("[", ",", "]")},""" +
       s""""probe_passes_skipped":$probeSkipped,""" +
+      s""""probe_gate_strict":${fmt(probeStrict)},""" +
+      s""""probe_strict_passes":${probePassLoads.count(_ <= probeStrict)},""" +
       s""""probe_gate_failed":${probeRuns > 0 && probePassLoads.isEmpty},""" +
       s""""nproc":$nproc"""
     // full pass list + median per probe (all base passes + probe passes)
@@ -275,11 +295,26 @@ object Bench {
     // timings as probe-grade — the self-contradiction the per-pass gate
     // exists to kill. An empty list + probe_gate_failed=true is the
     // honest artifact (the main-pass numbers still live in "queries",
-    // visibly ungated).
+    // visibly ungated). The MEDIAN additionally prefers STRICT-gated
+    // passes (load ≤ probeStrict) when at least two exist — see the
+    // strict-gate note above; probe_passes still lists every executed
+    // pass so nothing is hidden.
+    val executedPassLoads = probePassLoads.toSeq
+    def strictOnly(vals: Seq[(Double, Double)]): Seq[Double] = {
+      val strict = vals.collect { case (load, v) if load <= probeStrict => v }
+      if (strict.size >= 2) strict else vals.map(_._2)
+    }
     val probePasses = headline.filter(names.contains).map { name =>
       name -> probeTimings.flatMap(_.get(name)).filter(_.isFinite)
     }.toMap
-    val probeMedianJson = probePasses.map { case (k, v) =>
+    val probeMedianInput = headline.filter(names.contains).map { name =>
+      val executed = probeTimings.filter(_.nonEmpty)
+      val pairs = executed.zip(executedPassLoads).flatMap {
+        case (m, load) => m.get(name).filter(_.isFinite).map(load -> _)
+      }
+      name -> strictOnly(pairs)
+    }.toMap
+    val probeMedianJson = probeMedianInput.map { case (k, v) =>
       "\"" + k + "\":" + fmt(median(v))
     }.mkString("{", ",", "}")
     val probePassesJson = probePasses.map { case (k, v) =>
