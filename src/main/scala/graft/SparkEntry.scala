@@ -3907,6 +3907,61 @@ object SparkEntry {
         "ts", watermark = "1 hour")
         .select(col("media_id").as("did"), col("afp"))
 
+  /** MULTIMODAL curation chain — the perceptual media gate composed
+    * INTO a text-curation funnel the way a real pretraining pipeline
+    * runs them (the 8-stage text chain is already pinned end-to-end by
+    * q_pipeline5; this query proves the media operators participate in
+    * the same attrition accounting instead of living beside it):
+    * ingest → token-count quality gate → exact text dedup → ONE
+    * perceptual media gate spanning all three kinds (image aHash ≤ 2
+    * over [[Media.nearDupImages]], audio envelope ≤ 5 over
+    * [[Media.nearDupAudio]], video min-Hamming ≤ 5 over
+    * [[Media.nearDupVideos]] — every document carries a media payload
+    * by fixture construction, kind = doc_id mod 3). The media drop
+    * rule is pairwise first-wins (a doc is dropped iff it is the
+    * LARGER id of some within-survivor near-dup pair) — well-defined
+    * without transitive closure, and the pair sets are computed
+    * strictly WITHIN the text-gate survivors (drop a doc at stage 1
+    * and its media can no longer shadow a later replica — real
+    * pipeline semantics). Output is the funnel table itself: one row
+    * per stage plus one ATTRIBUTION row per media kind, so the oracle
+    * pins both the survivor arithmetic and which kind dropped what. */
+  private val q_pipeline6: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      import s.implicits._
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+      val q1 = d0
+        .filter(size(Shingles.tokens(col("text"))).between(12, 1000))
+        .localCheckpoint(false)
+      val q2 = ExactDedup.survivors(q1, Seq("text"), "doc_id")
+        .localCheckpoint(false)
+      val imgFp = Media.nearDupImages(s, q2).mapPartitions { it =>
+        it.grouped(Media.BatchSize).flatMap(_.flatMap(m =>
+          Media.aHash64(m.kind, m.content).map(h => (m.media_id, h))))
+      }.toDF("id", "fp")
+      val imgDrop = SimHashDedup.fromFingerprints(imgFp, "fp", "id",
+          maxHamming = 2, fpBits = 64)
+        .select(col("id_r")).distinct().localCheckpoint(false)
+      val audDrop = graft.multimodal.AudioDedup(
+          Media.nearDupAudio(s, q2), maxHamming = 5)
+        .select(col("id_r")).distinct().localCheckpoint(false)
+      val vidDrop = graft.multimodal.VideoDedup(
+          Media.nearDupVideos(s, q2), maxHamming = 5)
+        .select(col("id_r")).distinct().localCheckpoint(false)
+      val drops = imgDrop.union(audDrop).union(vidDrop).distinct()
+      val q3 = q2.join(drops, q2("doc_id") === drops("id_r"), "left_anti")
+      def row(stage: String, df: DataFrame) =
+        df.agg(count(lit(1)).cast("long").as("n"))
+          .select(lit(stage).as("stage"), col("n"))
+      row("0_ingest", d0)
+        .unionByName(row("1_quality", q1))
+        .unionByName(row("2_exact_dedup", q2))
+        .unionByName(row("3_media_gate", q3))
+        .unionByName(row("3_drop_image", imgDrop))
+        .unionByName(row("3_drop_audio", audDrop))
+        .unionByName(row("3_drop_video", vidDrop))
+    }
+
   // ───────── baseline-shape throughput probes (BASELINE.md rows 1, 5) ──
   //
   // The reference's only published numbers are a 10M×1M equality+
@@ -4545,6 +4600,7 @@ object SparkEntry {
     "q_media_dedup_stream"  -> q_media_dedup_stream,
     "q_audio_dedup"         -> q_audio_dedup,
     "q_audio_dedup_stream"  -> q_audio_dedup_stream,
+    "q_pipeline6"           -> q_pipeline6,
     "q_line_dedup"          -> q_line_dedup,
     "q_sample_weighted"     -> q_sample_weighted,
     "q_normalize"           -> q_normalize,
@@ -6940,6 +6996,113 @@ object SparkEntry {
         |         THEN 1::BIGINT << (u*8 + v - 1)::INT ELSE 0 END)::BIGINT AS f
         |       FROM coef WHERE NOT (u = 0 AND v = 0) GROUP BY 1)
         |SELECT min(id) AS did, f AS afp FROM fp GROUP BY f""".stripMargin
+    },
+    // multimodal curation chain: token-count quality gate -> exact text
+    // dedup -> ONE perceptual media gate over all three kinds, with the
+    // near-dup pair sets computed WITHIN the text-gate survivors and
+    // the pairwise first-wins drop rule (a doc drops iff it is the
+    // larger id of some pair). The funnel output pins both the stage
+    // arithmetic and the per-kind attribution. Media CTEs are the
+    // q_media_dedup / q_audio_dedup / q_media_video_dedup replays with
+    // the survivor restriction folded into their seed CTEs.
+    "q_pipeline6" -> {
+      val dctVals = (0 until 8).flatMap(k => (0 until 8).map(u =>
+        s"($k, $u, ${graft.multimodal.Media.DctTable(k)(u)})"))
+        .mkString(", ")
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents),
+        |tks AS (SELECT doc_id, text, $ToksExpr AS tk FROM d0),
+        |q1 AS MATERIALIZED (SELECT doc_id, text FROM tks
+        |       WHERE len(tk) BETWEEN 12 AND 1000),
+        |sv AS (SELECT MIN(doc_id) AS doc_id FROM q1 GROUP BY text),
+        |q2 AS MATERIALIZED (SELECT q1.* FROM q1 JOIN sv USING (doc_id)),
+        |dct(k, u, t) AS (VALUES $dctVals),
+        |gains(gi, gn, gd) AS (VALUES (0,1,1),(1,9,8),(2,5,4),(3,4,5),(4,7,8)),
+        |img AS (SELECT doc_id AS id, doc_id - (doc_id % 15) AS base,
+        |               (doc_id % 15) // 3 AS delta
+        |        FROM q2 WHERE doc_id % 3 = 0),
+        |ipx AS (SELECT i.id, (y.y // 4) * 8 + (x.x // 4) AS j,
+        |         SUM(LEAST(255, (i.base*31 + x.x*7  + y.y*13) % 256
+        |               + CASE WHEN y.y = 0 THEN i.delta ELSE 0 END)
+        |           + LEAST(255, (i.base*17 + x.x*11 + y.y*5 ) % 256
+        |               + CASE WHEN y.y = 0 THEN i.delta ELSE 0 END)
+        |           + LEAST(255, (i.base*23 + x.x*3  + y.y*19) % 256
+        |               + CASE WHEN y.y = 0 THEN i.delta ELSE 0 END))::BIGINT AS lum
+        |       FROM img i, generate_series(0,31) AS x(x),
+        |            generate_series(0,31) AS y(y)
+        |       GROUP BY 1, 2),
+        |itot AS (SELECT id, SUM(lum)::BIGINT AS total FROM ipx GROUP BY 1),
+        |ifp AS (SELECT p.id,
+        |         bit_or(CASE WHEN p.lum * 64 <= t.total THEN 0
+        |                WHEN p.j = 63 THEN (-9223372036854775807 - 1)
+        |                ELSE 1::BIGINT << p.j::INT END)::BIGINT AS f
+        |       FROM ipx p JOIN itot t USING (id) GROUP BY 1),
+        |ipair AS (SELECT DISTINCT b.id AS id_r FROM ifp a JOIN ifp b
+        |       ON a.id < b.id WHERE bit_count(xor(a.f, b.f)) <= 2),
+        |aud AS (SELECT doc_id AS id, doc_id - (doc_id % 15) + 1 AS base,
+        |               ((doc_id % 15) - 1) // 3 AS gi
+        |        FROM q2 WHERE doc_id % 3 = 1),
+        |smp AS (SELECT a.id, i.i // 16 AS j,
+        |          SUM((((a.base*7919 + i.i*104729) % 4096)
+        |            * (((((a.base*(i.i//16 + 1))*7919 + (i.i//16)*104729) % 4093)
+        |                 * 1299709 + a.base*31) % 251 + 2)
+        |            // 64) * g.gn // g.gd
+        |            + CASE WHEN i.i // 16 < 8 THEN 16 * a.gi ELSE 0 END)::BIGINT AS ssum
+        |        FROM aud a JOIN gains g USING (gi),
+        |             generate_series(0, 1023) AS i(i)
+        |        GROUP BY 1, 2),
+        |acoef AS (SELECT m.id, tu.u AS u, tv.u AS v,
+        |           SUM(((m.ssum * 2048) // 16) * tu.t * tv.t)::BIGINT AS cv
+        |         FROM smp m JOIN dct tu ON tu.k = m.j // 8
+        |                    JOIN dct tv ON tv.k = m.j % 8
+        |         GROUP BY 1, 2, 3),
+        |afp AS (SELECT id, bit_or(CASE WHEN cv > 0
+        |         THEN 1::BIGINT << (u*8 + v - 1)::INT ELSE 0 END)::BIGINT AS f
+        |       FROM acoef WHERE NOT (u = 0 AND v = 0) GROUP BY 1),
+        |apair AS (SELECT DISTINCT b.id AS id_r FROM afp a JOIN afp b
+        |       ON a.id < b.id WHERE bit_count(xor(a.f, b.f)) <= 5),
+        |vids AS (SELECT doc_id AS id, doc_id - (doc_id % 15) + 2 AS base,
+        |        ((doc_id % 15) - 2) // 3 AS delta
+        |      FROM q2 WHERE doc_id % 3 = 2),
+        |vpx AS (SELECT v.id, f.f, y.y // 4 AS r, x.x // 4 AS c,
+        |         (SUM(
+        |            LEAST(255, (v.base*31 + f.f*29 + x.x*(7 + v.base % 5)
+        |                        + y.y*(13 + v.base % 7)) % 256
+        |              + CASE WHEN y.y < 4 THEN v.delta * 8 ELSE 0 END)
+        |          + LEAST(255, (v.base*17 + f.f*41 + x.x*(11 + v.base % 3)
+        |                        + y.y*(5 + v.base % 11)) % 256
+        |              + CASE WHEN y.y < 4 THEN v.delta * 8 ELSE 0 END)
+        |          + LEAST(255, (v.base*23 + f.f*59 + x.x*(3 + v.base % 13)
+        |                        + y.y*(19 + v.base % 2)) % 256
+        |              + CASE WHEN y.y < 4 THEN v.delta * 8 ELSE 0 END))::BIGINT
+        |          * ${graft.multimodal.Media.MeanScale}) // COUNT(*) AS lum
+        |       FROM vids v
+        |       JOIN generate_series(0, 5) AS f(f)
+        |         ON f.f < (v.base // 15) % 3 + 4,
+        |       generate_series(0,31) AS x(x), generate_series(0,31) AS y(y)
+        |       GROUP BY 1, 2, 3, 4),
+        |vcoef AS (SELECT p.id, p.f, tu.u AS u, tv.u AS v,
+        |           SUM(p.lum * tu.t * tv.t)::BIGINT AS cv
+        |         FROM vpx p JOIN dct tu ON tu.k = p.r JOIN dct tv ON tv.k = p.c
+        |         GROUP BY 1, 2, 3, 4),
+        |vfp AS (SELECT id, f, bit_or(CASE WHEN cv > 0
+        |         THEN 1::BIGINT << (u*8 + v - 1)::INT ELSE 0 END)::BIGINT AS fp
+        |       FROM vcoef WHERE NOT (u = 0 AND v = 0) GROUP BY 1, 2),
+        |vpair AS (SELECT DISTINCT b.id AS id_r
+        |       FROM vfp a JOIN vfp b ON a.id < b.id
+        |       GROUP BY a.id, b.id
+        |       HAVING MIN(bit_count(xor(a.fp, b.fp))) <= 5),
+        |drops AS (SELECT id_r FROM ipair UNION SELECT id_r FROM apair
+        |          UNION SELECT id_r FROM vpair),
+        |q3 AS (SELECT q2.* FROM q2
+        |       WHERE doc_id NOT IN (SELECT id_r FROM drops))
+        |SELECT '0_ingest' AS stage, COUNT(*)::BIGINT AS n FROM d0
+        |UNION ALL SELECT '1_quality', COUNT(*)::BIGINT FROM q1
+        |UNION ALL SELECT '2_exact_dedup', COUNT(*)::BIGINT FROM q2
+        |UNION ALL SELECT '3_media_gate', COUNT(*)::BIGINT FROM q3
+        |UNION ALL SELECT '3_drop_image', COUNT(*)::BIGINT FROM ipair
+        |UNION ALL SELECT '3_drop_audio', COUNT(*)::BIGINT FROM apair
+        |UNION ALL SELECT '3_drop_video', COUNT(*)::BIGINT FROM vpair"""
+        .stripMargin
     },
     // winnowing fingerprints over md5-hex gram hashes (k=4 token grams,
     // window w=5, min per window, sorted distinct) — md5 makes the hash
