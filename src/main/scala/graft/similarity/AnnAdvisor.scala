@@ -157,25 +157,37 @@ object AnnAdvisor {
     }
     val lshRows = lshConfigs.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
       case (bits, configs) =>
-        val maxTables = configs.map(_._2).max
-        val csig = LshAnn.bucketed(base, idCol, vecCol,
-          numBits = bits, numTables = maxTables).localCheckpoint(true)
-        val rows = configs.map { case (_, tables, mp) =>
-          val hits = LshAnn.searchBucketed(csig, queries, idCol, vecCol,
-              k = k, numBits = bits, numTables = tables, multiProbe = mp)
-            .select(col("query_id"), col("neighbor_id"))
-            .join(exact, Seq("query_id", "neighbor_id"))
-            .count()
-          val nlist = 1 << bits
-          val nprobe = tables * (1 + mp)
-          Measured("lsh_mp", nlist, nprobe,
-            hits.toDouble / possible, nprobe.toDouble / nlist)
+        def measureLsh(search: (Int, Int) => DataFrame) =
+          configs.map { case (_, tables, mp) =>
+            val hits = search(tables, mp)
+              .select(col("query_id"), col("neighbor_id"))
+              .join(exact, Seq("query_id", "neighbor_id"))
+              .count()
+            val nlist = 1 << bits
+            val nprobe = tables * (1 + mp)
+            Measured("lsh_mp", nlist, nprobe,
+              hits.toDouble / possible, nprobe.toDouble / nlist)
+          }
+        if (configs.size == 1)
+          // nothing to amortize: the eager checkpoint would be a pure
+          // extra materialization of the signature frame (measured
+          // +~20% on the single-candidate driver query) — keep the
+          // fused lazy path
+          measureLsh((tables, mp) => LshAnn.search(base, queries, idCol,
+            vecCol, k = k, numBits = bits, numTables = tables,
+            multiProbe = mp))
+        else {
+          val maxTables = configs.map(_._2).max
+          val csig = LshAnn.bucketed(base, idCol, vecCol,
+            numBits = bits, numTables = maxTables).localCheckpoint(true)
+          // the checkpointed signature blocks are freed by the
+          // ContextCleaner once csig goes unreachable (the repo's
+          // operator-pinning convention; Dataset.unpersist only covers
+          // CacheManager entries)
+          measureLsh((tables, mp) => LshAnn.searchBucketed(csig, queries,
+            idCol, vecCol, k = k, numBits = bits, numTables = tables,
+            multiProbe = mp))
         }
-        // the checkpointed signature blocks are freed by the
-        // ContextCleaner once csig goes unreachable (the repo's
-        // operator-pinning convention; Dataset.unpersist only covers
-        // CacheManager entries)
-        rows
     }
     val table = seedRows ++ trainedRows ++ lshRows
     // choice rule unchanged: cheapest probed fraction meeting the
