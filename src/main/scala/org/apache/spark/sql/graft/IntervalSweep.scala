@@ -190,6 +190,42 @@ case class IntervalSweepJoinExec(
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
       val tOrd = TypeUtils.getInterpretedOrdering(lsE.dataType)
         .asInstanceOf[Ordering[Any]]
+      // ── primitive endpoint fast path ──
+      // The generic kernel pays an interpreted Ordering[Any] dispatch +
+      // boxed compare per endpoint comparison — the single hottest call
+      // site of the operator (2 compares per candidate pair, plus the
+      // eviction and ingestion scans). Every fixed-width endpoint type
+      // maps ORDER-ISOMORPHICALLY onto Long (integral/date/timestamp
+      // directly; float/double via the IEEE-754 total-order bit trick,
+      // which reproduces Spark's sort semantics exactly: -0.0 < 0.0,
+      // every NaN canonicalized above +Inf), so the sweep compares plain
+      // longs and the JIT inlines the whole predicate. Non-primitive
+      // endpoint types (decimal, string…) keep the interpreted path.
+      val toKey: Any => Long = lsE.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          v => v.asInstanceOf[java.lang.Long].longValue()
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DateType =>
+          v => v.asInstanceOf[java.lang.Integer].longValue()
+        case org.apache.spark.sql.types.ShortType =>
+          v => v.asInstanceOf[java.lang.Short].longValue()
+        case org.apache.spark.sql.types.ByteType =>
+          v => v.asInstanceOf[java.lang.Byte].longValue()
+        case org.apache.spark.sql.types.DoubleType => v => {
+          val b = java.lang.Double.doubleToLongBits(
+            v.asInstanceOf[java.lang.Double].doubleValue())
+          b ^ ((b >> 63) & 0x7fffffffffffffffL)
+        }
+        case org.apache.spark.sql.types.FloatType => v => {
+          val b = java.lang.Float.floatToIntBits(
+            v.asInstanceOf[java.lang.Float].floatValue())
+          (b ^ ((b >> 31) & 0x7fffffff)).toLong
+        }
+        case _ => null
+      }
+      val prim = toKey != null
       val lsB = BindReferences.bindReference(lsE, lOut)
       val leB = BindReferences.bindReference(leE, lOut)
       val rsB = BindReferences.bindReference(rsE, rOut)
@@ -200,11 +236,16 @@ case class IntervalSweepJoinExec(
       val rUnsafeProj = UnsafeProjection.create(rOut, rOut)
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
+      // endpoint compare: primitive long keys when available, else the
+      // interpreted ordering on the boxed values
+      @inline def cmp(aK: Long, a: Any, bK: Long, b: Any): Int =
+        if (prim) java.lang.Long.compare(aK, bK) else tOrd.compare(a, b)
 
-      // right lookahead: (key copy, rs, re, row copy); rows are copied
-      // once on entry because the child iterator reuses its UnsafeRow
+      // right lookahead: (key copy, rs, re [+ long sort keys], row copy);
+      // rows are copied once on entry because the child iterator reuses
+      // its UnsafeRow
       final class REntry(val key: UnsafeRow, val rs: Any, val re: Any,
-                         val row: InternalRow)
+                         val rsK: Long, val reK: Long, val row: InternalRow)
       var rLook: REntry = null
       def advanceRight(): Unit = {
         rLook = null
@@ -214,13 +255,19 @@ case class IntervalSweepJoinExec(
           val re = reB.eval(r)
           val k = rKeyProj(r)
           if (rs != null && re != null && (nullSafe || !k.anyNull)) {
-            rLook = new REntry(k.copy(), rs, re, r.copy())
+            rLook = new REntry(k.copy(), rs, re,
+              if (prim) toKey(rs) else 0L, if (prim) toKey(re) else 0L,
+              r.copy())
           }
         }
       }
       advanceRight()
 
       val active = new ArrayBuffer[REntry]
+      // reusable per-left-row match list (consumed fully by flatMap
+      // before the next left row is processed — Iterator.flatMap
+      // contract), so the hot loop allocates nothing per row
+      val matchBuf = new ArrayBuffer[InternalRow]
       var curKey: UnsafeRow = null
       // degraded mode: the current key's right rows live in a spillable
       // array instead of the evicting in-memory buffer (see scaladoc)
@@ -264,7 +311,14 @@ case class IntervalSweepJoinExec(
         val lk = lKeyProj(l)
         if (ls == null || le == null || (!nullSafe && lk.anyNull)) Iterator.empty
         else {
-          if (curKey == null || keyOrd.compare(curKey, lk) != 0) {
+          val lsK = if (prim) toKey(ls) else 0L
+          val leK = if (prim) toKey(le) else 0L
+          // key-change check: UnsafeRow byte equality short-circuits the
+          // common same-key case; only a byte mismatch (new key, or a
+          // logically-equal value with different bits, e.g. 0.0 / -0.0)
+          // pays the full interpreted compare
+          if (curKey == null ||
+              (!curKey.equals(lk) && keyOrd.compare(curKey, lk) != 0)) {
             active.clear()
             if (degraded) { spillBuf.clear(); degraded = false }
             curKey = lk.copy()
@@ -273,16 +327,9 @@ case class IntervalSweepJoinExec(
             advanceRight()
           }
           while (rLook != null && keyOrd.compare(rLook.key, curKey) == 0 &&
-              tOrd.compare(rLook.rs, le) <= 0) {
+              cmp(rLook.rsK, rLook.rs, leK, le) <= 0) {
             ingest(rLook)
             advanceRight()
-          }
-          // monotone eviction: left starts ascend within the key, so an
-          // entry whose end precedes this start can never match again
-          // (degraded mode is append-only: expired rows are filtered by
-          // the overlap predicate instead)
-          if (!degraded && active.nonEmpty) {
-            active.filterInPlace(e => tOrd.compare(e.re, ls) >= 0)
           }
           // matching right rows for this left row (rows may be reused
           // buffers in degraded mode — keep-extremes copy on update)
@@ -292,8 +339,33 @@ case class IntervalSweepJoinExec(
                 overlapsRaw(ls, le, rsB.eval(r), reB.eval(r))
               }
             } else {
-              active.iterator
-                .filter(e => overlapsRaw(ls, le, e.rs, e.re)).map(_.row)
+              // fused evict + match: ONE compacting walk over the active
+              // buffer per left row (the previous form paid a full
+              // eviction scan plus a full match scan). Eviction is the
+              // monotone rule unchanged: left starts ascend within the
+              // key, so an entry whose end precedes this start can never
+              // match again. Matches land in the reusable buffer — the
+              // walk must complete before emission because it also
+              // compacts.
+              matchBuf.clear()
+              val n = active.length
+              var i = 0
+              var w = 0
+              while (i < n) {
+                val e = active(i)
+                if (cmp(e.reK, e.re, lsK, ls) >= 0) { // survives eviction
+                  if (w != i) active(w) = e
+                  w += 1
+                  val c1 = cmp(e.rsK, e.rs, leK, le)
+                  if (c1 < 0 || (c1 == 0 && lcE && rcS)) {
+                    val c2 = cmp(lsK, ls, e.reK, e.re)
+                    if (c2 < 0 || (c2 == 0 && lcS && rcE)) matchBuf += e.row
+                  }
+                }
+                i += 1
+              }
+              if (w < n) active.dropRightInPlace(n - w)
+              matchBuf.iterator
             }
           if (keepMode == "all") {
             matches.map { r =>
