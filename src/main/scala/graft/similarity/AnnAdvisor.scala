@@ -102,9 +102,18 @@ object AnnAdvisor {
     require(recallFloor > 0 && recallFloor <= 1, "recallFloor in (0, 1]")
     require(nlists.nonEmpty && nprobes.nonEmpty, "need candidates")
 
-    // the cosine kernels take array<double>; accept float embeddings
+    // the cosine kernels take array<double>; accept float embeddings.
+    // Pinned EAGERLY: every candidate fit/search below re-references
+    // this frame from its own job (quantizer fits are driver collects,
+    // and the measured searches execute as one batched action), so
+    // without the pin each of those ~10+ jobs re-runs the upstream
+    // scan/cast/filter chain. One materialization, k reuses — the
+    // KMeans.fit internal-pin pattern applied at the advisor level.
+    // (Run the advisor on a corpus SAMPLE in production — the pinned
+    // frame is sample-sized, not lake-sized.)
     val base = corpus.filter(col(vecCol).isNotNull)
       .withColumn(vecCol, col(vecCol).cast("array<double>"))
+      .localCheckpoint(true)
     // deterministic, engine-portable sample, pinned so the per-config
     // searches reuse it instead of re-running the corpus orderBy-limit
     // (see Sampling.md5RankPinned)
@@ -119,22 +128,31 @@ object AnnAdvisor {
     val possible = exact.count()
     require(possible > 0, "empty ground truth — corpus too small for k")
 
-    def measure(quantizer: String, nlist: Int, model: IvfAnn.Model,
-        np: Int): Measured = {
-      val hits = IvfAnn.search(base, queries, idCol, vecCol, k = k,
-          model, nprobe = np)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(exact, Seq("query_id", "neighbor_id"))
-        .count()
-      Measured(quantizer, nlist, np,
-        hits.toDouble / possible, np.toDouble / nlist)
+    // Every candidate's hit count is ONE 1-row aggregate; instead of one
+    // Spark action per candidate (~10+ sequential count jobs, each with
+    // its own scheduling/AQE latency), the legs are unioned and executed
+    // as ONE action — the searches are independent, so the scheduler
+    // overlaps them, and the driver collects |configs| rows. An index
+    // literal keeps the collected rows in candidate order (duplicate
+    // configurations stay distinguishable).
+    val legs = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Int, Int, DataFrame)]
+    def addLeg(quantizer: String, nlist: Int, np: Int,
+        approx: DataFrame): Unit = {
+      val i = legs.length
+      legs += ((i, quantizer, nlist, np,
+        approx.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(i).as("leg"), col("hits"))))
     }
-    val seedRows = for {
+    for {
       nlist <- nlists.sorted
       model = IvfAnn.fit(base, idCol, vecCol, nlist = nlist)
       np <- nprobes.sorted if np <= nlist
-    } yield measure("seed", nlist, model, np)
-    val trainedRows = for {
+    } addLeg("seed", nlist, np,
+      IvfAnn.search(base, queries, idCol, vecCol, k = k, model, nprobe = np))
+    for {
       nlist <- trainedNlists.sorted
       // integer Lloyd (bit-replayable; cosine is scale-invariant so the
       // fixed-point centroids feed the cosine quantizer directly — the
@@ -143,7 +161,8 @@ object AnnAdvisor {
         KMeans.fit(base, idCol, vecCol, k = nlist, iters = trainedIters)
           ._1.centroids.map(_.map(_.toDouble)))
       np <- nprobes.sorted if np <= nlist
-    } yield measure("kmeans", nlist, model, np)
+    } addLeg("kmeans", nlist, np,
+      IvfAnn.search(base, queries, idCol, vecCol, k = k, model, nprobe = np))
     // the corpus is signed ONCE per bit width, at the widest table
     // count any candidate at that width asks for, and every (tables,
     // probes) candidate reuses the pinned frame through the tbl < T
@@ -155,25 +174,19 @@ object AnnAdvisor {
       require(bits >= 1 && bits <= 30 && tables >= 1 && mp >= 0,
         s"bad lsh shape numBits=$bits numTables=$tables multiProbe=$mp")
     }
-    val lshRows = lshConfigs.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+    lshConfigs.groupBy(_._1).toSeq.sortBy(_._1).foreach {
       case (bits, configs) =>
-        def measureLsh(search: (Int, Int) => DataFrame) =
-          configs.map { case (_, tables, mp) =>
-            val hits = search(tables, mp)
-              .select(col("query_id"), col("neighbor_id"))
-              .join(exact, Seq("query_id", "neighbor_id"))
-              .count()
-            val nlist = 1 << bits
-            val nprobe = tables * (1 + mp)
-            Measured("lsh_mp", nlist, nprobe,
-              hits.toDouble / possible, nprobe.toDouble / nlist)
+        def legLsh(search: (Int, Int) => DataFrame): Unit =
+          configs.foreach { case (_, tables, mp) =>
+            addLeg("lsh_mp", 1 << bits, tables * (1 + mp),
+              search(tables, mp))
           }
         if (configs.size == 1)
           // nothing to amortize: the eager checkpoint would be a pure
           // extra materialization of the signature frame (measured
           // +~20% on the single-candidate driver query) — keep the
           // fused lazy path
-          measureLsh((tables, mp) => LshAnn.search(base, queries, idCol,
+          legLsh((tables, mp) => LshAnn.search(base, queries, idCol,
             vecCol, k = k, numBits = bits, numTables = tables,
             multiProbe = mp))
         else {
@@ -184,12 +197,20 @@ object AnnAdvisor {
           // ContextCleaner once csig goes unreachable (the repo's
           // operator-pinning convention; Dataset.unpersist only covers
           // CacheManager entries)
-          measureLsh((tables, mp) => LshAnn.searchBucketed(csig, queries,
+          legLsh((tables, mp) => LshAnn.searchBucketed(csig, queries,
             idCol, vecCol, k = k, numBits = bits, numTables = tables,
             multiProbe = mp))
         }
     }
-    val table = seedRows ++ trainedRows ++ lshRows
+    // one action for the whole grid; 1-row legs so the union is tiny
+    val hitsByLeg: Map[Int, Long] = legs.map(_._5)
+      .reduce(_ unionByName _)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val table = legs.toSeq.map { case (i, quantizer, nlist, np, _) =>
+      Measured(quantizer, nlist, np,
+        hitsByLeg.getOrElse(i, 0L).toDouble / possible,
+        np.toDouble / nlist)
+    }
     // choice rule unchanged: cheapest probed fraction meeting the
     // floor, ties to larger nlist then higher recall; exact ties
     // across families resolve alphabetically ("kmeans" < "lsh_mp" <
