@@ -150,7 +150,12 @@ object LshAdvisor {
     val sigs = grams.select(col("id"), sigExpr.as("sig")).cache()
     sigs.count() // materialize once; per-band plans reuse the cache
 
-    val table = bands.map { b =>
+    // one 1-row leg per band candidate, unioned and collected ONCE: the
+    // advisor's cost is job-count-dominated, not data-dominated, and one
+    // action lets the per-band legs' stages run concurrently instead of
+    // as |bands| sequential driver round-trips (the same batching the
+    // ANN advisor's candidate counts use)
+    val legs = bands.zipWithIndex.map { case (b, bi) =>
       val r = numHashes / b
       // band buckets: hash each r-slice of the signature; candidates =
       // distinct same-bucket pairs across bands (each band is one
@@ -169,14 +174,18 @@ object LshAdvisor {
         .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
         .distinct()
       // candidates + hits in ONE pass (a left join against the pinned
-      // truth, counted together) — the advisor's cost is job-count-
-      // dominated, not data-dominated
-      val row = cand
+      // truth, counted together)
+      cand
         .join(truth.withColumn("__t", lit(1)), Seq("id_l", "id_r"), "left")
         .agg(count(lit(1)).as("c"),
           coalesce(sum(col("__t")), lit(0L)).as("h"))
-        .head()
-      val (candidates, hits) = (row.getLong(0), row.getLong(1))
+        .select(lit(bi).as("i"), col("c"), col("h"))
+    }
+    val measured = legs.reduce(_.unionByName(_)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val table = bands.zipWithIndex.map { case (b, bi) =>
+      val r = numHashes / b
+      val (candidates, hits) = measured(bi)
       val sCurve = 1.0 - math.pow(1.0 - math.pow(threshold, r), b)
       Measured(b, r, sCurve, truePairs, candidates, hits,
         if (truePairs == 0) 1.0 else hits.toDouble / truePairs)

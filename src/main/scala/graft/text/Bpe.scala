@@ -81,7 +81,12 @@ object Bpe {
         initSymbols(col(wordCol)).as("symbols"))
       .filter(col("word").isNotNull && length(col("word")) > 0)
     var vCk = vocab.localCheckpoint()
-    vocab = CheckpointStats.withRowCount(vCk, vCk.count(), 64L)
+    // the vocab ROW COUNT is invariant across rounds ([[applyMerge]] is a
+    // per-row column transform — no row is ever added or dropped), so one
+    // count job up front seeds every round's pinned stats; re-counting
+    // per round paid k extra jobs for a number that cannot change
+    val vocabRows = vCk.count()
+    vocab = CheckpointStats.withRowCount(vCk, vocabRows, 64L)
 
     val merges = Seq.newBuilder[Merge]
     var done = false
@@ -101,7 +106,7 @@ object Bpe {
           applyMerge(col("symbols"), a, b))
         val old = vocab
         vCk = next.localCheckpoint()
-        vocab = CheckpointStats.withRowCount(vCk, vCk.count(), 64L)
+        vocab = CheckpointStats.withRowCount(vCk, vocabRows, 64L)
         CheckpointStats.free(old)
       }
       r += 1
