@@ -19,11 +19,8 @@ object Profile {
         var spillMB: Double = 0, var inputMB: Double = 0)
     val stages = mutable.LinkedHashMap.empty[Int, StageRow]
     val jobs = mutable.LinkedHashMap.empty[Int, (Long, Long, Seq[Int])]
-    private val jobStart = mutable.Map.empty[Int, Long]
-    override def onJobStart(j: SparkListenerJobStart): Unit = {
-      jobStart(j.jobId) = j.time
+    override def onJobStart(j: SparkListenerJobStart): Unit =
       jobs(j.jobId) = (j.time, -1L, j.stageIds)
-    }
     override def onJobEnd(j: SparkListenerJobEnd): Unit =
       jobs.get(j.jobId).foreach { case (s, _, ids) =>
         jobs(j.jobId) = (s, j.time, ids)
@@ -49,7 +46,10 @@ object Profile {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val passes = if (args.length > 2) args(2).toInt else 2
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // same default as Bench: an env-less Profile run must measure the
+    // same parallelism/shuffle-partition configuration as an env-less
+    // Bench run, or job costs get misattributed when comparing
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -77,7 +77,10 @@ object Profile {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      Thread.sleep(300) // let listener events drain
+      // deterministic listener drain (a fixed sleep raced late events
+      // off a loaded host and silently under-counted jobs/stages)
+      org.apache.spark.sql.graft.ListenerDrain
+        .waitUntilEmpty(spark.sparkContext, 30000)
       spark.sparkContext.removeSparkListener(rec)
       println(f"== $name pass $pass: $dt%.2f s, ${rec.jobs.size} jobs, " +
         s"${rec.stages.size} stages ==")

@@ -1910,9 +1910,15 @@ object SparkEntry {
             (col("hits").cast("double") / col("possible")).as("recall"))
       def recallRow(name: String, approx: DataFrame): DataFrame =
         recallRowOn(exact)(name, approx)
+      // the three ivf legs share the coarse model and differ only in
+      // nprobe: one searchMulti pass (prefix-stable probes — see
+      // IvfAnn.searchMulti) replaces three corpus cell-assignment
+      // passes; the ≤ 3·10·k-row result is pinned so the per-leg
+      // filters below don't re-run the shared subtree
+      val ivfMulti = IvfAnn.searchMulti(e, q, "vec_id", "embedding",
+        k = 10, coarse, nprobes = Seq(1, 2, 4)).localCheckpoint(false)
       val ivfs = Seq(1, 2, 4).map(np => recallRow(s"ivf_n$np",
-        IvfAnn.search(e, q, "vec_id", "embedding", k = 10, coarse,
-          nprobe = np)))
+        ivfMulti.filter(col("nprobe") === np)))
       val pq = recallRow("pq", graft.similarity.PqAnn.search(
         pqCodes, q, "vec_id", "embedding", "pq_codes", k = 10, pqModel))
       val ivfpq = recallRow("ivfpq", graft.similarity.PqAnn.search(

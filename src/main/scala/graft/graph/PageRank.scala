@@ -128,20 +128,19 @@ object PageRank {
     // rank frame below): the per-round dangling-mass aggregate is then a
     // filter + sum over the frame already in hand — one join per round
     // cheaper than keeping a separate danglers frame to join against
-    val nCk = nodeDf.join(edgeCk.select(col("src")).distinct(),
-        nodeDf("node") === col("src"), "left_outer")
-      .select(col("node"), col("src").isNotNull.as("__dangles_not"))
-      .select(col("node"), (!col("__dangles_not")).as("__dangling"))
-      .localCheckpoint()
-    val nodeFlag = CheckpointStats.withRowCount(nCk, n, 9L)
-
     val base = scale / n
     val tele = (100L - dampingPct) * base / 100L
 
-    var pr = CheckpointStats.withRowCount(
-      nodeFlag.select(col("node"), col("__dangling"),
-        lit(base).as("rank")).localCheckpoint(),
-      n, 17L)
+    // the dangling flag and the uniform initial rank land in ONE
+    // checkpointed frame — a separate node-flag checkpoint followed by
+    // the rank-0 checkpoint paid two back-to-back materialization jobs
+    // for the same rows
+    val nCk = nodeDf.join(edgeCk.select(col("src")).distinct(),
+        nodeDf("node") === col("src"), "left_outer")
+      .select(col("node"), col("src").isNull.as("__dangling"),
+        lit(base).as("rank"))
+      .localCheckpoint()
+    var pr = CheckpointStats.withRowCount(nCk, n, 17L)
     var iter = 0
     var stopped = false
     while (iter < iterations && !stopped) {

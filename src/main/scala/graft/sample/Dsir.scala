@@ -67,12 +67,22 @@ object Dsir {
                         bigrams: Boolean = true): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(k > 0, "smoothing k must be positive")
+    // Pinned (guide §1.2 step 1): the raw feature stream feeds its
+    // bucket model AND the weight stream below — unpinned, the whole
+    // tokenize/bigram/md5-bucket pipeline ran once per reference, and
+    // the two corpus totals each re-ran it a THIRD/FOURTH time. The
+    // totals are instead derived from the (≤ `buckets`-row, pinned)
+    // bucket models — Σ_b Σ_doc c = Σ c exactly, same add-k arithmetic
+    // downstream; an empty corpus still yields 0 through the coalesce.
     val rf = features(raw, idCol, textCol, buckets, bigrams)
+      .localCheckpoint(false)
     val tf = features(target, idCol, textCol, buckets, bigrams)
     val tAgg = tf.groupBy("_b").agg(sum("_c").as("_tc"))
+      .localCheckpoint(false)
     val rAgg = rf.groupBy("_b").agg(sum("_c").as("_rc"))
-    val tTot = tf.agg(coalesce(sum("_c"), lit(0L)).as("_tt"))
-    val rTot = rf.agg(coalesce(sum("_c"), lit(0L)).as("_rt"))
+      .localCheckpoint(false)
+    val tTot = tAgg.agg(coalesce(sum("_tc"), lit(0L)).as("_tt"))
+    val rTot = rAgg.agg(coalesce(sum("_rc"), lit(0L)).as("_rt"))
     rf
       .join(broadcast(tAgg), Seq("_b"), "left")
       .join(broadcast(rAgg), Seq("_b"), "left")

@@ -128,41 +128,67 @@ object AnnAdvisor {
     val possible = exact.count()
     require(possible > 0, "empty ground truth — corpus too small for k")
 
-    // Every candidate's hit count is ONE 1-row aggregate; instead of one
-    // Spark action per candidate (~10+ sequential count jobs, each with
-    // its own scheduling/AQE latency), the legs are unioned and executed
-    // as ONE action — the searches are independent, so the scheduler
-    // overlaps them, and the driver collects |configs| rows. An index
-    // literal keeps the collected rows in candidate order (duplicate
-    // configurations stay distinguishable).
-    val legs = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, String, Int, Int, DataFrame)]
+    // Every candidate's hit count comes from ONE action: each search's
+    // (query_id, neighbor_id) pairs are tagged with a leg-index literal,
+    // unioned, joined ONCE against the pinned ground truth, and counted
+    // with a single groupBy(leg) aggregate. Round 14 ran this as a union
+    // of per-leg 1-row aggregates (one join + one agg subtree per
+    // candidate) — one action, but the plan carried ~12 broadcast joins
+    // and ~24 aggregates, and at 32 threads the driver-side
+    // planning/broadcast bookkeeping dominated (measured 2.0 s
+    // driver-gap, 59 jobs). Joining once and grouping by the literal is
+    // the same arithmetic with one join and one aggregate in the plan
+    // (duplicate configurations stay distinguishable through the index).
+    val meta = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Int, Int)] // (leg, quantizer, nlist, nprobe)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def addLeg(quantizer: String, nlist: Int, np: Int,
         approx: DataFrame): Unit = {
-      val i = legs.length
-      legs += ((i, quantizer, nlist, np,
-        approx.select(col("query_id"), col("neighbor_id"))
-          .join(exact, Seq("query_id", "neighbor_id"))
-          .agg(count(lit(1)).as("hits"))
-          .select(lit(i).as("leg"), col("hits"))))
+      val i = meta.length
+      meta += ((i, quantizer, nlist, np))
+      parts += approx.select(lit(i).as("leg"),
+        col("query_id"), col("neighbor_id"))
     }
-    for {
-      nlist <- nlists.sorted
-      model = IvfAnn.fit(base, idCol, vecCol, nlist = nlist)
-      np <- nprobes.sorted if np <= nlist
-    } addLeg("seed", nlist, np,
-      IvfAnn.search(base, queries, idCol, vecCol, k = k, model, nprobe = np))
-    for {
-      nlist <- trainedNlists.sorted
+    // a cell-probe model's whole nprobe sub-grid rides ONE corpus pass
+    // ([[IvfAnn.searchMulti]]: probes() is prefix-stable, so the max-np
+    // candidate set restricted to probe rank < np IS search(np) — round
+    // 14 paid one corpus cell-assignment pass per (model, np) leg); the
+    // nprobe column maps back to leg indexes with a when-chain (an array
+    // per np value, exploded, so duplicate requested nprobes still get
+    // their own leg rows)
+    def addGrid(quantizer: String, nlist: Int, nps: Seq[Int],
+        model: IvfAnn.Model): Unit = if (nps.nonEmpty) {
+      val npLegs = nps.map { np =>
+        val i = meta.length
+        meta += ((i, quantizer, nlist, np))
+        np -> i
+      }
+      val multi = IvfAnn.searchMulti(base, queries, idCol, vecCol,
+        k = k, model, nprobes = nps)
+      val legsOf = npLegs.groupBy(_._1).map { case (np, xs) =>
+        np -> xs.map(_._2)
+      }
+      val legArr = legsOf.toSeq.sortBy(_._1).map { case (np, ls) =>
+        (np, array(ls.map(l => lit(l)): _*))
+      }.foldLeft(lit(null).cast("array<int>")) { case (acc, (np, arr)) =>
+        when(col("nprobe") === np, arr).otherwise(acc)
+      }
+      parts += multi.select(explode(legArr).as("leg"),
+        col("query_id"), col("neighbor_id"))
+    }
+    nlists.sorted.foreach { nlist =>
+      addGrid("seed", nlist, nprobes.sorted.filter(_ <= nlist),
+        IvfAnn.fit(base, idCol, vecCol, nlist = nlist))
+    }
+    trainedNlists.sorted.foreach { nlist =>
       // integer Lloyd (bit-replayable; cosine is scale-invariant so the
       // fixed-point centroids feed the cosine quantizer directly — the
       // q_ann_ivf_trained spelling)
-      model = IvfAnn.Model(
-        KMeans.fit(base, idCol, vecCol, k = nlist, iters = trainedIters)
-          ._1.centroids.map(_.map(_.toDouble)))
-      np <- nprobes.sorted if np <= nlist
-    } addLeg("kmeans", nlist, np,
-      IvfAnn.search(base, queries, idCol, vecCol, k = k, model, nprobe = np))
+      addGrid("kmeans", nlist, nprobes.sorted.filter(_ <= nlist),
+        IvfAnn.Model(
+          KMeans.fit(base, idCol, vecCol, k = nlist, iters = trainedIters)
+            ._1.centroids.map(_.map(_.toDouble))))
+    }
     // the corpus is signed ONCE per bit width, at the widest table
     // count any candidate at that width asks for, and every (tables,
     // probes) candidate reuses the pinned frame through the tbl < T
@@ -202,11 +228,15 @@ object AnnAdvisor {
             multiProbe = mp))
         }
     }
-    // one action for the whole grid; 1-row legs so the union is tiny
-    val hitsByLeg: Map[Int, Long] = legs.map(_._5)
+    // one action for the whole grid: the unioned tagged pair stream is
+    // ≤ |legs|·sampleQueries·k rows, the truth side broadcasts once
+    val hitsByLeg: Map[Int, Long] = parts
       .reduce(_ unionByName _)
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("leg"))
+      .agg(count(lit(1)).as("hits"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val table = legs.toSeq.map { case (i, quantizer, nlist, np, _) =>
+    val table = meta.toSeq.map { case (i, quantizer, nlist, np) =>
       Measured(quantizer, nlist, np,
         hitsByLeg.getOrElse(i, 0L).toDouble / possible,
         np.toDouble / nlist)

@@ -143,6 +143,63 @@ object IvfAnn {
       .filter(col("rank") <= k)
   }
 
+  /** One corpus pass serving a whole `nprobe` grid — the advisor/recall
+    * measurement path. [[search]] at np ∈ {1, 2, 4} costs three corpus
+    * cell-assignment passes (`model.cell` is nlist·dim flops per corpus
+    * row) plus three probe joins; but [[Model.probes]] is PREFIX-STABLE
+    * (the selection loop takes cells best-first with ties to the
+    * smallest id), so the candidate set at any np ≤ max(nprobes) is
+    * exactly the max-np candidate set restricted to probe rank < np.
+    * This computes the max-np candidates ONCE (one cell assignment, one
+    * join, one cosine per candidate), tags each candidate with every
+    * requested np whose probe window contains its cell, and ranks with
+    * a single window — per (np, query) the rows are bit-identical to
+    * `search(..., nprobe = np)`.
+    *
+    * @return (nprobe, query_id, neighbor_id, cosine, rank) — one row
+    *         group per distinct requested nprobe
+    */
+  def searchMulti(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      model: Model,
+      nprobes: Seq[Int],
+      excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true): DataFrame = {
+    require(nprobes.nonEmpty, "need at least one nprobe")
+    val nps = nprobes.distinct.sorted
+    val maxNp = nps.last
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      model.cell(col(vecCol)).as("cell"))
+    val q0 = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        posexplode(model.probes(col(vecCol), maxNp))
+          .as(Seq("__graft_pr", "cell")))
+    val q = if (broadcastQueries) broadcast(q0) else q0
+    val scored = c.join(q,
+        c("cell") === q("cell") &&
+          (if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)))
+      .select(col("query_id"), col("neighbor_id"), col("__graft_pr"),
+        VectorOps.cosine(col("qv"), col("cv")).as("cosine"))
+    // a candidate probed at rank r belongs to every leg with np > r; the
+    // explode duplicates only matched candidates (≤ |nps|×), never the
+    // corpus scan
+    val npArr = array(nps.map(lit): _*)
+    val tagged = scored
+      .withColumn("nprobe",
+        explode(filter(npArr, np => np > col("__graft_pr"))))
+      .drop("__graft_pr")
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    tagged.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** Convenience: fit + search in one call. */
   def apply(
       corpus: DataFrame,

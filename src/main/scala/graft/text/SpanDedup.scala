@@ -51,14 +51,23 @@ object SpanDedup {
             crossDocOnly: Boolean = false): DataFrame = {
     require(n >= 1, "n must be >= 1")
 
+    // pinned: the token frame feeds the window-key stream, the token
+    // stream AND the final length join — unpinned, the tokenizer ran
+    // once per reference (guide §1.2 step 1: don't recompute; the
+    // operator-pinning convention — blocks are ContextCleaner-freed
+    // when the frame goes unreachable)
     val toks = df.select(col(idCol),
       Shingles.tokens(col(textCol)).as("__graft_tk"))
       .withColumn("__graft_len", size(col("__graft_tk")).cast("long"))
+      .localCheckpoint(false)
     val nonEmpty = toks.filter(col("__graft_len") > 0)
 
     // one row per window start; documents shorter than n tokens form a
-    // single whole-document window (GramHash semantics)
-    val keyed = gramKey match {
+    // single whole-document window (GramHash semantics). Pinned: the
+    // duplicate-gram aggregate AND the span join both consume this
+    // stream — unpinned, the whole gram construction (slice + concat +
+    // key for the string path) ran twice
+    val keyed0 = gramKey match {
       case None =>
         nonEmpty.select(col(idCol), col("__graft_len"),
           posexplode(org.apache.spark.sql.graft.VecFunctions.gram_hash(
@@ -75,6 +84,7 @@ object SpanDedup {
               slice(col("__graft_tk"), (col("__graft_pos") + 1).cast("int"), lit(n))))
               .as("__graft_g"))
     }
+    val keyed = keyed0.localCheckpoint(false)
 
     // duplicated grams + their first occurrence, via partial-aggregating
     // groupBy (skew-robust: no per-gram sorted window)
